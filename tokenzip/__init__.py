@@ -1,0 +1,39 @@
+"""tokenzip — Ray-Data-native per-column lightweight compression for
+pre-tokenized training-sequence tables.
+
+From-scratch engine with the codec semantics of as-com/varint-simd
+(studied read-only at /root/reference; see SURVEY.md), built Ray-Data-first:
+``read_parquet -> map_batches (zero-copy Arrow) -> write_parquet`` with
+sampling-based per-column codec auto-selection, checkpoint manifests, and
+explicit skew handling.
+"""
+
+__version__ = "0.1.0"
+
+from tokenzip.codecs import (  # noqa: E402,F401  (public API re-exports)
+    INT_CODECS,
+    choose_int_codec,
+    decode_int_column,
+    decode_leb128,
+    decode_leb128_len,
+    decode_leb128_zigzag,
+    encode_int_column,
+    encode_leb128,
+    encode_leb128_zigzag,
+    estimate_int_sizes,
+    leb128_decode_scalar,
+    leb128_encode_scalar,
+    leb128_oracle_bytes,
+    leb128_size,
+    pack_blob,
+    register_int_codec,
+    unpack_blob,
+    zigzag_decode,
+    zigzag_encode,
+)
+from tokenzip.errors import (  # noqa: E402,F401
+    ChunkFormatError,
+    CodecError,
+    VarintOverflowError,
+    VarintTruncatedError,
+)

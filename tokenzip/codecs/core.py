@@ -1,0 +1,329 @@
+"""Integer codec library + chunk-blob container framing + registry.
+
+The codec family mandated by the north rule: stream-split varint (Stream
+VByte layout, cited at /root/reference/README.md:154-155), plain LEB128
+(byte-identical to the reference encoder, /root/reference/src/encode/mod.rs:23-25
+— and therefore exactly the rustc-serialize baseline size,
+/root/reference/benches/varint_bench/leb128.rs:4-24), RLE, dictionary,
+bit-packing, frame-of-reference, and delta.
+
+Every codec is a pair of pure functions over NumPy int64 arrays:
+``encode(values, width) -> (streams, meta)`` and
+``decode(streams, meta, n) -> values``. The registry mirrors the reference's
+compile-time kernel dispatch (``VarIntTarget`` specialization,
+/root/reference/src/num.rs:9-46, and the build-time cfg dispatch,
+/root/reference/build.rs:57-85): a name chooses an implementation; the
+auto-selector (selector.py) consults the registry the same way users extend it.
+
+``width`` (8/16/32/64) is the declared signed width of the source column
+(tokens are int32 -> width 32); decode enforces the reference's overflow
+bounds for that width.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+
+from tokenzip.errors import ChunkFormatError, CodecError
+from tokenzip.codecs.bitpack import bit_width, pack_bits, unpack_bits
+from tokenzip.codecs.varint import (
+    decode_leb128,
+    encode_leb128,
+    leb128_size,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+_MAGIC = b"TKZ1"
+
+# ---------------------------------------------------------------------------
+# Container framing: one self-describing binary blob per encoded column chunk.
+# The reference returns (bytes, length) tuples out-of-band
+# (/root/reference/src/encode/mod.rs:23-25); here the framing carries codec id,
+# meta and per-stream lengths so chunks are self-contained and decode is
+# embarrassingly parallel.
+# ---------------------------------------------------------------------------
+
+
+def pack_blob(codec: str, meta: dict, streams: list[bytes]) -> bytes:
+    header = json.dumps(
+        {"c": codec, "m": meta, "sl": [len(s) for s in streams]},
+        sort_keys=True,
+        separators=(",", ":"),
+    ).encode()
+    return b"".join([_MAGIC, struct.pack("<I", len(header)), header, *streams])
+
+
+def unpack_blob(blob: bytes) -> tuple[str, dict, list[bytes]]:
+    blob = bytes(blob)
+    if blob[:4] != _MAGIC:
+        raise ChunkFormatError(f"bad magic {blob[:4]!r}")
+    (hlen,) = struct.unpack_from("<I", blob, 4)
+    header = json.loads(blob[8 : 8 + hlen].decode())
+    streams, off = [], 8 + hlen
+    for sl in header["sl"]:
+        streams.append(blob[off : off + sl])
+        off += sl
+    return header["c"], header["m"], streams
+
+
+# ---------------------------------------------------------------------------
+# Helpers
+# ---------------------------------------------------------------------------
+
+
+def _as_i64(values: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(values, dtype=np.int64)
+
+
+def _zz(values: np.ndarray, width: int) -> np.ndarray:
+    """ZigZag at the column width, widened to uint64 for the kernels."""
+    return zigzag_encode(values.astype(f"int{width}", copy=False), width).astype(np.uint64)
+
+
+def _unzz(u: np.ndarray, width: int) -> np.ndarray:
+    return zigzag_decode(u.astype(f"uint{width}", copy=False), width).astype(np.int64)
+
+
+def _mod_sub(a: np.ndarray, ref: int) -> np.ndarray:
+    """(a - ref) in modular uint64 arithmetic (safe for any int64 range)."""
+    with np.errstate(over="ignore"):
+        return a.view(np.uint64) - np.uint64(ref & 0xFFFFFFFFFFFFFFFF)
+
+
+def _mod_add(d: np.ndarray, ref: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (d.astype(np.uint64) + np.uint64(ref & 0xFFFFFFFFFFFFFFFF)).view(np.int64)
+
+
+def _runs(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n = len(values)
+    if n == 0:
+        return values[:0], np.empty(0, dtype=np.int64)
+    idx = np.flatnonzero(np.diff(values) != 0) + 1
+    starts = np.concatenate(([0], idx))
+    lens = np.diff(np.concatenate((starts, [n])))
+    return values[starts], lens
+
+
+# ---------------------------------------------------------------------------
+# Codecs
+# ---------------------------------------------------------------------------
+
+
+def _enc_leb128(values, width):
+    return [encode_leb128(_zz(values, width))], {"w": width}
+
+
+def _dec_leb128(streams, meta, n):
+    return _unzz(decode_leb128(streams[0], n, width=meta["w"]), meta["w"])
+
+
+def _svb_nbytes(u32: np.ndarray) -> np.ndarray:
+    nb = np.ones(len(u32), dtype=np.int64)
+    for t in (8, 16, 24):
+        nb += (u32 >= np.uint32(1 << t)).astype(np.int64)
+    return nb
+
+
+def _enc_svb(values, width):
+    """Stream-split varint, Stream VByte layout (README.md:154): 2-bit length
+    codes packed 4-per-control-byte in one stream, raw little-endian value
+    bytes (full 8-bit groups, no continuation bits) in the other. Removes the
+    sequential next-offset-depends-on-previous-length dependency of inline
+    varints (/root/reference/benches/varint_bench/main.rs:74-81) — decode
+    reads lengths and payload independently."""
+    if width > 32:
+        raise CodecError("svb codec requires values within int32")
+    u = _zz(values, 32).astype(np.uint32)
+    n = len(u)
+    nb = _svb_nbytes(u)
+    codes = (nb - 1).astype(np.uint8)
+    pad = (-n) % 4
+    if pad:
+        codes = np.concatenate([codes, np.zeros(pad, dtype=np.uint8)])
+    codes = codes.reshape(-1, 4)
+    control = (
+        codes[:, 0] | (codes[:, 1] << 2) | (codes[:, 2] << 4) | (codes[:, 3] << 6)
+    ).astype(np.uint8)
+    data4 = u.astype("<u4").view(np.uint8).reshape(n, 4)
+    keep = np.arange(4) < nb[:, None]
+    payload = data4[keep]
+    return [control.tobytes(), payload.tobytes()], {"w": width}
+
+
+def _dec_svb(streams, meta, n):
+    control = np.frombuffer(streams[0], dtype=np.uint8)
+    if len(control) < (n + 3) // 4:
+        raise ChunkFormatError("svb control stream too short")
+    codes = np.empty(len(control) * 4, dtype=np.int64)
+    for i in range(4):
+        codes[i::4] = (control >> (2 * i)) & 0x03
+    nb = codes[:n] + 1
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nb, out=offsets[1:])
+    payload = np.frombuffer(streams[1], dtype=np.uint8)
+    if len(payload) < offsets[-1]:
+        raise ChunkFormatError("svb payload stream too short")
+    padded = np.concatenate([payload, np.zeros(4, dtype=np.uint8)])
+    idx = offsets[:-1, None] + np.arange(4)
+    vals4 = padded[idx].astype(np.uint32)
+    vals4 *= np.arange(4) < nb[:, None]  # zero out bytes beyond the value's length
+    u = (
+        vals4[:, 0]
+        | (vals4[:, 1] << np.uint32(8))
+        | (vals4[:, 2] << np.uint32(16))
+        | (vals4[:, 3] << np.uint32(24))
+    )
+    return _unzz(u.astype(np.uint32), 32)
+
+
+def _enc_bitpack(values, width):
+    u = _zz(values, width)
+    bits = bit_width(int(u.max())) if len(u) else 0
+    return [pack_bits(u, bits)], {"w": width, "b": bits}
+
+
+def _dec_bitpack(streams, meta, n):
+    u = unpack_bits(streams[0], n, meta["b"])
+    return _unzz(u, meta["w"])
+
+
+def _enc_for(values, width):
+    """Frame-of-reference: subtract the chunk minimum, bit-pack the deltas.
+    Sign handling free (deltas are non-negative) — ZigZag not needed."""
+    if len(values) == 0:
+        return [b""], {"w": width, "ref": 0, "b": 0}
+    ref = int(values.min())
+    deltas = _mod_sub(values, ref)
+    bits = bit_width(int(deltas.max()))
+    return [pack_bits(deltas, bits)], {"w": width, "ref": ref, "b": bits}
+
+
+def _dec_for(streams, meta, n):
+    deltas = unpack_bits(streams[0], n, meta["b"])
+    return _mod_add(deltas, meta["ref"])
+
+
+def _enc_rle(values, width):
+    run_vals, run_lens = _runs(values)
+    return (
+        [encode_leb128(_zz(run_vals, width)), encode_leb128(run_lens.astype(np.uint64))],
+        {"w": width, "r": len(run_vals)},
+    )
+
+
+def _dec_rle(streams, meta, n):
+    r = meta["r"]
+    run_vals = _unzz(decode_leb128(streams[0], r, width=meta["w"]), meta["w"])
+    run_lens = decode_leb128(streams[1], r, width=64).astype(np.int64)
+    if int(run_lens.sum()) != n:
+        raise ChunkFormatError(f"rle lengths sum {run_lens.sum()} != n {n}")
+    return np.repeat(run_vals, run_lens)
+
+
+def _enc_dict(values, width):
+    """Dictionary: sorted distinct values, delta+LEB128 encoded (ascending
+    diffs are small), plus bit-packed per-value codes."""
+    uniq, inv = np.unique(values, return_inverse=True)
+    k = len(uniq)
+    code_bits = bit_width(k - 1) if k > 1 else 0
+    if k == 0:
+        dict_stream = b""
+    else:
+        first = _zz(uniq[:1], 64)
+        with np.errstate(over="ignore"):
+            diffs = uniq[1:].view(np.uint64) - uniq[:-1].view(np.uint64)  # ascending => >=1
+        dict_stream = encode_leb128(np.concatenate([first, diffs]))
+    return (
+        [dict_stream, pack_bits(inv.astype(np.uint64), code_bits)],
+        {"w": width, "k": k, "cb": code_bits},
+    )
+
+
+def _dec_dict(streams, meta, n):
+    k = meta["k"]
+    if k == 0:
+        if n:
+            raise ChunkFormatError("empty dictionary for non-empty chunk")
+        return np.empty(0, dtype=np.int64)
+    raw = decode_leb128(streams[0], k, width=64)
+    uniq = np.empty(k, dtype=np.int64)
+    uniq[0] = _unzz(raw[:1], 64)[0]
+    if k > 1:
+        with np.errstate(over="ignore"):
+            uniq[1:] = uniq[0] + np.cumsum(raw[1:]).view(np.int64)
+    codes = unpack_bits(streams[1], n, meta["cb"]).astype(np.int64)
+    if len(codes) and codes.max() >= k:
+        raise ChunkFormatError("dictionary code out of range")
+    return uniq[codes]
+
+
+def _enc_delta(values, width):
+    """Delta + ZigZag + LEB128: first value then successive differences.
+    Wins on sorted / clustered streams (e.g. list offsets)."""
+    if width > 32:
+        raise CodecError("delta codec requires values within int32")
+    n = len(values)
+    if n == 0:
+        return [b""], {"w": width}
+    seq = np.empty(n, dtype=np.int64)
+    seq[0] = values[0]
+    seq[1:] = np.diff(values)
+    return [encode_leb128(zigzag_encode(seq, 64).astype(np.uint64))], {"w": width}
+
+
+def _dec_delta(streams, meta, n):
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    seq = zigzag_decode(decode_leb128(streams[0], n, width=64), 64).astype(np.int64)
+    return np.cumsum(seq)
+
+
+INT_CODECS: dict[str, tuple] = {
+    "leb128": (_enc_leb128, _dec_leb128),
+    "svb": (_enc_svb, _dec_svb),
+    "bitpack": (_enc_bitpack, _dec_bitpack),
+    "for": (_enc_for, _dec_for),
+    "rle": (_enc_rle, _dec_rle),
+    "dict": (_enc_dict, _dec_dict),
+    "delta": (_enc_delta, _dec_delta),
+}
+
+
+def register_int_codec(name: str, encode, decode) -> None:
+    """User-extension surface — the engine analog of the reference's cargo
+    feature / build-time dispatch extension points
+    (/root/reference/Cargo.toml:17-23, build.rs:57-85)."""
+    INT_CODECS[name] = (encode, decode)
+
+
+def encode_int_column(
+    values: np.ndarray, codec: str, width: int = 32
+) -> bytes:
+    """Encode one integer column chunk with a named codec into a packed blob."""
+    values = _as_i64(values)
+    enc, _ = INT_CODECS[codec]
+    streams, meta = enc(values, width)
+    meta["n"] = len(values)
+    return pack_blob(codec, meta, streams)
+
+
+def decode_int_column(blob: bytes, dtype=np.int64) -> np.ndarray:
+    """Decode a packed integer column blob back to its values."""
+    codec, meta, streams = unpack_blob(blob)
+    _, dec = INT_CODECS[codec]
+    values = dec(streams, meta, meta["n"])
+    return values.astype(dtype, copy=False)
+
+
+def leb128_oracle_bytes(values: np.ndarray, width: int = 32) -> int:
+    """The compressed-size bound: total bytes the reference rustc-serialize
+    LEB128 encoder would produce for this (zigzagged) column
+    (/root/reference/benches/varint_bench/leb128.rs:4-24)."""
+    if len(values) == 0:
+        return 0
+    return int(leb128_size(_zz(_as_i64(values), width)).sum())

@@ -1,0 +1,121 @@
+"""Sampling-based per-column codec auto-selection.
+
+For each column chunk: compute the *exact* encoded payload size every codec
+would produce (cheap closed-form size formulas — no trial encoding needed for
+most codecs), on a deterministic sample for large chunks, then pick the
+minimum. Plain LEB128 is always a candidate, so the chosen size can never
+estimate above the reference rustc-LEB128 bound; after real encoding the
+caller additionally verifies the packed blob against the bound and falls back
+to LEB128 if a sampling miss picked a loser (guaranteeing the north rule's
+<= -reference-size invariant by construction).
+
+Determinism: the sample is a pure function of the chunk contents (fixed
+stride positions), never RNG state — so Ray task retries re-encode
+bit-identically (SURVEY.md §4.2 retry-safety requirement).
+
+Size-formula sources: LEB128 size = rustc oracle
+(/root/reference/benches/varint_bench/leb128.rs:4-24); width-specialized
+packing mirrors the reference's per-width kernel choice
+(/root/reference/src/num.rs:50 MAX_VARINT_BYTES per type; README.md:57-59
+"type parameter greatly affects performance").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tokenzip.codecs.bitpack import bit_width
+from tokenzip.codecs.core import _runs, _zz
+from tokenzip.codecs.varint import leb128_size, zigzag_encode
+
+DEFAULT_SAMPLE = 65_536
+
+# Candidate order is the tie-break preference (decode speed at equal size).
+INT_CANDIDATES = ("rle", "dict", "for", "bitpack", "svb", "delta", "leb128")
+
+
+def estimate_int_sizes(
+    values: np.ndarray,
+    width: int = 32,
+    candidates: tuple[str, ...] = INT_CANDIDATES,
+    sample: int = DEFAULT_SAMPLE,
+) -> dict[str, float]:
+    """Exact-per-sample payload byte sizes for each candidate codec.
+
+    For chunks larger than ``sample`` the sizes are computed on a contiguous
+    head slice plus a strided body sample and scaled — contiguous slices keep
+    run-length and sortedness structure visible to the RLE/delta estimators.
+    """
+    n = len(values)
+    if n == 0:
+        return {c: 0.0 for c in candidates}
+    values = np.ascontiguousarray(values, dtype=np.int64)
+    if n > sample:
+        half = sample // 2
+        stride = max(1, (n - half) // half)
+        s = np.concatenate([values[:half], values[half::stride][:half]])
+        scale = n / len(s)
+    else:
+        s = values
+        scale = 1.0
+    m = len(s)
+    vmin, vmax = int(s.min()), int(s.max())
+    fits32 = -(2**31) <= vmin and vmax < 2**31
+    zz = _zz(s, width) if width <= 32 else zigzag_encode(s, 64).astype(np.uint64)
+
+    sizes: dict[str, float] = {}
+    for c in candidates:
+        if c == "leb128":
+            sizes[c] = float(leb128_size(zz).sum()) * scale
+        elif c == "svb":
+            if not fits32 or width > 32:
+                continue
+            u = zigzag_encode(s.astype(np.int32), 32).astype(np.uint32)
+            nb = np.ones(m, dtype=np.int64)
+            for t in (8, 16, 24):
+                nb += (u >= np.uint32(1 << t)).astype(np.int64)
+            sizes[c] = (float(nb.sum()) + m / 4.0) * scale
+        elif c == "bitpack":
+            sizes[c] = (m * bit_width(int(zz.max())) / 8.0) * scale
+        elif c == "for":
+            sizes[c] = (m * bit_width(vmax - vmin) / 8.0) * scale
+        elif c == "rle":
+            run_vals, run_lens = _runs(s)
+            rv_zz = zigzag_encode(run_vals, 64).astype(np.uint64)
+            sizes[c] = (
+                float(leb128_size(rv_zz).sum())
+                + float(leb128_size(run_lens.astype(np.uint64)).sum())
+            ) * scale
+        elif c == "dict":
+            uniq = np.unique(s)
+            k = len(uniq)
+            # sampled distinct-count underestimates the true cardinality;
+            # inflate the code width by one bit as a safety margin
+            cb = bit_width(k - 1) + (1 if n > m else 0) if k > 1 else 0
+            dict_bytes = float(leb128_size(_zz(uniq, 64)).sum())  # upper bound on delta dict
+            sizes[c] = m * cb / 8.0 * scale + dict_bytes
+        elif c == "delta":
+            if not fits32 or width > 32:
+                continue
+            d = np.empty(m, dtype=np.int64)
+            d[0] = s[0]
+            d[1:] = np.diff(s)
+            sizes[c] = float(leb128_size(zigzag_encode(d, 64).astype(np.uint64)).sum()) * scale
+    return sizes
+
+
+def choose_int_codec(
+    values: np.ndarray,
+    width: int = 32,
+    candidates: tuple[str, ...] = INT_CANDIDATES,
+    sample: int = DEFAULT_SAMPLE,
+) -> str:
+    """Pick the minimum-estimated-size codec (first-listed wins ties)."""
+    sizes = estimate_int_sizes(values, width, candidates, sample)
+    if not sizes:
+        return "leb128"
+    best = min(sizes.values())
+    for c in candidates:
+        if c in sizes and sizes[c] <= best:
+            return c
+    return "leb128"
