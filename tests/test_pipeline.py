@@ -1,0 +1,96 @@
+"""End-to-end Ray pipeline tests: compress -> decompress equality, verify
+aggregation, manifest lineage, and exact resume (SURVEY.md §5 engine plan)."""
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from tokenzip.corpus import corpus_paths
+from tokenzip.pipeline import chunk_meta_dataset, compress, decompress, verify_roundtrip
+
+
+@pytest.fixture(scope="module")
+def paths(ray_session):
+    return corpus_paths("/root/testdata/sf0.001")
+
+
+def _orig_df(paths):
+    import pandas as pd
+
+    tables = [pq.read_table(p) for p in paths]
+    df = pd.concat([t.to_pandas() for t in tables]).sort_values("doc_id")
+    return df.reset_index(drop=True)
+
+
+def test_compress_decompress_bit_identical(ray_session, paths, tmp_path):
+    out = str(tmp_path / "out")
+    totals = compress(paths, out, concurrency=2)
+    assert totals["n_rows"] == 2000
+    df = decompress(out, concurrency=2).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    orig = _orig_df(paths)
+    assert (df["doc_id"] == orig["doc_id"]).all()
+    assert (df["source"] == orig["source"]).all()
+    assert (df["n_tok"] == orig["n_tok"]).all()
+    for a, b in zip(df["tokens"], orig["tokens"]):
+        assert len(a) == len(b) and (a == b).all()
+
+
+def test_size_bound_and_manifest(ray_session, paths, tmp_path):
+    out = str(tmp_path / "out")
+    totals = compress(paths, out, concurrency=2)
+    # north rule: compressed size <= reference LEB128 size. Framing overhead
+    # is bounded by 512 bytes/chunk; tokens payload dominates.
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert totals["leb128_bytes"] > 0
+    tok_out = sum(f["tokens_bytes_out"] for f in man["fragments"].values())
+    assert tok_out <= totals["leb128_bytes"] + 512 * totals["n_chunks"]
+    assert totals["bytes_out"] < totals["bytes_in"]
+    assert set(man["fragments"]) == {f"part-{i:04d}" for i in range(8)}
+    for frag, st in man["fragments"].items():
+        assert st["status"] == "done"
+        assert st["n_chunks"] > 0 and st["n_tokens"] > 0
+    meta = chunk_meta_dataset(out).to_pandas()
+    assert meta["n_rows"].sum() == 2000
+
+
+def test_resume_skips_done_and_completes(ray_session, paths, tmp_path):
+    out_full = str(tmp_path / "full")
+    compress(paths, out_full, concurrency=2)
+
+    out_res = str(tmp_path / "resumed")
+    compress(paths[:3], out_res, concurrency=2)  # simulate a partial run
+    man = json.load(open(os.path.join(out_res, "manifest.json")))
+    assert len(man["fragments"]) == 3
+    # leave a partial (stale) chunk dir for an unfinished fragment; resume
+    # must wipe and rewrite it
+    stale = os.path.join(out_res, "chunks", "frag=part-0004")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "garbage.parquet"), "w") as f:
+        f.write("junk")
+    totals = compress(paths, out_res, concurrency=2)  # resume the rest
+    man = json.load(open(os.path.join(out_res, "manifest.json")))
+    assert len(man["fragments"]) == 8
+    assert totals["n_rows"] == 2000
+    # identical decoded content vs the one-shot run
+    a = decompress(out_res, concurrency=2).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = decompress(out_full, concurrency=2).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"] == b["doc_id"]).all()
+    for x, y in zip(a["tokens"], b["tokens"]):
+        assert (x == y).all()
+
+
+def test_noop_resume(ray_session, paths, tmp_path):
+    out = str(tmp_path / "out")
+    t1 = compress(paths, out, concurrency=2)
+    t2 = compress(paths, out, concurrency=2)  # everything done -> no work
+    assert t1 == t2
+
+
+def test_verify_roundtrip_all_equal(ray_session, paths):
+    v = verify_roundtrip(paths).to_pandas()
+    assert (v["n_docs"] == v["n_equal"]).all()
+    assert v["n_docs"].sum() == 2000
+    assert set(v["source"]) == {"web", "code", "books", "wiki", "synth"}

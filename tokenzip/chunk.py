@@ -1,0 +1,234 @@
+"""Arrow chunk layer: one input batch (doc_id, tokens, n_tok, source) ->
+one encoded chunk row; and the exact inverse.
+
+The encoded chunk is the engine's analog of the reference's
+``([u8;16], len)`` tuple (/root/reference/src/encode/mod.rs:23-25) scaled to
+column chunks: a binary payload per column plus out-of-band metadata
+(codec id, counts, byte sizes) carried as sibling Arrow columns. List
+offsets are their own delta-encoded stream — the stream-split idea
+(/root/reference/README.md:154): lengths live apart from payload bytes, so
+decode has no sequential next-offset-depends-on-previous-value dependency
+(/root/reference/benches/varint_bench/main.rs:74-81).
+
+Bit-identical reconstruction (including empty lists) is asserted by tests;
+the per-chunk ``leb128_bytes`` column records the reference rustc-LEB128
+oracle size so the <=-reference bound is auditable per chunk and in the
+manifest aggregate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from tokenzip.codecs.core import (
+    INT_CODECS,
+    leb128_oracle_bytes,
+    pack_blob,
+    unpack_blob,
+)
+from tokenzip.codecs.selector import choose_int_codec
+from tokenzip.codecs.strings import decode_str_column, encode_str_column
+from tokenzip.errors import ChunkFormatError
+
+CHUNK_SCHEMA = pa.schema(
+    [
+        ("chunk_id", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("tokens_enc", pa.large_binary()),
+        ("offsets_enc", pa.large_binary()),
+        ("doc_id_enc", pa.large_binary()),
+        ("source_enc", pa.large_binary()),
+        ("n_tok_enc", pa.large_binary()),  # empty when derived from offsets
+        ("tokens_codec", pa.string()),
+        ("bytes_in", pa.int64()),
+        ("bytes_out", pa.int64()),
+        ("tokens_bytes_out", pa.int64()),
+        ("leb128_bytes", pa.int64()),
+        ("source_top", pa.string()),
+    ]
+)
+
+
+def _tokens_parts(tokens: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (list_lengths, flat int32 values) of a list<int32> column."""
+    col = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    if col.null_count:
+        raise ChunkFormatError("null tokens lists not supported")
+    if isinstance(col, pa.LargeListArray):
+        odt = np.int64
+    else:
+        odt = np.int32
+    off_buf = np.frombuffer(col.buffers()[1], dtype=odt)
+    offsets = off_buf[col.offset : col.offset + len(col) + 1].astype(np.int64)
+    flat = col.values
+    vals_np = flat.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    vals_np = vals_np[offsets[0] : offsets[-1]]
+    lengths = np.diff(offsets)
+    return lengths, vals_np
+
+
+def encode_batch(
+    batch: pa.Table,
+    tokens_codec: str = "auto",
+    id_codec: str = "auto",
+    selector_sample: int = 65_536,
+) -> pa.Table:
+    """Encode one Arrow batch of the input schema into one chunk row.
+
+    ``tokens_codec='auto'`` runs the sampling-based selector and *guarantees*
+    the north rule's size bound by falling back to plain LEB128 whenever the
+    chosen codec's actual packed payload exceeds the LEB128 blob (sampling
+    can mispredict; the floor cannot)."""
+    lengths, values32 = _tokens_parts(batch["tokens"])
+    n_rows = len(lengths)
+    n_tokens = int(lengths.sum())
+    values = values32.astype(np.int64)  # codec kernels operate on the i64 domain
+
+    oracle = leb128_oracle_bytes(values, 32)
+    if tokens_codec == "auto":
+        chosen = choose_int_codec(values, 32, sample=selector_sample)
+    else:
+        chosen = tokens_codec
+    enc, _ = INT_CODECS[chosen]
+    streams, meta = enc(values, 32)
+    meta["n"] = n_tokens
+    tokens_blob = pack_blob(chosen, meta, streams)
+    if tokens_codec == "auto" and chosen != "leb128":
+        leb_enc, _ = INT_CODECS["leb128"]
+        if sum(len(s) for s in streams) > oracle:
+            lstreams, lmeta = leb_enc(values, 32)
+            lmeta["n"] = n_tokens
+            tokens_blob = pack_blob("leb128", lmeta, lstreams)
+            chosen = "leb128"
+
+    # list offsets as their own delta stream (lengths are the deltas)
+    len_enc, _ = INT_CODECS["delta"]
+    off_streams, off_meta = len_enc(np.cumsum(lengths), 32 if n_tokens < 2**31 else 32)
+    off_meta["n"] = n_rows
+    offsets_blob = pack_blob("delta", off_meta, off_streams)
+
+    doc_id_blob = encode_str_column(batch["doc_id"], id_codec)
+    source_blob = encode_str_column(batch["source"], "auto")
+
+    n_tok_col = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if np.array_equal(n_tok_col, lengths):
+        n_tok_blob = b""  # derived: re-materialized from offsets at decode
+    else:
+        ntc = choose_int_codec(n_tok_col, 32, sample=selector_sample)
+        e, _ = INT_CODECS[ntc]
+        s, m = e(n_tok_col, 32)
+        m["n"] = n_rows
+        n_tok_blob = pack_blob(ntc, m, s)
+
+    did = batch["doc_id"]
+    first = did[0].as_py() if n_rows else ""
+    last = did[-1].as_py() if n_rows else ""
+    chunk_id = hashlib.sha1(f"{first}|{last}|{n_rows}|{n_tokens}".encode()).hexdigest()[:16]
+
+    # uncompressed Arrow payload bytes of the four columns
+    str_bytes = 0
+    for name in ("doc_id", "source"):
+        col = batch[name]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        buf = col.buffers()[2]
+        str_bytes += (len(buf) if buf is not None else 0) + 4 * (len(col) + 1)
+    bytes_in = 4 * n_tokens + 4 * (n_rows + 1) + 4 * n_rows + str_bytes
+
+    blobs = [tokens_blob, offsets_blob, doc_id_blob, source_blob, n_tok_blob]
+    bytes_out = sum(len(b) for b in blobs)
+
+    if n_rows:
+        vc = batch["source"].value_counts()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        source_top = vc.field("values")[int(np.argmax(counts))].as_py()
+    else:
+        source_top = ""
+
+    return pa.table(
+        {
+            "chunk_id": [chunk_id],
+            "n_rows": [n_rows],
+            "n_tokens": [n_tokens],
+            "tokens_enc": [tokens_blob],
+            "offsets_enc": [offsets_blob],
+            "doc_id_enc": [doc_id_blob],
+            "source_enc": [source_blob],
+            "n_tok_enc": [n_tok_blob],
+            "tokens_codec": [chosen],
+            "bytes_in": [bytes_in],
+            "bytes_out": [bytes_out],
+            "tokens_bytes_out": [len(tokens_blob)],
+            "leb128_bytes": [oracle],
+            "source_top": [source_top],
+        },
+        schema=CHUNK_SCHEMA,
+    )
+
+
+def decode_chunk_row(row: dict) -> pa.Table:
+    """Inverse of :func:`encode_batch` for one chunk row -> original batch."""
+    n_rows = int(row["n_rows"])
+    n_tokens = int(row["n_tokens"])
+
+    codec, meta, streams = unpack_blob(row["offsets_enc"])
+    _, dec = INT_CODECS[codec]
+    cum = dec(streams, meta, n_rows).astype(np.int64)
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    offsets[1:] = cum
+    lengths = np.diff(offsets)
+    if n_rows and int(offsets[-1]) != n_tokens:
+        raise ChunkFormatError(
+            f"offsets end {offsets[-1]} != n_tokens {n_tokens}"
+        )
+
+    codec, meta, streams = unpack_blob(row["tokens_enc"])
+    _, dec = INT_CODECS[codec]
+    values = dec(streams, meta, n_tokens).astype(np.int32)
+
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()).cast(pa.int32())
+        if n_tokens < 2**31
+        else pa.array(offsets, type=pa.int64()),
+        pa.array(values, type=pa.int32()),
+    )
+
+    doc_id = decode_str_column(row["doc_id_enc"])
+    source = decode_str_column(row["source_enc"])
+
+    if len(row["n_tok_enc"]) == 0:
+        n_tok = lengths.astype(np.int32)
+    else:
+        codec, meta, streams = unpack_blob(row["n_tok_enc"])
+        _, dec = INT_CODECS[codec]
+        n_tok = dec(streams, meta, n_rows).astype(np.int32)
+
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "tokens": tokens,
+            "n_tok": pa.array(n_tok),
+            "source": source,
+        }
+    )
+
+
+def decode_chunks(chunks: pa.Table) -> pa.Table:
+    """Decode a table of chunk rows back to original rows (concatenated)."""
+    parts = [
+        decode_chunk_row({k: chunks[k][i].as_py() for k in chunks.column_names})
+        for i in range(chunks.num_rows)
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "tokens": pa.array([], pa.list_(pa.int32())),
+                "n_tok": pa.array([], pa.int32()),
+                "source": pa.array([], pa.string()),
+            }
+        )
+    return pa.concat_tables(parts)

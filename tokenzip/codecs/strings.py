@@ -1,0 +1,187 @@
+"""String-column codecs: plain, dictionary, and prefix+integer structural.
+
+The reference has no string handling (it is an integer codec library); these
+codecs exist because the north rule's table has ``doc_id``/``source`` string
+columns. They reuse the integer kernels for all their numeric substreams
+(lengths, codes, suffix integers), keeping LEB128 as the universal inner
+primitive exactly as the reference uses varint framing for every width
+(/root/reference/src/num.rs:9-46).
+
+Interface mirrors the int codecs: ``encode(arr: pa.Array) -> (streams, meta)``
+and ``decode(streams, meta, n) -> pa.Array`` over ``pa.string()`` arrays.
+FSST lives in fsst.py (same registry).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tokenzip.errors import ChunkFormatError, CodecError
+from tokenzip.codecs.bitpack import bit_width, pack_bits, unpack_bits
+from tokenzip.codecs.core import pack_blob, unpack_blob
+from tokenzip.codecs.varint import decode_leb128, encode_leb128
+
+
+def _str_parts(arr: pa.Array) -> tuple[np.ndarray, bytes]:
+    """Zero-copy (lengths, concatenated utf8 bytes) of a string array."""
+    arr = pc.cast(arr, pa.string())
+    if arr.null_count:
+        raise CodecError("null strings not supported in v1")
+    combined = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    buf_offsets = np.frombuffer(combined.buffers()[1], dtype=np.int32)
+    off = combined.offset
+    offsets = buf_offsets[off : off + len(combined) + 1].astype(np.int64)
+    data = combined.buffers()[2]
+    blob = data.to_pybytes()[offsets[0] : offsets[-1]] if data is not None else b""
+    return np.diff(offsets), blob
+
+
+def _mk_str(lengths: np.ndarray, blob: bytes) -> pa.Array:
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return pa.Array.from_buffers(
+        pa.large_string(),
+        len(lengths),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)],
+    ).cast(pa.string())
+
+
+def _enc_plain(arr):
+    lengths, blob = _str_parts(arr)
+    return [encode_leb128(lengths.astype(np.uint64)), blob], {}
+
+
+def _dec_plain(streams, meta, n):
+    lengths = decode_leb128(streams[0], n, width=64).astype(np.int64)
+    return _mk_str(lengths, streams[1])
+
+
+def _enc_dict_str(arr):
+    """Dictionary-encode: distinct strings stored plain, bit-packed codes.
+    The per-chunk symbol-table analog of the reference's static lookup tables
+    (/root/reference/src/decode/lookup.rs) — built per chunk, or supplied as a
+    shared table by the actor-pool stage."""
+    arr = pc.cast(arr, pa.string())
+    d = pc.dictionary_encode(
+        arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    )
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+    k = len(d.dictionary)
+    cb = bit_width(k - 1) if k > 1 else 0
+    dlen, dblob = _str_parts(d.dictionary)
+    return (
+        [pack_bits(codes, cb), encode_leb128(dlen.astype(np.uint64)), dblob],
+        {"k": k, "cb": cb},
+    )
+
+
+def _dec_dict_str(streams, meta, n):
+    k, cb = meta["k"], meta["cb"]
+    codes = unpack_bits(streams[0], n, cb).astype(np.int64)
+    if n and k == 0:
+        raise ChunkFormatError("empty dictionary for non-empty chunk")
+    dlen = decode_leb128(streams[1], k, width=64).astype(np.int64)
+    dic = _mk_str(dlen, streams[2])
+    return pc.take(dic, pa.array(codes))
+
+
+def _enc_prefix_int(arr):
+    """Structural codec for machine-generated ids ``<prefix><fixed-width int>``
+    (e.g. ``doc-00001234``): store the prefix once and delta-encode the
+    integer suffixes. Raises CodecError when the shape doesn't hold — the
+    selector treats that as 'not applicable'."""
+    lengths, blob = _str_parts(arr)
+    n = len(lengths)
+    if n == 0:
+        return [b"", b""], {"p": "", "d": 0}
+    if not (lengths == lengths[0]).all():
+        raise CodecError("prefix_int: varying lengths")
+    width = int(lengths[0])
+    mat = np.frombuffer(blob, dtype=np.uint8).reshape(n, width)
+    is_digit = (mat >= ord("0")) & (mat <= ord("9"))
+    digit_cols = is_digit.all(axis=0)
+    # suffix = maximal all-digit run at the end; prefix must be constant
+    nd = 0
+    for c in range(width - 1, -1, -1):
+        if digit_cols[c]:
+            nd += 1
+        else:
+            break
+    if nd == 0 or nd > 18:
+        raise CodecError("prefix_int: no digit suffix")
+    pre = mat[:, : width - nd]
+    if pre.size and not (pre == pre[0]).all():
+        raise CodecError("prefix_int: varying prefix")
+    digits = mat[:, width - nd :].astype(np.int64) - ord("0")
+    ints = digits @ (10 ** np.arange(nd - 1, -1, -1, dtype=np.int64))
+    seq = np.empty(n, dtype=np.int64)
+    seq[0] = ints[0]
+    seq[1:] = np.diff(ints)
+    from tokenzip.codecs.varint import zigzag_encode
+
+    stream = encode_leb128(zigzag_encode(seq, 64).astype(np.uint64))
+    return [stream, b""], {"p": pre[0].tobytes().decode(), "d": nd}
+
+
+def _dec_prefix_int(streams, meta, n):
+    if n == 0:
+        return _mk_str(np.empty(0, dtype=np.int64), b"")
+    from tokenzip.codecs.varint import zigzag_decode
+
+    seq = zigzag_decode(decode_leb128(streams[0], n, width=64), 64).astype(np.int64)
+    ints = np.cumsum(seq)
+    nd = meta["d"]
+    prefix = meta["p"].encode()
+    digits = (ints[:, None] // (10 ** np.arange(nd - 1, -1, -1, dtype=np.int64))) % 10
+    mat = np.empty((n, len(prefix) + nd), dtype=np.uint8)
+    mat[:, : len(prefix)] = np.frombuffer(prefix, dtype=np.uint8)
+    mat[:, len(prefix) :] = digits + ord("0")
+    lengths = np.full(n, len(prefix) + nd, dtype=np.int64)
+    return _mk_str(lengths, mat.tobytes())
+
+
+STR_CODECS: dict[str, tuple] = {
+    "plain_str": (_enc_plain, _dec_plain),
+    "dict_str": (_enc_dict_str, _dec_dict_str),
+    "prefix_int": (_enc_prefix_int, _dec_prefix_int),
+}
+
+
+def register_str_codec(name: str, encode, decode) -> None:
+    STR_CODECS[name] = (encode, decode)
+
+
+STR_CANDIDATES = ("prefix_int", "dict_str", "plain_str")
+
+
+def encode_str_column(arr: pa.Array, codec: str = "auto") -> bytes:
+    """Encode a string column chunk; ``auto`` tries candidates in order and
+    keeps the smallest applicable encoding (plain always applies)."""
+    n = len(arr)
+    if codec != "auto":
+        enc, _ = STR_CODECS[codec]
+        streams, meta = enc(arr)
+        meta["n"] = n
+        return pack_blob(codec, meta, streams)
+    best = None
+    for cand in STR_CANDIDATES:
+        enc, _ = STR_CODECS[cand]
+        try:
+            streams, meta = enc(arr)
+        except CodecError:
+            continue
+        size = sum(len(s) for s in streams)
+        if best is None or size < best[0]:
+            meta["n"] = n
+            best = (size, cand, meta, streams)
+    assert best is not None
+    _, cand, meta, streams = best
+    return pack_blob(cand, meta, streams)
+
+
+def decode_str_column(blob: bytes) -> pa.Array:
+    codec, meta, streams = unpack_blob(blob)
+    _, dec = STR_CODECS[codec]
+    return dec(streams, meta, meta["n"])

@@ -1,0 +1,171 @@
+"""Flagship Ray Data pipelines: compress, decompress, verify.
+
+Shape (SURVEY.md §3.2):
+
+    ray.data.read_parquet(fragments, include_paths=True)   # source
+      .map_batches(EncodeStage, batch_format="pyarrow",
+                   zero_copy_batch=True, concurrency=N)    # actor pool
+      .write_parquet(out/chunks, partition_cols=["frag"])  # resumable sink
+    + manifest update (per-fragment lineage + byte counts)
+
+Decode mirrors it. Nothing materializes the full dataset; blocks stream
+with backpressure. Never calls ray.init()/shutdown() (driver owns the
+session).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from tokenzip.manifest import Manifest
+from tokenzip.stages import DecodeStage, EncodeStage, VerifyStage
+
+DEFAULT_BATCH_SIZE = 2048  # docs/batch: ~3M tokens ~ 13 MB raw at corpus mix
+
+
+def _default_concurrency() -> int:
+    # leave headroom for the read / write stages so the actor pool doesn't
+    # starve them and serialize the pipeline
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, cpus - 2)
+
+_META_COLS = [
+    "frag", "chunk_id", "n_rows", "n_tokens", "tokens_codec",
+    "bytes_in", "bytes_out", "tokens_bytes_out", "leb128_bytes", "source_top",
+]
+
+
+def _frag_of_path(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def _add_frag(batch: pa.Table) -> pa.Table:
+    frags = [ _frag_of_path(p) for p in batch["path"].to_pylist() ]
+    return batch.drop_columns(["path"]).append_column("frag", pa.array(frags))
+
+
+def compress(
+    input_paths: list[str],
+    out_dir: str,
+    *,
+    tokens_codec: str = "auto",
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Compress input token-table fragments into chunk parquet + manifest.
+
+    Returns the manifest totals. Resumable: fragments already marked done in
+    the manifest are not re-read; chunk output of unfinished fragments is
+    wiped before re-encoding so a crashed run never double-writes.
+    """
+    chunks_dir = os.path.join(out_dir, "chunks")
+    man = Manifest(out_dir)
+    done = man.done_fragments() if resume else set()
+    if not resume and os.path.isdir(chunks_dir):
+        shutil.rmtree(chunks_dir)
+        man.data["fragments"] = {}
+    todo = [p for p in input_paths if _frag_of_path(p) not in done]
+    if not todo:
+        return man.totals()
+    # wipe partial output of unfinished fragments (crashed prior run)
+    for p in todo:
+        d = os.path.join(chunks_dir, f"frag={_frag_of_path(p)}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    ds = ray.data.read_parquet(todo, include_paths=True)
+    ds = ds.map_batches(_add_frag, batch_format="pyarrow", zero_copy_batch=True)
+    kwargs = dict(
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        fn_constructor_kwargs={"tokens_codec": tokens_codec},
+        concurrency=concurrency or _default_concurrency(),
+    )
+    ds = ds.map_batches(EncodeStage, **kwargs)
+    ds.write_parquet(chunks_dir, partition_cols=["frag"])
+
+    # fold chunk metadata into the per-fragment manifest (metadata columns
+    # only — column-pruned read of the chunk files, no payload bytes move)
+    frags_written = {
+        d.split("=", 1)[1] for d in os.listdir(chunks_dir) if d.startswith("frag=")
+    }
+    for frag in sorted(frags_written - done):
+        t = pq.read_table(
+            os.path.join(chunks_dir, f"frag={frag}"),
+            columns=["n_rows", "n_tokens", "bytes_in", "bytes_out",
+                     "tokens_bytes_out", "leb128_bytes", "tokens_codec"],
+        )
+        codecs, counts = np.unique(t["tokens_codec"].to_numpy(zero_copy_only=False),
+                                   return_counts=True)
+        man.mark_done(frag, {
+            "n_chunks": t.num_rows,
+            "n_rows": int(pa.compute.sum(t["n_rows"]).as_py() or 0),
+            "n_tokens": int(pa.compute.sum(t["n_tokens"]).as_py() or 0),
+            "bytes_in": int(pa.compute.sum(t["bytes_in"]).as_py() or 0),
+            "bytes_out": int(pa.compute.sum(t["bytes_out"]).as_py() or 0),
+            "tokens_bytes_out": int(pa.compute.sum(t["tokens_bytes_out"]).as_py() or 0),
+            "leb128_bytes": int(pa.compute.sum(t["leb128_bytes"]).as_py() or 0),
+            "codecs": {str(c): int(n) for c, n in zip(codecs, counts)},
+        })
+    man.save()
+    return man.totals()
+
+
+def chunk_meta_dataset(out_dir: str) -> "ray.data.Dataset":
+    """Chunk-level metadata (no payloads) as a Dataset — the lineage view."""
+    return ray.data.read_parquet(
+        os.path.join(out_dir, "chunks"), columns=[c for c in _META_COLS if c != "frag"]
+    )
+
+
+def decompress(out_dir: str, concurrency: int | None = None) -> "ray.data.Dataset":
+    """Read chunk parquet -> decode -> Dataset with the original schema."""
+    ds = ray.data.read_parquet(os.path.join(out_dir, "chunks"))
+    return ds.map_batches(
+        DecodeStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        concurrency=concurrency or _default_concurrency(),
+    )
+
+
+def verify_roundtrip(
+    input_paths: list[str],
+    *,
+    tokens_codec: str = "auto",
+    batch_size: int = DEFAULT_BATCH_SIZE,
+) -> "ray.data.Dataset":
+    """encode -> decode -> per-row equality inside each batch, pre-aggregated
+    per source, then one small groupby. Result columns:
+    (source, n_docs, n_equal, sum_n_tok, sum_token_values)."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(input_paths)
+    partials = ds.map_batches(
+        VerifyStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        fn_constructor_kwargs={"tokens_codec": tokens_codec},
+        concurrency=_default_concurrency(),
+    )
+    return (
+        partials.groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_equal", alias_name="n_equal"),
+            Sum("sum_n_tok", alias_name="sum_n_tok"),
+            Sum("sum_token_values", alias_name="sum_token_values"),
+        )
+        .sort("source")
+    )

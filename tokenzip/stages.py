@@ -1,0 +1,177 @@
+"""Ray Data map_batches stages (callable classes -> actor pools).
+
+Stateful setup (codec registry closure, selector config, shared symbol
+tables fetched from the object store) happens once per actor in
+``__init__``; per-batch work in ``__call__`` — the engine analog of the
+reference's static lookup tables resolved once at link time
+(/root/reference/src/decode/lookup.rs, SURVEY.md §2.5).
+
+All stages are Arrow-in/Arrow-out (``batch_format="pyarrow"``,
+``zero_copy_batch=True``); no Python loop ever iterates token values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from tokenzip.chunk import CHUNK_SCHEMA, decode_chunks, encode_batch
+
+
+class EncodeStage:
+    """Encode input batches into chunk rows, one chunk per (batch, source)
+    partition so the per-column auto-selector sees homogeneous value
+    distributions — per-source codec choice without an all-to-all shuffle
+    (the groupby-shuffle path is reserved for skew isolation, SURVEY.md §4.2).
+    """
+
+    def __init__(
+        self,
+        tokens_codec: str = "auto",
+        id_codec: str = "auto",
+        by_source: bool = True,
+        selector_sample: int = 65_536,
+        frag: str | None = None,
+    ):
+        self.tokens_codec = tokens_codec
+        self.id_codec = id_codec
+        self.by_source = by_source
+        self.selector_sample = selector_sample
+        self.frag = frag
+
+    def encode_one(self, batch: pa.Table) -> pa.Table:
+        return encode_batch(
+            batch,
+            tokens_codec=self.tokens_codec,
+            id_codec=self.id_codec,
+            selector_sample=self.selector_sample,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        has_frag = "frag" in batch.column_names
+        if batch.num_rows == 0:
+            out = pa.table({f.name: pa.array([], f.type) for f in CHUNK_SCHEMA})
+            if has_frag:
+                out = out.append_column("frag", pa.array([], pa.string()))
+            return out
+
+        # stable partition by (frag, source) inside the batch — per-source
+        # codec choice and per-fragment lineage without any shuffle. Batches
+        # may coalesce rows from several input fragments.
+        keys = []
+        if has_frag:
+            keys.append("frag")
+        if self.by_source:
+            keys.append("source")
+        if keys:
+            order = [(k, "ascending") for k in keys]
+            batch = batch.take(
+                pc.sort_indices(
+                    batch.append_column("_i", pa.array(np.arange(batch.num_rows))),
+                    sort_keys=order + [("_i", "ascending")],
+                )
+            )
+            key_np = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
+            changed = np.zeros(batch.num_rows - 1, dtype=bool)
+            for col in key_np:
+                changed |= col[1:] != col[:-1]
+            starts = np.concatenate(([0], np.flatnonzero(changed) + 1, [batch.num_rows]))
+        else:
+            starts = np.array([0, batch.num_rows])
+
+        data = batch.drop_columns(["frag"]) if has_frag else batch
+        parts = []
+        for a, b in zip(starts[:-1], starts[1:]):
+            part = self.encode_one(data.slice(int(a), int(b - a)))
+            if has_frag:
+                frag = batch["frag"][int(a)].as_py()
+                part = part.append_column(
+                    "frag", pa.array([frag] * part.num_rows, pa.string())
+                )
+            parts.append(part)
+        return pa.concat_tables(parts)
+
+
+class DecodeStage:
+    """Decode chunk rows back to the original table schema."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = [c for c in ("frag",) if c in batch.column_names]
+        if cols:
+            batch = batch.drop_columns(cols)
+        return decode_chunks(batch)
+
+
+class VerifyStage:
+    """Encode -> decode -> per-row equality, inside one stage: the engine
+    form of the reference's roundtrip tests (/root/reference/src/lib.rs:71-85)
+    applied to every batch. Emits one partial-aggregate row per (source) —
+    the pre-aggregate-before-groupby pattern, so the final groupby touches
+    rows-per-batch, not rows-per-document."""
+
+    def __init__(self, tokens_codec: str = "auto"):
+        self.enc = EncodeStage(tokens_codec=tokens_codec, by_source=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+
+        chunks = self.enc(batch)
+        back = decode_chunks(chunks)
+        # order-insensitive per-row comparison within the batch
+        orig = batch.sort_by("doc_id")
+        got = back.sort_by("doc_id")
+
+        lo, vo = _tokens_parts(orig["tokens"])
+        lg, vg = _tokens_parts(got["tokens"])
+        if np.array_equal(lo, lg) and np.array_equal(vo, vg):
+            tok_eq = np.ones(orig.num_rows, dtype=bool)
+        else:  # corruption path: localize which rows differ (cold, row loop OK)
+            oo = np.zeros(len(lo) + 1, np.int64)
+            og = np.zeros(len(lg) + 1, np.int64)
+            np.cumsum(lo, out=oo[1:])
+            np.cumsum(lg, out=og[1:])
+            tok_eq = np.fromiter(
+                (
+                    lo[i] == lg[i]
+                    and np.array_equal(vo[oo[i] : oo[i + 1]], vg[og[i] : og[i + 1]])
+                    for i in range(orig.num_rows)
+                ),
+                dtype=bool,
+                count=orig.num_rows,
+            )
+        all_eq = (
+            np.asarray(pc.equal(orig["doc_id"], got["doc_id"]))
+            & np.asarray(pc.equal(orig["source"], got["source"]))
+            & np.asarray(pc.equal(orig["n_tok"], got["n_tok"]))
+            & tok_eq
+        )
+        # vectorized per-row token sums via cumsum differencing (empty-safe)
+        oo = np.zeros(len(lo) + 1, np.int64)
+        np.cumsum(lo, out=oo[1:])
+        cs = np.zeros(len(vo) + 1, np.int64)
+        np.cumsum(vo, dtype=np.int64, out=cs[1:])
+        row_sums = cs[oo[1:]] - cs[oo[:-1]]
+
+        src = orig["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        n_tok = orig["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array([str(s) for s in uniq]),
+                "n_docs": np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+                "n_equal": np.bincount(
+                    inv, weights=all_eq.astype(np.float64), minlength=len(uniq)
+                ).astype(np.int64),
+                "sum_n_tok": np.bincount(
+                    inv, weights=n_tok.astype(np.float64), minlength=len(uniq)
+                ).astype(np.int64),
+                "sum_token_values": pa.array(
+                    [
+                        int(row_sums[inv == g].sum())
+                        for g in range(len(uniq))
+                    ],
+                    type=pa.int64(),
+                ),
+            }
+        )
