@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing in
+here (or in the tokenzip library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The engine's input table is the north-rule shape
+(doc_id:string, tokens:list<int32>, n_tok:int32, source:string); it is
+synthesized deterministically per scale factor (seed=42, FIXTURES.md F1) to
+/tmp/tokenzip_corpus/<sf>/tokens/*.parquet, so the DuckDB oracle SQL reads
+the exact same parquet the Ray pipelines read.
 """
 
 from __future__ import annotations
@@ -18,27 +15,81 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_ORACLE_SF = "sf0.01"  # the driver's correctness scale
+
+
+def _corpus_glob(sf_name: str) -> str:
+    from tokenzip.corpus import ensure_corpus
+
+    return ensure_corpus(sf_name) + "/*.parquet"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: compress the token corpus into chunk
+    parquet + lineage manifest; return the chunk-metadata Dataset."""
+    from tokenzip.corpus import corpus_paths
+    from tokenzip.pipeline import chunk_meta_dataset, compress
+
+    out_dir = "/tmp/tokenzip_out/sf0.001"
+    compress(corpus_paths("sf0.001"), out_dir)
+    return chunk_meta_dataset(out_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from tokenzip import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    _corpus_glob(_ORACLE_SF)  # materialize before the driver runs oracle SQL
+
+    return {
+        "roundtrip_by_source": q.q_roundtrip_by_source,
+        "token_stats_by_source": q.q_token_stats_by_source,
+        "compression_by_codec": q.q_compression_by_codec,
+        "compression_totals": q.q_compression_totals,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    glob = _corpus_glob(_ORACLE_SF)
+    zz = "CASE WHEN t >= 0 THEN 2*CAST(t AS BIGINT) ELSE -2*CAST(t AS BIGINT)-1 END"
+
+    return {
+        "roundtrip_by_source": f"""
+WITH tok AS (
+  SELECT doc_id, CAST(SUM(CAST(t AS BIGINT)) AS BIGINT) AS tv
+  FROM (SELECT doc_id, unnest(tokens) AS t FROM read_parquet('{glob}'))
+  GROUP BY doc_id
+)
+SELECT b.source AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_equal,
+       CAST(SUM(b.n_tok) AS BIGINT) AS sum_n_tok,
+       CAST(COALESCE(SUM(tok.tv), 0) AS BIGINT) AS sum_token_values
+FROM read_parquet('{glob}') b LEFT JOIN tok USING (doc_id)
+GROUP BY b.source ORDER BY source
+""",
+        "token_stats_by_source": f"""
+WITH base AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN n_tok = len(tokens) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ntok_match
+  FROM read_parquet('{glob}') GROUP BY source
+),
+z AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(MIN(t) AS BIGINT) AS min_token,
+         CAST(MAX(t) AS BIGINT) AS max_token,
+         CAST(SUM({zz}) AS BIGINT) AS sum_zigzag,
+         CAST(SUM(CASE WHEN zz < 128 THEN 1 WHEN zz < 16384 THEN 2
+                       WHEN zz < 2097152 THEN 3 WHEN zz < 268435456 THEN 4
+                       ELSE 5 END) AS BIGINT) AS leb128_bytes
+  FROM (SELECT source, t, {zz} AS zz
+        FROM (SELECT source, unnest(tokens) AS t FROM read_parquet('{glob}')))
+  GROUP BY source
+)
+SELECT base.source AS source, n_docs, n_tokens, min_token, max_token,
+       sum_zigzag, leb128_bytes, n_ntok_match
+FROM base JOIN z USING (source) ORDER BY source
+""",
+    }

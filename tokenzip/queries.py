@@ -1,0 +1,119 @@
+"""Named query pipelines for the driver contract (__ray_entry__.queries).
+
+Each function takes ``sf_dir`` and returns a Ray Dataset / pandas DataFrame
+whose columns match the corresponding oracle SQL in __ray_entry__.oracle_sql
+exactly (names and integer types — aggregates are BIGINT-cast on the SQL
+side to avoid float/hugeint hash mismatches).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+from tokenzip.codecs.varint import encode_leb128, leb128_size, zigzag_encode
+from tokenzip.corpus import corpus_paths
+from tokenzip.pipeline import _default_concurrency, verify_roundtrip
+
+
+def q_roundtrip_by_source(sf_dir: str):
+    """Full encode->decode->equality pipeline, per source."""
+    return verify_roundtrip(corpus_paths(sf_dir))
+
+
+class _TokenStatsStage:
+    """Per-batch partial aggregates over the tokens column, per source:
+    counts, min/max, zigzag checksum, and the *actual* engine LEB128 blob
+    size (differential check: blob length must equal the closed-form oracle,
+    /root/reference/benches/varint_bench/leb128.rs:4-24)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+
+        lengths, values = _tokens_parts(batch["tokens"])
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(src, return_inverse=True)
+        tok_src = np.repeat(inv, lengths)  # source index per token
+        zz = zigzag_encode(values.astype(np.int32), 32).astype(np.uint64)
+        sizes = leb128_size(zz)
+        out = {
+            "source": [], "n_docs": [], "n_tokens": [], "min_token": [],
+            "max_token": [], "sum_zigzag": [], "leb128_bytes": [],
+            "n_ntok_match": [],
+        }
+        for g, s in enumerate(uniq):
+            m = tok_src == g
+            rows = inv == g
+            vals = values[m]
+            out["source"].append(str(s))
+            out["n_docs"].append(int(rows.sum()))
+            out["n_tokens"].append(int(m.sum()))
+            out["min_token"].append(int(vals.min()) if len(vals) else 2**31 - 1)
+            out["max_token"].append(int(vals.max()) if len(vals) else -(2**31))
+            out["sum_zigzag"].append(int(zz[m].sum(dtype=np.uint64)))
+            # actual engine encode: blob length must equal the size oracle
+            blob = encode_leb128(zz[m])
+            assert len(blob) == int(sizes[m].sum())
+            out["leb128_bytes"].append(len(blob))
+            out["n_ntok_match"].append(int((n_tok[rows] == lengths[rows]).sum()))
+        return pa.table(out)
+
+
+def q_token_stats_by_source(sf_dir: str):
+    ds = ray.data.read_parquet(corpus_paths(sf_dir))
+    partials = ds.map_batches(
+        _TokenStatsStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=2048,
+        concurrency=_default_concurrency(),
+    )
+    return (
+        partials.groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Min("min_token", alias_name="min_token"),
+            Max("max_token", alias_name="max_token"),
+            Sum("sum_zigzag", alias_name="sum_zigzag"),
+            Sum("leb128_bytes", alias_name="leb128_bytes"),
+            Sum("n_ntok_match", alias_name="n_ntok_match"),
+        )
+        .sort("source")
+    )
+
+
+def q_compression_by_codec(sf_dir: str):
+    """Engine-internal codec mix + sizes (no SQL oracle: rows-only check)."""
+    import os
+
+    from tokenzip.pipeline import compress, chunk_meta_dataset
+
+    out_dir = os.path.join("/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir)))
+    compress(corpus_paths(sf_dir), out_dir)
+    meta = chunk_meta_dataset(out_dir)
+    return (
+        meta.groupby("tokens_codec")
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("tokens_bytes_out", alias_name="tokens_bytes_out"),
+            Sum("leb128_bytes", alias_name="leb128_bytes"),
+        )
+        .sort("tokens_codec")
+    )
+
+
+def q_compression_totals(sf_dir: str):
+    """Manifest totals incl. the <=-LEB128 bound (rows-only check)."""
+    import os
+    import pandas as pd
+
+    from tokenzip.pipeline import compress
+
+    out_dir = os.path.join("/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir)))
+    totals = compress(corpus_paths(sf_dir), out_dir)
+    totals["bound_ok"] = int(totals["bytes_out"] <= totals["leb128_bytes"])
+    return pd.DataFrame([totals])
