@@ -40,11 +40,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     _corpus_glob(_ORACLE_SF)  # materialize before the driver runs oracle SQL
 
+    from tokenzip import analysis as a
+
     return {
         "roundtrip_by_source": q.q_roundtrip_by_source,
         "token_stats_by_source": q.q_token_stats_by_source,
         "compression_by_codec": q.q_compression_by_codec,
         "compression_totals": q.q_compression_totals,
+        "dedup_exact": a.q_dedup_exact,
+        "embedding_topk": a.q_embedding_topk,
+        "text_quality_by_lang": a.q_text_quality_by_lang,
     }
 
 
@@ -91,5 +96,40 @@ z AS (
 SELECT base.source AS source, n_docs, n_tokens, min_token, max_token,
        sum_zigzag, leb128_bytes, n_ntok_match
 FROM base JOIN z USING (source) ORDER BY source
+""",
+        "dedup_exact": """
+WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+k AS (SELECT h, MIN(doc_id) AS kept FROM h GROUP BY h)
+SELECT d.source AS source,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents d2
+         WHERE d2.source = d.source) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(d.doc_id) AS BIGINT) AS sum_kept_ids
+FROM h d JOIN k ON d.doc_id = k.kept
+GROUP BY d.source ORDER BY source
+""",
+        "embedding_topk": """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+),
+scored AS (
+  SELECT vec_id,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS cos
+  FROM embeddings
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+        "text_quality_by_lang": """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+       CAST(SUM(len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the','a','and','of','to')))) AS BIGINT)
+         AS sum_stopwords
+FROM documents GROUP BY lang ORDER BY lang
 """,
     }

@@ -1,0 +1,134 @@
+"""Training-data analysis operator tests over the sf0.001 testdata tables
+plus synthetic near-duplicate fixtures for the dedup family."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_exact_matches_duckdb(ray_session):
+    import duckdb
+
+    from tokenzip.analysis import q_dedup_exact
+
+    got = q_dedup_exact(SF).reset_index(drop=True)
+    exp = duckdb.sql(
+        f"""
+        WITH h AS (SELECT doc_id, source, md5(text) AS h
+                   FROM read_parquet('{SF}/documents.parquet')),
+        k AS (SELECT h, MIN(doc_id) AS kept FROM h GROUP BY h)
+        SELECT d.source AS source,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM h d2 WHERE d2.source = d.source) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(d.doc_id) AS BIGINT) AS sum_kept_ids
+        FROM h d JOIN k ON d.doc_id = k.kept
+        GROUP BY d.source ORDER BY source
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_embedding_topk_matches_duckdb(ray_session):
+    import duckdb
+
+    from tokenzip.analysis import q_embedding_topk
+
+    got = q_embedding_topk(SF)
+    exp = duckdb.sql(
+        f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM read_parquet('{SF}/embeddings.parquet')
+                   WHERE vec_id = (SELECT MIN(vec_id) FROM read_parquet('{SF}/embeddings.parquet'))),
+        scored AS (SELECT vec_id,
+                          list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                                 (SELECT qv FROM q)) AS cos
+                   FROM read_parquet('{SF}/embeddings.parquet'))
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank,
+               CAST(vec_id AS BIGINT) AS vec_id
+        FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_text_quality_matches_duckdb(ray_session):
+    import duckdb
+
+    from tokenzip.analysis import q_text_quality_by_lang
+
+    got = q_text_quality_by_lang(SF).to_pandas()
+    exp = duckdb.sql(
+        f"""
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                            w -> w IN ('the','a','and','of','to')))) AS BIGINT) AS sum_stopwords
+        FROM read_parquet('{SF}/documents.parquet') GROUP BY lang ORDER BY lang
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False
+    )
+
+
+def test_minhash_finds_planted_near_dups(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tokenzip.analysis import q_dedup_minhash
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    base = " ".join(rng.choice(vocab, 120))
+    near = base.replace("w5", "w6", 1)  # tiny edit -> high jaccard
+    other = [" ".join(rng.choice(vocab, 120)) for _ in range(40)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(42 + len(other)), pa.int64()),
+            "text": pa.array([base, near] + other + [base] * 40),
+            "source": pa.array(["s"] * (42 + len(other))),
+        }
+    )
+    d = tmp_path / "documents.parquet"
+    pq.write_table(docs, str(d))
+    out = q_dedup_minhash(str(tmp_path))
+    row = out.iloc[0]
+    # exact copies of `base` + the near-dup must be found
+    assert row["n_dup_pairs"] >= (40 * 41) // 2
+    assert row["n_candidate_pairs"] >= row["n_dup_pairs"]
+
+
+def test_simhash_exact_copies(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from tokenzip.analysis import q_dedup_simhash
+
+    rng = np.random.default_rng(4)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, 80)) for _ in range(30)]
+    texts += [texts[0], texts[1]]  # two exact copies
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(["s"] * len(texts)),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    out = q_dedup_simhash(str(tmp_path))
+    assert int(out.iloc[0]["n_dup_pairs"]) >= 2
+
+
+def test_fingerprint_and_langid(ray_session):
+    from tokenzip.analysis import q_fingerprint_by_source, q_lang_id_confusion
+
+    fp = q_fingerprint_by_source(SF)
+    assert (fp["n_distinct"] <= fp["n_docs"]).all()
+    assert fp["n_docs"].sum() == 500
+
+    conf = q_lang_id_confusion(SF)
+    assert conf["n_docs"].sum() == 500
+    assert set(conf["pred_lang"]).issubset({"en", "de", "fr"})

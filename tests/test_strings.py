@@ -28,7 +28,7 @@ def test_auto_roundtrip(case):
     assert got.to_pylist() == arr.to_pylist()
 
 
-@pytest.mark.parametrize("codec", ["plain_str", "dict_str"])
+@pytest.mark.parametrize("codec", ["plain_str", "dict_str", "fsst"])
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_each_codec_roundtrip(codec, case):
     arr = CASES[case]
@@ -54,6 +54,30 @@ def test_prefix_int_rejects_freeform():
     enc, _ = STR_CODECS["prefix_int"]
     with pytest.raises(CodecError):
         enc(CASES["mixed"])
+
+
+def test_fsst_wins_on_repetitive_freeform():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta"]
+    vals = [
+        f"/data/{words[a]}/{words[b]}_{i:05d}.bin"
+        for i, (a, b) in enumerate(zip(rng.integers(0, 4, 3000), rng.integers(0, 4, 3000)))
+    ]
+    arr = pa.array(vals)
+    blob = encode_str_column(arr, "auto")
+    codec, _, _ = unpack_blob(blob)
+    assert codec == "fsst"
+    assert decode_str_column(blob).to_pylist() == vals
+    assert len(blob) < sum(len(v) for v in vals) // 2
+
+
+def test_fsst_escape_paths():
+    # strings full of 0xFF-adjacent and rare bytes exercise escape handling
+    vals = ["\xff\xfe\x00abc", "ÿÿÿ", "", "\x7f" * 20]
+    blob = encode_str_column(pa.array(vals), "fsst")
+    assert decode_str_column(blob).to_pylist() == vals
 
 
 def test_chunked_array_input():

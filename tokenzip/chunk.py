@@ -25,7 +25,6 @@ import pyarrow as pa
 
 from tokenzip.codecs.core import (
     INT_CODECS,
-    leb128_oracle_bytes,
     pack_blob,
     unpack_blob,
 )
@@ -83,24 +82,35 @@ def encode_batch(
     the north rule's size bound by falling back to plain LEB128 whenever the
     chosen codec's actual packed payload exceeds the LEB128 blob (sampling
     can mispredict; the floor cannot)."""
+    from tokenzip.codecs.varint import leb128_size, zigzag_encode
+
     lengths, values32 = _tokens_parts(batch["tokens"])
     n_rows = len(lengths)
     n_tokens = int(lengths.sum())
-    values = values32.astype(np.int64)  # codec kernels operate on the i64 domain
 
-    oracle = leb128_oracle_bytes(values, 32)
+    # one zigzag + one size pass, shared by the oracle, the selector floor
+    # and the zigzag-family codecs (leb128/svb/bitpack); stays uint32 —
+    # the width-32 kernels never need the uint64 widening
+    zz32 = zigzag_encode(values32, 32)
+    sizes = leb128_size(zz32)
+    oracle = int(sizes.sum())
+    values = values32.astype(np.int64)  # codec kernels operate on the i64 domain
     if tokens_codec == "auto":
         chosen = choose_int_codec(values, 32, sample=selector_sample)
     else:
         chosen = tokens_codec
     enc, _ = INT_CODECS[chosen]
-    streams, meta = enc(values, 32)
+    if chosen == "leb128":
+        streams, meta = enc(values, 32, zz=zz32, sizes=sizes)
+    elif chosen in ("svb", "bitpack"):
+        streams, meta = enc(values, 32, zz=zz32)
+    else:
+        streams, meta = enc(values, 32)
     meta["n"] = n_tokens
     tokens_blob = pack_blob(chosen, meta, streams)
     if tokens_codec == "auto" and chosen != "leb128":
-        leb_enc, _ = INT_CODECS["leb128"]
         if sum(len(s) for s in streams) > oracle:
-            lstreams, lmeta = leb_enc(values, 32)
+            lstreams, lmeta = INT_CODECS["leb128"][0](values, 32, zz=zz32, sizes=sizes)
             lmeta["n"] = n_tokens
             tokens_blob = pack_blob("leb128", lmeta, lstreams)
             chosen = "leb128"

@@ -114,8 +114,9 @@ def _runs(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
-def _enc_leb128(values, width):
-    return [encode_leb128(_zz(values, width))], {"w": width}
+def _enc_leb128(values, width, zz=None, sizes=None):
+    u = zz if zz is not None else _zz(values, width)
+    return [encode_leb128(u, sizes)], {"w": width}
 
 
 def _dec_leb128(streams, meta, n):
@@ -129,7 +130,7 @@ def _svb_nbytes(u32: np.ndarray) -> np.ndarray:
     return nb
 
 
-def _enc_svb(values, width):
+def _enc_svb(values, width, zz=None):
     """Stream-split varint, Stream VByte layout (README.md:154): 2-bit length
     codes packed 4-per-control-byte in one stream, raw little-endian value
     bytes (full 8-bit groups, no continuation bits) in the other. Removes the
@@ -138,7 +139,7 @@ def _enc_svb(values, width):
     reads lengths and payload independently."""
     if width > 32:
         raise CodecError("svb codec requires values within int32")
-    u = _zz(values, 32).astype(np.uint32)
+    u = zz.astype(np.uint32) if zz is not None else _zz(values, 32).astype(np.uint32)
     n = len(u)
     nb = _svb_nbytes(u)
     codes = (nb - 1).astype(np.uint8)
@@ -181,8 +182,8 @@ def _dec_svb(streams, meta, n):
     return _unzz(u.astype(np.uint32), 32)
 
 
-def _enc_bitpack(values, width):
-    u = _zz(values, width)
+def _enc_bitpack(values, width, zz=None):
+    u = zz if zz is not None else _zz(values, width)
     bits = bit_width(int(u.max())) if len(u) else 0
     return [pack_bits(u, bits)], {"w": width, "b": bits}
 

@@ -1,0 +1,172 @@
+"""FSST-style string compression: a <=255-entry symbol table of 1..8-byte
+substrings, greedy longest-match encoding with an escape byte.
+
+Follows the published FSST design (Boncz, Neumann, Leis — "FSST: Fast Random
+Access String Compression", VLDB 2020; cited via the north rule's codec
+list): codes 0..n-1 name symbols, 0xFF is the escape prefix for a literal
+byte. The symbol table is the engine's stateful-symbol-table example — it
+can be trained per chunk (self-contained blobs) or trained once per source
+group and broadcast to the encoder actor pool (see stages/pipeline).
+
+Boundary handling: the whole concatenated column is encoded in one pass and
+original per-string byte lengths are stored as a separate varint stream —
+decode is boundary-agnostic, so symbols may span adjacent strings (better
+ratio, simpler kernels). This is the stream-split layout again
+(/root/reference/README.md:154): lengths out-of-band, payload separate.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from tokenzip.errors import ChunkFormatError
+
+ESCAPE = 0xFF
+MAX_SYMBOLS = 255  # code 255 reserved for escape
+MAX_SYMBOL_LEN = 8
+TRAIN_SAMPLE = 1 << 16
+
+
+def _ngram_counts(sample: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(distinct n-grams packed into uint64, counts) over a byte array."""
+    if len(sample) < n:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(sample, n).astype(np.uint64)
+    packed = np.zeros(len(win), dtype=np.uint64)
+    for j in range(n):
+        packed |= win[:, j] << np.uint64(8 * j)
+    uniq, counts = np.unique(packed, return_counts=True)
+    return uniq, counts
+
+
+def _unpack_ngram(packed: int, n: int) -> bytes:
+    return bytes((packed >> (8 * j)) & 0xFF for j in range(n))
+
+
+def train_symbol_table(blob: bytes, max_symbols: int = MAX_SYMBOLS) -> list[bytes]:
+    """Greedy gain-ranked symbol selection from a sample of the column bytes.
+    Gain of an n-gram = count * (n - 1) for n >= 2 (bytes saved per use),
+    count * 1 for single bytes (escape avoidance). One usage-refinement round
+    drops symbols the greedy parse never actually uses."""
+    sample = np.frombuffer(blob[:TRAIN_SAMPLE], dtype=np.uint8)
+    if len(sample) == 0:
+        return []
+    cands: list[tuple[int, bytes]] = []
+    for n in (8, 6, 4, 3, 2):
+        uniq, counts = _ngram_counts(sample, n)
+        keep = counts >= max(2, len(sample) // 8192)
+        for p, c in zip(uniq[keep], counts[keep]):
+            cands.append((int(c) * (n - 1), _unpack_ngram(int(p), n)))
+    singles = np.bincount(sample, minlength=256)
+    for b in np.flatnonzero(singles):
+        cands.append((int(singles[b]), bytes([b])))
+    cands.sort(key=lambda t: (-t[0], t[1]))
+    symbols = [s for _, s in cands[: max_symbols * 2]]
+    # refinement: parse the sample with the big table, keep used symbols
+    pat = _pattern(symbols)
+    used: dict[bytes, int] = {}
+    for m in pat.finditer(blob[:TRAIN_SAMPLE]):
+        used[m.group(0)] = used.get(m.group(0), 0) + 1
+    ranked = sorted(used.items(), key=lambda kv: (-(kv[1] * max(1, len(kv[0]) - 1)), kv[0]))
+    table = [s for s, _ in ranked[:max_symbols]]
+    # always cover frequent single bytes so escapes stay rare
+    for b in np.argsort(singles)[::-1]:
+        if len(table) >= max_symbols:
+            break
+        sb = bytes([int(b)])
+        if singles[b] and sb not in table:
+            table.append(sb)
+    return table
+
+
+def _pattern(symbols: list[bytes]) -> re.Pattern:
+    ordered = sorted(symbols, key=len, reverse=True)
+    return re.compile(b"|".join(map(re.escape, ordered)) or b"(?!)")
+
+
+def pack_table(symbols: list[bytes]) -> bytes:
+    out = bytearray([len(symbols)])
+    for s in symbols:
+        out.append(len(s))
+        out += s
+    return bytes(out)
+
+
+def unpack_table(blob: bytes) -> list[bytes]:
+    n, off, out = blob[0], 1, []
+    for _ in range(n):
+        ln = blob[off]
+        out.append(blob[off + 1 : off + 1 + ln])
+        off += 1 + ln
+    return out
+
+
+def fsst_encode(blob: bytes, symbols: list[bytes]) -> bytes:
+    """Greedy longest-match parse -> code stream (symbol index, or
+    ESCAPE + literal byte for uncovered bytes)."""
+    if not symbols:
+        out = bytearray()
+        for b in blob:
+            out += bytes((ESCAPE, b))
+        return bytes(out)
+    code = {s: i for i, s in enumerate(symbols)}
+    pat = _pattern(symbols)
+    out = bytearray()
+    pos = 0
+    for m in pat.finditer(blob):
+        for b in blob[pos : m.start()]:
+            out += bytes((ESCAPE, b))
+        out.append(code[m.group(0)])
+        pos = m.end()
+    for b in blob[pos:]:
+        out += bytes((ESCAPE, b))
+    return bytes(out)
+
+
+def fsst_decode(codes: bytes, symbols: list[bytes]) -> bytes:
+    """Vectorized decode: gather symbol bytes per code; the (rare) escape
+    positions are resolved with a loop over escapes only."""
+    b = np.frombuffer(codes, dtype=np.uint8)
+    n = len(b)
+    if n == 0:
+        return b""
+    is_esc = b == ESCAPE
+    # resolve escape chains: a byte is a literal iff preceded by an ESCAPE
+    # that is itself not a literal
+    esc_idx = np.flatnonzero(is_esc)
+    literal = np.zeros(n, dtype=bool)
+    esc_active = np.zeros(n, dtype=bool)
+    for i in esc_idx:
+        if literal[i]:
+            continue
+        if i + 1 >= n:
+            raise ChunkFormatError("fsst: escape at end of stream")
+        esc_active[i] = True
+        literal[i + 1] = True
+    sym_pos = ~(esc_active | literal)
+    sym_codes = b[sym_pos]
+    if len(sym_codes) and (not symbols or sym_codes.max() >= len(symbols)):
+        raise ChunkFormatError("fsst: code out of table range")
+    # output length per stream position
+    lens = np.zeros(n, dtype=np.int64)
+    sym_lens = np.array([len(s) for s in symbols] or [0], dtype=np.int64)
+    lens[sym_pos] = sym_lens[sym_codes] if len(symbols) else 0
+    lens[literal] = 1
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    out = np.empty(offsets[-1], dtype=np.uint8)
+    # scatter literals
+    out[offsets[:-1][literal]] = b[literal]
+    # scatter symbols via padded matrix gather
+    if len(symbols):
+        mat = np.zeros((len(symbols), MAX_SYMBOL_LEN), dtype=np.uint8)
+        for i, s in enumerate(symbols):
+            mat[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+        starts = offsets[:-1][sym_pos]
+        L = sym_lens[sym_codes]
+        idx = starts[:, None] + np.arange(MAX_SYMBOL_LEN)
+        keep = np.arange(MAX_SYMBOL_LEN) < L[:, None]
+        out[idx[keep]] = mat[sym_codes][keep]
+    return out.tobytes()

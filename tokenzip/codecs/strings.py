@@ -142,10 +142,39 @@ def _dec_prefix_int(streams, meta, n):
     return _mk_str(lengths, mat.tobytes())
 
 
+def _enc_fsst(arr, symbols: list[bytes] | None = None):
+    """FSST symbol-table codec (see fsst.py). ``symbols=None`` trains a
+    per-chunk table; a shared (broadcast) table can be passed by the
+    actor-pool stage — its hash goes into the meta for lineage."""
+    import hashlib
+
+    from tokenzip.codecs import fsst as F
+
+    lengths, blob = _str_parts(arr)
+    if symbols is None:
+        symbols = F.train_symbol_table(blob)
+    codes = F.fsst_encode(blob, symbols)
+    table = F.pack_table(symbols)
+    meta = {"th": hashlib.sha1(table).hexdigest()[:12]}
+    return [encode_leb128(lengths.astype(np.uint64)), table, codes], meta
+
+
+def _dec_fsst(streams, meta, n):
+    from tokenzip.codecs import fsst as F
+
+    lengths = decode_leb128(streams[0], n, width=64).astype(np.int64)
+    symbols = F.unpack_table(streams[1]) if streams[1] else []
+    blob = F.fsst_decode(streams[2], symbols)
+    if len(blob) != int(lengths.sum()):
+        raise ChunkFormatError("fsst: decoded byte count mismatch")
+    return _mk_str(lengths, blob)
+
+
 STR_CODECS: dict[str, tuple] = {
     "plain_str": (_enc_plain, _dec_plain),
     "dict_str": (_enc_dict_str, _dec_dict_str),
     "prefix_int": (_enc_prefix_int, _dec_prefix_int),
+    "fsst": (_enc_fsst, _dec_fsst),
 }
 
 
@@ -154,11 +183,13 @@ def register_str_codec(name: str, encode, decode) -> None:
 
 
 STR_CANDIDATES = ("prefix_int", "dict_str", "plain_str")
+_FSST_SAMPLE = 1 << 14
 
 
 def encode_str_column(arr: pa.Array, codec: str = "auto") -> bytes:
-    """Encode a string column chunk; ``auto`` tries candidates in order and
-    keeps the smallest applicable encoding (plain always applies)."""
+    """Encode a string column chunk; ``auto`` tries the cheap candidates
+    exactly and FSST on a byte sample (extrapolated), keeping the smallest.
+    Plain always applies, so auto never fails."""
     n = len(arr)
     if codec != "auto":
         enc, _ = STR_CODECS[codec]
@@ -177,6 +208,21 @@ def encode_str_column(arr: pa.Array, codec: str = "auto") -> bytes:
             meta["n"] = n
             best = (size, cand, meta, streams)
     assert best is not None
+    # FSST: estimate on a sample; only pay the full encode if it would win
+    _, blob = _str_parts(arr)
+    if len(blob) > 256:
+        from tokenzip.codecs import fsst as F
+
+        sample = blob[:_FSST_SAMPLE]
+        symbols = F.train_symbol_table(sample)
+        est = len(F.fsst_encode(sample, symbols)) * (len(blob) / len(sample))
+        est += len(F.pack_table(symbols)) + n  # table + ~1B/length varint
+        if est < best[0] * 0.95:
+            streams, meta = _enc_fsst(arr)
+            size = sum(len(s) for s in streams)
+            if size < best[0]:
+                meta["n"] = n
+                best = (size, "fsst", meta, streams)
     _, cand, meta, streams = best
     return pack_blob(cand, meta, streams)
 

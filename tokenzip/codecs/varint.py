@@ -79,11 +79,19 @@ def leb128_size(u: np.ndarray) -> np.ndarray:
     This is exactly the rustc-serialize scalar LEB128 output size
     (/root/reference/benches/varint_bench/leb128.rs:4-24) and therefore the
     north rule's compressed-size bound, computable without encoding.
+
+    dtype-aware: a uint8/16/32 input stays in its width (fewer threshold
+    passes, half the memory traffic of widening to uint64) — the engine
+    analog of the reference's width-specialized kernels (README.md:57-59).
     """
-    u = np.asarray(u, dtype=np.uint64)
+    u = np.asarray(u)
+    if u.dtype not in (np.dtype(np.uint8), np.dtype(np.uint16), np.dtype(np.uint32),
+                      np.dtype(np.uint64)):
+        u = u.astype(np.uint64)
+    bits = u.dtype.itemsize * 8
     nb = np.ones(u.shape, dtype=np.int64)
-    for t in range(7, 64, 7):
-        nb += (u >= np.uint64(1 << t)).astype(np.int64)
+    for t in range(7, bits, 7):
+        nb += (u >= u.dtype.type(1 << t)).astype(np.int64)
     return nb
 
 
@@ -91,7 +99,7 @@ def leb128_size(u: np.ndarray) -> np.ndarray:
 # Vectorized encode
 # ---------------------------------------------------------------------------
 
-def encode_leb128(u: np.ndarray) -> bytes:
+def encode_leb128(u: np.ndarray, sizes: np.ndarray | None = None) -> bytes:
     """Encode an unsigned array to one concatenated LEB128 byte stream.
 
     Byte-identical to appending the reference's ``encode``/``encode_to_slice``
@@ -103,23 +111,35 @@ def encode_leb128(u: np.ndarray) -> bytes:
     analog of the reference's 7-bit spread kernel
     (``num_to_scalar_stage1``, /root/reference/src/num.rs:251-286).
     """
-    u = np.ascontiguousarray(u, dtype=np.uint64)
+    u = np.asarray(u)
+    if u.dtype not in (np.dtype(np.uint8), np.dtype(np.uint16), np.dtype(np.uint32),
+                      np.dtype(np.uint64)):
+        u = u.astype(np.uint64)
+    u = np.ascontiguousarray(u)
     n = len(u)
     if n == 0:
         return b""
-    nb = leb128_size(u)
+    nb = sizes if sizes is not None else leb128_size(u)
     offsets = np.empty(n + 1, dtype=np.int64)
     offsets[0] = 0
     np.cumsum(nb, out=offsets[1:])
     out = np.empty(offsets[-1], dtype=np.uint8)
     maxb = int(nb.max())
-    for j in range(maxb):
-        mask = nb > j
-        vals = u[mask] >> np.uint64(7 * j)
-        byte = (vals & np.uint64(0x7F)).astype(np.uint8)
-        # continuation bit on every byte except the last of its value
-        byte |= np.uint8(0x80) * (nb[mask] > j + 1).astype(np.uint8)
-        out[offsets[:-1][mask] + j] = byte
+    dt = u.dtype.type
+    # bucket values by encoded length: each (length, byte-position) pair is
+    # one gather + one scatter over only the values of that length — fewer
+    # masked passes than iterating byte positions over the whole array
+    for k in range(1, maxb + 1):
+        idx = np.flatnonzero(nb == k)
+        if not len(idx):
+            continue
+        vals = u[idx]
+        base = offsets[idx]
+        for j in range(k):
+            byte = ((vals >> dt(7 * j)) & dt(0x7F)).astype(np.uint8)
+            if j < k - 1:
+                byte |= np.uint8(0x80)  # continuation bit on non-final bytes
+            out[base + j] = byte
     return out.tobytes()
 
 
@@ -196,10 +216,13 @@ def decode_leb128(
             )
 
     total = int(ends[-1]) + 1
-    data = b[:total].astype(np.uint64) & np.uint64(0x7F)
+    # width-specialized accumulator: u32 and narrower never shift past 28
+    # bits, so stay in uint32 (half the memory traffic)
+    acc = np.uint32 if width <= 32 else np.uint64
+    data = b[:total].astype(acc) & acc(0x7F)
     # byte position within its value: index - start_of_value
     pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
-    data <<= (pos.astype(np.uint64) * np.uint64(7))
+    data <<= pos.astype(acc) * acc(7)
     vals = np.add.reduceat(data, starts)
     return vals.astype(_UNSIGNED_DTYPE[width], copy=False)
 

@@ -31,12 +31,18 @@ import pyarrow.parquet as pq
 SEED = 42
 N_SHARDS = 8
 CORPUS_ROOT = "/tmp/tokenzip_corpus"
+# small row groups so ray.data.read_parquet can split each shard into many
+# read tasks (one row group per file would cap read/encode parallelism at
+# N_SHARDS); bumping this constant invalidates cached corpora
+ROW_GROUP_ROWS = 1024
+_FORMAT_MARKER = f".format-rg{ROW_GROUP_ROWS}"
 
 SOURCES = np.array(["web", "code", "books", "wiki", "synth"])
 SOURCE_P = np.array([0.55, 0.15, 0.12, 0.12, 0.06])
 
 # rows per scale, FIXTURES.md F1 ("10_000 rows for unit tests, 100_000 for bench")
-ROWS_BY_SF = {"sf0.001": 2_000, "sf0.01": 10_000, "sf0.1": 100_000}
+ROWS_BY_SF = {"sf0.001": 2_000, "sf0.01": 10_000, "sf0.1": 100_000,
+              "sfscale": 200_000}  # sfscale: the --scaling corpus (2x bench)
 
 TOKEN_SCHEMA = pa.schema(
     [
@@ -129,8 +135,11 @@ def ensure_corpus(sf_dir_or_name: str, n_rows: int | None = None, seed: int = SE
     concurrent callers are safe). Returns the directory path."""
     sf_name = os.path.basename(os.path.normpath(sf_dir_or_name))
     out = corpus_dir(sf_name)
-    if os.path.isdir(out) and len(os.listdir(out)) == N_SHARDS:
+    marker = os.path.join(out, _FORMAT_MARKER)
+    if os.path.isdir(out) and os.path.exists(marker):
         return out
+    if os.path.isdir(out):  # stale format: regenerate
+        shutil.rmtree(out, ignore_errors=True)
     n_rows = n_rows or ROWS_BY_SF.get(sf_name, 10_000)
     tmp = out + f".tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
@@ -139,8 +148,12 @@ def ensure_corpus(sf_dir_or_name: str, n_rows: int | None = None, seed: int = SE
         rows = per if shard < N_SHARDS - 1 else n_rows - per * (N_SHARDS - 1)
         table = generate_shard(shard, rows, row_offset=shard * per, seed=seed)
         pq.write_table(
-            table, os.path.join(tmp, f"part-{shard:04d}.parquet"), compression="zstd"
+            table,
+            os.path.join(tmp, f"part-{shard:04d}.parquet"),
+            compression="zstd",
+            row_group_size=ROW_GROUP_ROWS,
         )
+    open(os.path.join(tmp, _FORMAT_MARKER), "w").close()
     try:
         os.replace(tmp, out) if not os.path.isdir(out) else shutil.rmtree(tmp)
     except OSError:

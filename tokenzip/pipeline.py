@@ -27,6 +27,35 @@ import ray.data
 from tokenzip.manifest import Manifest
 from tokenzip.stages import DecodeStage, EncodeStage, VerifyStage
 
+# Per-worker-process stage cache: stateless stages run as plain Ray TASKS
+# (long-lived workers amortize imports; no per-execution actor-pool startup,
+# which measured 3-4x slower for stateless encode). Actor pools are reserved
+# for genuinely stateful stages (shared symbol tables, see SharedTableEncode).
+_STAGES: dict = {}
+
+
+def _encode_fn(batch, tokens_codec="auto"):
+    key = ("enc", tokens_codec)
+    st = _STAGES.get(key)
+    if st is None:
+        st = _STAGES[key] = EncodeStage(tokens_codec=tokens_codec)
+    return st(batch)
+
+
+def _decode_fn(batch):
+    st = _STAGES.get("dec")
+    if st is None:
+        st = _STAGES["dec"] = DecodeStage()
+    return st(batch)
+
+
+def _verify_fn(batch, tokens_codec="auto"):
+    key = ("ver", tokens_codec)
+    st = _STAGES.get(key)
+    if st is None:
+        st = _STAGES[key] = VerifyStage(tokens_codec=tokens_codec)
+    return st(batch)
+
 DEFAULT_BATCH_SIZE = 2048  # docs/batch: ~3M tokens ~ 13 MB raw at corpus mix
 
 
@@ -56,7 +85,7 @@ def compress(
     out_dir: str,
     *,
     tokens_codec: str = "auto",
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: int | None = None,
     concurrency: int | None = None,
     resume: bool = True,
 ) -> dict:
@@ -81,17 +110,29 @@ def compress(
         if os.path.isdir(d):
             shutil.rmtree(d)
 
-    ds = ray.data.read_parquet(todo, include_paths=True)
+    # split the read well below file granularity (row-group level) so the
+    # encode stage gets many small, evenly-sized tasks instead of a few
+    # skewed ones — read/encode task balance dominates scaling efficiency
+    # ~8 blocks per input fragment: enough tasks to balance (64 for the
+    # 8-shard corpus), few enough that driver/executor per-block overhead
+    # stays negligible; batch == block below avoids any re-bundling
+    ds = ray.data.read_parquet(
+        todo, include_paths=True,
+        override_num_blocks=max(16, min(256, len(todo) * 8)),
+    )
     ds = ds.map_batches(_add_frag, batch_format="pyarrow", zero_copy_batch=True)
     kwargs = dict(
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=batch_size,
-        fn_constructor_kwargs={"tokens_codec": tokens_codec},
-        concurrency=concurrency or _default_concurrency(),
+        batch_size=batch_size,  # None => one batch per block (no re-bundling)
+        fn_kwargs={"tokens_codec": tokens_codec},
     )
-    ds = ds.map_batches(EncodeStage, **kwargs)
-    ds.write_parquet(chunks_dir, partition_cols=["frag"])
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    ds = ds.map_batches(_encode_fn, **kwargs)
+    # chunk payloads are already compressed by the engine's own codecs —
+    # parquet-level recompression would burn CPU for ~0 gain
+    ds.write_parquet(chunks_dir, partition_cols=["frag"], compression="none")
 
     # fold chunk metadata into the per-fragment manifest (metadata columns
     # only — column-pruned read of the chunk files, no payload bytes move)
@@ -130,34 +171,32 @@ def chunk_meta_dataset(out_dir: str) -> "ray.data.Dataset":
 def decompress(out_dir: str, concurrency: int | None = None) -> "ray.data.Dataset":
     """Read chunk parquet -> decode -> Dataset with the original schema."""
     ds = ray.data.read_parquet(os.path.join(out_dir, "chunks"))
-    return ds.map_batches(
-        DecodeStage,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=4,
-        concurrency=concurrency or _default_concurrency(),
-    )
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=4)
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(_decode_fn, **kwargs)
 
 
 def verify_roundtrip(
     input_paths: list[str],
     *,
     tokens_codec: str = "auto",
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: int | None = None,
 ) -> "ray.data.Dataset":
     """encode -> decode -> per-row equality inside each batch, pre-aggregated
     per source, then one small groupby. Result columns:
     (source, n_docs, n_equal, sum_n_tok, sum_token_values)."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(input_paths)
+    ds = ray.data.read_parquet(
+        input_paths, override_num_blocks=max(16, min(256, len(input_paths) * 8))
+    )
     partials = ds.map_batches(
-        VerifyStage,
+        _verify_fn,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        fn_constructor_kwargs={"tokens_codec": tokens_codec},
-        concurrency=_default_concurrency(),
+        fn_kwargs={"tokens_codec": tokens_codec},
     )
     return (
         partials.groupby("source")

@@ -62,14 +62,22 @@ class _TokenStatsStage:
         return pa.table(out)
 
 
+_STATS_STAGE: list = []
+
+
+def _token_stats_fn(batch):
+    if not _STATS_STAGE:
+        _STATS_STAGE.append(_TokenStatsStage())
+    return _STATS_STAGE[0](batch)
+
+
 def q_token_stats_by_source(sf_dir: str):
     ds = ray.data.read_parquet(corpus_paths(sf_dir))
     partials = ds.map_batches(
-        _TokenStatsStage,
+        _token_stats_fn,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=2048,
-        concurrency=_default_concurrency(),
     )
     return (
         partials.groupby("source")

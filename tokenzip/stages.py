@@ -32,13 +32,19 @@ class EncodeStage:
         id_codec: str = "auto",
         by_source: bool = True,
         selector_sample: int = 65_536,
-        frag: str | None = None,
+        max_chunk_tokens: int = 2_000_000,
     ):
         self.tokens_codec = tokens_codec
         self.id_codec = id_codec
         self.by_source = by_source
         self.selector_sample = selector_sample
-        self.frag = frag
+        # size-based sub-chunking: a (frag, source) group larger than this
+        # token budget is split so no single chunk (task unit, decode unit,
+        # memory unit) is unboundedly large — the explicit
+        # repartition-by-cumulative-n_tok skew control of SURVEY.md §4.2.
+        # Straggler documents (e.g. 131k-token rows) land in their own
+        # sub-chunk instead of bloating a neighbour's.
+        self.max_chunk_tokens = max_chunk_tokens
 
     def encode_one(self, batch: pa.Table) -> pa.Table:
         return encode_batch(
@@ -81,16 +87,34 @@ class EncodeStage:
             starts = np.array([0, batch.num_rows])
 
         data = batch.drop_columns(["frag"]) if has_frag else batch
+        n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
         parts = []
         for a, b in zip(starts[:-1], starts[1:]):
-            part = self.encode_one(data.slice(int(a), int(b - a)))
-            if has_frag:
-                frag = batch["frag"][int(a)].as_py()
-                part = part.append_column(
-                    "frag", pa.array([frag] * part.num_rows, pa.string())
-                )
-            parts.append(part)
+            for sa, sb in self._token_budget_splits(n_tok, int(a), int(b)):
+                part = self.encode_one(data.slice(sa, sb - sa))
+                if has_frag:
+                    frag = batch["frag"][sa].as_py()
+                    part = part.append_column(
+                        "frag", pa.array([frag] * part.num_rows, pa.string())
+                    )
+                parts.append(part)
         return pa.concat_tables(parts)
+
+    def _token_budget_splits(self, n_tok, a, b):
+        """Split [a, b) on cumulative n_tok so each piece stays under the
+        chunk token budget (single oversized rows get their own piece)."""
+        total = int(n_tok[a:b].sum())
+        if total <= self.max_chunk_tokens:
+            return [(a, b)]
+        out = []
+        sa, acc = a, 0
+        for i in range(a, b):
+            if acc and acc + int(n_tok[i]) > self.max_chunk_tokens:
+                out.append((sa, i))
+                sa, acc = i, 0
+            acc += int(n_tok[i])
+        out.append((sa, b))
+        return out
 
 
 class DecodeStage:
@@ -118,9 +142,19 @@ class VerifyStage:
 
         chunks = self.enc(batch)
         back = decode_chunks(chunks)
-        # order-insensitive per-row comparison within the batch
-        orig = batch.sort_by("doc_id")
-        got = back.sort_by("doc_id")
+        # decode output preserves the encoder's (source, stable) order, so
+        # aligning costs ONE take of the original batch with the same
+        # permutation — no sort of the decoded side, no string-key sort
+        perm = pc.sort_indices(
+            batch.append_column("_i", pa.array(np.arange(batch.num_rows))),
+            sort_keys=[("source", "ascending"), ("_i", "ascending")],
+        )
+        orig = batch.take(perm)
+        got = back
+        if got.num_rows != orig.num_rows:
+            raise AssertionError(
+                f"decode returned {got.num_rows} rows != {orig.num_rows}"
+            )
 
         lo, vo = _tokens_parts(orig["tokens"])
         lg, vg = _tokens_parts(got["tokens"])
