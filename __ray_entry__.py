@@ -50,7 +50,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": a.q_dedup_exact,
         "embedding_topk": a.q_embedding_topk,
         "text_quality_by_lang": a.q_text_quality_by_lang,
+        "intcol_roundtrip_lineitem": q.q_intcol_roundtrip_lineitem,
+        "dedup_minhash": a.q_dedup_minhash,
+        "dedup_simhash": a.q_dedup_simhash,
+        "fingerprint_by_source": a.q_fingerprint_by_source,
+        "lang_id_confusion": a.q_lang_id_confusion,
+        "media_features_by_source": _media_features,
     }
+
+
+def _media_features(sf_dir: str):
+    from tokenzip.multimodal import q_media_features_by_source
+
+    return q_media_features_by_source(sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -131,5 +143,13 @@ SELECT lang,
                     w -> w IN ('the','a','and','of','to')))) AS BIGINT)
          AS sum_stopwords
 FROM documents GROUP BY lang ORDER BY lang
+""",
+        "intcol_roundtrip_lineitem": """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
+       CAST(SUM(l_partkey) AS BIGINT) AS sum_partkey,
+       CAST(SUM(l_suppkey) AS BIGINT) AS sum_suppkey
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
     }

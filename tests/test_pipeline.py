@@ -89,6 +89,33 @@ def test_noop_resume(ray_session, paths, tmp_path):
     assert t1 == t2
 
 
+def test_shared_tables_mode(ray_session, paths, tmp_path):
+    import pyarrow.parquet as pq_
+    from tokenzip.codecs.core import unpack_blob
+
+    out = str(tmp_path / "shared")
+    totals = compress(paths, out, concurrency=2, shared_tables=True)
+    assert totals["n_rows"] == 2000
+    assert os.path.exists(os.path.join(out, "symbols.json"))
+    # chunks reference tables by hash only — no table bytes inline
+    chunk_dirs = [d for d in os.listdir(os.path.join(out, "chunks")) if d.startswith("frag=")]
+    t = pq_.read_table(os.path.join(out, "chunks", chunk_dirs[0]),
+                       columns=["doc_id_enc", "source_enc"])
+    codec, meta, streams = unpack_blob(t["doc_id_enc"][0].as_py())
+    assert codec == "fsst_shared" and "th" in meta
+    codec2, meta2, _ = unpack_blob(t["source_enc"][0].as_py())
+    assert codec2 == "dict_str_shared"
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert all(f["shared_tables"] for f in man["fragments"].values())
+    # decode resolves hashes via the sidecar, bit-identical roundtrip
+    df = decompress(out, concurrency=2).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    orig = _orig_df(paths)
+    assert (df["doc_id"] == orig["doc_id"]).all()
+    assert (df["source"] == orig["source"]).all()
+    for a, b in zip(df["tokens"], orig["tokens"]):
+        assert (a == b).all()
+
+
 def test_verify_roundtrip_all_equal(ray_session, paths):
     v = verify_roundtrip(paths).to_pandas()
     assert (v["n_docs"] == v["n_equal"]).all()

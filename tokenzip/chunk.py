@@ -75,6 +75,7 @@ def encode_batch(
     tokens_codec: str = "auto",
     id_codec: str = "auto",
     selector_sample: int = 65_536,
+    shared: dict | None = None,
 ) -> pa.Table:
     """Encode one Arrow batch of the input schema into one chunk row.
 
@@ -121,8 +122,21 @@ def encode_batch(
     off_meta["n"] = n_rows
     offsets_blob = pack_blob("delta", off_meta, off_streams)
 
-    doc_id_blob = encode_str_column(batch["doc_id"], id_codec)
-    source_blob = encode_str_column(batch["source"], "auto")
+    if shared and "doc_id_fsst" in shared:
+        doc_id_blob = encode_str_column(
+            batch["doc_id"], "fsst_shared", table_hash=shared["doc_id_fsst"]
+        )
+    else:
+        doc_id_blob = encode_str_column(batch["doc_id"], id_codec)
+    if shared and "source_dict" in shared:
+        try:
+            source_blob = encode_str_column(
+                batch["source"], "dict_str_shared", table_hash=shared["source_dict"]
+            )
+        except Exception:  # value outside the shared dict: per-chunk fallback
+            source_blob = encode_str_column(batch["source"], "auto")
+    else:
+        source_blob = encode_str_column(batch["source"], "auto")
 
     n_tok_col = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
     if np.array_equal(n_tok_col, lengths):

@@ -170,11 +170,101 @@ def _dec_fsst(streams, meta, n):
     return _mk_str(lengths, blob)
 
 
+# ---------------------------------------------------------------------------
+# Shared symbol tables (stateful actor-pool mode): tables trained once per
+# run from a deterministic sample, broadcast via ray.put to the encoder actor
+# pool, referenced from chunks by content hash only — the chunk carries NO
+# table bytes. Decode resolves hashes against this per-worker registry,
+# populated from the run's sidecar (symbols.json) once per worker.
+# ---------------------------------------------------------------------------
+
+SHARED_STR_TABLES: dict[str, list[bytes]] = {}
+
+
+def register_shared_str_table(symbols: list[bytes]) -> str:
+    import hashlib
+
+    from tokenzip.codecs import fsst as F
+
+    th = hashlib.sha1(F.pack_table(symbols)).hexdigest()[:12]
+    SHARED_STR_TABLES[th] = symbols
+    return th
+
+
+def _enc_fsst_shared(arr, table_hash: str):
+    from tokenzip.codecs import fsst as F
+
+    symbols = SHARED_STR_TABLES[table_hash]
+    lengths, blob = _str_parts(arr)
+    codes = F.fsst_encode(blob, symbols)
+    return (
+        [encode_leb128(lengths.astype(np.uint64)), codes],
+        {"th": table_hash},
+    )
+
+
+def _dec_fsst_shared(streams, meta, n):
+    from tokenzip.codecs import fsst as F
+
+    th = meta["th"]
+    if th not in SHARED_STR_TABLES:
+        raise ChunkFormatError(
+            f"shared fsst table {th} not loaded — decode needs the run's "
+            f"symbols sidecar registered via load_shared_tables()"
+        )
+    symbols = SHARED_STR_TABLES[th]
+    lengths = decode_leb128(streams[0], n, width=64).astype(np.int64)
+    blob = F.fsst_decode(streams[1], symbols)
+    if len(blob) != int(lengths.sum()):
+        raise ChunkFormatError("fsst_shared: decoded byte count mismatch")
+    return _mk_str(lengths, blob)
+
+
+SHARED_STR_DICTS: dict[str, list[str]] = {}
+
+
+def register_shared_str_dict(values: list[str]) -> str:
+    import hashlib
+
+    values = sorted(values)
+    th = hashlib.sha1("\x00".join(values).encode()).hexdigest()[:12]
+    SHARED_STR_DICTS[th] = values
+    return th
+
+
+def _enc_dict_str_shared(arr, dict_hash: str):
+    values = SHARED_STR_DICTS[dict_hash]
+    lut = {v: i for i, v in enumerate(values)}
+    arr = pc.cast(arr, pa.string())
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    try:
+        codes = np.array([lut[v] for v in arr.to_pylist()], dtype=np.uint64)
+    except KeyError as e:
+        raise CodecError(f"value {e} not in shared dictionary") from e
+    cb = bit_width(len(values) - 1) if len(values) > 1 else 0
+    return [pack_bits(codes, cb)], {"th": dict_hash, "cb": cb}
+
+
+def _dec_dict_str_shared(streams, meta, n):
+    th = meta["th"]
+    if th not in SHARED_STR_DICTS:
+        raise ChunkFormatError(f"shared string dictionary {th} not loaded")
+    values = SHARED_STR_DICTS[th]
+    codes = unpack_bits(streams[0], n, meta["cb"]).astype(np.int64)
+    if n and len(values) and codes.max() >= len(values):
+        raise ChunkFormatError("shared dict code out of range")
+    lengths = np.array([len(values[c].encode()) for c in codes], dtype=np.int64)
+    blob = "".join(values[c] for c in codes).encode()
+    return _mk_str(lengths, blob)
+
+
 STR_CODECS: dict[str, tuple] = {
     "plain_str": (_enc_plain, _dec_plain),
     "dict_str": (_enc_dict_str, _dec_dict_str),
     "prefix_int": (_enc_prefix_int, _dec_prefix_int),
     "fsst": (_enc_fsst, _dec_fsst),
+    "fsst_shared": (_enc_fsst_shared, _dec_fsst_shared),
+    "dict_str_shared": (_enc_dict_str_shared, _dec_dict_str_shared),
 }
 
 
@@ -186,11 +276,51 @@ STR_CANDIDATES = ("prefix_int", "dict_str", "plain_str")
 _FSST_SAMPLE = 1 << 14
 
 
-def encode_str_column(arr: pa.Array, codec: str = "auto") -> bytes:
+def save_shared_tables(path: str) -> None:
+    """Persist every registered shared table/dict to a JSON sidecar (the
+    run's symbol-table lineage artifact; hashes appear in chunk metadata and
+    the manifest)."""
+    import base64
+    import json
+    import os
+
+    data = {
+        "fsst": {
+            th: [base64.b64encode(s).decode() for s in symbols]
+            for th, symbols in SHARED_STR_TABLES.items()
+        },
+        "dict": dict(SHARED_STR_DICTS),
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(data, f, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def load_shared_tables(path: str) -> None:
+    """Load a symbols sidecar into the per-worker registries (idempotent)."""
+    import base64
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    for th, symbols in data.get("fsst", {}).items():
+        SHARED_STR_TABLES[th] = [base64.b64decode(s) for s in symbols]
+    for th, values in data.get("dict", {}).items():
+        SHARED_STR_DICTS[th] = values
+
+
+def encode_str_column(arr: pa.Array, codec: str = "auto", table_hash: str | None = None) -> bytes:
     """Encode a string column chunk; ``auto`` tries the cheap candidates
     exactly and FSST on a byte sample (extrapolated), keeping the smallest.
     Plain always applies, so auto never fails."""
     n = len(arr)
+    if codec in ("fsst_shared", "dict_str_shared"):
+        enc, _ = STR_CODECS[codec]
+        streams, meta = enc(arr, table_hash)
+        meta["n"] = n
+        return pack_blob(codec, meta, streams)
     if codec != "auto":
         enc, _ = STR_CODECS[codec]
         streams, meta = enc(arr)

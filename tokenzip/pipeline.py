@@ -25,7 +25,7 @@ import ray
 import ray.data
 
 from tokenzip.manifest import Manifest
-from tokenzip.stages import DecodeStage, EncodeStage, VerifyStage
+from tokenzip.stages import DecodeStage, EncodeStage, SharedTableEncodeStage, VerifyStage
 
 # Per-worker-process stage cache: stateless stages run as plain Ray TASKS
 # (long-lived workers amortize imports; no per-execution actor-pool startup,
@@ -42,11 +42,44 @@ def _encode_fn(batch, tokens_codec="auto"):
     return st(batch)
 
 
-def _decode_fn(batch):
-    st = _STAGES.get("dec")
+def _decode_fn(batch, sidecar=None):
+    key = ("dec", sidecar)
+    st = _STAGES.get(key)
     if st is None:
-        st = _STAGES["dec"] = DecodeStage()
+        st = _STAGES[key] = DecodeStage(sidecar=sidecar)
     return st(batch)
+
+
+def _train_shared_tables(paths: list[str]) -> dict:
+    """Deterministic driver-side sample (first row group of the first
+    fragments, sorted order) -> global doc_id FSST table + source dictionary.
+    Pure function of the input fragments, so a resumed run re-derives
+    identical tables and hashes (retry-safe lineage)."""
+    import pyarrow.parquet as pq
+
+    from tokenzip.codecs import fsst as F
+    from tokenzip.codecs.strings import (
+        register_shared_str_dict,
+        register_shared_str_table,
+    )
+
+    doc_bytes = []
+    sources: set[str] = set()
+    for p in sorted(paths)[:4]:
+        f = pq.ParquetFile(p)
+        t = f.read_row_group(0, columns=["doc_id", "source"])
+        doc_bytes.append("".join(t["doc_id"].to_pylist()).encode())
+        sources.update(t["source"].to_pylist())
+    symbols = F.train_symbol_table(b"".join(doc_bytes))
+    fsst_hash = register_shared_str_table(symbols)
+    dict_hash = register_shared_str_dict(sorted(sources))
+    from tokenzip.codecs.strings import SHARED_STR_DICTS, SHARED_STR_TABLES
+
+    return {
+        "fsst_tables": {fsst_hash: SHARED_STR_TABLES[fsst_hash]},
+        "str_dicts": {dict_hash: SHARED_STR_DICTS[dict_hash]},
+        "refs": {"doc_id_fsst": fsst_hash, "source_dict": dict_hash},
+    }
 
 
 def _verify_fn(batch, tokens_codec="auto"):
@@ -88,6 +121,7 @@ def compress(
     batch_size: int | None = None,
     concurrency: int | None = None,
     resume: bool = True,
+    shared_tables: bool = False,
 ) -> dict:
     """Compress input token-table fragments into chunk parquet + manifest.
 
@@ -121,15 +155,35 @@ def compress(
         override_num_blocks=max(16, min(256, len(todo) * 8)),
     )
     ds = ds.map_batches(_add_frag, batch_format="pyarrow", zero_copy_batch=True)
-    kwargs = dict(
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,  # None => one batch per block (no re-bundling)
-        fn_kwargs={"tokens_codec": tokens_codec},
-    )
-    if concurrency:
-        kwargs["concurrency"] = concurrency
-    ds = ds.map_batches(_encode_fn, **kwargs)
+    if shared_tables:
+        # stateful path: train once on a deterministic sample, broadcast to
+        # an actor pool, persist the sidecar + hashes for decode and lineage
+        tables = _train_shared_tables(input_paths)
+        from tokenzip.codecs.strings import save_shared_tables
+
+        save_shared_tables(os.path.join(out_dir, "symbols.json"))
+        tables_ref = ray.put(tables)
+        ds = ds.map_batches(
+            SharedTableEncodeStage,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency or _default_concurrency(),
+            fn_constructor_kwargs={
+                "tables_ref": tables_ref,
+                "tokens_codec": tokens_codec,
+            },
+        )
+    else:
+        kwargs = dict(
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,  # None => one batch per block (no re-bundling)
+            fn_kwargs={"tokens_codec": tokens_codec},
+        )
+        if concurrency:
+            kwargs["concurrency"] = concurrency
+        ds = ds.map_batches(_encode_fn, **kwargs)
     # chunk payloads are already compressed by the engine's own codecs —
     # parquet-level recompression would burn CPU for ~0 gain
     ds.write_parquet(chunks_dir, partition_cols=["frag"], compression="none")
@@ -156,6 +210,7 @@ def compress(
             "tokens_bytes_out": int(pa.compute.sum(t["tokens_bytes_out"]).as_py() or 0),
             "leb128_bytes": int(pa.compute.sum(t["leb128_bytes"]).as_py() or 0),
             "codecs": {str(c): int(n) for c, n in zip(codecs, counts)},
+            "shared_tables": shared_tables,
         })
     man.save()
     return man.totals()
@@ -171,7 +226,13 @@ def chunk_meta_dataset(out_dir: str) -> "ray.data.Dataset":
 def decompress(out_dir: str, concurrency: int | None = None) -> "ray.data.Dataset":
     """Read chunk parquet -> decode -> Dataset with the original schema."""
     ds = ray.data.read_parquet(os.path.join(out_dir, "chunks"))
-    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True, batch_size=4)
+    sidecar = os.path.join(out_dir, "symbols.json")
+    kwargs = dict(
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4,
+        fn_kwargs={"sidecar": sidecar if os.path.exists(sidecar) else None},
+    )
     if concurrency:
         kwargs["concurrency"] = concurrency
     return ds.map_batches(_decode_fn, **kwargs)

@@ -114,6 +114,64 @@ def q_compression_by_codec(sf_dir: str):
     )
 
 
+class _IntColRoundtripStage:
+    """Encode+decode every int64 key column of a lineitem batch through the
+    auto-selected width-64 codec and emit per-returnflag checksums of the
+    DECODED values — a differential test of the int64 codec family against
+    the DuckDB oracle computed on the originals."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from tokenzip.codecs.core import decode_int_column, encode_int_column
+        from tokenzip.codecs.selector import choose_int_codec
+
+        cols = {}
+        for name in ("l_orderkey", "l_partkey", "l_suppkey"):
+            vals = batch[name].to_numpy(zero_copy_only=False).astype(np.int64)
+            codec = choose_int_codec(vals, 64)
+            decoded = decode_int_column(encode_int_column(vals, codec, 64))
+            cols[name] = decoded
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pylist(),
+                **cols,
+            }
+        )
+        agg = df.groupby("l_returnflag", as_index=False).agg(
+            n_rows=("l_orderkey", "size"),
+            sum_orderkey=("l_orderkey", "sum"),
+            sum_partkey=("l_partkey", "sum"),
+            sum_suppkey=("l_suppkey", "sum"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def q_intcol_roundtrip_lineitem(sf_dir: str):
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"],
+    )
+    partials = ds.map_batches(
+        _IntColRoundtripStage(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=8192,
+    )
+    return (
+        partials.groupby("l_returnflag")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_orderkey", alias_name="sum_orderkey"),
+            Sum("sum_partkey", alias_name="sum_partkey"),
+            Sum("sum_suppkey", alias_name="sum_suppkey"),
+        )
+        .sort("l_returnflag")
+    )
+
+
 def q_compression_totals(sf_dir: str):
     """Manifest totals incl. the <=-LEB128 bound (rows-only check)."""
     import os

@@ -117,10 +117,55 @@ class EncodeStage:
         return out
 
 
+class SharedTableEncodeStage(EncodeStage):
+    """Stateful actor-pool encode stage: shared symbol tables / dictionaries
+    are fetched from the object store ONCE per actor in __init__ (broadcast
+    via ray.put on the driver — never re-shipped per batch) and registered in
+    the worker's codec registries. Chunks then reference tables by hash only.
+    This is the north rule's 'actor pools holding stateful symbol tables'
+    path; run it via ``compress(..., shared_tables=True)``."""
+
+    def __init__(self, tables_ref=None, tables=None, **kw):
+        super().__init__(**kw)
+        import ray
+
+        from tokenzip.codecs.strings import (
+            SHARED_STR_DICTS,
+            SHARED_STR_TABLES,
+        )
+
+        payload = tables if tables is not None else ray.get(tables_ref)
+        SHARED_STR_TABLES.update(payload.get("fsst_tables", {}))
+        SHARED_STR_DICTS.update(payload.get("str_dicts", {}))
+        self.shared = payload.get("refs", {})
+
+    def encode_one(self, batch: pa.Table) -> pa.Table:
+        return encode_batch(
+            batch,
+            tokens_codec=self.tokens_codec,
+            id_codec=self.id_codec,
+            selector_sample=self.selector_sample,
+            shared=self.shared,
+        )
+
+
 class DecodeStage:
-    """Decode chunk rows back to the original table schema."""
+    """Decode chunk rows back to the original table schema. ``sidecar`` is
+    the run's symbols.json (shared-table mode); loaded once per worker."""
+
+    def __init__(self, sidecar: str | None = None):
+        self.sidecar = sidecar
+        self._loaded = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.sidecar and not self._loaded:
+            import os
+
+            if os.path.exists(self.sidecar):
+                from tokenzip.codecs.strings import load_shared_tables
+
+                load_shared_tables(self.sidecar)
+            self._loaded = True
         cols = [c for c in ("frag",) if c in batch.column_names]
         if cols:
             batch = batch.drop_columns(cols)
