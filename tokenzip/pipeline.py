@@ -158,10 +158,15 @@ def compress(
     if shared_tables:
         # stateful path: train once on a deterministic sample, broadcast to
         # an actor pool, persist the sidecar + hashes for decode and lineage
-        tables = _train_shared_tables(input_paths)
-        from tokenzip.codecs.strings import save_shared_tables
+        from tokenzip.codecs.strings import load_shared_tables, save_shared_tables
 
-        save_shared_tables(os.path.join(out_dir, "symbols.json"))
+        sidecar = os.path.join(out_dir, "symbols.json")
+        if os.path.exists(sidecar):
+            # resume: keep every table earlier chunks reference — the sidecar
+            # is append-only (tables are content-addressed, so merging is safe)
+            load_shared_tables(sidecar)
+        tables = _train_shared_tables(input_paths)
+        save_shared_tables(sidecar)
         tables_ref = ray.put(tables)
         ds = ds.map_batches(
             SharedTableEncodeStage,
