@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_by_source": a.q_fingerprint_by_source,
         "lang_id_confusion": a.q_lang_id_confusion,
         "media_features_by_source": _media_features,
+        "embedding_topk_ivf": a.q_embedding_topk_ivf,
     }
 
 

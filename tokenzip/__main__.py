@@ -1,0 +1,106 @@
+"""CLI entry points: the ``ray job submit``-able surface of the engine.
+
+    python -m tokenzip compress  <input_dir_or_glob> <out_dir> [--shared-tables]
+    python -m tokenzip decompress <out_dir> <restored_dir>
+    python -m tokenzip verify    <input_dir_or_glob>
+    python -m tokenzip stats     <out_dir>
+
+Owns its Ray session (guarded init; the library itself never calls
+ray.init) — submit with ``ray job submit -- python -m tokenzip compress ...``
+on a real cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globmod
+import json
+import os
+import sys
+
+
+def _paths(spec: str) -> list[str]:
+    if os.path.isdir(spec):
+        found = sorted(
+            os.path.join(spec, f) for f in os.listdir(spec) if f.endswith(".parquet")
+        )
+    else:
+        found = sorted(globmod.glob(spec))
+    if not found:
+        raise SystemExit(f"tokenzip: no parquet files found at {spec!r}")
+    return found
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="tokenzip")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("compress", help="compress a token table to chunk parquet + manifest")
+    c.add_argument("input"), c.add_argument("out_dir")
+    c.add_argument("--shared-tables", action="store_true")
+    c.add_argument("--tokens-codec", default="auto")
+    c.add_argument("--no-resume", action="store_true")
+
+    d = sub.add_parser("decompress", help="restore the original table from chunks")
+    d.add_argument("out_dir"), d.add_argument("restored_dir")
+
+    v = sub.add_parser("verify", help="encode->decode->equality over an input table")
+    v.add_argument("input")
+
+    st = sub.add_parser("stats", help="print the manifest totals of a run")
+    st.add_argument("out_dir")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "stats":  # no Ray needed
+        with open(os.path.join(args.out_dir, "manifest.json")) as f:
+            man = json.load(f)
+        print(json.dumps(man.get("totals", {}), indent=1, sort_keys=True))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", 0)) or None,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    try:
+        if args.cmd == "compress":
+            from tokenzip.pipeline import compress
+
+            totals = compress(
+                _paths(args.input),
+                args.out_dir,
+                tokens_codec=args.tokens_codec,
+                resume=not args.no_resume,
+                shared_tables=args.shared_tables,
+            )
+            print(json.dumps(totals, sort_keys=True))
+        elif args.cmd == "decompress":
+            from tokenzip.pipeline import decompress
+
+            ds = decompress(args.out_dir)
+            ds.write_parquet(args.restored_dir)
+            print(json.dumps({"rows": "written", "dir": args.restored_dir}))
+        elif args.cmd == "verify":
+            from tokenzip.pipeline import verify_roundtrip
+
+            df = verify_roundtrip(_paths(args.input)).to_pandas()
+            ok = bool((df["n_docs"] == df["n_equal"]).all())
+            print(df.to_string(index=False))
+            print(json.dumps({"all_equal": ok}))
+            return 0 if ok else 1
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -147,6 +147,86 @@ def q_embedding_topk(sf_dir: str, k: int = 10):
     )
 
 
+class _IVFStage:
+    """IVF scale path: per-batch, assign vectors to the nearest of C
+    broadcast centroids, compute cosine to the query ONLY for vectors whose
+    centroid is among the probed ones. At 100 TB this is the standard
+    inverted-file ANN layout: the centroid assignment is a cheap matmul, the
+    expensive scoring touches ~n_probe/C of the data, and the centroids
+    (small state) ride the object store once per actor."""
+
+    def __init__(self, centroids_ref, query_ref, probe_ids, k: int):
+        self.cent = ray.get(centroids_ref)
+        q = ray.get(query_ref)
+        self.qn = q / np.linalg.norm(q)
+        self.probe = set(int(i) for i in probe_ids)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
+        )
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        assign = np.argmax(emb @ self.cent.T, axis=1)
+        mask = np.isin(assign, list(self.probe))
+        if not mask.any():
+            return pa.table({"vec_id": ids[:0], "cos": np.empty(0, np.float64)})
+        emb, ids = emb[mask], ids[mask]
+        norms = np.linalg.norm(emb, axis=1)
+        cos = (emb @ self.qn) / np.where(norms == 0, 1.0, norms)
+        top = np.argsort(-cos, kind="stable")[: self.k]
+        return pa.table({"vec_id": ids[top], "cos": cos[top]})
+
+
+def q_embedding_topk_ivf(sf_dir: str, k: int = 10, n_clusters: int = 8, n_probe: int = 3):
+    """IVF-bucketed approximate top-k + recall vs the brute-force result.
+    Seeded k-means (4 Lloyd iterations) trains centroids driver-side on a
+    sample; rows-only check (approximate by design). Returns one row:
+    (k, n_probe, n_clusters, recall_pct_x100, n_found)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, columns=["vec_id", "embedding"])
+    emb = np.stack([np.asarray(e, dtype=np.float64) for e in head["embedding"].to_pylist()])
+    ids = head["vec_id"].to_numpy(zero_copy_only=False)
+    qv = emb[int(np.argmin(ids))]
+
+    rng = np.random.default_rng(42)
+    cent = emb[rng.choice(len(emb), size=min(n_clusters, len(emb)), replace=False)]
+    for _ in range(4):  # seeded Lloyd iterations (deterministic)
+        assign = np.argmax(emb @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = emb[m].mean(axis=0)
+    qn = qv / np.linalg.norm(qv)
+    probe_ids = np.argsort(-(cent @ qn))[:n_probe]
+
+    cent_ref, q_ref = ray.put(cent), ray.put(qv)
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        _IVFStage,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=max(2, _default_concurrency() // 2),
+        fn_constructor_kwargs={
+            "centroids_ref": cent_ref,
+            "query_ref": q_ref,
+            "probe_ids": probe_ids.tolist(),
+            "k": k,
+        },
+    ).to_pandas()
+    approx = set(
+        partials.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)["vec_id"].astype(int)
+    )
+    exact = set(q_embedding_topk(sf_dir, k)["vec_id"].astype(int))
+    recall = len(approx & exact) / max(1, len(exact))
+    return pd.DataFrame(
+        [{"k": k, "n_probe": n_probe, "n_clusters": n_clusters,
+          "recall_pct_x100": int(round(recall * 10000)), "n_found": len(approx)}]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text quality metrics (exact-arithmetic columns so the SQL oracle matches)
 # ---------------------------------------------------------------------------

@@ -144,16 +144,13 @@ def compress(
         if os.path.isdir(d):
             shutil.rmtree(d)
 
-    # split the read well below file granularity (row-group level) so the
-    # encode stage gets many small, evenly-sized tasks instead of a few
-    # skewed ones — read/encode task balance dominates scaling efficiency
-    # ~8 blocks per input fragment: enough tasks to balance (64 for the
-    # 8-shard corpus), few enough that driver/executor per-block overhead
-    # stays negligible; batch == block below avoids any re-bundling
-    ds = ray.data.read_parquet(
-        todo, include_paths=True,
-        override_num_blocks=max(16, min(256, len(todo) * 8)),
-    )
+    # split the read below file granularity (row-group level), sized to the
+    # actual input bytes: enough tasks to balance across the pool, few enough
+    # that executor per-block overhead stays negligible and tiny inputs don't
+    # shatter into hundreds of micro-chunks; batch == block (no re-bundling)
+    total_bytes = sum(os.path.getsize(p) for p in todo)
+    n_blocks = max(len(todo), min(256, int(total_bytes / (4 << 20)) or 1))
+    ds = ray.data.read_parquet(todo, include_paths=True, override_num_blocks=n_blocks)
     ds = ds.map_batches(_add_frag, batch_format="pyarrow", zero_copy_batch=True)
     if shared_tables:
         # stateful path: train once on a deterministic sample, broadcast to
@@ -254,9 +251,9 @@ def verify_roundtrip(
     (source, n_docs, n_equal, sum_n_tok, sum_token_values)."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
-        input_paths, override_num_blocks=max(16, min(256, len(input_paths) * 8))
-    )
+    total_bytes = sum(os.path.getsize(p) for p in input_paths)
+    n_blocks = max(len(input_paths), min(256, int(total_bytes / (4 << 20)) or 1))
+    ds = ray.data.read_parquet(input_paths, override_num_blocks=n_blocks)
     partials = ds.map_batches(
         _verify_fn,
         batch_format="pyarrow",
