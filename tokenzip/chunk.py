@@ -95,23 +95,24 @@ def encode_batch(
     zz32 = zigzag_encode(values32, 32)
     sizes = leb128_size(zz32)
     oracle = int(sizes.sum())
-    values = values32.astype(np.int64)  # codec kernels operate on the i64 domain
     if tokens_codec == "auto":
-        chosen = choose_int_codec(values, 32, sample=selector_sample)
+        chosen = choose_int_codec(values32, 32, sample=selector_sample)
     else:
         chosen = tokens_codec
     enc, _ = INT_CODECS[chosen]
     if chosen == "leb128":
-        streams, meta = enc(values, 32, zz=zz32, sizes=sizes)
+        # zigzag-family codecs never touch the raw values: skip the i64 copy
+        streams, meta = enc(None, 32, zz=zz32, sizes=sizes)
     elif chosen in ("svb", "bitpack"):
-        streams, meta = enc(values, 32, zz=zz32)
+        streams, meta = enc(None, 32, zz=zz32)
     else:
+        values = values32.astype(np.int64)  # i64 domain for for/rle/dict/delta
         streams, meta = enc(values, 32)
     meta["n"] = n_tokens
     tokens_blob = pack_blob(chosen, meta, streams)
     if tokens_codec == "auto" and chosen != "leb128":
         if sum(len(s) for s in streams) > oracle:
-            lstreams, lmeta = INT_CODECS["leb128"][0](values, 32, zz=zz32, sizes=sizes)
+            lstreams, lmeta = INT_CODECS["leb128"][0](None, 32, zz=zz32, sizes=sizes)
             lmeta["n"] = n_tokens
             tokens_blob = pack_blob("leb128", lmeta, lstreams)
             chosen = "leb128"

@@ -49,7 +49,8 @@ def estimate_int_sizes(
     n = len(values)
     if n == 0:
         return {c: 0.0 for c in candidates}
-    values = np.ascontiguousarray(values, dtype=np.int64)
+    # sample FIRST, then widen: the full-array int64 copy would cost more
+    # memory traffic than the whole estimation pass
     if n > sample:
         half = sample // 2
         stride = max(1, (n - half) // half)
@@ -58,6 +59,7 @@ def estimate_int_sizes(
     else:
         s = values
         scale = 1.0
+    s = np.ascontiguousarray(s, dtype=np.int64)
     m = len(s)
     vmin, vmax = int(s.min()), int(s.max())
     fits32 = -(2**31) <= vmin and vmax < 2**31

@@ -89,9 +89,11 @@ def leb128_size(u: np.ndarray) -> np.ndarray:
                       np.dtype(np.uint64)):
         u = u.astype(np.uint64)
     bits = u.dtype.itemsize * 8
-    nb = np.ones(u.shape, dtype=np.int64)
+    # uint8 byte counts: 1/8 the write traffic of int64; callers widen in
+    # cumsum (np.cumsum(..., out=<int64>) accumulates exactly)
+    nb = np.ones(u.shape, dtype=np.uint8)
     for t in range(7, bits, 7):
-        nb += (u >= u.dtype.type(1 << t)).astype(np.int64)
+        nb += u >= u.dtype.type(1 << t)
     return nb
 
 
@@ -217,12 +219,17 @@ def decode_leb128(
 
     total = int(ends[-1]) + 1
     # width-specialized accumulator: u32 and narrower never shift past 28
-    # bits, so stay in uint32 (half the memory traffic)
+    # bits, so stay in uint32; positions in int32 (streams are < 2 GiB)
     acc = np.uint32 if width <= 32 else np.uint64
-    data = b[:total].astype(acc) & acc(0x7F)
+    data = b[:total].astype(acc)
+    data &= acc(0x7F)
+    pdt = np.int32 if total < 2**31 else np.int64
     # byte position within its value: index - start_of_value
-    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
-    data <<= pos.astype(acc) * acc(7)
+    pos = np.arange(total, dtype=pdt)
+    pos -= np.repeat(starts.astype(pdt), lengths)
+    pos = pos.astype(acc, copy=False)
+    pos *= acc(7)
+    data <<= pos
     vals = np.add.reduceat(data, starts)
     return vals.astype(_UNSIGNED_DTYPE[width], copy=False)
 

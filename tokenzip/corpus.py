@@ -42,7 +42,7 @@ SOURCE_P = np.array([0.55, 0.15, 0.12, 0.12, 0.06])
 
 # rows per scale, FIXTURES.md F1 ("10_000 rows for unit tests, 100_000 for bench")
 ROWS_BY_SF = {"sf0.001": 2_000, "sf0.01": 10_000, "sf0.1": 100_000,
-              "sfscale": 200_000}  # sfscale: the --scaling corpus (2x bench)
+              "sfscale": 800_000}  # sfscale: the --scaling corpus (8x bench - big enough that fixed pipeline overheads are <5% of the timed work)
 
 TOKEN_SCHEMA = pa.schema(
     [
