@@ -48,7 +48,9 @@ def test_size_bound_and_manifest(ray_session, paths, tmp_path):
     tok_out = sum(f["tokens_bytes_out"] for f in man["fragments"].values())
     assert tok_out <= totals["leb128_bytes"] + 512 * totals["n_chunks"]
     assert totals["bytes_out"] < totals["bytes_in"]
-    assert set(man["fragments"]) == {f"part-{i:04d}" for i in range(8)}
+    from tokenzip.corpus import N_SHARDS
+
+    assert set(man["fragments"]) == {f"part-{i:04d}" for i in range(N_SHARDS)}
     for frag, st in man["fragments"].items():
         assert st["status"] == "done"
         assert st["n_chunks"] > 0 and st["n_tokens"] > 0
@@ -64,6 +66,7 @@ def test_resume_skips_done_and_completes(ray_session, paths, tmp_path):
     compress(paths[:3], out_res, concurrency=2)  # simulate a partial run
     man = json.load(open(os.path.join(out_res, "manifest.json")))
     assert len(man["fragments"]) == 3
+    from tokenzip.corpus import N_SHARDS
     # leave a partial (stale) chunk dir for an unfinished fragment; resume
     # must wipe and rewrite it
     stale = os.path.join(out_res, "chunks", "frag=part-0004")
@@ -72,7 +75,7 @@ def test_resume_skips_done_and_completes(ray_session, paths, tmp_path):
         f.write("junk")
     totals = compress(paths, out_res, concurrency=2)  # resume the rest
     man = json.load(open(os.path.join(out_res, "manifest.json")))
-    assert len(man["fragments"]) == 8
+    assert len(man["fragments"]) == N_SHARDS
     assert totals["n_rows"] == 2000
     # identical decoded content vs the one-shot run
     a = decompress(out_res, concurrency=2).to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -80,6 +80,53 @@ def test_fsst_escape_paths():
     assert decode_str_column(blob).to_pylist() == vals
 
 
+def test_shared_table_codecs_roundtrip(tmp_path):
+    from tokenzip.codecs import fsst as F
+    from tokenzip.codecs.strings import (
+        SHARED_STR_DICTS,
+        SHARED_STR_TABLES,
+        load_shared_tables,
+        register_shared_str_dict,
+        register_shared_str_table,
+        save_shared_tables,
+    )
+
+    vals = [f"doc-{i:06d}" for i in range(500)]
+    symbols = F.train_symbol_table("".join(vals).encode())
+    th = register_shared_str_table(symbols)
+    blob = encode_str_column(pa.array(vals), "fsst_shared", table_hash=th)
+    codec, meta, streams = unpack_blob(blob)
+    assert codec == "fsst_shared" and meta["th"] == th
+    assert decode_str_column(blob).to_pylist() == vals
+
+    dh = register_shared_str_dict(["a", "b", "c"])
+    blob2 = encode_str_column(pa.array(["a", "c", "a", "b"]), "dict_str_shared", table_hash=dh)
+    assert decode_str_column(blob2).to_pylist() == ["a", "c", "a", "b"]
+
+    # sidecar save/load round-trips the registries
+    side = str(tmp_path / "symbols.json")
+    save_shared_tables(side)
+    saved_tables = dict(SHARED_STR_TABLES)
+    saved_dicts = dict(SHARED_STR_DICTS)
+    SHARED_STR_TABLES.clear()
+    SHARED_STR_DICTS.clear()
+    import pytest as _pytest
+
+    from tokenzip.errors import ChunkFormatError
+
+    with _pytest.raises(ChunkFormatError):
+        decode_str_column(blob)  # table not loaded
+    load_shared_tables(side)
+    assert SHARED_STR_TABLES == saved_tables and SHARED_STR_DICTS == saved_dicts
+    assert decode_str_column(blob).to_pylist() == vals
+
+    # value outside the shared dictionary errs at encode
+    from tokenzip.errors import CodecError
+
+    with _pytest.raises(CodecError):
+        encode_str_column(pa.array(["zzz"]), "dict_str_shared", table_hash=dh)
+
+
 def test_chunked_array_input():
     arr = pa.chunked_array([["a", "b"], ["c"]])
     blob = encode_str_column(arr, "auto")

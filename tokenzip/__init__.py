@@ -37,3 +37,15 @@ from tokenzip.errors import (  # noqa: E402,F401
     VarintOverflowError,
     VarintTruncatedError,
 )
+
+
+def __getattr__(name):  # lazy: pipeline pulls in ray; keep bare import light
+    if name in ("compress", "decompress", "verify_roundtrip", "chunk_meta_dataset"):
+        from tokenzip import pipeline
+
+        return getattr(pipeline, name)
+    if name in ("encode_batch", "decode_chunks"):
+        from tokenzip import chunk
+
+        return getattr(chunk, name)
+    raise AttributeError(name)

@@ -224,7 +224,7 @@ def decode_chunk_row(row: dict) -> pa.Table:
     doc_id = decode_str_column(row["doc_id_enc"])
     source = decode_str_column(row["source_enc"])
 
-    if len(row["n_tok_enc"]) == 0:
+    if len(row["n_tok_enc"]) == 0:  # derived from offsets
         n_tok = lengths.astype(np.int32)
     else:
         codec, meta, streams = unpack_blob(row["n_tok_enc"])
@@ -243,8 +243,17 @@ def decode_chunk_row(row: dict) -> pa.Table:
 
 def decode_chunks(chunks: pa.Table) -> pa.Table:
     """Decode a table of chunk rows back to original rows (concatenated)."""
+    def cell(k, i):
+        v = chunks[k][i]
+        # zero-copy buffers for the binary payload columns; python scalars
+        # for the small metadata cells
+        if isinstance(v, (pa.LargeBinaryScalar, pa.BinaryScalar)):
+            buf = v.as_buffer()
+            return memoryview(buf) if buf is not None else b""
+        return v.as_py()
+
     parts = [
-        decode_chunk_row({k: chunks[k][i].as_py() for k in chunks.column_names})
+        decode_chunk_row({k: cell(k, i) for k in chunks.column_names})
         for i in range(chunks.num_rows)
     ]
     if not parts:

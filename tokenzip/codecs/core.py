@@ -57,15 +57,19 @@ def pack_blob(codec: str, meta: dict, streams: list[bytes]) -> bytes:
     return b"".join([_MAGIC, struct.pack("<I", len(header)), header, *streams])
 
 
-def unpack_blob(blob: bytes) -> tuple[str, dict, list[bytes]]:
-    blob = bytes(blob)
-    if blob[:4] != _MAGIC:
-        raise ChunkFormatError(f"bad magic {blob[:4]!r}")
-    (hlen,) = struct.unpack_from("<I", blob, 4)
-    header = json.loads(blob[8 : 8 + hlen].decode())
+def unpack_blob(blob) -> tuple[str, dict, list]:
+    """Parse a packed chunk blob. Streams are returned as zero-copy
+    memoryviews of the input buffer (accepts bytes, memoryview, or a
+    pyarrow Buffer) — decoders wrap them with np.frombuffer without
+    copying; large payloads never get re-materialized."""
+    mv = memoryview(blob)
+    if bytes(mv[:4]) != _MAGIC:
+        raise ChunkFormatError(f"bad magic {bytes(mv[:4])!r}")
+    (hlen,) = struct.unpack_from("<I", mv, 4)
+    header = json.loads(bytes(mv[8 : 8 + hlen]).decode())
     streams, off = [], 8 + hlen
     for sl in header["sl"]:
-        streams.append(blob[off : off + sl])
+        streams.append(mv[off : off + sl])
         off += sl
     return header["c"], header["m"], streams
 

@@ -163,7 +163,7 @@ def _dec_fsst(streams, meta, n):
     from tokenzip.codecs import fsst as F
 
     lengths = decode_leb128(streams[0], n, width=64).astype(np.int64)
-    symbols = F.unpack_table(streams[1]) if streams[1] else []
+    symbols = F.unpack_table(streams[1]) if len(streams[1]) else []
     blob = F.fsst_decode(streams[2], symbols)
     if len(blob) != int(lengths.sum()):
         raise ChunkFormatError("fsst: decoded byte count mismatch")

@@ -29,13 +29,16 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
+# 8 uniform shards measured best end-to-end: more shards multiply the
+# partitioned-write dirs and small chunk files, regressing the write/read
+# paths at higher parallelism (32-shard corpora measured ~35% slower hi-side)
 N_SHARDS = 8
 CORPUS_ROOT = "/tmp/tokenzip_corpus"
 # small row groups so ray.data.read_parquet can split each shard into many
 # read tasks (one row group per file would cap read/encode parallelism at
 # N_SHARDS); bumping this constant invalidates cached corpora
 ROW_GROUP_ROWS = 1024
-_FORMAT_MARKER = f".format-rg{ROW_GROUP_ROWS}"
+_FORMAT_MARKER = f".format-rg{ROW_GROUP_ROWS}-s{N_SHARDS}"
 
 SOURCES = np.array(["web", "code", "books", "wiki", "synth"])
 SOURCE_P = np.array([0.55, 0.15, 0.12, 0.12, 0.06])

@@ -145,9 +145,9 @@ def compress(
             shutil.rmtree(d)
 
     # split the read below file granularity (row-group level), sized to the
-    # actual input bytes: enough tasks to balance across the pool, few enough
-    # that executor per-block overhead stays negligible and tiny inputs don't
-    # shatter into hundreds of micro-chunks; batch == block (no re-bundling)
+    # actual input bytes: fine-grained blocks balance the encode+write stage
+    # best (measured; the fully-fused one-block-per-file layout regresses the
+    # write-heavy compress path at higher parallelism, unlike verify)
     total_bytes = sum(os.path.getsize(p) for p in todo)
     n_blocks = max(len(todo), min(256, int(total_bytes / (4 << 20)) or 1))
     ds = ray.data.read_parquet(todo, include_paths=True, override_num_blocks=n_blocks)
@@ -251,9 +251,10 @@ def verify_roundtrip(
     (source, n_docs, n_equal, sum_n_tok, sum_token_values)."""
     from ray.data.aggregate import Sum
 
-    total_bytes = sum(os.path.getsize(p) for p in input_paths)
-    n_blocks = max(len(input_paths), min(256, int(total_bytes / (4 << 20)) or 1))
-    ds = ray.data.read_parquet(input_paths, override_num_blocks=n_blocks)
+    # one block per file -> read fuses with the verify stage (see compress)
+    ds = ray.data.read_parquet(
+        input_paths, override_num_blocks=len(input_paths)
+    )
     partials = ds.map_batches(
         _verify_fn,
         batch_format="pyarrow",
