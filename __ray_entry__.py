@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": a.q_embedding_topk,
         "text_quality_by_lang": a.q_text_quality_by_lang,
         "intcol_roundtrip_lineitem": q.q_intcol_roundtrip_lineitem,
+        "events_ts_roundtrip": q.q_events_ts_roundtrip,
         "dedup_minhash": a.q_dedup_minhash,
         "dedup_simhash": a.q_dedup_simhash,
         "fingerprint_by_source": a.q_fingerprint_by_source,
@@ -152,5 +153,13 @@ SELECT l_returnflag,
        CAST(SUM(l_partkey) AS BIGINT) AS sum_partkey,
        CAST(SUM(l_suppkey) AS BIGINT) AS sum_suppkey
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "events_ts_roundtrip": """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+       CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+FROM events GROUP BY event_type ORDER BY event_type
 """,
     }

@@ -269,15 +269,17 @@ def _dec_dict(streams, meta, n):
 
 def _enc_delta(values, width):
     """Delta + ZigZag + LEB128: first value then successive differences.
-    Wins on sorted / clustered streams (e.g. list offsets)."""
-    if width > 32:
-        raise CodecError("delta codec requires values within int32")
+    Wins on sorted / clustered streams (list offsets, timestamps). Valid for
+    the full int64 domain: differences wrap mod 2^64 and the decoder's
+    cumulative sum wraps identically, so the roundtrip is exact even when a
+    delta overflows (zigzag64 is a bijection on int64)."""
     n = len(values)
     if n == 0:
         return [b""], {"w": width}
     seq = np.empty(n, dtype=np.int64)
     seq[0] = values[0]
-    seq[1:] = np.diff(values)
+    with np.errstate(over="ignore"):
+        seq[1:] = np.diff(values)
     return [encode_leb128(zigzag_encode(seq, 64).astype(np.uint64))], {"w": width}
 
 
@@ -285,7 +287,8 @@ def _dec_delta(streams, meta, n):
     if n == 0:
         return np.empty(0, dtype=np.int64)
     seq = zigzag_decode(decode_leb128(streams[0], n, width=64), 64).astype(np.int64)
-    return np.cumsum(seq)
+    with np.errstate(over="ignore"):
+        return np.cumsum(seq)
 
 
 INT_CODECS: dict[str, tuple] = {

@@ -97,11 +97,10 @@ def estimate_int_sizes(
             dict_bytes = float(leb128_size(_zz(uniq, 64)).sum())  # upper bound on delta dict
             sizes[c] = m * cb / 8.0 * scale + dict_bytes
         elif c == "delta":
-            if not fits32 or width > 32:
-                continue
             d = np.empty(m, dtype=np.int64)
             d[0] = s[0]
-            d[1:] = np.diff(s)
+            with np.errstate(over="ignore"):
+                d[1:] = np.diff(s)
             sizes[c] = float(leb128_size(zigzag_encode(d, 64).astype(np.uint64)).sum()) * scale
     return sizes
 

@@ -172,6 +172,64 @@ def q_intcol_roundtrip_lineitem(sf_dir: str):
     )
 
 
+class _EventsTsRoundtripStage:
+    """Timestamp-column compression: events.ts (sorted epoch-us int64) goes
+    through the auto selector — the delta codec wins on monotonic streams —
+    and user_id through the width-64 family; per-event_type checksums of the
+    DECODED values are oracle-checked against DuckDB epoch_us()."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from tokenzip.codecs.core import decode_int_column, encode_int_column
+        from tokenzip.codecs.selector import choose_int_codec
+
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_codec = choose_int_codec(ts, 64)
+        ts_rt = decode_int_column(encode_int_column(ts, ts_codec, 64))
+        uid_rt = decode_int_column(
+            encode_int_column(uid, choose_int_codec(uid, 64), 64)
+        )
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_pylist(), "ts": ts_rt, "uid": uid_rt}
+        )
+        agg = df.groupby("event_type", as_index=False).agg(
+            n_events=("ts", "size"),
+            sum_user_id=("uid", "sum"),
+            min_ts_us=("ts", "min"),
+            max_ts_us=("ts", "max"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def q_events_ts_roundtrip(sf_dir: str):
+    import os
+
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "user_id", "event_type"],
+    )
+    partials = ds.map_batches(
+        _EventsTsRoundtripStage(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=8192,
+    )
+    return (
+        partials.groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_user_id", alias_name="sum_user_id"),
+            _Min("min_ts_us", alias_name="min_ts_us"),
+            _Max("max_ts_us", alias_name="max_ts_us"),
+        )
+        .sort("event_type")
+    )
+
+
 def q_compression_totals(sf_dir: str):
     """Manifest totals incl. the <=-LEB128 bound (rows-only check)."""
     import os
