@@ -49,8 +49,10 @@ def test_size_bound_and_manifest(ray_session, paths, tmp_path):
     assert tok_out <= totals["leb128_bytes"] + 512 * totals["n_chunks"]
     assert totals["bytes_out"] < totals["bytes_in"]
     from tokenzip.corpus import N_SHARDS
+    from tokenzip.pipeline import _frag_of_path
 
-    assert set(man["fragments"]) == {f"part-{i:04d}" for i in range(N_SHARDS)}
+    assert set(man["fragments"]) == {_frag_of_path(p) for p in paths}
+    assert len(man["fragments"]) == N_SHARDS
     for frag, st in man["fragments"].items():
         assert st["status"] == "done"
         assert st["n_chunks"] > 0 and st["n_tokens"] > 0
@@ -69,7 +71,9 @@ def test_resume_skips_done_and_completes(ray_session, paths, tmp_path):
     from tokenzip.corpus import N_SHARDS
     # leave a partial (stale) chunk dir for an unfinished fragment; resume
     # must wipe and rewrite it
-    stale = os.path.join(out_res, "chunks", "frag=part-0004")
+    from tokenzip.pipeline import _frag_of_path
+
+    stale = os.path.join(out_res, "chunks", f"frag={_frag_of_path(paths[4])}")
     os.makedirs(stale, exist_ok=True)
     with open(os.path.join(stale, "garbage.parquet"), "w") as f:
         f.write("junk")

@@ -105,7 +105,13 @@ _META_COLS = [
 
 
 def _frag_of_path(path: str) -> str:
-    return os.path.splitext(os.path.basename(path))[0]
+    """Fragment key: basename + short hash of the FULL path, so sharded
+    directories that all contain part-0000.parquet never collide into one
+    frag partition (and resume never skips an unprocessed file)."""
+    import hashlib
+
+    base = os.path.splitext(os.path.basename(path))[0]
+    return f"{base}-{hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:8]}"
 
 
 def _add_frag(batch: pa.Table) -> pa.Table:
@@ -147,9 +153,12 @@ def compress(
     # split the read below file granularity (row-group level), sized to the
     # actual input bytes: fine-grained blocks balance the encode+write stage
     # best (measured; the fully-fused one-block-per-file layout regresses the
-    # write-heavy compress path at higher parallelism, unlike verify)
+    # write-heavy compress path at higher parallelism, unlike verify).
+    # Target block bytes scales with the input (4 MB floor for small runs,
+    # 64 MB ceiling at 100 TB) instead of a constant block-count cap.
     total_bytes = sum(os.path.getsize(p) for p in todo)
-    n_blocks = max(len(todo), min(256, int(total_bytes / (4 << 20)) or 1))
+    target_block_bytes = min(64 << 20, max(4 << 20, total_bytes // 256))
+    n_blocks = max(len(todo), int(total_bytes / target_block_bytes) or 1)
     ds = ray.data.read_parquet(todo, include_paths=True, override_num_blocks=n_blocks)
     ds = ds.map_batches(_add_frag, batch_format="pyarrow", zero_copy_batch=True)
     if shared_tables:
@@ -191,11 +200,27 @@ def compress(
     ds.write_parquet(chunks_dir, partition_cols=["frag"], compression="none")
 
     # fold chunk metadata into the per-fragment manifest (metadata columns
-    # only — column-pruned read of the chunk files, no payload bytes move)
-    frags_written = {
-        d.split("=", 1)[1] for d in os.listdir(chunks_dir) if d.startswith("frag=")
+    # only — column-pruned read of the chunk files, no payload bytes move).
+    # EVERY todo fragment gets marked done — a fragment that produced zero
+    # chunk rows (hence no frag= dir) records zero stats instead of being
+    # re-read on every resume.
+    frags_written = (
+        {d.split("=", 1)[1] for d in os.listdir(chunks_dir) if d.startswith("frag=")}
+        if os.path.isdir(chunks_dir)
+        else set()
+    )
+    zero = {
+        "n_chunks": 0, "n_rows": 0, "n_tokens": 0, "bytes_in": 0,
+        "bytes_out": 0, "tokens_bytes_out": 0, "leb128_bytes": 0,
+        "codecs": {}, "shared_tables": shared_tables,
     }
-    for frag in sorted(frags_written - done):
+    for p in todo:
+        frag = _frag_of_path(p)
+        if frag in done:
+            continue
+        if frag not in frags_written:
+            man.mark_done(frag, dict(zero))
+            continue
         t = pq.read_table(
             os.path.join(chunks_dir, f"frag={frag}"),
             columns=["n_rows", "n_tokens", "bytes_in", "bytes_out",

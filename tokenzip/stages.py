@@ -179,12 +179,30 @@ class VerifyStage:
     the pre-aggregate-before-groupby pattern, so the final groupby touches
     rows-per-batch, not rows-per-document."""
 
+    PARTIAL_SCHEMA = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_equal", pa.int64()),
+            ("sum_n_tok", pa.int64()),
+            ("sum_token_values", pa.int64()),
+        ]
+    )
+
     def __init__(self, tokens_codec: str = "auto"):
         self.enc = EncodeStage(tokens_codec=tokens_codec, by_source=True)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from tokenzip.chunk import _tokens_parts
 
+        if batch.num_rows == 0:
+            # schema-stable empty partial: empty blocks must carry the full
+            # output schema or the downstream groupby logs RefBundle schema
+            # mismatches and re-infers per block
+            return pa.table(
+                {f.name: pa.array([], f.type) for f in self.PARTIAL_SCHEMA},
+                schema=self.PARTIAL_SCHEMA,
+            )
         chunks = self.enc(batch)
         back = decode_chunks(chunks)
         # decode output preserves the encoder's (source, stable) order, so
@@ -237,7 +255,7 @@ class VerifyStage:
         n_tok = orig["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "source": pa.array([str(s) for s in uniq]),
+                "source": pa.array([str(s) for s in uniq], pa.string()),
                 "n_docs": np.bincount(inv, minlength=len(uniq)).astype(np.int64),
                 "n_equal": np.bincount(
                     inv, weights=all_eq.astype(np.float64), minlength=len(uniq)
@@ -252,5 +270,6 @@ class VerifyStage:
                     ],
                     type=pa.int64(),
                 ),
-            }
+            },
+            schema=self.PARTIAL_SCHEMA,
         )
