@@ -476,73 +476,111 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
 # Document fingerprinting + language-ID heuristic
 # ---------------------------------------------------------------------------
 
+# stopword markers per language; language-ID = argmax of distinct-word
+# overlap, ties broken to the alphabetically-first language (both the Ray
+# stage and the SQL oracle implement exactly this rule)
 _LANG_MARKERS = {
-    "en": {"the", "and", "of", "to", "a", "in"},
     "de": {"der", "und", "die", "das", "nicht", "ist"},
+    "en": {"the", "and", "of", "to", "a", "in"},
+    "es": {"el", "la", "de", "que", "y", "en"},
     "fr": {"le", "et", "la", "les", "des", "un"},
+    "zh": {"的", "是", "了", "在", "和", "有"},
 }
 
 
-class _FingerprintLangStage:
-    """Rolling polynomial fingerprint (mod 2^61-1) + stopword language vote
-    per document; emits per-batch partials."""
+def doc_fingerprint(text: str) -> str:
+    """Bag-of-words content fingerprint: md5 of the sorted distinct words
+    (order-insensitive near-dup fingerprint, SQL-expressible so the DuckDB
+    oracle computes the identical value). 64-bit hex."""
+    import hashlib as hl
+
+    bag = " ".join(sorted(set(text.split(" "))))
+    return hl.md5(bag.encode()).hexdigest()[:16]
+
+
+def predict_lang(text: str) -> str:
+    ws = set(text.split(" "))
+    scores = {lg: len(ws & mk) for lg, mk in _LANG_MARKERS.items()}
+    return max(sorted(scores), key=lambda lg: scores[lg])
+
+
+class _FingerprintStage:
+    """Per-doc (source, fingerprint) rows — the distinct count happens in a
+    distributed groupby downstream, never on the driver."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = {"source": [], "fingerprint": [], "pred_lang": [], "lang": []}
-        for text, source, lang in zip(
-            batch["text"].to_pylist(),
-            batch["source"].to_pylist(),
-            batch["lang"].to_pylist(),
-        ):
-            fp = 0
-            for w in text.split():
-                fp = (fp * 1_000_003 + hash_word(w)) % _MH_PRIME
-            ws = set(text.split())
-            scores = {
-                lg: len(ws & mk) for lg, mk in _LANG_MARKERS.items()
+        fps = [doc_fingerprint(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"source": batch["source"], "fingerprint": pa.array(fps, pa.string())}
+        )
+
+
+class _LangVoteStage:
+    """Per-batch PARTIAL (lang, pred_lang, n) counts — pre-aggregated before
+    the global groupby so only tiny partials shuffle."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        preds = [predict_lang(t) for t in batch["text"].to_pylist()]
+        df = pd.DataFrame({"lang": langs, "pred_lang": preds})
+        agg = df.groupby(["lang", "pred_lang"], as_index=False).size()
+        return pa.table(
+            {
+                "lang": pa.array(agg["lang"], pa.string()),
+                "pred_lang": pa.array(agg["pred_lang"], pa.string()),
+                "n": pa.array(agg["size"].astype("int64"), pa.int64()),
             }
-            pred = max(sorted(scores), key=lambda lg: scores[lg])
-            rows["source"].append(source)
-            rows["fingerprint"].append(fp)
-            rows["pred_lang"].append(pred)
-            rows["lang"].append(lang)
-        return pa.table(rows)
-
-
-def hash_word(w: str) -> int:
-    import zlib
-
-    return zlib.crc32(w.encode())
+        )
 
 
 def q_fingerprint_by_source(sf_dir: str):
-    """Distinct rolling-hash fingerprints per source (rows-only)."""
-    ds = _docs(sf_dir, ["text", "source", "lang"])
-    fps = ds.map_batches(
-        _cached("fp", _FingerprintLangStage),
+    """Distinct bag-of-words fingerprints per source. Fully distributed
+    distinct count: groupby(source, fingerprint) -> per-group counts ->
+    groupby(source) folds group count (n_distinct) and doc count (n_docs)."""
+    from ray.data.aggregate import Count
+
+    ds = _docs(sf_dir, ["text", "source"])
+    rows = ds.map_batches(
+        _cached("fp", _FingerprintStage),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=1024,
-    ).to_pandas()
-    out = fps.groupby("source").agg(
-        n_docs=("fingerprint", "size"), n_distinct=("fingerprint", "nunique")
-    ).reset_index()
+    )
+    per_fp = rows.groupby(["source", "fingerprint"]).count()
+
+    def _strip(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b["source"], "n": b["count()"]})
+
+    out = (
+        per_fp.map_batches(_strip, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n_docs"),
+            Count(alias_name="n_distinct"),
+        )
+        .sort("source")
+        .to_pandas()
+    )
     out["n_docs"] = out["n_docs"].astype("int64")
     out["n_distinct"] = out["n_distinct"].astype("int64")
-    return out.sort_values("source").reset_index(drop=True)
+    return out
 
 
 def q_lang_id_confusion(sf_dir: str):
-    """Heuristic language-ID vs the labelled lang column (rows-only)."""
-    ds = _docs(sf_dir, ["text", "source", "lang"])
-    fps = ds.map_batches(
-        _cached("fp", _FingerprintLangStage),
+    """Heuristic language-ID confusion matrix vs the labelled lang column —
+    a Ray groupby aggregate over pre-aggregated batch partials."""
+    ds = _docs(sf_dir, ["text", "lang"])
+    partials = ds.map_batches(
+        _cached("langvote", _LangVoteStage),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=1024,
-    ).to_pandas()
+    )
     out = (
-        fps.groupby(["lang", "pred_lang"]).size().rename("n_docs").reset_index()
+        partials.groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .sort(["lang", "pred_lang"])
+        .to_pandas()
     )
     out["n_docs"] = out["n_docs"].astype("int64")
-    return out.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+    return out

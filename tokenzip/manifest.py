@@ -19,7 +19,7 @@ import time
 
 
 class Manifest:
-    VERSION = 1
+    VERSION = 2  # v2: path-hashed fragment keys (older manifests ignored)
 
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
@@ -27,7 +27,9 @@ class Manifest:
         self.data: dict = {"version": self.VERSION, "fragments": {}, "totals": {}}
         if os.path.exists(self.path):
             with open(self.path) as f:
-                self.data = json.load(f)
+                loaded = json.load(f)
+            if loaded.get("version") == self.VERSION:
+                self.data = loaded
 
     def done_fragments(self) -> set[str]:
         return {
@@ -41,7 +43,8 @@ class Manifest:
         self.data["fragments"][frag] = stats
 
     def totals(self) -> dict:
-        keys = ("n_rows", "n_tokens", "bytes_in", "bytes_out", "leb128_bytes", "n_chunks")
+        keys = ("n_rows", "n_tokens", "bytes_in", "bytes_out",
+                "tokens_bytes_out", "leb128_bytes", "n_chunks")
         tot = {k: 0 for k in keys}
         for v in self.data["fragments"].values():
             if v.get("status") == "done":

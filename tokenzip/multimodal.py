@@ -45,7 +45,7 @@ def synthesize_media_table(sf_dir: str, out_path: str | None = None) -> str:
     import pyarrow.parquet as pq
 
     out_path = out_path or os.path.join(
-        "/tmp/tokenzip_media", os.path.basename(os.path.normpath(sf_dir)), "media.parquet"
+        "/tmp/tokenzip_media", os.path.basename(os.path.normpath(sf_dir)), "media-v2.parquet"
     )
     if os.path.exists(out_path):
         return out_path
@@ -102,8 +102,14 @@ class MediaDecodeStage:
             return np.zeros(FEATURE_DIM, dtype=np.float32), 0, 0
         hist = np.bincount(b % 16, minlength=FEATURE_DIM).astype(np.float32)
         feat = hist / max(1.0, float(hist.sum()))
-        h = hashlib.sha1(payload).digest()
-        return feat, int.from_bytes(h[:2], "little") % 640 + 1, int.from_bytes(h[2:4], "little") % 480 + 1
+        # dims seeded from md5(payload) — md5 is DuckDB-native, so the SQL
+        # oracle recomputes the identical decoded dims from the source text
+        h = hashlib.md5(payload).digest()
+        return (
+            feat,
+            int.from_bytes(h[:2], "little") % 640 + 1,
+            int.from_bytes(h[2:4], "little") % 480 + 1,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "strict" and not self.have_pil:
@@ -111,6 +117,8 @@ class MediaDecodeStage:
                 "media decode requires PIL/av which are not available in this "
                 "container; run with mode='fake' for the deterministic stub"
             )
+        import pyarrow.compute as pc
+
         feats, ws, hs = [], [], []
         for payload in batch["payload"].to_pylist():
             f, w, h = self._fake_decode(payload)
@@ -127,9 +135,7 @@ class MediaDecodeStage:
                 "feature": pa.array(
                     [f.tolist() for f in feats], pa.list_(pa.float32(), FEATURE_DIM)
                 ),
-                "payload_bytes": pa.array(
-                    [len(p) for p in batch["payload"].to_pylist()], pa.int64()
-                ),
+                "payload_bytes": pc.binary_length(batch["payload"]).cast(pa.int64()),
             }
         )
 
@@ -151,11 +157,13 @@ def media_feature_pipeline(sf_dir: str, mode: str = "fake"):
 
 
 def q_media_features_by_source(sf_dir: str):
-    """Per-source media feature aggregates (rows-only check)."""
+    """Per-source media feature aggregates. Oracle-checked: the fake decode
+    dims are md5(payload)-seeded and payload == utf8(documents.text), so the
+    DuckDB oracle recomputes identical sums from the source table."""
     from ray.data.aggregate import Count, Sum
 
     feats = media_feature_pipeline(sf_dir)
-    return (
+    out = (
         feats.groupby("source")
         .aggregate(
             Count(alias_name="n_media"),
@@ -164,4 +172,8 @@ def q_media_features_by_source(sf_dir: str):
             Sum("decoded_h", alias_name="sum_h"),
         )
         .sort("source")
+        .to_pandas()
     )
+    for c in ("n_media", "sum_payload_bytes", "sum_w", "sum_h"):
+        out[c] = out[c].astype("int64")
+    return out

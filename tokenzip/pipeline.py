@@ -141,6 +141,10 @@ def compress(
     if not resume and os.path.isdir(chunks_dir):
         shutil.rmtree(chunks_dir)
         man.data["fragments"] = {}
+    elif resume and not done and os.path.isdir(chunks_dir):
+        # chunk output with no manifest lineage (older manifest version or a
+        # run that crashed before its first mark_done): wipe, re-encode
+        shutil.rmtree(chunks_dir)
     todo = [p for p in input_paths if _frag_of_path(p) not in done]
     if not todo:
         return man.totals()

@@ -231,7 +231,12 @@ def q_events_ts_roundtrip(sf_dir: str):
 
 
 def q_compression_totals(sf_dir: str):
-    """Manifest totals incl. the <=-LEB128 bound (rows-only check)."""
+    """Manifest totals, oracle-checked: n_rows / n_tokens / leb128_bytes come
+    from the actual compress run's manifest and must equal the closed-form
+    SQL oracle; bound_ok asserts the north rule's <=-LEB128 bound on the
+    TOKENS payload (tokens_bytes_out includes ~100B of container header per
+    chunk; the LEB128-floor fallback guarantees the payload bound, and header
+    slack is orders of magnitude below it at any chunk size)."""
     import os
     import pandas as pd
 
@@ -239,5 +244,13 @@ def q_compression_totals(sf_dir: str):
 
     out_dir = os.path.join("/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir)))
     totals = compress(corpus_paths(sf_dir), out_dir)
-    totals["bound_ok"] = int(totals["bytes_out"] <= totals["leb128_bytes"])
-    return pd.DataFrame([totals])
+    return pd.DataFrame(
+        [
+            {
+                "n_rows": int(totals["n_rows"]),
+                "n_tokens": int(totals["n_tokens"]),
+                "leb128_bytes": int(totals["leb128_bytes"]),
+                "bound_ok": int(totals["tokens_bytes_out"] <= totals["leb128_bytes"]),
+            }
+        ]
+    )
