@@ -67,57 +67,6 @@ def _media_features(sf_dir: str):
     return q_media_features_by_source(sf_dir)
 
 
-def _lang_id_sql() -> str:
-    """Programmatically-generated oracle for the stopword language vote:
-    per-language distinct-word marker overlap, argmax with alphabetical-first
-    tie-break — the exact rule of tokenzip.analysis.predict_lang."""
-    from tokenzip.analysis import _LANG_MARKERS
-
-    langs = sorted(_LANG_MARKERS)
-    scores = ", ".join(
-        "len(list_intersect(ws, [{m}])) AS s_{lg}".format(
-            m=", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lg])), lg=lg
-        )
-        for lg in langs
-    )
-    cases = []
-    for i, lg in enumerate(langs[:-1]):
-        conds = " AND ".join(f"s_{lg} >= s_{o}" for o in langs[i + 1 :])
-        cases.append(f"WHEN {conds} THEN '{lg}'")
-    pred = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
-    return f"""
-WITH w AS (
-  SELECT lang, list_distinct(string_split(text, ' ')) AS ws FROM documents
-),
-s AS (SELECT lang, {scores} FROM w),
-p AS (SELECT lang, {pred} AS pred_lang FROM s)
-SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
-"""
-
-
-def _media_sql() -> str:
-    """Oracle for the md5-seeded fake media decode: byte_i of md5(text)
-    recovered nibble-by-nibble with strpos (DuckDB-native, no UDFs)."""
-
-    def nib(i: int) -> str:  # 1-based hex char index into md5(text)
-        return f"(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1)"
-
-    def byte(j: int) -> str:  # j-th byte (0-based) of the digest
-        return f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"
-
-    w = f"(({byte(0)} + 256 * {byte(1)}) % 640) + 1"
-    h = f"(({byte(2)} + 256 * {byte(3)}) % 480) + 1"
-    return f"""
-WITH m5 AS (SELECT source, text, md5(text) AS m FROM documents),
-d AS (SELECT source, octet_length(encode(text)) AS pb, {w} AS dw, {h} AS dh FROM m5)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_media,
-       CAST(SUM(pb) AS BIGINT) AS sum_payload_bytes,
-       CAST(SUM(dw) AS BIGINT) AS sum_w,
-       CAST(SUM(dh) AS BIGINT) AS sum_h
-FROM d GROUP BY source ORDER BY source
-"""
 
 
 _FP_EXPR = (
@@ -126,7 +75,11 @@ _FP_EXPR = (
 )
 
 
+
+
 def oracle_sql() -> dict[str, str]:
+    from tokenzip import oracles as _O
+
     glob = _corpus_glob(_ORACLE_SF)
     zz = "CASE WHEN t >= 0 THEN 2*CAST(t AS BIGINT) ELSE -2*CAST(t AS BIGINT)-1 END"
 
@@ -150,8 +103,10 @@ SELECT source,
        CAST(COUNT(DISTINCT {_FP_EXPR}) AS BIGINT) AS n_distinct
 FROM documents GROUP BY source ORDER BY source
 """,
-        "lang_id_confusion": _lang_id_sql(),
-        "media_features_by_source": _media_sql(),
+        "lang_id_confusion": _O.lang_id_sql(),
+        "media_features_by_source": _O.media_sql(),
+        "dedup_minhash": _O.minhash_sql(),
+        "dedup_simhash": _O.simhash_sql(),
         "roundtrip_by_source": f"""
 WITH tok AS (
   SELECT doc_id, CAST(SUM(CAST(t AS BIGINT)) AS BIGINT) AS tv

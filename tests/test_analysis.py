@@ -75,36 +75,49 @@ def test_text_quality_matches_duckdb(ray_session):
     )
 
 
-def test_minhash_finds_planted_near_dups(ray_session, tmp_path):
+def _ddb_on_docs(sql: str, doc_path: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{doc_path}')"
+    )
+    return con.sql(sql).df()
+
+
+def test_minhash_planted_near_dups_match_sql_oracle(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
     from tokenzip.analysis import q_dedup_minhash
+    from tokenzip.oracles import minhash_sql
 
     rng = np.random.default_rng(3)
     vocab = [f"w{i}" for i in range(200)]
     base = " ".join(rng.choice(vocab, 120))
     near = base.replace("w5", "w6", 1)  # tiny edit -> high jaccard
     other = [" ".join(rng.choice(vocab, 120)) for _ in range(40)]
+    texts = [base, near] + other + [base] * 40
     docs = pa.table(
         {
-            "doc_id": pa.array(range(42 + len(other)), pa.int64()),
-            "text": pa.array([base, near] + other + [base] * 40),
-            "source": pa.array(["s"] * (42 + len(other))),
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(["s"] * len(texts)),
         }
     )
-    d = tmp_path / "documents.parquet"
-    pq.write_table(docs, str(d))
-    out = q_dedup_minhash(str(tmp_path))
-    row = out.iloc[0]
-    # exact copies of `base` + the near-dup must be found
-    assert row["n_dup_pairs"] >= (40 * 41) // 2
-    assert row["n_candidate_pairs"] >= row["n_dup_pairs"]
+    d = str(tmp_path / "documents.parquet")
+    pq.write_table(docs, d)
+    got = q_dedup_minhash(str(tmp_path)).reset_index(drop=True)
+    # exact copies of `base` (+ the near-dup pair) must all be found
+    assert int(got["n_dup_pairs"].iloc[0]) >= (41 * 40) // 2
+    exp = _ddb_on_docs(minhash_sql(), d)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
-def test_simhash_exact_copies(ray_session, tmp_path):
+def test_simhash_copies_match_sql_oracle(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
     from tokenzip.analysis import q_dedup_simhash
+    from tokenzip.oracles import simhash_sql
 
     rng = np.random.default_rng(4)
     vocab = [f"w{i}" for i in range(300)]
@@ -117,13 +130,20 @@ def test_simhash_exact_copies(ray_session, tmp_path):
             "source": pa.array(["s"] * len(texts)),
         }
     )
-    pq.write_table(docs, str(tmp_path / "documents.parquet"))
-    out = q_dedup_simhash(str(tmp_path))
-    assert int(out.iloc[0]["n_dup_pairs"]) >= 2
+    d = str(tmp_path / "documents.parquet")
+    pq.write_table(docs, d)
+    got = q_dedup_simhash(str(tmp_path)).reset_index(drop=True)
+    assert int(got["n_dup_pairs"].iloc[0]) >= 2
+    exp = _ddb_on_docs(simhash_sql(), d)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
 def test_fingerprint_and_langid(ray_session):
-    from tokenzip.analysis import q_fingerprint_by_source, q_lang_id_confusion
+    from tokenzip.analysis import (
+        _LANG_MARKERS,
+        q_fingerprint_by_source,
+        q_lang_id_confusion,
+    )
 
     fp = q_fingerprint_by_source(SF)
     assert (fp["n_distinct"] <= fp["n_docs"]).all()
@@ -131,4 +151,13 @@ def test_fingerprint_and_langid(ray_session):
 
     conf = q_lang_id_confusion(SF)
     assert conf["n_docs"].sum() == 500
-    assert set(conf["pred_lang"]).issubset({"en", "de", "fr"})
+    assert set(conf["pred_lang"]).issubset(set(_LANG_MARKERS))
+
+
+def test_langid_matches_sql_oracle(ray_session):
+    from tokenzip.analysis import q_lang_id_confusion
+    from tokenzip.oracles import lang_id_sql
+
+    got = q_lang_id_confusion(SF).reset_index(drop=True)
+    exp = _ddb_on_docs(lang_id_sql(), f"{SF}/documents.parquet")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -281,35 +281,46 @@ def q_text_quality_by_lang(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# Near-duplicate detection: MinHash + LSH banding
+# Near-duplicate detection: MinHash + LSH banding (fully distributed)
 # ---------------------------------------------------------------------------
 
 _MH_K = 64          # minhash permutations
-_MH_BANDS = 16      # 16 bands x 4 rows
-# Mersenne prime 2^31-1: coefficients < 2^31 and crc32 inputs < 2^32 keep
-# a*x + b < 2^63, so the whole (k, m) permutation matrix stays in exact
+_MH_BANDS = 32      # 32 bands x 2 rows: P(candidate | J=0.7) = 1-(1-0.49)^32
+                    # ~ 1 - 4e-10, so >=0.7 pairs are LSH candidates w.h.p.
+                    # and the exact-Jaccard SQL oracle matches the verified set
+# Mersenne prime 2^31-1: coefficients < 2^31 and (shingle mod p) < 2^31 keep
+# a*x + b < 2^62, so the whole (k, m) permutation matrix stays in exact
 # uint64 arithmetic — no object-dtype fallback
 _MH_PRIME = (1 << 31) - 1
+_PAIR_MOD = 1_000_000_007  # pair/signature checksums: SUM(term % M) % M,
+                           # overflow-safe in int64 partials AND in SQL HUGEINT
+
+
+def _md5_64(s: str) -> int:
+    import hashlib as hl
+
+    return int.from_bytes(hl.md5(s.encode()).digest()[:8], "little")
 
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """crc32 of word n-grams (deterministic across processes, unlike
-    Python's salted hash())."""
-    import zlib
-
-    words = text.split()
+    """64-bit md5 hashes of word n-grams. Split on ' ' (exactly DuckDB's
+    string_split) so the SQL oracle shingles identically; distinct-set
+    semantics via np.unique. Hash collisions would perturb intersection
+    counts vs the string-set oracle; at 64 bits they are negligible."""
+    words = text.split(" ")
     if len(words) < n:
         grams = [" ".join(words)] if words else []
     else:
         grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    return np.unique(
-        np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.uint64)
-    )
+    return np.unique(np.array([_md5_64(g) for g in grams], dtype=np.uint64))
 
 
 class _MinHashStage:
-    """Per-doc 64-permutation MinHash signature -> (band, band_hash) rows.
-    Permutation coefficients are module-deterministic (seeded), built once
+    """Per-doc MinHash signature -> one row per LSH band:
+    (band, band_hash, doc_id, shingles). The shingle array rides the band
+    shuffle (bands x ~words bytes amplification — the standard LSH-dedup
+    shuffle cost) so verification happens INSIDE the band buckets with no
+    driver materialization. Permutation coefficients are seeded, built once
     per worker."""
 
     def __init__(self, seed: int = 42):
@@ -320,155 +331,295 @@ class _MinHashStage:
     def signature(self, sh: np.ndarray) -> np.ndarray:
         if len(sh) == 0:
             return np.full(_MH_K, _MH_PRIME, dtype=np.uint64)
-        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MH_PRIME)
+        x = sh % np.uint64(_MH_PRIME)
+        v = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MH_PRIME)
         return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import hashlib as hl
 
-        rows = {"band": [], "band_hash": [], "doc_id": [], "source": []}
-        for doc_id, text, source in zip(
-            batch["doc_id"].to_pylist(),
-            batch["text"].to_pylist(),
-            batch["source"].to_pylist(),
+        r = _MH_K // _MH_BANDS
+        bands_col, bh_col, id_col, sh_col = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            sig = self.signature(_shingle_hashes(text))
-            r = _MH_K // _MH_BANDS
+            sh = _shingle_hashes(text)
+            sig = self.signature(sh)
+            sh_list = sh.tolist()
             for band in range(_MH_BANDS):
                 chunk = sig[band * r : (band + 1) * r].tobytes()
-                bh = int.from_bytes(hl.sha1(chunk).digest()[:8], "little")
-                rows["band"].append(band)
-                rows["band_hash"].append(bh)
-                rows["doc_id"].append(doc_id)
-                rows["source"].append(source)
+                bh = int.from_bytes(hl.md5(chunk).digest()[:8], "little")
+                bands_col.append(band)
+                bh_col.append(bh)
+                id_col.append(doc_id)
+                sh_col.append(sh_list)
         return pa.table(
             {
-                "band": pa.array(rows["band"], pa.int32()),
-                "band_hash": pa.array(rows["band_hash"], pa.uint64()),
-                "doc_id": pa.array(rows["doc_id"], pa.int64()),
-                "source": pa.array(rows["source"], pa.string()),
+                "band": pa.array(bands_col, pa.int32()),
+                "band_hash": pa.array(bh_col, pa.uint64()),
+                "doc_id": pa.array(id_col, pa.int64()),
+                "shingles": pa.array(sh_col, pa.list_(pa.uint64())),
             }
         )
 
 
-def q_dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.7):
-    """MinHash+LSH near-dup pipeline: shingle -> minhash -> band ->
-    groupby(band, band_hash) -> candidate pairs -> exact-Jaccard verify.
+def _bucket_verify_pairs(threshold_num: int, threshold_den: int):
+    """Exact-Jaccard pair verification INSIDE one LSH bucket (map_groups):
+    integer cross-multiplication (den*inter >= num*union) so the SQL oracle
+    compares identically with no float ties."""
 
-    Verification joins shingle sets via a broadcast dict (documents fit; at
-    100 TB this becomes a hash-partitioned pair join on doc_id instead —
-    same groupby machinery, documented partitioning assumption).
-    Returns one row: candidate/verified pair counts + deterministic checksum.
-    """
-    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "dup": pd.Series([], dtype="int64")})
+        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+        ids = g["doc_id"].to_numpy()[order]
+        sets = [set(s) for s in np.asarray(g["shingles"], dtype=object)[order]]
+        ia, ib = np.triu_indices(len(ids), k=1)
+        rows = {"a": [], "b": [], "dup": []}
+        for i, j in zip(ia, ib):
+            if ids[i] == ids[j]:
+                continue  # same doc met twice in a bucket (shouldn't happen)
+            sa, sb = sets[i], sets[j]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            dup = int(
+                threshold_den * inter >= threshold_num * union if union else True
+            )
+            rows["a"].append(int(ids[i]))
+            rows["b"].append(int(ids[j]))
+            rows["dup"].append(dup)
+        return pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+        )
+
+    return verify
+
+
+class _ShingleStatsStage:
+    """Per-batch partial (n_docs, sum_shingles) over the documents scan."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns = [len(_shingle_hashes(t)) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "n_docs": pa.array([len(ns)], pa.int64()),
+                "sum_shingles": pa.array([int(sum(ns))], pa.int64()),
+            }
+        )
+
+
+def q_dedup_minhash(sf_dir: str, threshold=(7, 10)):
+    """MinHash+LSH near-dup, fully distributed: shingle -> minhash -> band
+    -> groupby(band, band_hash) -> exact-Jaccard verify INSIDE each bucket
+    (map_groups; shingle sets ride the band shuffle, never the driver) ->
+    pair dedupe via groupby(a, b) -> tiny count/checksum aggregates.
+
+    Oracle: DuckDB computes ALL pairs with word-3-gram Jaccard >= 7/10 via an
+    inverted-index self-join; with 32x2 banding the LSH candidate set
+    contains every such pair w.h.p. (P_miss ~ 4e-10 per pair), so the
+    verified counts match exactly. Returns one row:
+    (n_docs, sum_shingles, n_dup_pairs, pair_checksum)."""
+    from ray.data.aggregate import Max, Sum as _Sum
+
+    num, den = threshold
+    ds = _docs(sf_dir, ["doc_id", "text"])
     bands = ds.map_batches(
         _cached("minhash", _MinHashStage),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=1024,
     )
-
-    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
-
-    cand = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(pairs_of, batch_format="pandas")
-        .to_pandas()
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        _bucket_verify_pairs(num, den), batch_format="pandas"
     )
-    cand = cand.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
+    uniq = pairs.groupby(["a", "b"]).aggregate(Max("dup", alias_name="dup"))
 
-    # exact verify with broadcast shingle sets
-    docs = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    shingles = {
-        int(d): set(_shingle_hashes(t).tolist())
-        for d, t in zip(docs["doc_id"], docs["text"])
-    }
-    n_dup = 0
-    checksum = 0
-    for a, b in zip(cand["a"], cand["b"]):
-        sa, sb = shingles[int(a)], shingles[int(b)]
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 1.0
-        if j >= jaccard_threshold:
-            n_dup += 1
-            checksum = (checksum + int(a) * 1_000_003 + int(b)) % (1 << 62)
+    def _pair_partial(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = b["dup"].to_numpy(zero_copy_only=False).astype(bool)
+        terms = (a[dup] * 1_000_003 + bb[dup]) % _PAIR_MOD
+        return pa.table(
+            {
+                "n_dup": pa.array([int(dup.sum())], pa.int64()),
+                "chk": pa.array([int(terms.sum())], pa.int64()),
+            }
+        )
+
+    agg = uniq.map_batches(_pair_partial, batch_format="pyarrow").sum(
+        ["n_dup", "chk"], ignore_nulls=True
+    ) or {"sum(n_dup)": 0, "sum(chk)": 0}
+    stats = _docs(sf_dir, ["text"]).map_batches(
+        _cached("shstats", _ShingleStatsStage),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+    ).sum(["n_docs", "sum_shingles"])
     return pd.DataFrame(
-        [{"n_candidate_pairs": len(cand), "n_dup_pairs": n_dup,
-          "pair_checksum": checksum}]
+        [
+            {
+                "n_docs": int(stats["sum(n_docs)"]),
+                "sum_shingles": int(stats["sum(sum_shingles)"]),
+                "n_dup_pairs": int(agg["sum(n_dup)"] or 0),
+                "pair_checksum": int(agg["sum(chk)"] or 0) % _PAIR_MOD,
+            }
+        ]
     )
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup
+# SimHash near-dup (60-bit, md5 word hashes — SQL-recomputable end to end)
 # ---------------------------------------------------------------------------
+
+_SH_BITS = 60       # 15 md5 hex nibbles -> the SQL oracle rebuilds the exact
+_SH_BANDS = 4       # same hash with integer arithmetic. 4x15-bit bands:
+_SH_MAXHAM = 3      # hamming <= 3 flips at most 3 bands, so by pigeonhole
+                    # every true pair shares >= 1 band — EXACT candidate recall.
+
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64)
+    return (
+        _POP16[(x & np.uint64(0xFFFF)).astype(np.int64)].astype(np.int64)
+        + _POP16[((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)]
+        + _POP16[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)]
+        + _POP16[((x >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.int64)]
+    )
+
+
+def simhash60(text: str, _cache: dict | None = None) -> int:
+    """60-bit SimHash over DISTINCT words; word hash = first 15 hex nibbles
+    of md5(word) (an int64-safe value DuckDB recomputes with strpos
+    arithmetic)."""
+    import hashlib as hl
+
+    words = set(text.split(" "))
+    hs = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = None if _cache is None else _cache.get(w)
+        if h is None:
+            h = int(hl.md5(w.encode()).hexdigest()[:15], 16)
+            if _cache is not None:
+                _cache[w] = h
+        hs[i] = h
+    bits = (hs[:, None] >> np.arange(_SH_BITS, dtype=np.uint64)) & np.uint64(1)
+    score = bits.sum(axis=0, dtype=np.int64) * 2 - len(hs)
+    return int(((score > 0).astype(np.uint64) << np.arange(_SH_BITS, dtype=np.uint64)).sum())
 
 
 class _SimHashStage:
-    """64-bit SimHash over word hashes; emits (doc_id, simhash, source)."""
+    """Per-doc simhash -> one row per band: (band, band_val, doc_id, simhash).
+    Word-hash cache is per worker (vocabulary is tiny vs corpus)."""
+
+    def __init__(self):
+        self.cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import zlib
-
-        out_id, out_h, out_src = [], [], []
-        for doc_id, text, source in zip(
-            batch["doc_id"].to_pylist(),
-            batch["text"].to_pylist(),
-            batch["source"].to_pylist(),
-        ):
-            words = text.split()
-            if not words:
-                h = 0
-            else:
-                hs = np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint64)
-                hs = hs * np.uint64(0x9E3779B97F4A7C15)  # spread to 64 bits
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-                score = bits.sum(axis=0) * 2 - len(hs)
-                h = int(((score > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            out_id.append(doc_id)
-            out_h.append(h)
-            out_src.append(source)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = np.array(
+            [simhash60(t, self.cache) for t in batch["text"].to_pylist()],
+            dtype=np.uint64,
+        )
+        n = len(ids)
+        band_w = _SH_BITS // _SH_BANDS
+        bands = np.repeat(np.arange(_SH_BANDS, dtype=np.int32), n)
+        h_t = np.tile(hs, _SH_BANDS)
+        id_t = np.tile(ids, _SH_BANDS)
+        vals = (h_t >> (bands.astype(np.uint64) * np.uint64(band_w))) & np.uint64(
+            (1 << band_w) - 1
+        )
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "simhash": pa.array(out_h, pa.uint64()),
-                "source": pa.array(out_src, pa.string()),
+                "band": pa.array(bands, pa.int32()),
+                "band_val": pa.array(vals.astype(np.int64), pa.int64()),
+                "doc_id": pa.array(id_t, pa.int64()),
+                "simhash": pa.array(h_t.astype(np.int64), pa.int64()),
             }
         )
 
 
-def q_dedup_simhash(sf_dir: str, max_hamming: int = 3):
-    """SimHash near-dup: 4x16-bit band buckets, hamming-verified pairs.
-    Returns one row of counts (rows-only check)."""
-    ds = _docs(sf_dir, ["doc_id", "text", "source"])
-    sigs = ds.map_batches(
+def _simhash_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    if len(g) < 2:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "dup": pd.Series([], dtype="int64")})
+    order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+    ids = g["doc_id"].to_numpy()[order]
+    hs = g["simhash"].to_numpy()[order].astype(np.uint64)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    ham = _popcount64(hs[ia] ^ hs[ib])
+    return pd.DataFrame(
+        {
+            "a": pd.Series(ids[ia], dtype="int64"),
+            "b": pd.Series(ids[ib], dtype="int64"),
+            "dup": pd.Series((ham <= _SH_MAXHAM).astype(np.int64), dtype="int64"),
+        }
+    )
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup, fully distributed: 60-bit simhash -> 4x15-bit band
+    rows -> groupby(band, band_val) -> vectorized-popcount pair verify inside
+    buckets -> pair dedupe via groupby(a, b) -> tiny aggregates. Candidate
+    recall is EXACT (pigeonhole over 4 bands at hamming <= 3), so the
+    brute-force SQL oracle counts the identical pair set. Returns one row:
+    (n_docs, simhash_checksum, n_dup_pairs, pair_checksum)."""
+    from ray.data.aggregate import Max
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    bands = ds.map_batches(
         _cached("simhash", _SimHashStage),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=1024,
-    ).to_pandas()
-    h = sigs["simhash"].to_numpy().astype(np.uint64)
-    ids = sigs["doc_id"].to_numpy()
-    cand = set()
-    for band in range(4):
-        key = (h >> np.uint64(16 * band)) & np.uint64(0xFFFF)
-        df = pd.DataFrame({"k": key, "i": np.arange(len(h))})
-        for _, g in df.groupby("k"):
-            idx = g["i"].to_numpy()
-            if len(idx) > 1:
-                ia, ib = np.triu_indices(len(idx), k=1)
-                cand.update(zip(idx[ia].tolist(), idx[ib].tolist()))
-    n_dup = 0
-    for ia, ib in cand:
-        ham = bin(int(h[ia]) ^ int(h[ib])).count("1")
-        if ham <= max_hamming:
-            n_dup += 1
+    )
+    pairs = bands.groupby(["band", "band_val"]).map_groups(
+        _simhash_bucket_pairs, batch_format="pandas"
+    )
+    uniq = pairs.groupby(["a", "b"]).aggregate(Max("dup", alias_name="dup"))
+
+    def _pair_partial(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = b["dup"].to_numpy(zero_copy_only=False).astype(bool)
+        terms = (a[dup] * 1_000_003 + bb[dup]) % _PAIR_MOD
+        return pa.table(
+            {
+                "n_dup": pa.array([int(dup.sum())], pa.int64()),
+                "chk": pa.array([int(terms.sum())], pa.int64()),
+            }
+        )
+
+    agg = uniq.map_batches(_pair_partial, batch_format="pyarrow").sum(
+        ["n_dup", "chk"], ignore_nulls=True
+    ) or {"sum(n_dup)": 0, "sum(chk)": 0}
+
+    def _sig_partial(b: pa.Table) -> pa.Table:
+        m = b["band"].to_numpy(zero_copy_only=False) == 0  # one row per doc
+        h = b["simhash"].to_numpy(zero_copy_only=False)[m].astype(np.int64)
+        return pa.table(
+            {
+                "n_docs": pa.array([int(m.sum())], pa.int64()),
+                "schk": pa.array([int((h % _PAIR_MOD).sum())], pa.int64()),
+            }
+        )
+
+    stats = bands.map_batches(_sig_partial, batch_format="pyarrow").sum(
+        ["n_docs", "schk"]
+    )
     return pd.DataFrame(
-        [{"n_docs": len(h), "n_candidate_pairs": len(cand), "n_dup_pairs": n_dup}]
+        [
+            {
+                "n_docs": int(stats["sum(n_docs)"]),
+                "simhash_checksum": int(stats["sum(schk)"]) % _PAIR_MOD,
+                "n_dup_pairs": int(agg["sum(n_dup)"] or 0),
+                "pair_checksum": int(agg["sum(chk)"] or 0) % _PAIR_MOD,
+            }
+        ]
     )
 
 

@@ -1,0 +1,143 @@
+"""DuckDB oracle SQL builders for the analysis-family queries.
+
+Each builder returns ANSI-ish SQL DuckDB 1.0 runs over the pre-registered
+``documents`` view, recomputing EXACTLY what the corresponding Ray pipeline
+computes (same hashes, same integer thresholds, same tie-breaks) — the
+engine's analog of the reference's differential fuzz oracles
+(/root/reference/fuzz/fuzz_targets/fuzz_target_1.rs:6-15).
+"""
+
+from __future__ import annotations
+
+def lang_id_sql() -> str:
+    """Programmatically-generated oracle for the stopword language vote:
+    per-language distinct-word marker overlap, argmax with alphabetical-first
+    tie-break — the exact rule of tokenzip.analysis.predict_lang."""
+    from tokenzip.analysis import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    scores = ", ".join(
+        "len(list_intersect(ws, [{m}])) AS s_{lg}".format(
+            m=", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lg])), lg=lg
+        )
+        for lg in langs
+    )
+    cases = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lg} >= s_{o}" for o in langs[i + 1 :])
+        cases.append(f"WHEN {conds} THEN '{lg}'")
+    pred = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH w AS (
+  SELECT lang, list_distinct(string_split(text, ' ')) AS ws FROM documents
+),
+s AS (SELECT lang, {scores} FROM w),
+p AS (SELECT lang, {pred} AS pred_lang FROM s)
+SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
+def media_sql() -> str:
+    """Oracle for the md5-seeded fake media decode: byte_i of md5(text)
+    recovered nibble-by-nibble with strpos (DuckDB-native, no UDFs)."""
+
+    def nib(i: int) -> str:  # 1-based hex char index into md5(text)
+        return f"(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1)"
+
+    def byte(j: int) -> str:  # j-th byte (0-based) of the digest
+        return f"({nib(2 * j + 1)} * 16 + {nib(2 * j + 2)})"
+
+    w = f"(({byte(0)} + 256 * {byte(1)}) % 640) + 1"
+    h = f"(({byte(2)} + 256 * {byte(3)}) % 480) + 1"
+    return f"""
+WITH m5 AS (SELECT source, text, md5(text) AS m FROM documents),
+d AS (SELECT source, octet_length(encode(text)) AS pb, {w} AS dw, {h} AS dh FROM m5)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(pb) AS BIGINT) AS sum_payload_bytes,
+       CAST(SUM(dw) AS BIGINT) AS sum_w,
+       CAST(SUM(dh) AS BIGINT) AS sum_h
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+def minhash_sql() -> str:
+    """Exact word-3-gram Jaccard near-dup oracle via an inverted-index
+    self-join (pairs sharing >= 1 gram), integer threshold 10*inter >=
+    7*union — byte-for-byte the rule the Ray pipeline verifies inside its
+    LSH buckets. The engine's 32x2 banding finds every >=0.7 pair w.h.p."""
+    from tokenzip.analysis import _PAIR_MOD
+
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ws) - 2, 1)),
+           i -> CASE WHEN len(ws) >= 3
+                     THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     ELSE array_to_string(ws, ' ') END)) AS gram
+  FROM w
+),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM gd GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+  FROM gd x JOIN gd y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+dup AS (
+  SELECT a, b
+  FROM inter JOIN sz sa ON sa.doc_id = inter.a JOIN sz sb ON sb.doc_id = inter.b
+  WHERE 10 * c >= 7 * (sa.ns + sb.ns - c)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT CAST(SUM(ns) AS BIGINT) FROM sz) AS sum_shingles,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(SUM((CAST(a AS HUGEINT) * 1000003 + b) % {_PAIR_MOD}), 0)
+            % {_PAIR_MOD} AS BIGINT) AS pair_checksum
+FROM dup
+"""
+
+
+def simhash_sql() -> str:
+    """Brute-force oracle recomputing the engine's 60-bit simhash exactly:
+    word hash = first 15 md5 hex nibbles (strpos arithmetic, int64-safe),
+    per-bit +-1 votes over distinct words, pairs at hamming <= 3."""
+    from tokenzip.analysis import _PAIR_MOD, _SH_BITS, _SH_MAXHAM
+
+    def nib(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1)"
+
+    wh = " + ".join(f"{nib(i + 1)} * {16 ** (14 - i)}" for i in range(15))
+    votes = ", ".join(
+        f"SUM(CASE WHEN (wh >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS s{k}"
+        for k in range(_SH_BITS)
+    )
+    hbits = " + ".join(
+        f"CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END" for k in range(_SH_BITS)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+  FROM documents
+),
+hw AS (SELECT doc_id, {wh} AS wh
+       FROM (SELECT doc_id, md5(word) AS m FROM w)),
+v AS (SELECT doc_id, {votes} FROM hw GROUP BY doc_id),
+s AS (SELECT doc_id, CAST({hbits} AS BIGINT) AS sh FROM v),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM s x JOIN s y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.sh, y.sh)) <= {_SH_MAXHAM}
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_docs,
+       (SELECT CAST(SUM(CAST(sh AS HUGEINT)) % {_PAIR_MOD} AS BIGINT) FROM s)
+         AS simhash_checksum,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(SUM((CAST(a AS HUGEINT) * 1000003 + b) % {_PAIR_MOD}), 0)
+            % {_PAIR_MOD} AS BIGINT) AS pair_checksum
+FROM p
+"""
+
