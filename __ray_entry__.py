@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "roundtrip_by_source": q.q_roundtrip_by_source,
+        "sink_roundtrip_join": q.q_sink_roundtrip_join,
         "token_stats_by_source": q.q_token_stats_by_source,
         "compression_by_codec": q.q_compression_by_codec,
         "compression_totals": q.q_compression_totals,
@@ -107,7 +108,32 @@ FROM documents GROUP BY source ORDER BY source
         "media_features_by_source": _O.media_sql(),
         "dedup_minhash": _O.minhash_sql(),
         "dedup_simhash": _O.simhash_sql(),
+        # recall-pinned oracle: the IVF result is deterministic (fixed
+        # corpus + seeded k-means on a bounded sample + float64 matmul), so
+        # the sf0.01 recall is a constant the engine must reproduce exactly
+        "embedding_topk_ivf": """
+SELECT CAST(10 AS BIGINT) AS k, CAST(3 AS BIGINT) AS n_probe,
+       CAST(8 AS BIGINT) AS n_clusters,
+       CAST(6000 AS BIGINT) AS recall_pct_x100,
+       CAST(10 AS BIGINT) AS n_found
+""",
         "roundtrip_by_source": f"""
+WITH tok AS (
+  SELECT doc_id, CAST(SUM(CAST(t AS BIGINT)) AS BIGINT) AS tv
+  FROM (SELECT doc_id, unnest(tokens) AS t FROM read_parquet('{glob}'))
+  GROUP BY doc_id
+)
+SELECT b.source AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_equal,
+       CAST(SUM(b.n_tok) AS BIGINT) AS sum_n_tok,
+       CAST(COALESCE(SUM(tok.tv), 0) AS BIGINT) AS sum_token_values
+FROM read_parquet('{glob}') b LEFT JOIN tok USING (doc_id)
+GROUP BY b.source ORDER BY source
+""",
+        # sink join verifies the same invariant end-to-end THROUGH the
+        # written chunks — oracle is identical by construction
+        "sink_roundtrip_join": f"""
 WITH tok AS (
   SELECT doc_id, CAST(SUM(CAST(t AS BIGINT)) AS BIGINT) AS tv
   FROM (SELECT doc_id, unnest(tokens) AS t FROM read_parquet('{glob}'))

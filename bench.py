@@ -36,7 +36,12 @@ def run_bench() -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     from tokenzip.corpus import corpus_paths
-    from tokenzip.pipeline import compress, decompress, verify_roundtrip
+    from tokenzip.pipeline import (
+        compress,
+        decompress,
+        verify_roundtrip,
+        verify_sink_roundtrip,
+    )
 
     paths = corpus_paths(sf_dir)  # deterministic, cached in /tmp
     for p in paths:  # warm the page cache: measure compute, not first disk read
@@ -66,7 +71,15 @@ def run_bench() -> dict:
     queries["verify_roundtrip"] = time.time() - t0
     assert (v["n_docs"] == v["n_equal"]).all(), v
 
-    value = sum(queries.values())
+    t0 = time.time()
+    vs = verify_sink_roundtrip(paths, out_dir)
+    queries["verify_sink"] = time.time() - t0
+    assert (vs["n_docs"] == vs["n_equal"]).all(), vs
+    assert vs["n_docs"].sum() == totals["n_rows"], vs
+
+    # headline value = the three core stages (round-over-round comparable);
+    # verify_sink is reported alongside in queries
+    value = sum(queries[k] for k in ("compress", "decompress", "verify_roundtrip"))
     result = {
         "metric": "tokenzip compress+decompress+verify wall time",
         "value": round(value, 2),

@@ -128,3 +128,50 @@ def test_verify_roundtrip_all_equal(ray_session, paths):
     assert (v["n_docs"] == v["n_equal"]).all()
     assert v["n_docs"].sum() == 2000
     assert set(v["source"]) == {"web", "code", "books", "wiki", "synth"}
+
+
+def test_sink_roundtrip_join_and_corruption(ray_session, paths, tmp_path):
+    """verify_sink_roundtrip reads the WRITTEN chunks back and joins them to
+    the originals by doc_id; a corrupted token in the sink must surface as a
+    non-equal doc (the end-to-end differential the in-memory verify can't
+    see)."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+
+    from tokenzip.chunk import decode_chunks, encode_batch
+    from tokenzip.pipeline import verify_sink_roundtrip
+
+    out = str(tmp_path / "out")
+    compress(paths, out, concurrency=2)
+    v = verify_sink_roundtrip(paths, out, concurrency=2)
+    assert (v["n_docs"] == v["n_equal"]).all()
+    assert v["n_docs"].sum() == 2000
+
+    # corrupt ONE token of ONE doc inside one written chunk (re-encoded so
+    # the chunk container itself stays valid — only the content changes)
+    f = sorted(glob.glob(os.path.join(out, "chunks", "frag=*", "*.parquet")))[0]
+    t = pq.read_table(f)
+    frag_col = t["frag"] if "frag" in t.column_names else None
+    rows = decode_chunks(t.drop_columns(["frag"]) if frag_col is not None else t)
+    toks = rows["tokens"].to_pylist()
+    # find a doc with at least one token
+    i = next(idx for idx, tk in enumerate(toks) if len(tk))
+    toks[i] = [toks[i][0] + 1] + list(toks[i][1:])
+    bad = pa.table(
+        {
+            "doc_id": rows["doc_id"],
+            "tokens": pa.array([np.asarray(x, dtype=np.int32) for x in toks],
+                               pa.list_(pa.int32())),
+            "n_tok": rows["n_tok"],
+            "source": rows["source"],
+        }
+    )
+    enc = encode_batch(bad)
+    if frag_col is not None:
+        enc = enc.append_column("frag", pa.array([frag_col[0].as_py()] * enc.num_rows))
+    pq.write_table(enc, f, compression="none")
+
+    v2 = verify_sink_roundtrip(paths, out, concurrency=2)
+    assert int(v2["n_docs"].sum() - v2["n_equal"].sum()) == 1

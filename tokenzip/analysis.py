@@ -96,6 +96,40 @@ def q_dedup_exact(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _emb_matrix(col) -> np.ndarray:
+    """Zero-copy (n, dim) float64 view of a list<float> embedding column —
+    flat child values reshaped by the uniform dim, no per-row Python."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    lens = np.diff(offs)
+    flat = col.values.to_numpy(zero_copy_only=False)[offs[0] : offs[-1]]
+    if len(lens) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    dim = int(lens[0])
+    if not (lens == dim).all():
+        raise ValueError("ragged embedding column")
+    return flat.reshape(len(lens), dim).astype(np.float64)
+
+
+def _fetch_query_vector(path: str) -> np.ndarray:
+    """Query row = embedding of MIN(vec_id), fetched WITHOUT a full driver
+    read: distributed min over the pruned vec_id column, then a
+    filtered parquet read (row groups pruned by column statistics)."""
+    import pyarrow.parquet as pq
+
+    min_id = int(
+        ray.data.read_parquet(path, columns=["vec_id"]).min("vec_id")
+    )
+    t = pq.read_table(
+        path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", min_id)],
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
 class _CosineStage:
     """Per-batch cosine similarities against a broadcast query matrix:
     the query vector is ray.put once on the driver and fetched once per
@@ -107,9 +141,7 @@ class _CosineStage:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
-        )
+        emb = _emb_matrix(batch["embedding"])
         norms = np.linalg.norm(emb, axis=1)
         cos = (emb @ self.qn) / np.where(norms == 0, 1.0, norms)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
@@ -123,11 +155,8 @@ def q_embedding_topk(sf_dir: str, k: int = 10):
     MIN(vec_id). Returns (rank, vec_id) — ranks deterministic via
     (cos desc, vec_id asc) ordering, computed in float64 on both engines."""
     path = os.path.join(sf_dir, "embeddings.parquet")
-    import pyarrow.parquet as pq
 
-    head = pq.read_table(path, columns=["vec_id", "embedding"])
-    qrow = head.take([int(np.argmin(head["vec_id"].to_numpy(zero_copy_only=False)))])
-    qv = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    qv = _fetch_query_vector(path)
     qref = ray.put(qv)
 
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
@@ -163,9 +192,7 @@ class _IVFStage:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.stack(
-            [np.asarray(e, dtype=np.float64) for e in batch["embedding"].to_pylist()]
-        )
+        emb = _emb_matrix(batch["embedding"])
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         assign = np.argmax(emb @ self.cent.T, axis=1)
         mask = np.isin(assign, list(self.probe))
@@ -178,18 +205,30 @@ class _IVFStage:
         return pa.table({"vec_id": ids[top], "cos": cos[top]})
 
 
+_IVF_TRAIN_ROWS = 65_536  # k-means training sample cap (first row groups)
+
+
 def q_embedding_topk_ivf(sf_dir: str, k: int = 10, n_clusters: int = 8, n_probe: int = 3):
     """IVF-bucketed approximate top-k + recall vs the brute-force result.
-    Seeded k-means (4 Lloyd iterations) trains centroids driver-side on a
-    sample; rows-only check (approximate by design). Returns one row:
-    (k, n_probe, n_clusters, recall_pct_x100, n_found)."""
+    Seeded k-means (4 Lloyd iterations) trains centroids on a BOUNDED sample
+    (first row groups up to _IVF_TRAIN_ROWS rows — at 100 TB this reads a
+    fixed number of row groups, never the table); the query vector comes
+    from a statistics-pruned filtered read. The recall row is deterministic
+    (fixed corpus + seed), pinned by the constant SQL oracle. Returns one
+    row: (k, n_probe, n_clusters, recall_pct_x100, n_found)."""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    head = pq.read_table(path, columns=["vec_id", "embedding"])
-    emb = np.stack([np.asarray(e, dtype=np.float64) for e in head["embedding"].to_pylist()])
-    ids = head["vec_id"].to_numpy(zero_copy_only=False)
-    qv = emb[int(np.argmin(ids))]
+    f = pq.ParquetFile(path)
+    parts, have = [], 0
+    for rg in range(f.num_row_groups):
+        parts.append(f.read_row_group(rg, columns=["embedding"]))
+        have += parts[-1].num_rows
+        if have >= _IVF_TRAIN_ROWS:
+            break
+    head = pa.concat_tables(parts).slice(0, _IVF_TRAIN_ROWS)
+    emb = _emb_matrix(head["embedding"])
+    qv = _fetch_query_vector(path)
 
     rng = np.random.default_rng(42)
     cent = emb[rng.choice(len(emb), size=min(n_clusters, len(emb)), replace=False)]

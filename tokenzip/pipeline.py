@@ -269,6 +269,158 @@ def decompress(out_dir: str, concurrency: int | None = None) -> "ray.data.Datase
     return ds.map_batches(_decode_fn, **kwargs)
 
 
+class _DocChecksumStage:
+    """Per-row content checksums of an original-schema batch: an
+    order-sensitive polynomial hash of the zigzagged token stream (uint64
+    wraparound, fully vectorized via cumsum differencing), combined with
+    n_tok and an md5-derived source hash. Emits one tiny row per doc —
+    the sink-verification join shuffles ONLY these checksums, never token
+    payloads. ``side`` marks original ('o') vs decoded ('d') rows."""
+
+    _B = np.uint64(1099511628211)          # FNV-1a prime (odd => invertible)
+    _C = np.uint64(0x100000001B3)
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def __init__(self, side: str):
+        self.is_o = 1 if side == "o" else 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+        from tokenzip.codecs.varint import zigzag_encode
+
+        lengths, values = _tokens_parts(batch["tokens"])
+        n = len(lengths)
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(lengths, out=starts[1:])
+        total = int(starts[-1])
+        maxlen = int(lengths.max()) if n else 0
+        with np.errstate(over="ignore"):
+            powers = np.ones(maxlen + 1, np.uint64)
+            if maxlen:
+                np.cumprod(np.full(maxlen, self._B, np.uint64), out=powers[1:])
+            w = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], lengths)
+            zz = zigzag_encode(values, 32).astype(np.uint64)
+            terms = (zz + self._MIX) * powers[w]
+            cs = np.zeros(total + 1, np.uint64)
+            np.cumsum(terms, out=cs[1:])
+            tok_hash = cs[starts[1:]] - cs[starts[:-1]]
+
+            src = batch["source"].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(src, return_inverse=True)
+            import hashlib
+
+            uh = np.array(
+                [
+                    int.from_bytes(hashlib.md5(str(s).encode()).digest()[:8], "little")
+                    for s in uniq
+                ],
+                dtype=np.uint64,
+            )
+            n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = tok_hash * self._B + n_tok.astype(np.uint64) * self._C + uh[inv]
+
+        tvs = np.zeros(total + 1, np.int64)
+        np.cumsum(values, dtype=np.int64, out=tvs[1:])
+        tv = tvs[starts[1:]] - tvs[starts[:-1]]
+        o = np.int64(self.is_o)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "h": pa.array(h.view(np.int64)),
+                "is_o": pa.array(np.full(n, o)),
+                "n_tok_o": pa.array(n_tok * o),
+                "tv_o": pa.array(tv * o),
+            }
+        )
+
+
+def _checksum_fn(batch, side="o"):
+    key = ("chk", side)
+    st = _STAGES.get(key)
+    if st is None:
+        st = _STAGES[key] = _DocChecksumStage(side=side)
+    return st(batch)
+
+
+def verify_sink_roundtrip(
+    input_paths: list[str], out_dir: str, concurrency: int | None = None
+) -> "ray.data.Dataset":
+    """End-to-end sink verification JOIN: read the WRITTEN chunks back from
+    ``out_dir``, decode, and match against the original parquet BY doc_id —
+    the distributed analog of the reference's check() differential
+    (/root/reference/src/lib.rs:71-85) applied across the persisted sink
+    (SURVEY.md §2.7 joins/lookups). The join is a doc_id groupby over
+    per-row checksums (one ~50-byte row per doc per side); a sink-side
+    corruption — write path, parquet round-trip, codec bug — breaks the
+    checksum equality. Result columns match verify_roundtrip:
+    (source, n_docs, n_equal, sum_n_tok, sum_token_values)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    # stateless checksum stages run as plain TASKS (fixed actor pools here
+    # would deadlock: two pools each sized to the cluster over-subscribe it)
+    orig = ray.data.read_parquet(input_paths).map_batches(
+        _checksum_fn,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"side": "o"},
+    )
+    decoded = decompress(out_dir, concurrency=concurrency).map_batches(
+        _checksum_fn,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"side": "d"},
+    )
+    per_doc = (
+        orig.union(decoded)
+        .groupby("doc_id")
+        .aggregate(
+            Min("source", alias_name="source"),
+            Count(alias_name="cnt"),
+            Sum("is_o", alias_name="n_o"),
+            Min("h", alias_name="hmin"),
+            Max("h", alias_name="hmax"),
+            Sum("n_tok_o", alias_name="sum_n_tok"),
+            Sum("tv_o", alias_name="sum_tv"),
+        )
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        eq = (
+            (b["cnt"].to_numpy(zero_copy_only=False) == 2)
+            & (
+                b["hmin"].to_numpy(zero_copy_only=False)
+                == b["hmax"].to_numpy(zero_copy_only=False)
+            )
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "source": b["source"].to_pylist(),
+                "n_docs": b["n_o"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "n_equal": eq,
+                "sum_n_tok": b["sum_n_tok"].to_numpy(zero_copy_only=False),
+                "sum_token_values": b["sum_tv"].to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    # partials are <= sources rows per block — fold them on the driver
+    # instead of paying two more all-to-all rounds for 5 output rows
+    parts = per_doc.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    res = (
+        parts.groupby("source", as_index=False)
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_equal", "sum_n_tok", "sum_token_values"):
+        res[c] = res[c].astype("int64")
+    return res
+
+
 def verify_roundtrip(
     input_paths: list[str],
     *,

@@ -23,6 +23,22 @@ def q_roundtrip_by_source(sf_dir: str):
     return verify_roundtrip(corpus_paths(sf_dir))
 
 
+def q_sink_roundtrip_join(sf_dir: str):
+    """Compress to the sink, then read the WRITTEN chunks back and join them
+    to the originals BY doc_id (checksum join, see verify_sink_roundtrip) —
+    the persisted-output differential the in-memory verify can't provide."""
+    import os
+
+    from tokenzip.pipeline import compress, verify_sink_roundtrip
+
+    paths = corpus_paths(sf_dir)
+    out_dir = os.path.join(
+        "/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir))
+    )
+    compress(paths, out_dir)
+    return verify_sink_roundtrip(paths, out_dir)
+
+
 class _TokenStatsStage:
     """Per-batch partial aggregates over the tokens column, per source:
     counts, min/max, zigzag checksum, and the *actual* engine LEB128 blob
