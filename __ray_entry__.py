@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "roundtrip_by_source": q.q_roundtrip_by_source,
         "sink_roundtrip_join": q.q_sink_roundtrip_join,
+        "boundary_roundtrip": q.q_boundary_roundtrip,
         "token_stats_by_source": q.q_token_stats_by_source,
         "compression_by_codec": q.q_compression_by_codec,
         "compression_totals": q.q_compression_totals,
@@ -106,6 +107,7 @@ FROM documents GROUP BY source ORDER BY source
 """,
         "lang_id_confusion": _O.lang_id_sql(),
         "media_features_by_source": _O.media_sql(),
+        "boundary_roundtrip": _O.boundary_sql(),
         "dedup_minhash": _O.minhash_sql(),
         "dedup_simhash": _O.simhash_sql(),
         # recall-pinned oracle: the IVF result is deterministic (fixed

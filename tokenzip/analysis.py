@@ -53,41 +53,79 @@ def _docs(sf_dir: str, columns=None):
 # ---------------------------------------------------------------------------
 
 
-def _add_md5(batch: pa.Table) -> pa.Table:
+def _int_group_sums(vals: np.ndarray, inv: np.ndarray, k: int) -> np.ndarray:
+    """Exact int64 per-group sums (bincount's float64 weights lose precision
+    above 2^53 — doc ids at scale exceed that)."""
+    out = np.zeros(k, dtype=np.int64)
+    np.add.at(out, inv, vals)
+    return out
+
+
+def _hash_key_rows(batch: pa.Table) -> pa.Table:
+    """(md5(text), zero-padded-doc_id|source) rows: Min over the composite
+    key inside the hash groupby picks the kept row AND carries its source —
+    one aggregate instead of a map_groups."""
     h = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
-    return batch.append_column("h", pa.array(h, pa.string()))
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = batch["source"].to_pylist()
+    comb = [f"{i:020d}|{s}" for i, s in zip(ids, src)]
+    return pa.table(
+        {"h": pa.array(h, pa.string()), "k": pa.array(comb, pa.string())}
+    )
+
+
+def _src_count_partial(batch: pa.Table) -> pa.Table:
+    src = batch["source"].to_numpy(zero_copy_only=False)
+    uniq, counts = np.unique(src, return_counts=True)
+    return pa.table(
+        {
+            "source": pa.array([str(s) for s in uniq], pa.string()),
+            "n_docs": pa.array(counts.astype(np.int64)),
+        }
+    )
 
 
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup: md5(text) -> groupby(hash) -> keep min(doc_id); report
-    per-source kept counts and a kept-id checksum. The groupby IS the
-    hash-partition: every duplicate set meets in one group regardless of
-    which input fragment its members came from."""
+    """Exact dedup: md5(text) -> groupby(hash) -> Min(composite key) keeps
+    the min-doc_id row with its source in ONE aggregate (no pandas
+    map_groups); per-source totals come from pre-aggregated batch partials.
+    The groupby IS the hash-partition: every duplicate set meets in one
+    group regardless of input fragment."""
+    from ray.data.aggregate import Min
+
     ds = _docs(sf_dir, ["doc_id", "text", "source"])
-    hashed = ds.map_batches(_add_md5, batch_format="pyarrow", zero_copy_batch=True)
+    kept = (
+        ds.map_batches(_hash_key_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Min("k", alias_name="kept"))
+    )
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, "doc_id")
-
-    kept = hashed.groupby("h").map_groups(keep_first, batch_format="pandas")
-    from ray.data.aggregate import Count
-
-    out = (
-        kept.groupby("source")
-        .aggregate(
-            Count(alias_name="n_kept"),
-            Sum("doc_id", alias_name="sum_kept_ids"),
+    def _kept_partial(b: pa.Table) -> pa.Table:
+        ks = b["kept"].to_pylist()
+        ids = np.array([int(k[:20]) for k in ks], dtype=np.int64)
+        srcs = np.array([k[21:] for k in ks])
+        uniq, inv = np.unique(srcs, return_inverse=True)
+        return pa.table(
+            {
+                "source": pa.array([str(s) for s in uniq], pa.string()),
+                "n_kept": pa.array(
+                    np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+                ),
+                "sum_kept_ids": pa.array(_int_group_sums(ids, inv, len(uniq))),
+            }
         )
+
+    kept_parts = kept.map_batches(_kept_partial, batch_format="pyarrow").to_pandas()
+    n_docs = (
+        _docs(sf_dir, ["source"])
+        .map_batches(_src_count_partial, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
     )
-    n_docs = (
-        ds.groupby("source").count().to_pandas().rename(columns={"count()": "n_docs"})
-    )
-    res = n_docs.merge(out, on="source")
-    res = res.sort_values("source").reset_index(drop=True)
-    res["n_docs"] = res["n_docs"].astype("int64")
-    res["n_kept"] = res["n_kept"].astype("int64")
-    res["sum_kept_ids"] = res["sum_kept_ids"].astype("int64")
+    out = kept_parts.groupby("source", as_index=False).sum()
+    nd = n_docs.groupby("source", as_index=False).sum()
+    res = nd.merge(out, on="source").sort_values("source").reset_index(drop=True)
+    for c in ("n_docs", "n_kept", "sum_kept_ids"):
+        res[c] = res[c].astype("int64")
     return res[["source", "n_docs", "n_kept", "sum_kept_ids"]]
 
 

@@ -233,19 +233,22 @@ def register_shared_str_dict(values: list[str]) -> str:
 
 
 def _enc_dict_str_shared(arr, dict_hash: str):
+    """Vectorized shared-dict encode: pc.index_in against the broadcast
+    value set (Arrow C++ hash lookup, no per-row Python)."""
     values = SHARED_STR_DICTS[dict_hash]
-    lut = {v: i for i, v in enumerate(values)}
     arr = pc.cast(arr, pa.string())
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-    try:
-        codes = np.array([lut[v] for v in arr.to_pylist()], dtype=np.uint64)
-    except KeyError as e:
-        raise CodecError(f"value {e} not in shared dictionary") from e
+    idx = pc.index_in(arr, value_set=pa.array(values, pa.string()))
+    if idx.null_count:
+        missing = arr.filter(pc.is_null(idx))[0].as_py()
+        raise CodecError(f"value {missing!r} not in shared dictionary")
+    codes = idx.to_numpy(zero_copy_only=False).astype(np.uint64)
     cb = bit_width(len(values) - 1) if len(values) > 1 else 0
     return [pack_bits(codes, cb)], {"th": dict_hash, "cb": cb}
 
 
 def _dec_dict_str_shared(streams, meta, n):
+    """Vectorized shared-dict decode: pc.take on the dictionary array."""
     th = meta["th"]
     if th not in SHARED_STR_DICTS:
         raise ChunkFormatError(f"shared string dictionary {th} not loaded")
@@ -253,9 +256,9 @@ def _dec_dict_str_shared(streams, meta, n):
     codes = unpack_bits(streams[0], n, meta["cb"]).astype(np.int64)
     if n and len(values) and codes.max() >= len(values):
         raise ChunkFormatError("shared dict code out of range")
-    lengths = np.array([len(values[c].encode()) for c in codes], dtype=np.int64)
-    blob = "".join(values[c] for c in codes).encode()
-    return _mk_str(lengths, blob)
+    if n and not len(values):
+        raise ChunkFormatError("empty shared dictionary for non-empty chunk")
+    return pc.take(pa.array(values, pa.string()), pa.array(codes)).cast(pa.string())
 
 
 STR_CODECS: dict[str, tuple] = {

@@ -141,3 +141,31 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_docs,
 FROM p
 """
 
+
+
+def boundary_sql() -> str:
+    """Oracle for q_boundary_roundtrip: per-(width, codec) sums of the SAME
+    fixture literals the engine round-trips — any decode corruption at a
+    7-bit boundary breaks the sum equality."""
+    from tokenzip.codecs.core import INT_CODECS
+    from tokenzip.fixtures import WIDTHS, boundary_values
+
+    def lit(v: int) -> str:
+        # BIGINT min cannot be written as a single literal (parsed as
+        # unary minus of an out-of-range positive)
+        return f"(-9223372036854775807 - 1)" if v == -(1 << 63) else str(v)
+
+    parts = []
+    for w in WIDTHS:
+        vals = boundary_values(w)
+        lst = ", ".join(lit(v) for v in vals)
+        for c in sorted(INT_CODECS):
+            if c == "svb" and w > 32:
+                continue
+            parts.append(
+                f"SELECT CAST({w} AS BIGINT) AS width, '{c}' AS codec, "
+                f"CAST({len(vals)} AS BIGINT) AS n_values, "
+                f"(SELECT CAST(SUM(CAST(v AS HUGEINT)) AS BIGINT) "
+                f"FROM (SELECT unnest([{lst}]) AS v)) AS sum_decoded"
+            )
+    return " UNION ALL ".join(parts) + " ORDER BY width, codec"

@@ -246,6 +246,49 @@ def q_events_ts_roundtrip(sf_dir: str):
     )
 
 
+def q_boundary_roundtrip(sf_dir: str):
+    """Boundary-value corpus through EVERY registered int codec at every
+    width: encode -> decode -> per-(width, codec) sums of the DECODED
+    values, oracle-checked against direct sums of the same fixture list
+    (the reference's 7-bit-boundary roundtrip tests,
+    /root/reference/src/lib.rs:90-185, as a driver-visible differential).
+    ``sf_dir`` is unused — the corpus is the canonical fixture."""
+    import ray.data as rd
+
+    from tokenzip.codecs.core import INT_CODECS, decode_int_column, encode_int_column
+    from tokenzip.fixtures import WIDTHS, boundary_values
+
+    tasks = [
+        {"width": w, "codec": c}
+        for w in WIDTHS
+        for c in sorted(INT_CODECS)
+        if not (c == "svb" and w > 32)
+    ]
+    ds = rd.from_items(tasks)
+
+    def rt(batch: pa.Table) -> pa.Table:
+        out = {"width": [], "codec": [], "n_values": [], "sum_decoded": []}
+        for w, c in zip(batch["width"].to_pylist(), batch["codec"].to_pylist()):
+            vals = np.array(boundary_values(int(w)), dtype=np.int64)
+            dec = decode_int_column(encode_int_column(vals, c, int(w)))
+            if not np.array_equal(dec, vals):
+                raise AssertionError(f"boundary roundtrip failed: {c}@{w}")
+            out["width"].append(int(w))
+            out["codec"].append(c)
+            out["n_values"].append(len(vals))
+            out["sum_decoded"].append(int(sum(int(x) for x in dec)))
+        return pa.table(
+            {
+                "width": pa.array(out["width"], pa.int64()),
+                "codec": pa.array(out["codec"], pa.string()),
+                "n_values": pa.array(out["n_values"], pa.int64()),
+                "sum_decoded": pa.array(out["sum_decoded"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rt, batch_format="pyarrow").sort(["width", "codec"])
+
+
 def q_compression_totals(sf_dir: str):
     """Manifest totals, oracle-checked: n_rows / n_tokens / leb128_bytes come
     from the actual compress run's manifest and must equal the closed-form
