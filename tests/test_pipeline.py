@@ -175,3 +175,55 @@ def test_sink_roundtrip_join_and_corruption(ray_session, paths, tmp_path):
 
     v2 = verify_sink_roundtrip(paths, out, concurrency=2)
     assert int(v2["n_docs"].sum() - v2["n_equal"].sum()) == 1
+
+
+def test_shared_tables_per_source_and_unseen(ray_session, tmp_path):
+    """Per-source FSST tables are trained on a strided sample; a source that
+    never appears in any sampled row group falls back to the GLOBAL table
+    and still round-trips bit-identically (SURVEY.md §7 step 6)."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+
+    from tokenzip.codecs.core import unpack_blob
+    from tokenzip.pipeline import _train_shared_tables, decompress
+    from tokenzip.pipeline import compress as _compress
+
+    def mk(doc0, n, src):
+        toks = pa.array([np.arange(3, dtype=np.int32)] * n, pa.list_(pa.int32()))
+        return pa.table(
+            {
+                "doc_id": pa.array([f"doc-{doc0 + i:08d}" for i in range(n)]),
+                "tokens": toks,
+                "n_tok": pa.array([3] * n, pa.int32()),
+                "source": pa.array([src] * n),
+            }
+        )
+
+    t = pa.concat_tables([mk(0, 64, "alpha"), mk(64, 64, "unseen")])
+    p = str(tmp_path / "part-0000.parquet")
+    pq.write_table(t, p, row_group_size=64)  # rg0 = alpha only, rg1 = unseen
+
+    tables = _train_shared_tables([p])
+    refs = tables["refs"]
+    assert "alpha" in refs["doc_id_fsst_by_source"]
+    assert "unseen" not in refs["doc_id_fsst_by_source"]
+
+    out = str(tmp_path / "out")
+    totals = _compress([p], out, shared_tables=True, concurrency=2)
+    assert totals["n_rows"] == 128
+    # the unseen-source chunk references the GLOBAL table hash
+    files = glob.glob(os.path.join(out, "chunks", "frag=*", "*.parquet"))
+    seen = {}
+    for f in files:
+        ct = pq.read_table(f, columns=["source_top", "doc_id_enc"])
+        for i in range(ct.num_rows):
+            _, meta, _ = unpack_blob(ct["doc_id_enc"][i].as_py())
+            seen[ct["source_top"][i].as_py()] = meta["th"]
+    assert seen["alpha"] == refs["doc_id_fsst_by_source"]["alpha"]
+    assert seen["unseen"] == refs["doc_id_fsst"]
+
+    df = decompress(out, concurrency=2).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df["doc_id"]) == [f"doc-{i:08d}" for i in range(128)]
+    assert set(df["source"]) == {"alpha", "unseen"}

@@ -123,10 +123,16 @@ def encode_batch(
     off_meta["n"] = n_rows
     offsets_blob = pack_blob("delta", off_meta, off_streams)
 
-    if shared and "doc_id_fsst" in shared:
-        doc_id_blob = encode_str_column(
-            batch["doc_id"], "fsst_shared", table_hash=shared["doc_id_fsst"]
-        )
+    if shared and ("doc_id_fsst" in shared or "doc_id_fsst_by_source" in shared):
+        # per-source symbol table when this chunk's source was sampled;
+        # the global table is the fallback for unseen sources (FSST's
+        # escape mechanism keeps any-bytes correctness either way)
+        th = None
+        by_src = shared.get("doc_id_fsst_by_source") or {}
+        if by_src and n_rows:
+            th = by_src.get(batch["source"][0].as_py())
+        th = th or shared.get("doc_id_fsst")
+        doc_id_blob = encode_str_column(batch["doc_id"], "fsst_shared", table_hash=th)
     else:
         doc_id_blob = encode_str_column(batch["doc_id"], id_codec)
     if shared and "source_dict" in shared:

@@ -50,9 +50,15 @@ def _decode_fn(batch, sidecar=None):
     return st(batch)
 
 
+_TRAIN_SAMPLE_FRAGS = 64  # row-group samples: evenly strided over fragments
+
+
 def _train_shared_tables(paths: list[str]) -> dict:
-    """Deterministic driver-side sample (first row group of the first
-    fragments, sorted order) -> global doc_id FSST table + source dictionary.
+    """Deterministic driver-side sample — the first row group of up to
+    _TRAIN_SAMPLE_FRAGS fragments evenly STRIDED across the sorted input (no
+    sorted-path bias: a source that only appears in late fragments is still
+    sampled) — trains PER-SOURCE doc_id FSST tables plus a global fallback
+    table for sources absent from the sample (SURVEY.md §7 step 6, §4.2).
     Pure function of the input fragments, so a resumed run re-derives
     identical tables and hashes (retry-safe lineage)."""
     import pyarrow.parquet as pq
@@ -63,22 +69,37 @@ def _train_shared_tables(paths: list[str]) -> dict:
         register_shared_str_table,
     )
 
-    doc_bytes = []
-    sources: set[str] = set()
-    for p in sorted(paths)[:4]:
+    spaths = sorted(paths)
+    if len(spaths) > _TRAIN_SAMPLE_FRAGS:
+        idx = np.linspace(0, len(spaths) - 1, _TRAIN_SAMPLE_FRAGS).astype(int)
+        spaths = [spaths[i] for i in sorted(set(idx.tolist()))]
+    by_source: dict[str, list[bytes]] = {}
+    for p in spaths:
         f = pq.ParquetFile(p)
         t = f.read_row_group(0, columns=["doc_id", "source"])
-        doc_bytes.append("".join(t["doc_id"].to_pylist()).encode())
-        sources.update(t["source"].to_pylist())
-    symbols = F.train_symbol_table(b"".join(doc_bytes))
-    fsst_hash = register_shared_str_table(symbols)
-    dict_hash = register_shared_str_dict(sorted(sources))
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        for d, s in zip(ids, srcs):
+            by_source.setdefault(s, []).append(d.encode())
+    global_hash = register_shared_str_table(
+        F.train_symbol_table(b"".join(b"".join(v) for _, v in sorted(by_source.items())))
+    )
+    src_tables = {
+        s: register_shared_str_table(F.train_symbol_table(b"".join(v)))
+        for s, v in sorted(by_source.items())
+    }
+    dict_hash = register_shared_str_dict(sorted(by_source))
     from tokenzip.codecs.strings import SHARED_STR_DICTS, SHARED_STR_TABLES
 
+    hashes = {global_hash, *src_tables.values()}
     return {
-        "fsst_tables": {fsst_hash: SHARED_STR_TABLES[fsst_hash]},
+        "fsst_tables": {h: SHARED_STR_TABLES[h] for h in hashes},
         "str_dicts": {dict_hash: SHARED_STR_DICTS[dict_hash]},
-        "refs": {"doc_id_fsst": fsst_hash, "source_dict": dict_hash},
+        "refs": {
+            "doc_id_fsst": global_hash,
+            "doc_id_fsst_by_source": src_tables,
+            "source_dict": dict_hash,
+        },
     }
 
 
