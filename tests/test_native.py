@@ -1,0 +1,104 @@
+"""Differential tests: the native C LEB128 kernels vs the NumPy kernels —
+the engine's analog of the reference's fuzz-vs-integer-encoding setup
+(/root/reference/fuzz/fuzz_targets/fuzz_target_1.rs:6-15) applied between
+the engine's own two implementations of the same contract."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tokenzip.codecs import native as N
+from tokenzip.codecs.varint import (
+    MAX_LAST_VARINT_BYTE,
+    MAX_VARINT_BYTES,
+    decode_leb128,
+    encode_leb128,
+    leb128_size,
+)
+from tokenzip.errors import VarintOverflowError, VarintTruncatedError
+
+pytestmark = pytest.mark.skipif(
+    not N.HAVE_NATIVE, reason="no C compiler available — NumPy path only"
+)
+
+
+def _numpy_encode(u):
+    # force the NumPy bucketed-gather path regardless of the native build
+    lib, N.LIB = N.LIB, None
+    try:
+        return encode_leb128(u)
+    finally:
+        N.LIB = lib
+
+
+def _numpy_decode(blob, n, width):
+    lib, N.LIB = N.LIB, None
+    try:
+        return decode_leb128(blob, n, width=width)
+    finally:
+        N.LIB = lib
+
+
+@given(
+    st.lists(st.integers(0, 2**32 - 1), max_size=300),
+    st.sampled_from([32, 64]),
+)
+@settings(max_examples=150, deadline=None)
+def test_native_matches_numpy_u32_domain(vals, width):
+    dt = np.uint32 if width == 32 else np.uint64
+    u = np.array(vals, dtype=dt)
+    nat = encode_leb128(u)
+    ref = _numpy_encode(u)
+    assert nat == ref
+    if len(u):
+        assert np.array_equal(decode_leb128(nat, len(u), width=width), u)
+        assert np.array_equal(_numpy_decode(nat, len(u), width=width), u)
+
+
+@given(st.lists(st.integers(0, 2**64 - 1), max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_native_matches_numpy_u64_domain(vals):
+    u = np.array(vals, dtype=np.uint64)
+    assert encode_leb128(u) == _numpy_encode(u)
+    if len(u):
+        back = decode_leb128(encode_leb128(u), len(u), width=64)
+        assert np.array_equal(back, u)
+
+
+def test_native_size_matches_numpy():
+    rng = np.random.default_rng(7)
+    for dt, hi in ((np.uint32, 2**32 - 1), (np.uint64, 2**63)):
+        u = rng.integers(0, hi, 10_000).astype(dt)
+        assert N.native_size(u) == int(leb128_size(u).sum())
+
+
+def test_native_error_semantics():
+    # truncated: continuation bit on final byte
+    with pytest.raises(VarintTruncatedError):
+        decode_leb128(b"\xff", 1, width=32)
+    # too many bytes for width
+    with pytest.raises(VarintOverflowError):
+        decode_leb128(b"\xff\xff\xff\xff\xff\x01", 1, width=32)
+    # last-byte bound (u32: 5th byte > 0x0F)
+    with pytest.raises(VarintOverflowError):
+        decode_leb128(b"\xff\xff\xff\xff\x10", 1, width=32)
+    # u64: 10th byte > 0x01
+    with pytest.raises(VarintOverflowError):
+        decode_leb128(b"\xff" * 9 + b"\x02", 1, width=64)
+    # boundary accept: u64::MAX = 9 x 0xFF + 0x01
+    v = decode_leb128(b"\xff" * 9 + b"\x01", 1, width=64)
+    assert int(v[0]) == 2**64 - 1
+    # padding after the requested count is ignored
+    v = decode_leb128(b"\x05\xab\xcd\xef", 1, width=32)
+    assert int(v[0]) == 5
+
+
+def test_native_decode_consumes_exact_stream():
+    rng = np.random.default_rng(11)
+    u = rng.integers(0, 2**31, 1000).astype(np.uint32)
+    blob = encode_leb128(u)
+    # fewer values than present: fine; more: truncated
+    assert len(decode_leb128(blob, 500, width=32)) == 500
+    with pytest.raises(VarintTruncatedError):
+        decode_leb128(blob, 1001, width=32)

@@ -89,12 +89,20 @@ def encode_batch(
     n_rows = len(lengths)
     n_tokens = int(lengths.sum())
 
-    # one zigzag + one size pass, shared by the oracle, the selector floor
-    # and the zigzag-family codecs (leb128/svb/bitpack); stays uint32 —
-    # the width-32 kernels never need the uint64 widening
+    # one zigzag pass shared by the oracle, the selector floor and the
+    # zigzag-family codecs (leb128/svb/bitpack); stays uint32 — the width-32
+    # kernels never need the uint64 widening. The size oracle is a single
+    # native pass when the C kernel is built (no per-value sizes array).
+    from tokenzip.codecs.native import native_size
+
     zz32 = zigzag_encode(values32, 32)
-    sizes = leb128_size(zz32)
-    oracle = int(sizes.sum())
+    nat_total = native_size(zz32)
+    if nat_total is not None:
+        sizes = None
+        oracle = nat_total
+    else:
+        sizes = leb128_size(zz32)
+        oracle = int(sizes.sum())
     if tokens_codec == "auto":
         chosen = choose_int_codec(values32, 32, sample=selector_sample)
     else:

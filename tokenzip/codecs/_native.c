@@ -1,0 +1,113 @@
+/* Scalar C LEB128 kernels behind the same registry entries as the NumPy
+ * implementations — the engine analog of the reference's build-time CPU
+ * dispatch (/root/reference/build.rs:57-85): one semantic contract, multiple
+ * implementations, selected at runtime.
+ *
+ * Semantics are byte-identical to tokenzip/codecs/varint.py (and therefore
+ * to the reference encoder /root/reference/src/encode/mod.rs:23-25 and the
+ * rustc-serialize scalar codec /root/reference/benches/varint_bench/
+ * leb128.rs:4-53): 7 data bits/byte little-endian, MSB continuation,
+ * overflow via max-length + last-byte bound
+ * (/root/reference/src/decode/mod.rs:42-48), truncation when the buffer
+ * ends mid-varint. Return codes: 0 ok, 1 truncated, 2 overflow.
+ */
+
+#include <stdint.h>
+
+int64_t tz_enc_u32(const uint32_t *in, int64_t n, uint8_t *out) {
+    uint8_t *p = out;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t v = in[i];
+        while (v >= 0x80u) {
+            *p++ = (uint8_t)(v | 0x80u);
+            v >>= 7;
+        }
+        *p++ = (uint8_t)v;
+    }
+    return (int64_t)(p - out);
+}
+
+int64_t tz_enc_u64(const uint64_t *in, int64_t n, uint8_t *out) {
+    uint8_t *p = out;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t v = in[i];
+        while (v >= 0x80u) {
+            *p++ = (uint8_t)(v | 0x80u);
+            v >>= 7;
+        }
+        *p++ = (uint8_t)v;
+    }
+    return (int64_t)(p - out);
+}
+
+/* total encoded bytes without materializing them (the rustc-LEB128 size
+ * oracle, /root/reference/benches/varint_bench/leb128.rs:4-24) */
+int64_t tz_size_u32(const uint32_t *in, int64_t n) {
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t v = in[i];
+        total += 1 + (v >= (1u << 7)) + (v >= (1u << 14)) + (v >= (1u << 21)) +
+                 (v >= (1u << 28));
+    }
+    return total;
+}
+
+int64_t tz_size_u64(const uint64_t *in, int64_t n) {
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t v = in[i];
+        int64_t b = 1;
+        while (v >= 0x80u) {
+            v >>= 7;
+            b++;
+        }
+        total += b;
+    }
+    return total;
+}
+
+int tz_dec_u32(const uint8_t *in, int64_t nbytes, int64_t n, uint32_t *out) {
+    const uint8_t *p = in;
+    const uint8_t *end = in + nbytes;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t v = 0;
+        int shift = 0, k = 0;
+        for (;;) {
+            if (p >= end) return 1;
+            uint8_t b = *p++;
+            k++;
+            if (k > 5) return 2;
+            v |= (uint32_t)(b & 0x7Fu) << shift;
+            if (b < 0x80u) {
+                if (k == 5 && b > 0x0Fu) return 2;
+                break;
+            }
+            shift += 7;
+        }
+        out[i] = v;
+    }
+    return 0;
+}
+
+int tz_dec_u64(const uint8_t *in, int64_t nbytes, int64_t n, uint64_t *out) {
+    const uint8_t *p = in;
+    const uint8_t *end = in + nbytes;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t v = 0;
+        int shift = 0, k = 0;
+        for (;;) {
+            if (p >= end) return 1;
+            uint8_t b = *p++;
+            k++;
+            if (k > 10) return 2;
+            v |= (uint64_t)(b & 0x7Fu) << shift;
+            if (b < 0x80u) {
+                if (k == 10 && b > 0x01u) return 2;
+                break;
+            }
+            shift += 7;
+        }
+        out[i] = v;
+    }
+    return 0;
+}

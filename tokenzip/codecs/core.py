@@ -334,4 +334,8 @@ def leb128_oracle_bytes(values: np.ndarray, width: int = 32) -> int:
     (/root/reference/benches/varint_bench/leb128.rs:4-24)."""
     if len(values) == 0:
         return 0
-    return int(leb128_size(_zz(_as_i64(values), width)).sum())
+    u = _zz(_as_i64(values), width)
+    from tokenzip.codecs.native import native_size
+
+    total = native_size(u)
+    return total if total is not None else int(leb128_size(u).sum())

@@ -1,0 +1,117 @@
+"""Runtime loader for the C LEB128 kernels (_native.c).
+
+Build-on-first-use with the system compiler into a content-addressed cached
+.so (safe under concurrent Ray workers: compile to a pid-suffixed temp file,
+atomic os.replace). Falls back silently to the NumPy kernels when no
+compiler is available or the build fails — same dispatch philosophy as the
+reference's cfg() feature gates (/root/reference/build.rs:57-85).
+
+Set TOKENZIP_NO_NATIVE=1 to force the NumPy path (used by the differential
+tests to compare both implementations).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "_native.c")
+_CACHE_DIR = os.environ.get("TOKENZIP_NATIVE_DIR", "/tmp/tokenzip_native")
+
+LIB = None
+HAVE_NATIVE = False
+
+
+def _build_so() -> str | None:
+    try:
+        src = open(_SRC, "rb").read()
+    except OSError:
+        return None
+    tag = hashlib.sha1(src).hexdigest()[:16]
+    so = os.path.join(_CACHE_DIR, f"tz_{tag}.so")
+    if os.path.exists(so):
+        return so
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        tmp = f"{so}.tmp.{os.getpid()}"
+        subprocess.run(
+            ["cc", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        os.replace(tmp, so)
+        return so
+    except Exception:
+        try:
+            os.unlink(tmp)
+        except Exception:
+            pass
+        return so if os.path.exists(so) else None
+
+
+def _load() -> None:
+    global LIB, HAVE_NATIVE
+    if os.environ.get("TOKENZIP_NO_NATIVE"):
+        return
+    so = _build_so()
+    if not so:
+        return
+    try:
+        lib = ctypes.CDLL(so)
+        i64, vp = ctypes.c_int64, ctypes.c_void_p
+        lib.tz_enc_u32.restype = i64
+        lib.tz_enc_u32.argtypes = [vp, i64, vp]
+        lib.tz_enc_u64.restype = i64
+        lib.tz_enc_u64.argtypes = [vp, i64, vp]
+        lib.tz_size_u32.restype = i64
+        lib.tz_size_u32.argtypes = [vp, i64]
+        lib.tz_size_u64.restype = i64
+        lib.tz_size_u64.argtypes = [vp, i64]
+        lib.tz_dec_u32.restype = ctypes.c_int
+        lib.tz_dec_u32.argtypes = [vp, i64, i64, vp]
+        lib.tz_dec_u64.restype = ctypes.c_int
+        lib.tz_dec_u64.argtypes = [vp, i64, i64, vp]
+    except Exception:
+        return
+    LIB = lib
+    HAVE_NATIVE = True
+
+
+_load()
+
+_MAX_BYTES = {np.dtype(np.uint32): 5, np.dtype(np.uint64): 10}
+
+
+def native_encode(u: np.ndarray) -> bytes | None:
+    """Encode a contiguous uint32/uint64 array; None if not applicable."""
+    if LIB is None or u.dtype not in _MAX_BYTES or len(u) == 0:
+        return None
+    out = np.empty(len(u) * _MAX_BYTES[u.dtype], dtype=np.uint8)
+    fn = LIB.tz_enc_u32 if u.dtype == np.dtype(np.uint32) else LIB.tz_enc_u64
+    nbytes = fn(u.ctypes.data, len(u), out.ctypes.data)
+    return out[:nbytes].tobytes()
+
+
+def native_size(u: np.ndarray) -> int | None:
+    """Total LEB128 bytes of a contiguous uint32/uint64 array."""
+    if LIB is None or u.dtype not in _MAX_BYTES:
+        return None
+    fn = LIB.tz_size_u32 if u.dtype == np.dtype(np.uint32) else LIB.tz_size_u64
+    return int(fn(u.ctypes.data, len(u)))
+
+
+def native_decode(b: np.ndarray, n: int, width: int) -> tuple[int, np.ndarray] | None:
+    """Decode n varints from a contiguous uint8 buffer; returns (rc, out)
+    with rc 0=ok 1=truncated 2=overflow, or None if not applicable."""
+    if LIB is None or width not in (32, 64):
+        return None
+    dt = np.uint32 if width == 32 else np.uint64
+    out = np.empty(n, dtype=dt)
+    fn = LIB.tz_dec_u32 if width == 32 else LIB.tz_dec_u64
+    rc = fn(b.ctypes.data, len(b), n, out.ctypes.data)
+    return int(rc), out

@@ -121,6 +121,13 @@ def encode_leb128(u: np.ndarray, sizes: np.ndarray | None = None) -> bytes:
     n = len(u)
     if n == 0:
         return b""
+    # native C kernel when built (same bytes, ~30x per core) — the runtime
+    # analog of the reference's build-time kernel dispatch (build.rs:57-85)
+    from tokenzip.codecs.native import native_encode
+
+    nat = native_encode(u)
+    if nat is not None:
+        return nat
     nb = sizes if sizes is not None else leb128_size(u)
     offsets = np.empty(n + 1, dtype=np.int64)
     offsets[0] = 0
@@ -179,6 +186,23 @@ def decode_leb128(
     """
     b = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
     b = b.astype(np.uint8, copy=False)
+    if n_values is not None and width in (32, 64):
+        from tokenzip.codecs.native import native_decode
+
+        res = native_decode(np.ascontiguousarray(b), int(n_values), width)
+        if res is not None:
+            rc, out = res
+            if rc == 1:
+                raise VarintTruncatedError(
+                    f"expected {n_values} varints, stream ends mid-varint"
+                )
+            if rc == 2:
+                raise VarintOverflowError(
+                    f"varint exceeds u{width} bounds "
+                    f"(max {MAX_VARINT_BYTES[width]} bytes, last byte "
+                    f"<= {MAX_LAST_VARINT_BYTE[width]:#x})"
+                )
+            return out
     ends = np.flatnonzero(b < 0x80)
     if n_values is None:
         n = len(ends)
