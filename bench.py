@@ -110,8 +110,11 @@ def run_scaling() -> dict:
     cluster adds 4x memory bandwidth along with 4x cores. The low-concurrency
     pair is the faithful single-box proxy for node-count scaling; the 8->32
     numbers are reported alongside in BASELINE.md with that caveat."""
+    import statistics
+
     lo = int(os.environ.get("SCALE_LO", 2))
     hi = int(os.environ.get("SCALE_HI", 8))
+    reps = int(os.environ.get("SCALE_REPS", 3))
     scale_sf = os.environ.get("SCALE_SF", "sfscale")
 
     def run(ncpu: int) -> dict:
@@ -125,29 +128,51 @@ def run_scaling() -> dict:
 
     from tokenzip.corpus import corpus_paths
 
-    corpus_paths(scale_sf)  # generate once, outside both timed runs
-    r_lo, r_hi = run(lo), run(hi)
-    speedup = r_lo["value"] / r_hi["value"]
+    corpus_paths(scale_sf)  # generate once, outside all timed runs
+    # median-of-N, legs interleaved so drift of the shared box hits both
+    # legs equally (single runs measured +-50% wall variance on this VM)
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    med = statistics.median
+    sec_lo = med(r["value"] for r in runs_lo)
+    sec_hi = med(r["value"] for r in runs_hi)
+    speedup = sec_lo / sec_hi
     eff = speedup / (hi / lo)
     per_query_eff = {
-        k: round((r_lo["queries"][k] / r_hi["queries"][k]) / (hi / lo), 3)
-        for k in r_lo["queries"]
+        k: round(
+            (med(r["queries"][k] for r in runs_lo)
+             / med(r["queries"][k] for r in runs_hi)) / (hi / lo),
+            3,
+        )
+        for k in runs_lo[0]["queries"]
     }
     return {
-        "queries_lo": r_lo["queries"],
-        "queries_hi": r_hi["queries"],
-        "per_query_efficiency": per_query_eff,
-        "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, fresh sessions, same input)",
+        "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, fresh sessions, "
+                  f"same input, median of {reps})",
         "num_cpus_lo": lo,
         "num_cpus_hi": hi,
-        "sec_lo": r_lo["value"],
-        "sec_hi": r_hi["value"],
-        "mtok_per_sec_lo": r_lo["compress_mtok_per_sec"],
-        "mtok_per_sec_hi": r_hi["compress_mtok_per_sec"],
+        "reps": reps,
+        "sec_lo": sec_lo,
+        "sec_hi": sec_hi,
+        "sec_lo_runs": [r["value"] for r in runs_lo],
+        "sec_hi_runs": [r["value"] for r in runs_hi],
+        "per_query_efficiency": per_query_eff,
+        "queries_lo_median": {
+            k: round(med(r["queries"][k] for r in runs_lo), 2)
+            for k in runs_lo[0]["queries"]
+        },
+        "queries_hi_median": {
+            k: round(med(r["queries"][k] for r in runs_hi), 2)
+            for k in runs_hi[0]["queries"]
+        },
+        "mtok_per_sec_lo": runs_lo[-1]["n_tokens"] / 1e6 / sec_lo,
+        "mtok_per_sec_hi": runs_hi[-1]["n_tokens"] / 1e6 / sec_hi,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
-        "sf": r_hi["sf"],
-        "n_tokens": r_hi["n_tokens"],
+        "sf": runs_hi[-1]["sf"],
+        "n_tokens": runs_hi[-1]["n_tokens"],
     }
 
 

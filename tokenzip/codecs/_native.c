@@ -111,3 +111,80 @@ int tz_dec_u64(const uint8_t *in, int64_t nbytes, int64_t n, uint64_t *out) {
     }
     return 0;
 }
+
+/* Fixed-width bit packing, little-endian bit order — byte-identical to the
+ * NumPy unpackbits/packbits layout in bitpack.py (value i's bit j is global
+ * bit i*width + j, bytes filled LSB-first). */
+
+void tz_pack_u64(const uint64_t *in, int64_t n, int width, uint8_t *out) {
+    unsigned __int128 acc = 0;
+    int nbits = 0;
+    uint64_t mask = (width >= 64) ? ~0ULL : ((1ULL << width) - 1);
+    uint8_t *p = out;
+    for (int64_t i = 0; i < n; i++) {
+        acc |= (unsigned __int128)(in[i] & mask) << nbits;
+        nbits += width;
+        while (nbits >= 8) {
+            *p++ = (uint8_t)acc;
+            acc >>= 8;
+            nbits -= 8;
+        }
+    }
+    if (nbits > 0) *p++ = (uint8_t)acc;
+}
+
+void tz_pack_u32(const uint32_t *in, int64_t n, int width, uint8_t *out) {
+    unsigned __int128 acc = 0;
+    int nbits = 0;
+    uint64_t mask = (width >= 32) ? 0xFFFFFFFFULL : ((1ULL << width) - 1);
+    uint8_t *p = out;
+    for (int64_t i = 0; i < n; i++) {
+        acc |= (unsigned __int128)((uint64_t)in[i] & mask) << nbits;
+        nbits += width;
+        while (nbits >= 8) {
+            *p++ = (uint8_t)acc;
+            acc >>= 8;
+            nbits -= 8;
+        }
+    }
+    if (nbits > 0) *p++ = (uint8_t)acc;
+}
+
+void tz_unpack_u64(const uint8_t *in, int64_t nbytes, int64_t n, int width,
+                   uint64_t *out) {
+    uint64_t mask = (width >= 64) ? ~0ULL : ((1ULL << width) - 1);
+    int64_t i = 0;
+    if (width <= 57) {
+        /* fast path: each value's bits fit one unaligned 64-bit window.
+         * Stop before any 8-byte load could cross the buffer end. */
+        for (; i < n; i++) {
+            int64_t bit = i * (int64_t)width;
+            int64_t byte = bit >> 3;
+            if (byte + 8 > nbytes) break;
+            uint64_t w;
+            __builtin_memcpy(&w, in + byte, 8);
+            out[i] = (w >> (bit & 7)) & mask;
+        }
+    }
+    /* tail (and width > 57): byte-at-a-time accumulate, never reads past
+     * the end of the buffer */
+    unsigned __int128 acc = 0;
+    int nbits = 0;
+    int64_t bit0 = i * (int64_t)width;
+    const uint8_t *p = in + (bit0 >> 3);
+    const uint8_t *end = in + nbytes;
+    int skip = (int)(bit0 & 7);
+    if (i < n && p < end) {
+        acc = *p++ >> skip;
+        nbits = 8 - skip;
+    }
+    for (; i < n; i++) {
+        while (nbits < width && p < end) {
+            acc |= (unsigned __int128)(*p++) << nbits;
+            nbits += 8;
+        }
+        out[i] = (uint64_t)acc & mask;
+        acc >>= width;
+        nbits -= width;
+    }
+}

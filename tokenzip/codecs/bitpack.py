@@ -39,6 +39,11 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
         return b""
     if width > 64:
         raise CodecError(f"bit width {width} > 64")
+    from tokenzip.codecs.native import native_pack_bits
+
+    nat = native_pack_bits(values, width)
+    if nat is not None:
+        return nat
     k = (width + 7) // 8
     mat = values.view(np.uint8).reshape(n, nb_per)[:, :k]
     if width % 8 == 0:
@@ -55,6 +60,11 @@ def unpack_bits(buf: bytes | np.ndarray, n: int, width: int) -> np.ndarray:
     need = (n * width + 7) // 8
     if len(b) < need:
         raise CodecError(f"bitpack buffer too short: {len(b)} < {need}")
+    from tokenzip.codecs.native import native_unpack_bits
+
+    nat = native_unpack_bits(np.ascontiguousarray(b), n, width)
+    if nat is not None:
+        return nat
     k = (width + 7) // 8
     full = np.zeros((n, 8), dtype=np.uint8)
     if width % 8 == 0:

@@ -81,9 +81,22 @@ def train_symbol_table(blob: bytes, max_symbols: int = MAX_SYMBOLS) -> list[byte
     return table
 
 
+_PATTERN_CACHE: dict[bytes, re.Pattern] = {}
+
+
 def _pattern(symbols: list[bytes]) -> re.Pattern:
+    """Compiled greedy-longest-match pattern, memoized per symbol table —
+    shared-table encoders hit the same table for every chunk."""
     ordered = sorted(symbols, key=len, reverse=True)
-    return re.compile(b"|".join(map(re.escape, ordered)) or b"(?!)")
+    key = b"\x00".join(ordered)
+    pat = _PATTERN_CACHE.get(key)
+    if pat is None:
+        if len(_PATTERN_CACHE) > 64:
+            _PATTERN_CACHE.clear()
+        pat = _PATTERN_CACHE[key] = re.compile(
+            b"|".join(map(re.escape, ordered)) or b"(?!)"
+        )
+    return pat
 
 
 def pack_table(symbols: list[bytes]) -> bytes:
@@ -133,18 +146,30 @@ def fsst_decode(codes: bytes, symbols: list[bytes]) -> bytes:
     if n == 0:
         return b""
     is_esc = b == ESCAPE
-    # resolve escape chains: a byte is a literal iff preceded by an ESCAPE
-    # that is itself not a literal
+    # resolve escape chains VECTORIZED by run parity: within a maximal run
+    # of consecutive ESCAPE bytes, even offsets are active escapes and odd
+    # offsets are escaped literal 0xFF bytes; an odd-length run additionally
+    # escapes the first byte AFTER the run (and an odd run at end-of-stream
+    # is malformed). No per-escape Python loop — dense-escape (high-entropy)
+    # streams decode at full vector speed.
     esc_idx = np.flatnonzero(is_esc)
     literal = np.zeros(n, dtype=bool)
     esc_active = np.zeros(n, dtype=bool)
-    for i in esc_idx:
-        if literal[i]:
-            continue
-        if i + 1 >= n:
+    if len(esc_idx):
+        starts_mask = np.ones(len(esc_idx), dtype=bool)
+        starts_mask[1:] = np.diff(esc_idx) > 1
+        run_id = np.cumsum(starts_mask) - 1
+        run_start = esc_idx[starts_mask]
+        off = esc_idx - run_start[run_id]
+        even = (off & 1) == 0
+        esc_active[esc_idx[even]] = True
+        literal[esc_idx[~even]] = True
+        run_lens = np.bincount(run_id)
+        after = run_start + run_lens
+        odd_after = after[(run_lens & 1) == 1]
+        if len(odd_after) and odd_after[-1] == n:
             raise ChunkFormatError("fsst: escape at end of stream")
-        esc_active[i] = True
-        literal[i + 1] = True
+        literal[odd_after] = True
     sym_pos = ~(esc_active | literal)
     sym_codes = b[sym_pos]
     if len(sym_codes) and (not symbols or sym_codes.max() >= len(symbols)):

@@ -115,3 +115,43 @@ def native_decode(b: np.ndarray, n: int, width: int) -> tuple[int, np.ndarray] |
     fn = LIB.tz_dec_u32 if width == 32 else LIB.tz_dec_u64
     rc = fn(b.ctypes.data, len(b), n, out.ctypes.data)
     return int(rc), out
+
+
+def _bind_bits() -> None:
+    if LIB is None:
+        return
+    import ctypes as ct
+
+    i64, vp, i32 = ct.c_int64, ct.c_void_p, ct.c_int
+    LIB.tz_pack_u64.restype = None
+    LIB.tz_pack_u64.argtypes = [vp, i64, i32, vp]
+    LIB.tz_pack_u32.restype = None
+    LIB.tz_pack_u32.argtypes = [vp, i64, i32, vp]
+    LIB.tz_unpack_u64.restype = None
+    LIB.tz_unpack_u64.argtypes = [vp, i64, i64, i32, vp]
+
+
+_bind_bits()
+
+
+def native_pack_bits(values: np.ndarray, width: int) -> bytes | None:
+    """Bit-pack a contiguous uint32/uint64 array; None if not applicable."""
+    if LIB is None or width <= 0 or len(values) == 0:
+        return None
+    n = len(values)
+    out = np.empty((n * width + 7) // 8, dtype=np.uint8)
+    if values.dtype == np.dtype(np.uint32) and width <= 32:
+        LIB.tz_pack_u32(values.ctypes.data, n, width, out.ctypes.data)
+    elif values.dtype == np.dtype(np.uint64):
+        LIB.tz_pack_u64(values.ctypes.data, n, width, out.ctypes.data)
+    else:
+        return None
+    return out.tobytes()
+
+
+def native_unpack_bits(b: np.ndarray, n: int, width: int) -> np.ndarray | None:
+    if LIB is None or width <= 0 or width > 64:
+        return None
+    out = np.empty(n, dtype=np.uint64)
+    LIB.tz_unpack_u64(b.ctypes.data, len(b), n, width, out.ctypes.data)
+    return out
