@@ -10,6 +10,31 @@ explicit skew handling.
 
 __version__ = "0.1.0"
 
+
+def _tune_malloc() -> None:
+    """Raise glibc's mmap/trim thresholds so the large short-lived NumPy
+    temporaries the batch kernels allocate are served from the heap arena
+    instead of fresh mmap regions — fresh regions cost a page fault per 4 KiB
+    on first touch, which measured 3-6x slower than compute on this class of
+    VM and serializes across workers. Runs in EVERY process that imports
+    tokenzip (so each Ray worker gets it). Best-effort: silently skipped on
+    non-glibc platforms. Kill-switch: TOKENZIP_NO_MALLOPT=1."""
+    import ctypes
+    import os
+
+    if os.environ.get("TOKENZIP_NO_MALLOPT"):
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 1 << 30)
+        libc.mallopt(M_TRIM_THRESHOLD, 1 << 30)
+    except Exception:
+        pass
+
+
+_tune_malloc()
+
 from tokenzip.codecs import (  # noqa: E402,F401  (public API re-exports)
     INT_CODECS,
     choose_int_codec,

@@ -110,6 +110,8 @@ def _verify_fn(batch, tokens_codec="auto"):
         st = _STAGES[key] = VerifyStage(tokens_codec=tokens_codec)
     return st(batch)
 
+SINK_JOIN_BUCKETS = 256  # doc_id hash buckets for the sink-verification join
+
 DEFAULT_BATCH_SIZE = 2048  # docs/batch: ~3M tokens ~ 13 MB raw at corpus mix
 
 
@@ -340,6 +342,29 @@ class _DocChecksumStage:
             n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
             h = tok_hash * self._B + n_tok.astype(np.uint64) * self._C + uh[inv]
 
+            # partition key: vectorized polynomial hash of the doc_id BYTES
+            # (both sides compute it identically, so a doc's two rows land
+            # in the same reduce bucket without shuffling strings twice)
+            did = batch["doc_id"]
+            did = did.combine_chunks() if isinstance(did, pa.ChunkedArray) else did
+            doffs = np.frombuffer(did.buffers()[1], dtype=np.int32)[
+                did.offset : did.offset + n + 1
+            ].astype(np.int64)
+            dbytes = np.frombuffer(did.buffers()[2], dtype=np.uint8)[
+                doffs[0] : doffs[-1]
+            ].astype(np.uint64)
+            dlens = np.diff(doffs)
+            dmax = int(dlens.max()) if n else 0
+            dpow = np.ones(dmax + 1, np.uint64)
+            if dmax:
+                np.cumprod(np.full(dmax, self._B, np.uint64), out=dpow[1:])
+            dstart = doffs - doffs[0]
+            dw = np.arange(len(dbytes), dtype=np.int64) - np.repeat(dstart[:-1], dlens)
+            dterms = (dbytes + self._MIX) * dpow[dw]
+            dcs = np.zeros(len(dbytes) + 1, np.uint64)
+            np.cumsum(dterms, out=dcs[1:])
+            did_hash = dcs[dstart[1:]] - dcs[dstart[:-1]]
+
         tvs = np.zeros(total + 1, np.int64)
         np.cumsum(values, dtype=np.int64, out=tvs[1:])
         tv = tvs[starts[1:]] - tvs[starts[:-1]]
@@ -348,6 +373,7 @@ class _DocChecksumStage:
             {
                 "doc_id": batch["doc_id"],
                 "source": batch["source"],
+                "p": pa.array((did_hash % np.uint64(SINK_JOIN_BUCKETS)).astype(np.int32)),
                 "h": pa.array(h.view(np.int64)),
                 "is_o": pa.array(np.full(n, o)),
                 "n_tok_o": pa.array(n_tok * o),
@@ -375,9 +401,14 @@ def verify_sink_roundtrip(
     per-row checksums (one ~50-byte row per doc per side); a sink-side
     corruption — write path, parquet round-trip, codec bug — breaks the
     checksum equality. Result columns match verify_roundtrip:
-    (source, n_docs, n_equal, sum_n_tok, sum_token_values)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    (source, n_docs, n_equal, sum_n_tok, sum_token_values).
 
+    Join mechanics: rows are hash-bucketed by doc_id into SINK_JOIN_BUCKETS
+    partitions (the key is computed identically on both sides inside the
+    checksum stage); one groupby(p) shuffle co-locates each doc's two rows,
+    and the per-bucket reduce is a vectorized pandas per-doc fold — orders
+    of magnitude faster than a per-key multi-aggregate at millions of docs.
+    At 100 TB, raise SINK_JOIN_BUCKETS so a bucket's rows fit one task."""
     # stateless checksum stages run as plain TASKS (fixed actor pools here
     # would deadlock: two pools each sized to the cluster over-subscribe it)
     orig = ray.data.read_parquet(input_paths).map_batches(
@@ -392,45 +423,47 @@ def verify_sink_roundtrip(
         zero_copy_batch=True,
         fn_kwargs={"side": "d"},
     )
-    per_doc = (
-        orig.union(decoded)
-        .groupby("doc_id")
-        .aggregate(
-            Min("source", alias_name="source"),
-            Count(alias_name="cnt"),
-            Sum("is_o", alias_name="n_o"),
-            Min("h", alias_name="hmin"),
-            Max("h", alias_name="hmax"),
-            Sum("n_tok_o", alias_name="sum_n_tok"),
-            Sum("tv_o", alias_name="sum_tv"),
-        )
-    )
 
-    def _partial(b: pa.Table) -> pa.Table:
+    def _bucket_reduce(g):
         import pandas as pd
 
-        eq = (
-            (b["cnt"].to_numpy(zero_copy_only=False) == 2)
-            & (
-                b["hmin"].to_numpy(zero_copy_only=False)
-                == b["hmax"].to_numpy(zero_copy_only=False)
-            )
-        ).astype(np.int64)
-        df = pd.DataFrame(
+        a = g.groupby("doc_id").agg(
+            cnt=("h", "size"),
+            hmin=("h", "min"),
+            hmax=("h", "max"),
+            n_o=("is_o", "sum"),
+            src=("source", "min"),
+            ntok=("n_tok_o", "sum"),
+            tv=("tv_o", "sum"),
+        )
+        eq = ((a["cnt"] == 2) & (a["n_o"] == 1) & (a["hmin"] == a["hmax"])).astype(
+            "int64"
+        )
+        out = pd.DataFrame(
             {
-                "source": b["source"].to_pylist(),
-                "n_docs": b["n_o"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "source": a["src"],
+                "n_docs": a["n_o"].astype("int64"),
                 "n_equal": eq,
-                "sum_n_tok": b["sum_n_tok"].to_numpy(zero_copy_only=False),
-                "sum_token_values": b["sum_tv"].to_numpy(zero_copy_only=False),
+                "sum_n_tok": a["ntok"].astype("int64"),
+                "sum_token_values": a["tv"].astype("int64"),
             }
         )
-        agg = df.groupby("source", as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return out.groupby("source", as_index=False).sum()
 
-    # partials are <= sources rows per block — fold them on the driver
+    # coalesce the hundreds of tiny checksum blocks (no shuffle) before the
+    # bucket groupby: the sort-shuffle fan-out is in_blocks x buckets tiny
+    # objects, and object-store round-trips dominate if in_blocks is large
+    n_coalesced = max(8, 2 * _default_concurrency())
+    per_doc = (
+        orig.union(decoded)
+        .repartition(n_coalesced, shuffle=False)
+        .groupby("p")
+        .map_groups(_bucket_reduce, batch_format="pandas")
+    )
+
+    # bucket partials are <= sources rows each — fold them on the driver
     # instead of paying two more all-to-all rounds for 5 output rows
-    parts = per_doc.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    parts = per_doc.to_pandas()
     res = (
         parts.groupby("source", as_index=False)
         .sum()
