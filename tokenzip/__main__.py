@@ -1,9 +1,10 @@
 """CLI entry points: the ``ray job submit``-able surface of the engine.
 
-    python -m tokenzip compress  <input_dir_or_glob> <out_dir> [--shared-tables]
-    python -m tokenzip decompress <out_dir> <restored_dir>
-    python -m tokenzip verify    <input_dir_or_glob>
-    python -m tokenzip stats     <out_dir>
+    python -m tokenzip compress    <input_dir_or_glob> <out_dir> [--shared-tables]
+    python -m tokenzip decompress  <out_dir> <restored_dir>
+    python -m tokenzip verify      <input_dir_or_glob>
+    python -m tokenzip verify-sink <input_dir_or_glob> <out_dir>
+    python -m tokenzip stats       <out_dir>
 
 Owns its Ray session (guarded init; the library itself never calls
 ray.init) — submit with ``ray job submit -- python -m tokenzip compress ...``
@@ -46,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
 
     v = sub.add_parser("verify", help="encode->decode->equality over an input table")
     v.add_argument("input")
+
+    vs = sub.add_parser(
+        "verify-sink",
+        help="decode the WRITTEN chunks and join them to the input by doc_id",
+    )
+    vs.add_argument("input"), vs.add_argument("out_dir")
 
     st = sub.add_parser("stats", help="print the manifest totals of a run")
     st.add_argument("out_dir")
@@ -93,6 +100,14 @@ def main(argv: list[str] | None = None) -> int:
             from tokenzip.pipeline import verify_roundtrip
 
             df = verify_roundtrip(_paths(args.input)).to_pandas()
+            ok = bool((df["n_docs"] == df["n_equal"]).all())
+            print(df.to_string(index=False))
+            print(json.dumps({"all_equal": ok}))
+            return 0 if ok else 1
+        elif args.cmd == "verify-sink":
+            from tokenzip.pipeline import verify_sink_roundtrip
+
+            df = verify_sink_roundtrip(_paths(args.input), args.out_dir)
             ok = bool((df["n_docs"] == df["n_equal"]).all())
             print(df.to_string(index=False))
             print(json.dumps({"all_equal": ok}))

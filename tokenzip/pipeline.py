@@ -277,9 +277,28 @@ def chunk_meta_dataset(out_dir: str) -> "ray.data.Dataset":
     )
 
 
+def _bytes_based_blocks(paths: list[str], target: int = 16 << 20) -> int:
+    """Block count sized to input bytes (~``target`` bytes per block):
+    balances map stages at high parallelism — one-block-per-file leaves the
+    slowest shard gating the stage; one-block-per-tiny-file drowns the
+    scheduler in per-task overhead."""
+    total = sum(os.path.getsize(p) for p in paths)
+    return int(total / target) or 1
+
+
 def decompress(out_dir: str, concurrency: int | None = None) -> "ray.data.Dataset":
     """Read chunk parquet -> decode -> Dataset with the original schema."""
-    ds = ray.data.read_parquet(os.path.join(out_dir, "chunks"))
+    chunks_dir = os.path.join(out_dir, "chunks")
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(chunks_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    ds = ray.data.read_parquet(
+        chunks_dir,
+        override_num_blocks=min(len(files), max(8, _bytes_based_blocks(files))),
+    )
     sidecar = os.path.join(out_dir, "symbols.json")
     kwargs = dict(
         batch_format="pyarrow",
@@ -374,12 +393,93 @@ class _DocChecksumStage:
                 "doc_id": batch["doc_id"],
                 "source": batch["source"],
                 "p": pa.array((did_hash % np.uint64(SINK_JOIN_BUCKETS)).astype(np.int32)),
+                "dh": pa.array(did_hash.view(np.int64)),
                 "h": pa.array(h.view(np.int64)),
                 "is_o": pa.array(np.full(n, o)),
                 "n_tok_o": pa.array(n_tok * o),
                 "tv_o": pa.array(tv * o),
             }
         )
+
+
+class _BucketDigestStage:
+    """Fold per-doc checksum rows into per-(source, bucket) DIGESTS: doc
+    count and an order-insensitive wrapping sum of mix(doc_id_hash, row
+    checksum). Two sides whose digests agree bucket-by-bucket are equal
+    w.h.p.; only mismatched buckets need the per-doc drill-down. This keeps
+    the sink-verification shuffle CONSTANT-SIZE (sources x buckets rows)
+    regardless of corpus size — the merkle-bucket pattern."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        p = batch["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        key = inv * SINK_JOIN_BUCKETS + p
+        k = len(uniq) * SINK_JOIN_BUCKETS
+        with np.errstate(over="ignore"):
+            dh = batch["dh"].to_numpy(zero_copy_only=False).view(np.uint64)
+            h = batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+            mix = dh * np.uint64(0x9E3779B97F4A7C15) + h
+        is_o = batch["is_o"].to_numpy(zero_copy_only=False).astype(bool)
+        out = {}
+        n_o = np.bincount(key[is_o], minlength=k).astype(np.int64)
+        n_d = np.bincount(key[~is_o], minlength=k).astype(np.int64)
+        hs_o = np.zeros(k, np.uint64)
+        hs_d = np.zeros(k, np.uint64)
+        with np.errstate(over="ignore"):
+            np.add.at(hs_o, key[is_o], mix[is_o])
+            np.add.at(hs_d, key[~is_o], mix[~is_o])
+        ntok = np.zeros(k, np.int64)
+        tv = np.zeros(k, np.int64)
+        np.add.at(ntok, key, batch["n_tok_o"].to_numpy(zero_copy_only=False))
+        np.add.at(tv, key, batch["tv_o"].to_numpy(zero_copy_only=False))
+        nz = np.flatnonzero(n_o + n_d)
+        return pa.table(
+            {
+                "source": pa.array(
+                    [str(uniq[i // SINK_JOIN_BUCKETS]) for i in nz], pa.string()
+                ),
+                "p": pa.array((nz % SINK_JOIN_BUCKETS).astype(np.int32)),
+                "n_o": pa.array(n_o[nz]),
+                "n_d": pa.array(n_d[nz]),
+                "hs_o": pa.array(hs_o[nz].view(np.int64)),
+                "hs_d": pa.array(hs_d[nz].view(np.int64)),
+                "sum_n_tok": pa.array(ntok[nz]),
+                "sum_tv": pa.array(tv[nz]),
+            }
+        )
+
+
+def _fold_digests(b: pa.Table) -> pa.Table:
+    """Re-fold digest rows by (source, p) inside one batch — a combiner, so
+    the digest tree needs NO all-to-all aggregate (wrapping uint64 sums are
+    associative/commutative)."""
+    src = b["source"].to_numpy(zero_copy_only=False)
+    p = b["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq, inv = np.unique(src, return_inverse=True)
+    key = inv * SINK_JOIN_BUCKETS + p
+    k = len(uniq) * SINK_JOIN_BUCKETS
+    sums = {}
+    for c in ("n_o", "n_d", "sum_n_tok", "sum_tv"):
+        acc = np.zeros(k, np.int64)
+        np.add.at(acc, key, b[c].to_numpy(zero_copy_only=False))
+        sums[c] = acc
+    with np.errstate(over="ignore"):
+        for c in ("hs_o", "hs_d"):
+            acc = np.zeros(k, np.uint64)
+            np.add.at(acc, key, b[c].to_numpy(zero_copy_only=False).view(np.uint64))
+            sums[c] = acc.view(np.int64)
+    nz = np.flatnonzero(sums["n_o"] + sums["n_d"])
+    return pa.table(
+        {
+            "source": pa.array(
+                [str(uniq[i // SINK_JOIN_BUCKETS]) for i in nz], pa.string()
+            ),
+            "p": pa.array((nz % SINK_JOIN_BUCKETS).astype(np.int32)),
+            **{c: pa.array(sums[c][nz]) for c in
+               ("n_o", "n_d", "hs_o", "hs_d", "sum_n_tok", "sum_tv")},
+        }
+    )
 
 
 def _checksum_fn(batch, side="o"):
@@ -403,76 +503,134 @@ def verify_sink_roundtrip(
     checksum equality. Result columns match verify_roundtrip:
     (source, n_docs, n_equal, sum_n_tok, sum_token_values).
 
-    Join mechanics: rows are hash-bucketed by doc_id into SINK_JOIN_BUCKETS
-    partitions (the key is computed identically on both sides inside the
-    checksum stage); one groupby(p) shuffle co-locates each doc's two rows,
-    and the per-bucket reduce is a vectorized pandas per-doc fold — orders
-    of magnitude faster than a per-key multi-aggregate at millions of docs.
-    At 100 TB, raise SINK_JOIN_BUCKETS so a bucket's rows fit one task."""
+    Join mechanics (merkle-bucket): each side folds its per-doc checksums
+    into per-(source, doc_id-hash-bucket) DIGESTS inside the map stage, so
+    the only shuffle is sources x SINK_JOIN_BUCKETS tiny digest rows —
+    CONSTANT size regardless of corpus size. Matching digests prove bucket
+    equality w.h.p.; only mismatched buckets pay a per-doc drill-down pass
+    (filtered re-scan), which at 100 TB touches a ~1/SINK_JOIN_BUCKETS
+    sliver of the data and only when the sink is actually corrupt."""
+    import pandas as pd
+
     # stateless checksum stages run as plain TASKS (fixed actor pools here
     # would deadlock: two pools each sized to the cluster over-subscribe it)
-    orig = ray.data.read_parquet(input_paths).map_batches(
-        _checksum_fn,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        fn_kwargs={"side": "o"},
-    )
-    decoded = decompress(out_dir, concurrency=concurrency).map_batches(
-        _checksum_fn,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        fn_kwargs={"side": "d"},
-    )
-
-    def _bucket_reduce(g):
-        import pandas as pd
-
-        a = g.groupby("doc_id").agg(
-            cnt=("h", "size"),
-            hmin=("h", "min"),
-            hmax=("h", "max"),
-            n_o=("is_o", "sum"),
-            src=("source", "min"),
-            ntok=("n_tok_o", "sum"),
-            tv=("tv_o", "sum"),
+    def per_doc_rows():
+        orig = ray.data.read_parquet(
+            input_paths,
+            override_num_blocks=max(len(input_paths), _bytes_based_blocks(input_paths)),
+        ).map_batches(
+            _checksum_fn,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_kwargs={"side": "o"},
         )
-        eq = ((a["cnt"] == 2) & (a["n_o"] == 1) & (a["hmin"] == a["hmax"])).astype(
-            "int64"
+        decoded = decompress(out_dir, concurrency=concurrency).map_batches(
+            _checksum_fn,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_kwargs={"side": "d"},
         )
-        out = pd.DataFrame(
+        return orig, decoded
+
+    orig, decoded = per_doc_rows()
+    # digest combine tree: per-batch digests -> no-shuffle coalesce ->
+    # in-stage fold -> tiny driver fold. ZERO all-to-all operators.
+    parts = (
+        orig.union(decoded)
+        .map_batches(
+            _cached_digest_fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .repartition(max(8, 2 * _default_concurrency()), shuffle=False)
+        .map_batches(_fold_digests, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    with np.errstate(over="ignore"):
+        digests = (
+            parts.assign(
+                hs_o=parts["hs_o"].astype("uint64"),
+                hs_d=parts["hs_d"].astype("uint64"),
+            )
+            .groupby(["source", "p"], as_index=False)
+            .sum()
+        )
+    ok = (digests["n_o"] == digests["n_d"]) & (digests["hs_o"] == digests["hs_d"])
+    res = (
+        pd.DataFrame(
             {
-                "source": a["src"],
-                "n_docs": a["n_o"].astype("int64"),
-                "n_equal": eq,
-                "sum_n_tok": a["ntok"].astype("int64"),
-                "sum_token_values": a["tv"].astype("int64"),
+                "source": digests["source"],
+                "n_docs": digests["n_o"].astype("int64"),
+                "n_equal": (digests["n_o"] * ok).astype("int64"),
+                "sum_n_tok": digests["sum_n_tok"].astype("int64"),
+                "sum_token_values": digests["sum_tv"].astype("int64"),
             }
         )
-        return out.groupby("source", as_index=False).sum()
-
-    # coalesce the hundreds of tiny checksum blocks (no shuffle) before the
-    # bucket groupby: the sort-shuffle fan-out is in_blocks x buckets tiny
-    # objects, and object-store round-trips dominate if in_blocks is large
-    n_coalesced = max(8, 2 * _default_concurrency())
-    per_doc = (
-        orig.union(decoded)
-        .repartition(n_coalesced, shuffle=False)
-        .groupby("p")
-        .map_groups(_bucket_reduce, batch_format="pandas")
-    )
-
-    # bucket partials are <= sources rows each — fold them on the driver
-    # instead of paying two more all-to-all rounds for 5 output rows
-    parts = per_doc.to_pandas()
-    res = (
-        parts.groupby("source", as_index=False)
+        .groupby("source", as_index=False)
         .sum()
-        .sort_values("source")
-        .reset_index(drop=True)
     )
+
+    bad = digests.loc[~ok, ["source", "p"]]
+    if len(bad):
+        # drill-down: per-doc compare ONLY inside the mismatched buckets
+        bad_ps = set(int(p) for p in bad["p"].unique())
+        orig, decoded = per_doc_rows()
+
+        def _only_bad(b: pa.Table) -> pa.Table:
+            keep = np.isin(
+                b["p"].to_numpy(zero_copy_only=False), np.array(sorted(bad_ps))
+            )
+            return b.filter(pa.array(keep))
+
+        rows = (
+            orig.union(decoded)
+            .map_batches(_only_bad, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("p")
+            .map_groups(_drilldown_reduce, batch_format="pandas")
+            .to_pandas()
+        )
+        # add back per-doc matches ONLY for the exact (source, bucket)
+        # combinations whose digest mismatched — other sources sharing a
+        # bad p were already fully counted via their ok digests
+        add = (
+            rows.merge(bad, on=["source", "p"], how="inner")
+            .groupby("source", as_index=False)["n_equal"]
+            .sum()
+        )
+        res = res.merge(add, on="source", how="left", suffixes=("", "_add"))
+        res["n_equal"] = (
+            res["n_equal"] + res["n_equal_add"].fillna(0).astype("int64")
+        )
+        res = res.drop(columns=["n_equal_add"])
+
+    res = res.sort_values("source").reset_index(drop=True)
     for c in ("n_docs", "n_equal", "sum_n_tok", "sum_token_values"):
         res[c] = res[c].astype("int64")
     return res
+
+
+def _drilldown_reduce(g):
+    import pandas as pd
+
+    a = g.groupby("doc_id").agg(
+        cnt=("h", "size"),
+        hmin=("h", "min"),
+        hmax=("h", "max"),
+        n_o=("is_o", "sum"),
+        src=("source", "min"),
+    )
+    eq = ((a["cnt"] == 2) & (a["n_o"] == 1) & (a["hmin"] == a["hmax"])).astype("int64")
+    out = pd.DataFrame({"source": a["src"], "n_equal": eq})
+    per = out.groupby("source", as_index=False).sum()
+    per["p"] = int(g["p"].iloc[0])
+    return per
+
+
+_DIGEST_STAGE: list = []
+
+
+def _cached_digest_fn(batch):
+    if not _DIGEST_STAGE:
+        _DIGEST_STAGE.append(_BucketDigestStage())
+    return _DIGEST_STAGE[0](batch)
 
 
 def verify_roundtrip(
@@ -486,9 +644,11 @@ def verify_roundtrip(
     (source, n_docs, n_equal, sum_n_tok, sum_token_values)."""
     from ray.data.aggregate import Sum
 
-    # one block per file -> read fuses with the verify stage (see compress)
+    # bytes-based split so the fused read+verify tasks balance at high
+    # parallelism (one block per file left the slowest shard gating)
     ds = ray.data.read_parquet(
-        input_paths, override_num_blocks=len(input_paths)
+        input_paths,
+        override_num_blocks=max(len(input_paths), _bytes_based_blocks(input_paths)),
     )
     partials = ds.map_batches(
         _verify_fn,

@@ -33,11 +33,15 @@ class EncodeStage:
         by_source: bool = True,
         selector_sample: int = 65_536,
         max_chunk_tokens: int = 2_000_000,
+        assume_sorted: bool = False,
     ):
         self.tokens_codec = tokens_codec
         self.id_codec = id_codec
         self.by_source = by_source
         self.selector_sample = selector_sample
+        # caller guarantees the batch is already ordered by the partition
+        # keys (VerifyStage sorts once and shares) — skip the sort + take
+        self.assume_sorted = assume_sorted
         # size-based sub-chunking: a (frag, source) group larger than this
         # token budget is split so no single chunk (task unit, decode unit,
         # memory unit) is unboundedly large — the explicit
@@ -71,13 +75,14 @@ class EncodeStage:
         if self.by_source:
             keys.append("source")
         if keys:
-            order = [(k, "ascending") for k in keys]
-            batch = batch.take(
-                pc.sort_indices(
-                    batch.append_column("_i", pa.array(np.arange(batch.num_rows))),
-                    sort_keys=order + [("_i", "ascending")],
+            if not self.assume_sorted:
+                order = [(k, "ascending") for k in keys]
+                batch = batch.take(
+                    pc.sort_indices(
+                        batch.append_column("_i", pa.array(np.arange(batch.num_rows))),
+                        sort_keys=order + [("_i", "ascending")],
+                    )
                 )
-            )
             key_np = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
             changed = np.zeros(batch.num_rows - 1, dtype=bool)
             for col in key_np:
@@ -190,7 +195,9 @@ class VerifyStage:
     )
 
     def __init__(self, tokens_codec: str = "auto"):
-        self.enc = EncodeStage(tokens_codec=tokens_codec, by_source=True)
+        self.enc = EncodeStage(
+            tokens_codec=tokens_codec, by_source=True, assume_sorted=True
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from tokenzip.chunk import _tokens_parts
@@ -203,16 +210,16 @@ class VerifyStage:
                 {f.name: pa.array([], f.type) for f in self.PARTIAL_SCHEMA},
                 schema=self.PARTIAL_SCHEMA,
             )
-        chunks = self.enc(batch)
-        back = decode_chunks(chunks)
-        # decode output preserves the encoder's (source, stable) order, so
-        # aligning costs ONE take of the original batch with the same
-        # permutation — no sort of the decoded side, no string-key sort
+        # sort ONCE by (source, stable); the encoder is told the batch is
+        # pre-sorted so it never re-takes, and the decode output preserves
+        # this order — alignment is free
         perm = pc.sort_indices(
             batch.append_column("_i", pa.array(np.arange(batch.num_rows))),
             sort_keys=[("source", "ascending"), ("_i", "ascending")],
         )
         orig = batch.take(perm)
+        chunks = self.enc(orig)
+        back = decode_chunks(chunks)
         got = back
         if got.num_rows != orig.num_rows:
             raise AssertionError(
