@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": a.q_dedup_exact,
         "embedding_topk": a.q_embedding_topk,
         "text_quality_by_lang": a.q_text_quality_by_lang,
+        "token_counts_by_lang": a.q_token_counts_by_lang,
         "intcol_roundtrip_lineitem": q.q_intcol_roundtrip_lineitem,
         "events_ts_roundtrip": q.q_events_ts_roundtrip,
         "dedup_minhash": a.q_dedup_minhash,
@@ -198,6 +199,14 @@ scored AS (
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank,
        CAST(vec_id AS BIGINT) AS vec_id
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+        "token_counts_by_lang": """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]| +')))
+            AS BIGINT) AS n_re_tokens
+FROM documents GROUP BY lang ORDER BY lang
 """,
         "text_quality_by_lang": """
 SELECT lang,

@@ -358,6 +358,64 @@ def q_text_quality_by_lang(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish regex segmentation
+# ---------------------------------------------------------------------------
+
+# simple ASCII alternation so Python's re and DuckDB's RE2 segment
+# identically: letter runs | single digits | single punctuation | space runs
+TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]| +"
+
+
+class _TokenCountStage:
+    """Per-batch PARTIAL (lang, n_docs, n_ws_tokens, n_re_tokens): the
+    compiled regex lives in the worker (once), counts are pre-aggregated
+    before the tiny global groupby."""
+
+    def __init__(self):
+        import re
+
+        self.pat = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        texts = batch["text"].to_pylist()
+        ws = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+        rx = np.array([len(self.pat.findall(t)) for t in texts], dtype=np.int64)
+        df = pd.DataFrame({"lang": langs, "ws": ws, "rx": rx})
+        agg = df.groupby("lang", as_index=False).agg(
+            n_docs=("ws", "size"), n_ws_tokens=("ws", "sum"), n_re_tokens=("rx", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def q_token_counts_by_lang(sf_dir: str):
+    """Whitespace + BPE-ish-regex token counts per language — the token
+    accounting a training-data pipeline runs before budgeting; both
+    tokenizations are oracle-checked (DuckDB regexp_extract_all runs the
+    identical pattern)."""
+    ds = _docs(sf_dir, ["lang", "text"])
+    partials = ds.map_batches(
+        _cached("tokcount", _TokenCountStage),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+    )
+    out = (
+        partials.groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_ws_tokens", alias_name="n_ws_tokens"),
+            Sum("n_re_tokens", alias_name="n_re_tokens"),
+        )
+        .sort("lang")
+        .to_pandas()
+    )
+    for c in ("n_docs", "n_ws_tokens", "n_re_tokens"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Near-duplicate detection: MinHash + LSH banding (fully distributed)
 # ---------------------------------------------------------------------------
 

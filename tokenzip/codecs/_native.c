@@ -188,3 +188,42 @@ void tz_unpack_u64(const uint8_t *in, int64_t nbytes, int64_t n, int width,
         nbits -= width;
     }
 }
+
+/* Stream VByte (stream-split varint): 2-bit length codes packed 4 per
+ * control byte LSB-first, full little-endian value bytes in a separate
+ * payload stream — byte-identical to the NumPy layout in core.py. */
+
+int64_t tz_svb_enc_u32(const uint32_t *in, int64_t n, uint8_t *control,
+                       uint8_t *data) {
+    uint8_t *d = data;
+    for (int64_t i = 0; i < n; i += 4) {
+        uint8_t ctrl = 0;
+        int64_t m = (n - i < 4) ? (n - i) : 4;
+        for (int64_t j = 0; j < m; j++) {
+            uint32_t v = in[i + j];
+            int nb = 1 + (v >= (1u << 8)) + (v >= (1u << 16)) + (v >= (1u << 24));
+            ctrl |= (uint8_t)(nb - 1) << (2 * j);
+            for (int b = 0; b < nb; b++) {
+                *d++ = (uint8_t)(v & 0xFFu);
+                v >>= 8;
+            }
+        }
+        control[i >> 2] = ctrl;
+    }
+    return (int64_t)(d - data);
+}
+
+/* returns 0 ok, 1 = payload truncated */
+int tz_svb_dec_u32(const uint8_t *control, const uint8_t *data,
+                   int64_t data_len, int64_t n, uint32_t *out) {
+    const uint8_t *d = data;
+    const uint8_t *end = data + data_len;
+    for (int64_t i = 0; i < n; i++) {
+        int nb = ((control[i >> 2] >> (2 * (i & 3))) & 3) + 1;
+        if (d + nb > end) return 1;
+        uint32_t v = 0;
+        for (int b = 0; b < nb; b++) v |= (uint32_t)(*d++) << (8 * b);
+        out[i] = v;
+    }
+    return 0;
+}

@@ -145,6 +145,11 @@ def _enc_svb(values, width, zz=None):
         raise CodecError("svb codec requires values within int32")
     u = zz.astype(np.uint32) if zz is not None else _zz(values, 32).astype(np.uint32)
     n = len(u)
+    from tokenzip.codecs.native import native_svb_encode
+
+    nat = native_svb_encode(np.ascontiguousarray(u))
+    if nat is not None:
+        return [nat[0], nat[1]], {"w": width}
     nb = _svb_nbytes(u)
     codes = (nb - 1).astype(np.uint8)
     pad = (-n) % 4
@@ -164,6 +169,19 @@ def _dec_svb(streams, meta, n):
     control = np.frombuffer(streams[0], dtype=np.uint8)
     if len(control) < (n + 3) // 4:
         raise ChunkFormatError("svb control stream too short")
+    from tokenzip.codecs.native import native_svb_decode
+
+    if n:
+        nat = native_svb_decode(
+            np.ascontiguousarray(control),
+            np.ascontiguousarray(np.frombuffer(streams[1], dtype=np.uint8)),
+            n,
+        )
+        if nat is not None:
+            rc, u = nat
+            if rc:
+                raise ChunkFormatError("svb payload stream too short")
+            return _unzz(u, 32)
     codes = np.empty(len(control) * 4, dtype=np.int64)
     for i in range(4):
         codes[i::4] = (control >> (2 * i)) & 0x03

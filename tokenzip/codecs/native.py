@@ -155,3 +155,40 @@ def native_unpack_bits(b: np.ndarray, n: int, width: int) -> np.ndarray | None:
     out = np.empty(n, dtype=np.uint64)
     LIB.tz_unpack_u64(b.ctypes.data, len(b), n, width, out.ctypes.data)
     return out
+
+
+def _bind_svb() -> None:
+    if LIB is None:
+        return
+    import ctypes as ct
+
+    i64, vp = ct.c_int64, ct.c_void_p
+    LIB.tz_svb_enc_u32.restype = i64
+    LIB.tz_svb_enc_u32.argtypes = [vp, i64, vp, vp]
+    LIB.tz_svb_dec_u32.restype = ct.c_int
+    LIB.tz_svb_dec_u32.argtypes = [vp, vp, i64, i64, vp]
+
+
+_bind_svb()
+
+
+def native_svb_encode(u: np.ndarray) -> tuple[bytes, bytes] | None:
+    """Stream-VByte encode a contiguous uint32 array -> (control, payload)."""
+    if LIB is None or u.dtype != np.dtype(np.uint32) or len(u) == 0:
+        return None
+    n = len(u)
+    control = np.zeros((n + 3) // 4, dtype=np.uint8)
+    data = np.empty(n * 4, dtype=np.uint8)
+    nbytes = LIB.tz_svb_enc_u32(u.ctypes.data, n, control.ctypes.data, data.ctypes.data)
+    return control.tobytes(), data[:nbytes].tobytes()
+
+
+def native_svb_decode(control: np.ndarray, data: np.ndarray, n: int):
+    """Returns (rc, uint32 array); rc 1 = payload truncated."""
+    if LIB is None:
+        return None
+    out = np.empty(n, dtype=np.uint32)
+    rc = LIB.tz_svb_dec_u32(
+        control.ctypes.data, data.ctypes.data, len(data), n, out.ctypes.data
+    )
+    return int(rc), out
