@@ -109,9 +109,14 @@ def test_shared_tables_mode(ray_session, paths, tmp_path):
     t = pq_.read_table(os.path.join(out, "chunks", chunk_dirs[0]),
                        columns=["doc_id_enc", "source_enc"])
     codec, meta, streams = unpack_blob(t["doc_id_enc"][0].as_py())
-    assert codec == "fsst_shared" and "th" in meta
+    # structural floor may beat the shared table on machine-generated ids;
+    # either way the chunk must be table-free or hash-referenced
+    assert codec in ("fsst_shared", "prefix_int")
+    if codec == "fsst_shared":
+        assert "th" in meta
     codec2, meta2, _ = unpack_blob(t["source_enc"][0].as_py())
-    assert codec2 == "dict_str_shared"
+    # single-source chunks hit the 0-bit per-chunk dict floor
+    assert codec2 in ("dict_str_shared", "dict_str")
     man = json.load(open(os.path.join(out, "manifest.json")))
     assert all(f["shared_tables"] for f in man["fragments"].values())
     # decode resolves hashes via the sidecar, bit-identical roundtrip
@@ -192,9 +197,11 @@ def test_shared_tables_per_source_and_unseen(ray_session, tmp_path):
 
     def mk(doc0, n, src):
         toks = pa.array([np.arange(3, dtype=np.int32)] * n, pa.list_(pa.int32()))
+        # NON-structural ids (letter suffix defeats prefix_int) so the
+        # shared FSST table is actually chosen
         return pa.table(
             {
-                "doc_id": pa.array([f"doc-{doc0 + i:08d}" for i in range(n)]),
+                "doc_id": pa.array([f"doc-{doc0 + i:08d}-x{i % 7}" for i in range(n)]),
                 "tokens": toks,
                 "n_tok": pa.array([3] * n, pa.int32()),
                 "source": pa.array([src] * n),
@@ -225,5 +232,7 @@ def test_shared_tables_per_source_and_unseen(ray_session, tmp_path):
     assert seen["unseen"] == refs["doc_id_fsst"]
 
     df = decompress(out, concurrency=2).to_pandas().sort_values("doc_id").reset_index(drop=True)
-    assert list(df["doc_id"]) == [f"doc-{i:08d}" for i in range(128)]
+    assert list(df["doc_id"]) == sorted(
+        f"doc-{i:08d}-x{i % 7}" for i in range(64)
+    ) + sorted(f"doc-{64 + i:08d}-x{i % 7}" for i in range(64))
     assert set(df["source"]) == {"alpha", "unseen"}

@@ -134,13 +134,22 @@ def encode_batch(
     if shared and ("doc_id_fsst" in shared or "doc_id_fsst_by_source" in shared):
         # per-source symbol table when this chunk's source was sampled;
         # the global table is the fallback for unseen sources (FSST's
-        # escape mechanism keeps any-bytes correctness either way)
+        # escape mechanism keeps any-bytes correctness either way).
+        # Structural floor: machine-generated ids (prefix+int) compress
+        # far below any byte-level table — shared mode must never lose to
+        # the stateless path, so the cheaper of the two wins per chunk.
         th = None
         by_src = shared.get("doc_id_fsst_by_source") or {}
         if by_src and n_rows:
             th = by_src.get(batch["source"][0].as_py())
         th = th or shared.get("doc_id_fsst")
         doc_id_blob = encode_str_column(batch["doc_id"], "fsst_shared", table_hash=th)
+        try:
+            structural = encode_str_column(batch["doc_id"], "prefix_int")
+            if len(structural) < len(doc_id_blob):
+                doc_id_blob = structural
+        except Exception:
+            pass
     else:
         doc_id_blob = encode_str_column(batch["doc_id"], id_codec)
     if shared and "source_dict" in shared:
@@ -148,6 +157,11 @@ def encode_batch(
             source_blob = encode_str_column(
                 batch["source"], "dict_str_shared", table_hash=shared["source_dict"]
             )
+            # floor: a single-source chunk packs to a 0-bit per-chunk dict,
+            # below the shared dict's log2(n_sources) bits/row — never lose
+            alt = encode_str_column(batch["source"], "auto")
+            if len(alt) < len(source_blob):
+                source_blob = alt
         except Exception:  # value outside the shared dict: per-chunk fallback
             source_blob = encode_str_column(batch["source"], "auto")
     else:
