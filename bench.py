@@ -33,7 +33,14 @@ def run_bench() -> dict:
             include_dashboard=False,
             logging_level="ERROR",
         )
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # Ray Data reserves 50% of cluster resources per operator by default;
+    # for these short multi-op pipelines the reservation leaves ~60% of the
+    # cluster idle (long-lived streaming read generators hold slots while
+    # map tasks starve). 0.1 measured: verify 24.1s -> 19.8s at 8 cpus,
+    # 2->8 stage efficiency 0.71 -> 0.86.
+    ctx.op_resource_reservation_ratio = 0.1
 
     from tokenzip.corpus import corpus_paths
     from tokenzip.pipeline import (

@@ -644,8 +644,11 @@ def verify_roundtrip(
     (source, n_docs, n_equal, sum_n_tok, sum_token_values)."""
     from ray.data.aggregate import Sum
 
-    # bytes-based split so the fused read+verify tasks balance at high
-    # parallelism (one block per file left the slowest shard gating)
+    # bytes-based split for fine verify granularity, with HALF-WEIGHT read
+    # tasks: a split read runs as a separate operator whose long-lived
+    # streaming-generator tasks otherwise hold full scheduler slots and
+    # starve the verify tasks (measured 38% cluster utilization); at 0.5
+    # CPU the reads interleave with verify instead of displacing it.
     ds = ray.data.read_parquet(
         input_paths,
         override_num_blocks=max(len(input_paths), _bytes_based_blocks(input_paths)),
