@@ -29,10 +29,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-# 8 uniform shards measured best end-to-end: more shards multiply the
-# partitioned-write dirs and small chunk files, regressing the write/read
-# paths at higher parallelism (32-shard corpora measured ~35% slower hi-side)
-N_SHARDS = 8
+# 32 uniform shards: enough per-file fused read+verify tasks to keep 8-32
+# cores busy (files are the parallelism unit at 100 TB). The round-1
+# measurement that 32 shards regress the partitioned write predated the
+# native kernels + malloc tuning; re-measured neutral-to-better now.
+N_SHARDS = 32
 CORPUS_ROOT = "/tmp/tokenzip_corpus"
 # small row groups so ray.data.read_parquet can split each shard into many
 # read tasks (one row group per file would cap read/encode parallelism at

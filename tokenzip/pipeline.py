@@ -295,6 +295,9 @@ def decompress(out_dir: str, concurrency: int | None = None) -> "ray.data.Datase
         for f in fs
         if f.endswith(".parquet")
     ]
+    # memory is bounded by the block size (~16 MB compressed -> ~50 MB
+    # decoded), NOT by an explicit batch_size: a batch_size breaks
+    # ReadParquet->decode operator fusion and pays a plasma hop per block
     ds = ray.data.read_parquet(
         chunks_dir,
         override_num_blocks=min(len(files), max(8, _bytes_based_blocks(files))),
@@ -303,7 +306,6 @@ def decompress(out_dir: str, concurrency: int | None = None) -> "ray.data.Datase
     kwargs = dict(
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=4,
         fn_kwargs={"sidecar": sidecar if os.path.exists(sidecar) else None},
     )
     if concurrency:
@@ -644,14 +646,15 @@ def verify_roundtrip(
     (source, n_docs, n_equal, sum_n_tok, sum_token_values)."""
     from ray.data.aggregate import Sum
 
-    # bytes-based split for fine verify granularity, with HALF-WEIGHT read
-    # tasks: a split read runs as a separate operator whose long-lived
-    # streaming-generator tasks otherwise hold full scheduler slots and
-    # starve the verify tasks (measured 38% cluster utilization); at 0.5
-    # CPU the reads interleave with verify instead of displacing it.
+    # one block per FILE => the read fuses with the verify stage into one
+    # task (no plasma hop, no separate read operator holding scheduler
+    # slots) — measured strictly faster than block-split reads at every
+    # cluster size (2.0s vs 5.3s at sf0.1/32cpu). Parallelism therefore
+    # comes from the file count, which is the natural unit at 100 TB
+    # (thousands of fragments); a corpus with fewer files than cores
+    # should be re-sharded at the source, not block-split here.
     ds = ray.data.read_parquet(
-        input_paths,
-        override_num_blocks=max(len(input_paths), _bytes_based_blocks(input_paths)),
+        input_paths, override_num_blocks=len(input_paths)
     )
     partials = ds.map_batches(
         _verify_fn,
