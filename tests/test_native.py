@@ -102,3 +102,33 @@ def test_native_decode_consumes_exact_stream():
     assert len(decode_leb128(blob, 500, width=32)) == 500
     with pytest.raises(VarintTruncatedError):
         decode_leb128(blob, 1001, width=32)
+
+
+def test_native_svb_truncation_and_roundtrip():
+    import numpy as np
+
+    from tokenzip.codecs.core import decode_int_column, encode_int_column
+    from tokenzip.errors import ChunkFormatError
+    from tokenzip.codecs.core import unpack_blob, pack_blob
+
+    rng = np.random.default_rng(13)
+    vals = rng.integers(-(2**31), 2**31, 4097).astype(np.int64)
+    blob = encode_int_column(vals, "svb", 32)
+    assert (decode_int_column(blob) == vals).all()
+    # truncate the payload stream -> ChunkFormatError, not garbage
+    codec, meta, streams = unpack_blob(blob)
+    bad = pack_blob(codec, meta, [bytes(streams[0]), bytes(streams[1])[:-3]])
+    with pytest.raises(ChunkFormatError):
+        decode_int_column(bad)
+
+
+def test_native_bitpack_short_buffer():
+    import numpy as np
+
+    from tokenzip.codecs.bitpack import pack_bits, unpack_bits
+    from tokenzip.errors import CodecError
+
+    v = np.arange(100, dtype=np.uint64)
+    b = pack_bits(v, 7)
+    with pytest.raises(CodecError):
+        unpack_bits(b[:-2], 100, 7)
