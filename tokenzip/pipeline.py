@@ -325,10 +325,33 @@ class _DocChecksumStage:
     _C = np.uint64(0x100000001B3)
     _MIX = np.uint64(0x9E3779B97F4A7C15)
 
+    # token budget per internal slice: bounds the stage's live NumPy
+    # temporaries (~6 arrays x budget x 8B ~ 100 MB) so a worker's malloc
+    # arena stays small — first-touch page faults on this VM class cost
+    # ~50us/page (host demand paging), so arena growth, not compute, was
+    # the dominant cost of large batches
+    SLICE_TOKENS = 2_000_000
+
     def __init__(self, side: str):
         self.is_o = 1 if side == "o" else 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n_tok.sum())
+        if total <= self.SLICE_TOKENS or batch.num_rows < 2:
+            return self._compute(batch)
+        parts = []
+        cum = np.cumsum(n_tok)
+        start = 0
+        while start < batch.num_rows:
+            base = cum[start - 1] if start else 0
+            end = int(np.searchsorted(cum, base + self.SLICE_TOKENS)) + 1
+            end = max(start + 1, min(end, batch.num_rows))
+            parts.append(self._compute(batch.slice(start, end - start)))
+            start = end
+        return pa.concat_tables(parts)
+
+    def _compute(self, batch: pa.Table) -> pa.Table:
         from tokenzip.chunk import _tokens_parts
         from tokenzip.codecs.varint import zigzag_encode
 
