@@ -161,3 +161,40 @@ def test_langid_matches_sql_oracle(ray_session):
     got = q_lang_id_confusion(SF).reset_index(drop=True)
     exp = _ddb_on_docs(lang_id_sql(), f"{SF}/documents.parquet")
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_minhash_viral_cluster_interleaved_ids(ray_session, tmp_path):
+    """Viral-duplicate cluster with ids INTERLEAVED among other docs plus a
+    cross-cluster near-dup — exercises the closed-form cluster-collapse
+    paths (intra, cross, rank-counted checksum) against the SQL oracle."""
+    import pyarrow.parquet as pq
+
+    from tokenzip.analysis import q_dedup_minhash
+    from tokenzip.oracles import minhash_sql
+
+    rng = np.random.default_rng(8)
+    vocab = [f"w{i}" for i in range(150)]
+    base = " ".join(rng.choice(vocab, 100))
+    near = base.replace("w3", "w4", 1)
+    texts, srcs = [], []
+    for i in range(120):
+        if i % 3 == 0:
+            texts.append(base)        # 40-clone cluster, ids 0,3,6,...
+        elif i % 3 == 1:
+            texts.append(near)        # 40-clone near-dup cluster, ids 1,4,...
+        else:
+            texts.append(" ".join(rng.choice(vocab, 100)))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(["s"] * len(texts)),
+        }
+    )
+    d = str(tmp_path / "documents.parquet")
+    pq.write_table(docs, d)
+    got = q_dedup_minhash(str(tmp_path)).reset_index(drop=True)
+    # two 40-clone clusters: >= 2*C(40,2) intra pairs + 1600 cross pairs
+    assert int(got["n_dup_pairs"].iloc[0]) >= 2 * (40 * 39 // 2)
+    exp = _ddb_on_docs(minhash_sql(), d)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -498,33 +498,101 @@ class _MinHashStage:
         )
 
 
+_PAIR_K = 1_000_003  # pair term = (a * K + b) % _PAIR_MOD
+
+
+def _cross_pair_chk(A: np.ndarray, B: np.ndarray) -> int:
+    """Closed-form sum over all cross pairs {x in A, y in B} of
+    (min*K + max) mod P — vectorized via rank counting, never O(|A||B|)."""
+    A = np.sort(A)
+    B = np.sort(B)
+    gtB = len(B) - np.searchsorted(B, A, side="right")  # b > a per a
+    ltB = np.searchsorted(B, A, side="left")            # b < a per a
+    gtA = len(A) - np.searchsorted(A, B, side="right")
+    ltA = np.searchsorted(A, B, side="left")
+    total = (
+        int((A * _PAIR_K * gtB).sum()) + int((A * ltB).sum())
+        + int((B * _PAIR_K * gtA).sum()) + int((B * ltA).sum())
+    )
+    return total % _PAIR_MOD
+
+
+def _intra_pair_chk(ids: np.ndarray) -> int:
+    """Closed-form sum over all intra pairs i<j of (ids_i*K + ids_j) mod P
+    for SORTED ids."""
+    k = len(ids)
+    j = np.arange(k, dtype=np.int64)
+    total = int((ids * _PAIR_K * (k - 1 - j)).sum()) + int((ids * j).sum())
+    return total % _PAIR_MOD
+
+
 def _bucket_verify_pairs(threshold_num: int, threshold_den: int):
-    """Exact-Jaccard pair verification INSIDE one LSH bucket (map_groups):
-    integer cross-multiplication (den*inter >= num*union) so the SQL oracle
-    compares identically with no float ties."""
+    """Exact-Jaccard verification INSIDE one LSH bucket (map_groups), with
+    VIRAL-CLUSTER COLLAPSE: docs with identical shingle sets are grouped
+    first, intra-cluster pairs (always J=1) are emitted as ONE closed-form
+    row (from band 0 only — identical sets collide in every band), and
+    cross-cluster pairs are verified once per representative pair carrying
+    |G1|x|G2| weight. A k-clone near-dup cluster therefore costs O(k log k)
+    rows+work instead of O(k^2). Integer cross-multiplication
+    (den*inter >= num*union) so the SQL oracle compares identically."""
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype="int64")
+             for c in ("a", "b", "dup", "w_pairs", "w_chk")}
+        )
         if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "dup": pd.Series([], dtype="int64")})
-        order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
-        ids = g["doc_id"].to_numpy()[order]
-        sets = [set(s) for s in np.asarray(g["shingles"], dtype=object)[order]]
-        ia, ib = np.triu_indices(len(ids), k=1)
-        rows = {"a": [], "b": [], "dup": []}
-        for i, j in zip(ia, ib):
-            if ids[i] == ids[j]:
-                continue  # same doc met twice in a bucket (shouldn't happen)
-            sa, sb = sets[i], sets[j]
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            dup = int(
-                threshold_den * inter >= threshold_num * union if union else True
-            )
-            rows["a"].append(int(ids[i]))
-            rows["b"].append(int(ids[j]))
-            rows["dup"].append(dup)
+            return empty
+        ids_all = g["doc_id"].to_numpy().astype(np.int64)
+        shingles = np.asarray(g["shingles"], dtype=object)
+        band = int(g["band"].iloc[0])
+        # group by identical shingle set (order-insensitive content key)
+        import hashlib as hl
+
+        keys = [
+            hl.md5(np.sort(np.asarray(s, dtype=np.uint64)).tobytes()).digest()
+            for s in shingles
+        ]
+        groups: dict[bytes, list[int]] = {}
+        rep_set: dict[bytes, set] = {}
+        for i, key in enumerate(keys):
+            if key not in groups:
+                groups[key] = []
+                rep_set[key] = set(np.asarray(shingles[i], dtype=np.uint64).tolist())
+            groups[key].append(i)
+        gkeys = sorted(groups, key=lambda k: int(ids_all[groups[k]].min()))
+        rows = {"a": [], "b": [], "dup": [], "w_pairs": [], "w_chk": []}
+        # intra-cluster pairs: J == 1, emit once (band 0 — same signature
+        # implies same bucket in EVERY band)
+        if band == 0:
+            for key in gkeys:
+                members = np.sort(ids_all[groups[key]])
+                k = len(members)
+                if k < 2:
+                    continue
+                rows["a"].append(-1)
+                rows["b"].append(int(members[0]))
+                rows["dup"].append(1)
+                rows["w_pairs"].append(k * (k - 1) // 2)
+                rows["w_chk"].append(_intra_pair_chk(members))
+        # cross-cluster pairs: verify once per representative pair
+        for x in range(len(gkeys)):
+            for y in range(x + 1, len(gkeys)):
+                sa, sb = rep_set[gkeys[x]], rep_set[gkeys[y]]
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                dup = int(
+                    threshold_den * inter >= threshold_num * union if union else True
+                )
+                A = np.sort(ids_all[groups[gkeys[x]]])
+                B = np.sort(ids_all[groups[gkeys[y]]])
+                rows["a"].append(int(min(A[0], B[0])))
+                rows["b"].append(int(max(A[0], B[0])))
+                rows["dup"].append(dup)
+                rows["w_pairs"].append(len(A) * len(B))
+                rows["w_chk"].append(_cross_pair_chk(A, B))
+        if not rows["a"]:
+            return empty
         return pd.DataFrame(
             {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
         )
@@ -569,17 +637,22 @@ def q_dedup_minhash(sf_dir: str, threshold=(7, 10)):
     pairs = bands.groupby(["band", "band_hash"]).map_groups(
         _bucket_verify_pairs(num, den), batch_format="pandas"
     )
-    uniq = pairs.groupby(["a", "b"]).aggregate(Max("dup", alias_name="dup"))
+    # rows repeated across bands are IDENTICAL (cluster keys are global), so
+    # Max over every carried column dedupes them
+    uniq = pairs.groupby(["a", "b"]).aggregate(
+        Max("dup", alias_name="dup"),
+        Max("w_pairs", alias_name="w_pairs"),
+        Max("w_chk", alias_name="w_chk"),
+    )
 
     def _pair_partial(b: pa.Table) -> pa.Table:
-        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         dup = b["dup"].to_numpy(zero_copy_only=False).astype(bool)
-        terms = (a[dup] * 1_000_003 + bb[dup]) % _PAIR_MOD
+        wp = b["w_pairs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wc = b["w_chk"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "n_dup": pa.array([int(dup.sum())], pa.int64()),
-                "chk": pa.array([int(terms.sum())], pa.int64()),
+                "n_dup": pa.array([int(wp[dup].sum())], pa.int64()),
+                "chk": pa.array([int(wc[dup].sum() % _PAIR_MOD)], pa.int64()),
             }
         )
 
