@@ -198,3 +198,30 @@ def test_minhash_viral_cluster_interleaved_ids(ray_session, tmp_path):
     assert int(got["n_dup_pairs"].iloc[0]) >= 2 * (40 * 39 // 2)
     exp = _ddb_on_docs(minhash_sql(), d)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_pair_checksums_match_hugeint_at_large_ids():
+    """Pair/cluster checksums must match the oracle's HUGEINT per-term
+    modular sums even for doc_id > 2^53 (int64 products would wrap without
+    the per-term mod folds)."""
+    from tokenzip.analysis import _PAIR_K, _PAIR_MOD, _cross_pair_chk, _intra_pair_chk
+
+    def brute_cross(A, B):
+        return sum(
+            (min(a, b) * _PAIR_K + max(a, b)) % _PAIR_MOD for a in A for b in B
+        ) % _PAIR_MOD
+
+    def brute_intra(ids):
+        ids = sorted(ids)
+        return sum(
+            (ids[i] * _PAIR_K + ids[j]) % _PAIR_MOD
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+        ) % _PAIR_MOD
+
+    rng = np.random.default_rng(0)
+    for scale in (10_000, 2**40, 2**62):
+        pool = np.unique(rng.integers(0, scale, 200).astype(np.int64))
+        A, B = np.sort(pool[:40]), np.sort(pool[40:70])  # unique ids => disjoint
+        assert _cross_pair_chk(A, B) == brute_cross(A.tolist(), B.tolist())
+        assert _intra_pair_chk(A) == brute_intra(A.tolist())

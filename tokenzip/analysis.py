@@ -67,6 +67,11 @@ def _hash_key_rows(batch: pa.Table) -> pa.Table:
     one aggregate instead of a map_groups."""
     h = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
     ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # the zero-padded composite key sorts correctly only for non-negative
+    # ids (int64 max is 19 digits, so 20 digits always fit); negative ids
+    # would sort lexicographically wrong under Min — reject loudly
+    if len(ids) and int(ids.min()) < 0:
+        raise ValueError("dedup_exact requires non-negative doc_id")
     src = batch["source"].to_pylist()
     comb = [f"{i:020d}|{s}" for i, s in zip(ids, src)]
     return pa.table(
@@ -503,26 +508,39 @@ _PAIR_K = 1_000_003  # pair term = (a * K + b) % _PAIR_MOD
 
 def _cross_pair_chk(A: np.ndarray, B: np.ndarray) -> int:
     """Closed-form sum over all cross pairs {x in A, y in B} of
-    (min*K + max) mod P — vectorized via rank counting, never O(|A||B|)."""
+    (min*K + max) mod P — vectorized via rank counting, never O(|A||B|).
+
+    All per-term arithmetic folds mod P BEFORE multiplying so int64 never
+    wraps: ids are reduced mod P (<2^30), (id*K)%P < 2^30, and the per-term
+    products (<2^30 value x <2^33 multiplicity) stay under 2^63 — matching
+    the DuckDB oracle's HUGEINT per-term modular sums at any doc_id scale."""
     A = np.sort(A)
     B = np.sort(B)
     gtB = len(B) - np.searchsorted(B, A, side="right")  # b > a per a
     ltB = np.searchsorted(B, A, side="left")            # b < a per a
     gtA = len(A) - np.searchsorted(A, B, side="right")
     ltA = np.searchsorted(A, B, side="left")
+    Am = A % _PAIR_MOD
+    Bm = B % _PAIR_MOD
+    AK = Am * _PAIR_K % _PAIR_MOD
+    BK = Bm * _PAIR_K % _PAIR_MOD
     total = (
-        int((A * _PAIR_K * gtB).sum()) + int((A * ltB).sum())
-        + int((B * _PAIR_K * gtA).sum()) + int((B * ltA).sum())
+        int((AK * gtB % _PAIR_MOD).sum()) + int((Am * ltB % _PAIR_MOD).sum())
+        + int((BK * gtA % _PAIR_MOD).sum()) + int((Bm * ltA % _PAIR_MOD).sum())
     )
     return total % _PAIR_MOD
 
 
 def _intra_pair_chk(ids: np.ndarray) -> int:
     """Closed-form sum over all intra pairs i<j of (ids_i*K + ids_j) mod P
-    for SORTED ids."""
+    for SORTED ids (per-term modular folds: see _cross_pair_chk)."""
     k = len(ids)
     j = np.arange(k, dtype=np.int64)
-    total = int((ids * _PAIR_K * (k - 1 - j)).sum()) + int((ids * j).sum())
+    m = ids % _PAIR_MOD
+    total = (
+        int(((m * _PAIR_K % _PAIR_MOD) * (k - 1 - j) % _PAIR_MOD).sum())
+        + int((m * j % _PAIR_MOD).sum())
+    )
     return total % _PAIR_MOD
 
 
@@ -794,7 +812,11 @@ def q_dedup_simhash(sf_dir: str):
         a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
         bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         dup = b["dup"].to_numpy(zero_copy_only=False).astype(bool)
-        terms = (a[dup] * 1_000_003 + bb[dup]) % _PAIR_MOD
+        # per-term modular folds (no int64 wrap at any doc_id scale; matches
+        # the oracle's HUGEINT arithmetic): ((a%P)*K%P + b%P) % P
+        terms = (
+            a[dup] % _PAIR_MOD * _PAIR_K % _PAIR_MOD + bb[dup] % _PAIR_MOD
+        ) % _PAIR_MOD
         return pa.table(
             {
                 "n_dup": pa.array([int(dup.sum())], pa.int64()),

@@ -81,14 +81,16 @@ def train_symbol_table(blob: bytes, max_symbols: int = MAX_SYMBOLS) -> list[byte
     return table
 
 
-_PATTERN_CACHE: dict[bytes, re.Pattern] = {}
+_PATTERN_CACHE: dict[tuple, re.Pattern] = {}
 
 
 def _pattern(symbols: list[bytes]) -> re.Pattern:
     """Compiled greedy-longest-match pattern, memoized per symbol table —
-    shared-table encoders hit the same table for every chunk."""
+    shared-table encoders hit the same table for every chunk. The cache key
+    is the symbol TUPLE (unambiguous even when symbols contain 0x00 — FSST
+    symbols are any-bytes, so a joined-bytes key could collide)."""
     ordered = sorted(symbols, key=len, reverse=True)
-    key = b"\x00".join(ordered)
+    key = tuple(ordered)
     pat = _PATTERN_CACHE.get(key)
     if pat is None:
         if len(_PATTERN_CACHE) > 64:

@@ -20,10 +20,47 @@ import subprocess
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "_native.c")
-_CACHE_DIR = os.environ.get("TOKENZIP_NATIVE_DIR", "/tmp/tokenzip_native")
+
+
+def _default_cache_dir() -> str:
+    """Per-user, 0700 cache dir (XDG cache if set): a world-writable shared
+    /tmp path with a predictable name would let another local user pre-plant
+    a .so that we'd CDLL — the cache must be private to this uid."""
+    xdg = os.environ.get("XDG_CACHE_HOME")
+    base = xdg if xdg else os.path.join("/tmp", f"tokenzip_native_{os.getuid()}")
+    return os.path.join(base, "tokenzip_native") if xdg else base
+
+
+_CACHE_DIR = os.environ.get("TOKENZIP_NATIVE_DIR", _default_cache_dir())
 
 LIB = None
 HAVE_NATIVE = False
+
+
+def _cpu_tag() -> str:
+    """ISA/CPU fingerprint folded into the cache key: -march=native output
+    is CPU-specific, so a cached .so from different hardware (shared cache
+    dir surviving a migration) must not be loaded — it could SIGILL."""
+    import platform
+
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags", "Features")):
+                    parts.append(line.strip())
+                    break  # first CPU is enough; all cores are uniform here
+    except OSError:
+        pass
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:8]
+
+
+def _owned_by_us(path: str) -> bool:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    return st.st_uid == os.getuid()
 
 
 def _build_so() -> str | None:
@@ -32,11 +69,15 @@ def _build_so() -> str | None:
     except OSError:
         return None
     tag = hashlib.sha1(src).hexdigest()[:16]
-    so = os.path.join(_CACHE_DIR, f"tz_{tag}.so")
+    so = os.path.join(_CACHE_DIR, f"tz_{tag}_{_cpu_tag()}.so")
     if os.path.exists(so):
-        return so
+        return so if _owned_by_us(so) else None
+    tmp = None
     try:
-        os.makedirs(_CACHE_DIR, exist_ok=True)
+        os.makedirs(_CACHE_DIR, mode=0o700, exist_ok=True)
+        if not _owned_by_us(_CACHE_DIR):
+            return None
+        os.chmod(_CACHE_DIR, 0o700)
         tmp = f"{so}.tmp.{os.getpid()}"
         subprocess.run(
             ["cc", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC],
@@ -48,10 +89,11 @@ def _build_so() -> str | None:
         return so
     except Exception:
         try:
-            os.unlink(tmp)
+            if tmp:
+                os.unlink(tmp)
         except Exception:
             pass
-        return so if os.path.exists(so) else None
+        return so if os.path.exists(so) and _owned_by_us(so) else None
 
 
 def _load() -> None:
@@ -59,7 +101,7 @@ def _load() -> None:
     if os.environ.get("TOKENZIP_NO_NATIVE"):
         return
     so = _build_so()
-    if not so:
+    if not so or not _owned_by_us(so):
         return
     try:
         lib = ctypes.CDLL(so)

@@ -295,6 +295,19 @@ def decompress(out_dir: str, concurrency: int | None = None) -> "ray.data.Datase
         for f in fs
         if f.endswith(".parquet")
     ]
+    if not files:
+        # zero-chunk run (every fragment produced no chunks): an empty
+        # dataset with the original schema, not override_num_blocks=0
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "tokens": pa.array([], pa.list_(pa.int32())),
+                    "n_tok": pa.array([], pa.int32()),
+                    "source": pa.array([], pa.string()),
+                }
+            )
+        )
     # memory is bounded by the block size (~16 MB compressed -> ~50 MB
     # decoded), NOT by an explicit batch_size: a batch_size breaks
     # ReadParquet->decode operator fusion and pays a plasma hop per block
@@ -633,6 +646,10 @@ def verify_sink_roundtrip(
 
 
 def _drilldown_reduce(g):
+    """Per-doc compare inside one mismatched bucket. Assumes doc_id is
+    globally UNIQUE (the corpus contract): a duplicated doc_id yields >2
+    rows in its group and counts as unequal — conservative (never
+    over-counts n_equal), surfacing the contract violation as a mismatch."""
     import pandas as pd
 
     a = g.groupby("doc_id").agg(
