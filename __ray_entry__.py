@@ -106,6 +106,7 @@ SELECT source,
        CAST(COUNT(DISTINCT {_FP_EXPR}) AS BIGINT) AS n_distinct
 FROM documents GROUP BY source ORDER BY source
 """,
+        "compression_by_codec": _O.compression_by_codec_sql(glob),
         "lang_id_confusion": _O.lang_id_sql(),
         "media_features_by_source": _O.media_sql(),
         "boundary_roundtrip": _O.boundary_sql(),

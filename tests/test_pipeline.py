@@ -236,3 +236,30 @@ def test_shared_tables_per_source_and_unseen(ray_session, tmp_path):
         f"doc-{i:08d}-x{i % 7}" for i in range(64)
     ) + sorted(f"doc-{64 + i:08d}-x{i % 7}" for i in range(64))
     assert set(df["source"]) == {"alpha", "unseen"}
+
+
+def test_compression_by_codec_pin_current(ray_session):
+    """The pinned per-codec oracle rows (oracles.COMPRESSION_BY_CODEC_PIN)
+    must equal a fresh q_compression_by_codec run at the driver's oracle
+    scale — catches pin drift when the corpus generator, block splitting, or
+    codec selector changes. Also audits the pin's SQL self-check: the pinned
+    sums must match DuckDB's closed-form corpus totals."""
+    import duckdb
+
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.oracles import COMPRESSION_BY_CODEC_PIN, compression_by_codec_sql
+    from tokenzip.queries import q_compression_by_codec
+
+    shutil.rmtree("/tmp/tokenzip_out/sf0.01", ignore_errors=True)
+    got = q_compression_by_codec("sf0.01").to_pandas()
+    fresh = [
+        (r.tokens_codec, int(r.n_tokens), int(r.tokens_bytes_out), int(r.leb128_bytes))
+        for r in got.itertuples()
+    ]
+    assert fresh == list(COMPRESSION_BY_CODEC_PIN), (
+        "codec mix drifted — regenerate COMPRESSION_BY_CODEC_PIN:\n" + repr(fresh)
+    )
+    glob = ensure_corpus("sf0.01") + "/*.parquet"
+    exp = duckdb.sql(compression_by_codec_sql(glob)).df()
+    assert len(exp) == len(COMPRESSION_BY_CODEC_PIN)  # self-audit passed
+    assert exp["n_tokens"].tolist() == [r[1] for r in COMPRESSION_BY_CODEC_PIN]

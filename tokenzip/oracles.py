@@ -143,6 +143,59 @@ FROM p
 
 
 
+# Pinned per-codec compression mix at the driver's oracle scale (sf0.01).
+# The mix is DETERMINISTIC: fixed corpus (seed=42), deterministic block
+# splitting (override_num_blocks from file bytes), deterministic selector
+# (tokenzip/codecs/selector.py) — verified byte-identical across num_cpus=4
+# and 16 fresh sessions. Regenerate with tests/test_analysis.py's
+# test_compression_by_codec_pin (or /tmp: q_compression_by_codec('sf0.01'))
+# whenever the corpus generator, chunking, or selector changes.
+# Pin methodology mirrors the IVF recall constant (__ray_entry__.py) and the
+# reference's fixed-corpus fuzz oracles
+# (/root/reference/fuzz/fuzz_targets/fuzz_target_1.rs:6-15).
+COMPRESSION_BY_CODEC_PIN = [
+    # (tokens_codec, n_tokens, tokens_bytes_out, leb128_bytes)
+    ("dict", 229_561, 1_069_774, 1_133_515),
+    ("for", 3_941_573, 7_449_094, 12_581_265),
+    ("leb128", 6_630_597, 8_628_692, 8_626_780),
+    ("rle", 1_395_516, 652_351, 3_804_123),
+]
+
+
+def compression_by_codec_sql(glob: str) -> str:
+    """Self-auditing pinned oracle for the per-codec compression mix: the
+    pinned rows are returned ONLY IF their n_tokens / leb128_bytes sums equal
+    the closed-form totals DuckDB computes from the corpus itself — a stale
+    pin (corpus or chunking change) yields zero rows and a red row-count
+    instead of silently matching."""
+    vals = ", ".join(
+        f"('{c}', {nt}, {bo}, {lb})" for c, nt, bo, lb in COMPRESSION_BY_CODEC_PIN
+    )
+    zz = "CASE WHEN t >= 0 THEN 2*CAST(t AS BIGINT) ELSE -2*CAST(t AS BIGINT)-1 END"
+    return f"""
+WITH z AS (
+  SELECT {zz} AS zz
+  FROM (SELECT unnest(tokens) AS t FROM read_parquet('{glob}'))
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN zz < 128 THEN 1 WHEN zz < 16384 THEN 2
+                       WHEN zz < 2097152 THEN 3 WHEN zz < 268435456 THEN 4
+                       ELSE 5 END) AS BIGINT) AS leb128_bytes
+  FROM z
+),
+pin(tokens_codec, n_tokens, tokens_bytes_out, leb128_bytes) AS (VALUES {vals})
+SELECT tokens_codec,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       CAST(p.tokens_bytes_out AS BIGINT) AS tokens_bytes_out,
+       CAST(p.leb128_bytes AS BIGINT) AS leb128_bytes
+FROM pin p
+WHERE (SELECT SUM(n_tokens) FROM pin) = (SELECT n_tokens FROM tot)
+  AND (SELECT SUM(leb128_bytes) FROM pin) = (SELECT leb128_bytes FROM tot)
+ORDER BY tokens_codec
+"""
+
+
 def boundary_sql() -> str:
     """Oracle for q_boundary_roundtrip: per-(width, codec) sums of the SAME
     fixture literals the engine round-trips — any decode corruption at a

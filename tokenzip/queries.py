@@ -111,7 +111,10 @@ def q_token_stats_by_source(sf_dir: str):
 
 
 def q_compression_by_codec(sf_dir: str):
-    """Engine-internal codec mix + sizes (no SQL oracle: rows-only check)."""
+    """Engine-internal codec mix + sizes. Oracle: the deterministic per-codec
+    rows are PINNED (tokenzip.oracles.COMPRESSION_BY_CODEC_PIN) and
+    self-audited in SQL against the corpus's closed-form token/LEB128 totals
+    — see oracles.compression_by_codec_sql."""
     import os
 
     from tokenzip.pipeline import compress, chunk_meta_dataset
