@@ -225,3 +225,43 @@ def test_pair_checksums_match_hugeint_at_large_ids():
         A, B = np.sort(pool[:40]), np.sort(pool[40:70])  # unique ids => disjoint
         assert _cross_pair_chk(A, B) == brute_cross(A.tolist(), B.tolist())
         assert _intra_pair_chk(A) == brute_intra(A.tolist())
+
+
+def test_simhash_viral_cluster_and_near_misses(ray_session, tmp_path):
+    """Viral corpus: a 50-clone cluster (identical simhash), a near-dup text
+    variant, and unrelated docs — exercises the collapsed intra/cross
+    closed-form paths and the two-level bucket recall against the
+    brute-force SQL oracle."""
+    import pyarrow.parquet as pq
+
+    from tokenzip.analysis import q_dedup_simhash, simhash60
+    from tokenzip.oracles import simhash_sql
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(300)]
+    base = " ".join(rng.choice(vocab, 80))
+    near = base.replace("tok", "toq", 2)  # small perturbation
+    texts = []
+    for i in range(150):
+        if i % 3 == 0:
+            texts.append(base)            # 50-clone viral cluster
+        elif i % 15 == 1:
+            texts.append(near)            # possible near-dup cluster
+        else:
+            texts.append(" ".join(rng.choice(vocab, 80)))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(["s"] * len(texts)),
+        }
+    )
+    d = str(tmp_path / "documents.parquet")
+    pq.write_table(docs, d)
+    got = q_dedup_simhash(str(tmp_path)).reset_index(drop=True)
+    # the 50-clone cluster alone contributes C(50,2) intra pairs
+    assert int(got["n_dup_pairs"].iloc[0]) >= 50 * 49 // 2
+    # collapse sanity: identical texts share one simhash
+    assert simhash60(base) == simhash60(base)
+    exp = _ddb_on_docs(simhash_sql(), d)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -703,6 +703,15 @@ _SH_BITS = 60       # 15 md5 hex nibbles -> the SQL oracle rebuilds the exact
 _SH_BANDS = 4       # same hash with integer arithmetic. 4x15-bit bands:
 _SH_MAXHAM = 3      # hamming <= 3 flips at most 3 bands, so by pigeonhole
                     # every true pair shares >= 1 band — EXACT candidate recall.
+# Two-level bucketing: within each primary band, the OTHER 45 bits are split
+# into 4 sub-bands (12+11+11+11). A ham<=3 pair has >=1 intact primary band
+# (pigeonhole over 4 bands); within that band's complement the <=3 flips
+# leave >=1 of 4 sub-bands intact — so some (band, sub-band) bucket holds
+# both docs. Recall stays EXACT while the bucket key widens from 15 to 26-27
+# bits: expected bucket size shrinks ~4000x, bounding the per-bucket
+# pair-verification quadratic that a corpus-scale 15-bit bucket would hit.
+_SH_SUB = 4
+_SH_SUB_WIDTHS = (12, 11, 11, 11)
 
 _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
 
@@ -738,8 +747,9 @@ def simhash60(text: str, _cache: dict | None = None) -> int:
 
 
 class _SimHashStage:
-    """Per-doc simhash -> one row per band: (band, band_val, doc_id, simhash).
-    Word-hash cache is per worker (vocabulary is tiny vs corpus)."""
+    """Per-doc simhash -> one row per (primary band, sub-band) bucket:
+    (bkey, band_val, doc_id, simhash) — 16 tiny rows per doc. Word-hash
+    cache is per worker (vocabulary is tiny vs corpus)."""
 
     def __init__(self):
         self.cache: dict = {}
@@ -752,47 +762,92 @@ class _SimHashStage:
         )
         n = len(ids)
         band_w = _SH_BITS // _SH_BANDS
-        bands = np.repeat(np.arange(_SH_BANDS, dtype=np.int32), n)
-        h_t = np.tile(hs, _SH_BANDS)
-        id_t = np.tile(ids, _SH_BANDS)
-        vals = (h_t >> (bands.astype(np.uint64) * np.uint64(band_w))) & np.uint64(
-            (1 << band_w) - 1
-        )
+        chunks = np.stack(
+            [
+                (hs >> np.uint64(band_w * i)) & np.uint64((1 << band_w) - 1)
+                for i in range(_SH_BANDS)
+            ]
+        )  # (4, n) primary 15-bit chunks
+        sub_off = np.concatenate(([0], np.cumsum(_SH_SUB_WIDTHS)))[:-1]
+        bkeys, vals = [], []
+        for i in range(_SH_BANDS):
+            others = [j for j in range(_SH_BANDS) if j != i]
+            rem = (
+                chunks[others[0]]
+                | chunks[others[1]] << np.uint64(band_w)
+                | chunks[others[2]] << np.uint64(2 * band_w)
+            )  # the 45 complement bits, compacted
+            for j in range(_SH_SUB):
+                w = _SH_SUB_WIDTHS[j]
+                sub = (rem >> np.uint64(sub_off[j])) & np.uint64((1 << w) - 1)
+                bkeys.append(np.full(n, i * _SH_SUB + j, dtype=np.int32))
+                vals.append((chunks[i] << np.uint64(w)) | sub)
+        reps = _SH_BANDS * _SH_SUB
         return pa.table(
             {
-                "band": pa.array(bands, pa.int32()),
-                "band_val": pa.array(vals.astype(np.int64), pa.int64()),
-                "doc_id": pa.array(id_t, pa.int64()),
-                "simhash": pa.array(h_t.astype(np.int64), pa.int64()),
+                "bkey": pa.array(np.concatenate(bkeys), pa.int32()),
+                "band_val": pa.array(
+                    np.concatenate(vals).astype(np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(np.tile(ids, reps), pa.int64()),
+                "simhash": pa.array(np.tile(hs, reps).astype(np.int64), pa.int64()),
             }
         )
 
 
 def _simhash_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    if len(g) < 2:
-        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                             "b": pd.Series([], dtype="int64"),
-                             "dup": pd.Series([], dtype="int64")})
-    order = np.argsort(g["doc_id"].to_numpy(), kind="stable")
-    ids = g["doc_id"].to_numpy()[order]
-    hs = g["simhash"].to_numpy()[order].astype(np.uint64)
-    ia, ib = np.triu_indices(len(ids), k=1)
-    ham = _popcount64(hs[ia] ^ hs[ib])
-    return pd.DataFrame(
-        {
-            "a": pd.Series(ids[ia], dtype="int64"),
-            "b": pd.Series(ids[ib], dtype="int64"),
-            "dup": pd.Series((ham <= _SH_MAXHAM).astype(np.int64), dtype="int64"),
-        }
+    """Pair verification inside one (band, sub-band) bucket with VIRAL
+    COLLAPSE: docs sharing an identical simhash are grouped first — intra
+    pairs (hamming 0, always dup) are ONE closed-form row per cluster
+    (emitted from bucket 0 only: identical hashes collide in every bucket),
+    and cross pairs are popcount-checked once per distinct-hash pair with
+    |G1|x|G2| weight. A k-clone cluster costs O(k log k), never O(k^2);
+    only dup cross rows are emitted (non-dups contribute nothing)."""
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64")
+         for c in ("a", "b", "dup", "w_pairs", "w_chk")}
     )
+    if len(g) < 2:
+        return empty
+    ids_all = g["doc_id"].to_numpy().astype(np.int64)
+    hs_all = g["simhash"].to_numpy().astype(np.int64)
+    bkey = int(g["bkey"].iloc[0])
+    uniq_h, inv = np.unique(hs_all, return_inverse=True)
+    rows = {"a": [], "b": [], "dup": [], "w_pairs": [], "w_chk": []}
+    members = [np.sort(ids_all[inv == u]) for u in range(len(uniq_h))]
+    if bkey == 0:
+        for m in members:
+            k = len(m)
+            if k < 2:
+                continue
+            rows["a"].append(-1)
+            rows["b"].append(int(m[0]))
+            rows["dup"].append(1)
+            rows["w_pairs"].append(k * (k - 1) // 2)
+            rows["w_chk"].append(_intra_pair_chk(m))
+    if len(uniq_h) > 1:
+        ia, ib = np.triu_indices(len(uniq_h), k=1)
+        ham = _popcount64(uniq_h[ia].astype(np.uint64) ^ uniq_h[ib].astype(np.uint64))
+        for x, y in zip(ia[ham <= _SH_MAXHAM], ib[ham <= _SH_MAXHAM]):
+            A, B = members[x], members[y]
+            rows["a"].append(int(min(A[0], B[0])))
+            rows["b"].append(int(max(A[0], B[0])))
+            rows["dup"].append(1)
+            rows["w_pairs"].append(len(A) * len(B))
+            rows["w_chk"].append(_cross_pair_chk(A, B))
+    if not rows["a"]:
+        return empty
+    return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash near-dup, fully distributed: 60-bit simhash -> 4x15-bit band
-    rows -> groupby(band, band_val) -> vectorized-popcount pair verify inside
-    buckets -> pair dedupe via groupby(a, b) -> tiny aggregates. Candidate
-    recall is EXACT (pigeonhole over 4 bands at hamming <= 3), so the
-    brute-force SQL oracle counts the identical pair set. Returns one row:
+    """SimHash near-dup, fully distributed: 60-bit simhash -> 4 bands x 4
+    sub-bands of tiny bucket rows -> groupby(bkey, band_val) -> viral-collapsed
+    popcount verify inside buckets (closed-form weighted rows, O(k log k) for
+    k-clone clusters) -> pair dedupe via groupby(a, b) -> tiny aggregates.
+    Candidate recall is EXACT (two-level pigeonhole at hamming <= 3, see
+    _SH_SUB_WIDTHS), so the brute-force SQL oracle counts the identical pair
+    set. Returns one row:
     (n_docs, simhash_checksum, n_dup_pairs, pair_checksum)."""
     from ray.data.aggregate import Max
 
@@ -803,24 +858,24 @@ def q_dedup_simhash(sf_dir: str):
         zero_copy_batch=True,
         batch_size=1024,
     )
-    pairs = bands.groupby(["band", "band_val"]).map_groups(
+    pairs = bands.groupby(["bkey", "band_val"]).map_groups(
         _simhash_bucket_pairs, batch_format="pandas"
     )
-    uniq = pairs.groupby(["a", "b"]).aggregate(Max("dup", alias_name="dup"))
+    # rows for the same (a, b) are identical across buckets — Max dedupes
+    uniq = pairs.groupby(["a", "b"]).aggregate(
+        Max("dup", alias_name="dup"),
+        Max("w_pairs", alias_name="w_pairs"),
+        Max("w_chk", alias_name="w_chk"),
+    )
 
     def _pair_partial(b: pa.Table) -> pa.Table:
-        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         dup = b["dup"].to_numpy(zero_copy_only=False).astype(bool)
-        # per-term modular folds (no int64 wrap at any doc_id scale; matches
-        # the oracle's HUGEINT arithmetic): ((a%P)*K%P + b%P) % P
-        terms = (
-            a[dup] % _PAIR_MOD * _PAIR_K % _PAIR_MOD + bb[dup] % _PAIR_MOD
-        ) % _PAIR_MOD
+        wp = b["w_pairs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wc = b["w_chk"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "n_dup": pa.array([int(dup.sum())], pa.int64()),
-                "chk": pa.array([int(terms.sum())], pa.int64()),
+                "n_dup": pa.array([int(wp[dup].sum())], pa.int64()),
+                "chk": pa.array([int(wc[dup].sum() % _PAIR_MOD)], pa.int64()),
             }
         )
 
@@ -829,7 +884,7 @@ def q_dedup_simhash(sf_dir: str):
     ) or {"sum(n_dup)": 0, "sum(chk)": 0}
 
     def _sig_partial(b: pa.Table) -> pa.Table:
-        m = b["band"].to_numpy(zero_copy_only=False) == 0  # one row per doc
+        m = b["bkey"].to_numpy(zero_copy_only=False) == 0  # one row per doc
         h = b["simhash"].to_numpy(zero_copy_only=False)[m].astype(np.int64)
         return pa.table(
             {
