@@ -17,6 +17,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Sum
@@ -436,37 +437,175 @@ _PAIR_MOD = 1_000_000_007  # pair/signature checksums: SUM(term % M) % M,
                            # overflow-safe in int64 partials AND in SQL HUGEINT
 
 
-def _md5_64(s: str) -> int:
-    import hashlib as hl
+_HB = np.uint64(1099511628211)            # polynomial base (odd => invertible mod 2^64)
+_HB_INV = np.uint64(pow(1099511628211, -1, 1 << 64))
 
-    return int.from_bytes(hl.md5(s.encode()).digest()[:8], "little")
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer: decorrelates the structured polynomial hashes."""
+    z = z + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _shingle_hash_batch(col, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT 64-bit word-3-gram hashes for a whole Arrow string
+    column, fully vectorized — zero per-gram Python. Key identity: with
+    split-on-' ' semantics (exactly DuckDB's string_split), the gram
+    ' '.join(words[i:i+3]) IS the byte substring of the original text from
+    word-start i to word-end i+2, so gram hashes are substring hashes:
+    one prefix polynomial over the batch's flat UTF-8 bytes, O(1) per gram
+    via modular-inverse differencing (B odd => invertible mod 2^64), then a
+    SplitMix64 finalizer. Distinctness via one lexsort over (doc, hash).
+    Returns (doc_offsets[n_docs+1], hashes) with hashes ASCENDING per doc.
+    Collisions vs the oracle's string sets: ~2^-64 per gram pair, negligible
+    (same argument as the previous md5-based hashing)."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    nd = len(col)
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + nd + 1
+    ].astype(np.int64)
+    buf = col.buffers()[2]
+    flat = (
+        np.frombuffer(buf, dtype=np.uint8)[offs[0] : offs[-1]]
+        if buf is not None
+        else np.empty(0, np.uint8)
+    )
+    doc_start = offs - offs[0]  # rebased, len nd+1
+    N = len(flat)
+
+    # word boundaries: a word starts at each doc start and after each space
+    sp = np.flatnonzero(flat == 32)
+    sp_doc = np.searchsorted(doc_start, sp, side="right") - 1
+    n_words = np.bincount(sp_doc, minlength=nd).astype(np.int64) + 1
+    w_off = np.zeros(nd + 1, np.int64)
+    np.cumsum(n_words, out=w_off[1:])
+    ws = np.empty(int(w_off[-1]), np.int64)
+    ws[w_off[:-1]] = doc_start[:-1]
+    if len(sp):
+        first_sp = np.zeros(nd, np.int64)
+        np.cumsum(np.bincount(sp_doc, minlength=nd)[:-1], out=first_sp[1:])
+        rank = np.arange(len(sp), dtype=np.int64) - first_sp[sp_doc]
+        ws[w_off[sp_doc] + 1 + rank] = sp + 1
+    we = np.empty_like(ws)
+    if len(ws) > 1:
+        we[:-1] = ws[1:] - 1
+    we[w_off[1:] - 1] = doc_start[1:]  # last word of each doc ends at doc end
+
+    # gram spans: docs with < n words contribute ONE gram = the whole text
+    # (' '.join(words) == text); otherwise W-2 grams [ws[i], we[i+2])
+    n_grams = np.where(n_words < n, 1, n_words - (n - 1))
+    g_off = np.zeros(nd + 1, np.int64)
+    np.cumsum(n_grams, out=g_off[1:])
+    tg = int(g_off[-1])
+    doc_of_g = np.repeat(np.arange(nd, dtype=np.int64), n_grams)
+    local_i = np.arange(tg, dtype=np.int64) - np.repeat(g_off[:-1], n_grams)
+    small = n_words[doc_of_g] < n
+    l = np.where(small, doc_start[:-1][doc_of_g], 0)
+    r = np.where(small, doc_start[1:][doc_of_g], 0)
+    big = ~small
+    if big.any():
+        wbase = w_off[doc_of_g[big]]
+        li = local_i[big]
+        l[big] = ws[wbase + li]
+        r[big] = we[wbase + li + (n - 1)]
+
+    # substring hashes via inverse-power prefix sums:
+    # H(l, r) = (Q[r] - Q[l]) * B^(r-1), Q[i] = sum_{j<i} byte_j * Binv^j
+    with np.errstate(over="ignore"):
+        binv_pow = np.ones(N, np.uint64)
+        bpow = np.ones(N + 1, np.uint64)
+        if N:
+            np.cumprod(np.full(N - 1, _HB_INV, np.uint64), out=binv_pow[1:])
+            np.cumprod(np.full(N, _HB, np.uint64), out=bpow[1:])
+        q = np.zeros(N + 1, np.uint64)
+        if N:
+            np.cumsum(flat.astype(np.uint64) * binv_pow, out=q[1:])
+        h = (q[r] - q[l]) * bpow[np.maximum(r - 1, 0)]
+        # length-salt so e.g. 'ab'+'' and 'a'+'b' style extensions differ,
+        # then finalize
+        h = _splitmix64(h + (r - l).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+
+    # distinct per doc: one lexsort, keep doc-change or hash-change positions
+    order = np.lexsort((h, doc_of_g))
+    hs, ds_ = h[order], doc_of_g[order]
+    keep = np.ones(tg, dtype=bool)
+    if tg > 1:
+        keep[1:] = (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])
+    hs, ds_ = hs[keep], ds_[keep]
+    out_off = np.zeros(nd + 1, np.int64)
+    np.cumsum(np.bincount(ds_, minlength=nd), out=out_off[1:])
+    return out_off, hs
 
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """64-bit md5 hashes of word n-grams. Split on ' ' (exactly DuckDB's
-    string_split) so the SQL oracle shingles identically; distinct-set
-    semantics via np.unique. Hash collisions would perturb intersection
-    counts vs the string-set oracle; at 64 bits they are negligible."""
-    words = text.split(" ")
-    if len(words) < n:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    return np.unique(np.array([_md5_64(g) for g in grams], dtype=np.uint64))
+    """Single-doc convenience wrapper over the vectorized batch hasher."""
+    off, h = _shingle_hash_batch(pa.array([text], pa.string()), n)
+    return h[off[0] : off[1]]
+
+
+def _doc_count(sf_dir: str) -> int:
+    """Row count of the documents table from parquet METADATA only."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _lsh_n_buckets(n_rows: int, target: int = 32768) -> int:
+    """Bucket count for the LSH shuffle: power of two sized so one bucket
+    group holds ~target tiny rows. Ray's sort-based ``map_groups`` degrades
+    with MANY tiny groups (~16k groups/s); hashing the (band, band_hash)
+    key space down to ~n_rows/target buckets keeps group count bounded and
+    per-group work vectorized, while bucket size stays constant as the
+    corpus grows (the count scales with n_rows)."""
+    nb = 1 << max(0, int(n_rows / target).bit_length())
+    return int(min(max(nb, 16), 1 << 20))
+
+
+def _group_runs(*keys: np.ndarray):
+    """Lexsort rows by the given key arrays and return (order, starts, ends)
+    of the runs with length >= 2 (singleton groups — the vast majority in an
+    LSH shuffle — are skipped without any per-group Python)."""
+    order = np.lexsort(keys[::-1])
+    n = len(order)
+    if n == 0:
+        return order, np.empty(0, np.int64), np.empty(0, np.int64)
+    chg = np.zeros(n - 1, dtype=bool)
+    for k in keys:
+        ks = k[order]
+        chg |= ks[1:] != ks[:-1]
+    starts = np.concatenate(([0], np.flatnonzero(chg) + 1))
+    ends = np.concatenate((starts[1:], [n]))
+    multi = (ends - starts) >= 2
+    return order, starts[multi], ends[multi]
 
 
 class _MinHashStage:
-    """Per-doc MinHash signature -> one row per LSH band:
-    (band, band_hash, doc_id, shingles). The shingle array rides the band
-    shuffle (bands x ~words bytes amplification — the standard LSH-dedup
-    shuffle cost) so verification happens INSIDE the band buckets with no
-    driver materialization. Permutation coefficients are seeded, built once
-    per worker."""
+    """Per-doc MinHash signature -> one TINY row per LSH band:
+    (band, band_hash, doc_id, sk1, sk2, n_sh) — ~44 bytes/row, so the band
+    shuffle moves signatures only, never shingle sets (the round-2 32x
+    content amplification is gone). (sk1, sk2) is a 128-bit shingle-SET key
+    (two independent polynomial hashes over the sorted hash array): docs
+    with equal set keys have identical shingle sets w.h.p., which is what
+    bucket-side viral collapse groups on. Shingle-count stats ride along as
+    n_sh, so ONE pass over the corpus computes signatures AND stats.
+    Everything is batch-vectorized: one (K, total_grams) permutation matrix
+    + minimum.reduceat at doc boundaries. Coefficients are seeded, built
+    once per worker."""
 
-    def __init__(self, seed: int = 42):
+    def __init__(self, seed: int = 42, nb: int = 256):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MH_PRIME, _MH_K, dtype=np.uint64)
         self.b = rng.integers(0, _MH_PRIME, _MH_K, dtype=np.uint64)
+        self.nb = np.uint64(nb - 1)  # power-of-two mask for the bkt column
 
     def signature(self, sh: np.ndarray) -> np.ndarray:
         if len(sh) == 0:
@@ -475,30 +614,73 @@ class _MinHashStage:
         v = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MH_PRIME)
         return v.min(axis=1)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import hashlib as hl
+    def signatures_batch(self, off: np.ndarray, hs: np.ndarray) -> np.ndarray:
+        """(K, n_docs) signature matrix for per-doc hash segments."""
+        nd = len(off) - 1
+        if len(hs) == 0:
+            return np.full((_MH_K, nd), _MH_PRIME, dtype=np.uint64)
+        x = hs % np.uint64(_MH_PRIME)
+        v = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MH_PRIME)
+        sig = np.minimum.reduceat(v, off[:-1], axis=1)
+        empty = off[1:] == off[:-1]  # reduceat misreads empty segments
+        if empty.any():
+            sig[:, empty] = _MH_PRIME
+        return sig
 
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        off, hs = _shingle_hash_batch(batch["text"])
+        nd = batch.num_rows
+        sig = self.signatures_batch(off, hs)
         r = _MH_K // _MH_BANDS
-        bands_col, bh_col, id_col, sh_col = [], [], [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            sh = _shingle_hashes(text)
-            sig = self.signature(sh)
-            sh_list = sh.tolist()
+        with np.errstate(over="ignore"):
+            # band hash: splitmix-finalized polynomial over the band's rows
+            bh = np.zeros((_MH_BANDS, nd), np.uint64)
             for band in range(_MH_BANDS):
-                chunk = sig[band * r : (band + 1) * r].tobytes()
-                bh = int.from_bytes(hl.md5(chunk).digest()[:8], "little")
-                bands_col.append(band)
-                bh_col.append(bh)
-                id_col.append(doc_id)
-                sh_col.append(sh_list)
+                acc = np.uint64(band + 1)
+                for row in range(band * r, (band + 1) * r):
+                    acc = acc * _HB + sig[row]
+                bh[band] = _splitmix64(acc)
+            # 128-bit set key: two polynomial hashes over the SORTED hashes
+            # position-rebased differencing (x B^(r-1)) so the key depends
+            # only on the doc's own sorted hash sequence, not its offset
+            M = len(hs)
+            q1 = np.zeros(M + 1, np.uint64)
+            q2 = np.zeros(M + 1, np.uint64)
+            p1 = np.ones(M + 1, np.uint64)
+            p2 = np.ones(M + 1, np.uint64)
+            b2 = np.uint64(0x9E3779B97F4A7C15 | 1)
+            if M:
+                inv1 = np.ones(M, np.uint64)
+                np.cumprod(np.full(M - 1, _HB_INV, np.uint64), out=inv1[1:])
+                np.cumsum(hs * inv1, out=q1[1:])
+                np.cumprod(np.full(M, _HB, np.uint64), out=p1[1:])
+                b2inv = np.uint64(pow(int(b2), -1, 1 << 64))
+                inv2 = np.ones(M, np.uint64)
+                np.cumprod(np.full(M - 1, b2inv, np.uint64), out=inv2[1:])
+                np.cumsum(hs * inv2, out=q2[1:])
+                np.cumprod(np.full(M, b2, np.uint64), out=p2[1:])
+            n_sh = (off[1:] - off[:-1]).astype(np.int64)
+            rm1 = np.maximum(off[1:] - 1, 0)
+            h1 = (q1[off[1:]] - q1[off[:-1]]) * p1[rm1]
+            h2 = (q2[off[1:]] - q2[off[:-1]]) * p2[rm1]
+            sk1 = _splitmix64(h1 + n_sh.astype(np.uint64))
+            sk2 = _splitmix64(h2 ^ n_sh.astype(np.uint64))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh_flat = bh.reshape(-1)
         return pa.table(
             {
-                "band": pa.array(bands_col, pa.int32()),
-                "band_hash": pa.array(bh_col, pa.uint64()),
-                "doc_id": pa.array(id_col, pa.int64()),
-                "shingles": pa.array(sh_col, pa.list_(pa.uint64())),
+                # bkt: hash-bucketed shuffle key — band_hash is already
+                # splitmix-finalized (uniform), so a low-bit mask suffices;
+                # same (band, band_hash) group => same bucket
+                "bkt": pa.array((bh_flat & self.nb).astype(np.int32), pa.int32()),
+                "band": pa.array(
+                    np.repeat(np.arange(_MH_BANDS, dtype=np.int32), nd), pa.int32()
+                ),
+                "band_hash": pa.array(bh_flat.view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.tile(ids, _MH_BANDS), pa.int64()),
+                "sk1": pa.array(np.tile(sk1.view(np.int64), _MH_BANDS), pa.int64()),
+                "sk2": pa.array(np.tile(sk2.view(np.int64), _MH_BANDS), pa.int64()),
+                "n_sh": pa.array(np.tile(n_sh, _MH_BANDS), pa.int64()),
             }
         )
 
@@ -544,116 +726,230 @@ def _intra_pair_chk(ids: np.ndarray) -> int:
     return total % _PAIR_MOD
 
 
-def _bucket_verify_pairs(threshold_num: int, threshold_den: int):
-    """Exact-Jaccard verification INSIDE one LSH bucket (map_groups), with
-    VIRAL-CLUSTER COLLAPSE: docs with identical shingle sets are grouped
-    first, intra-cluster pairs (always J=1) are emitted as ONE closed-form
-    row (from band 0 only — identical sets collide in every band), and
-    cross-cluster pairs are verified once per representative pair carrying
-    |G1|x|G2| weight. A k-clone near-dup cluster therefore costs O(k log k)
-    rows+work instead of O(k^2). Integer cross-multiplication
-    (den*inter >= num*union) so the SQL oracle compares identically."""
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {c: pd.Series([], dtype="int64")
-             for c in ("a", "b", "dup", "w_pairs", "w_chk")}
-        )
-        if len(g) < 2:
-            return empty
-        ids_all = g["doc_id"].to_numpy().astype(np.int64)
-        shingles = np.asarray(g["shingles"], dtype=object)
-        band = int(g["band"].iloc[0])
-        # group by identical shingle set (order-insensitive content key)
-        import hashlib as hl
-
-        keys = [
-            hl.md5(np.sort(np.asarray(s, dtype=np.uint64)).tobytes()).digest()
-            for s in shingles
-        ]
-        groups: dict[bytes, list[int]] = {}
-        rep_set: dict[bytes, set] = {}
-        for i, key in enumerate(keys):
-            if key not in groups:
-                groups[key] = []
-                rep_set[key] = set(np.asarray(shingles[i], dtype=np.uint64).tolist())
-            groups[key].append(i)
-        gkeys = sorted(groups, key=lambda k: int(ids_all[groups[k]].min()))
-        rows = {"a": [], "b": [], "dup": [], "w_pairs": [], "w_chk": []}
-        # intra-cluster pairs: J == 1, emit once (band 0 — same signature
-        # implies same bucket in EVERY band)
-        if band == 0:
-            for key in gkeys:
-                members = np.sort(ids_all[groups[key]])
-                k = len(members)
-                if k < 2:
-                    continue
-                rows["a"].append(-1)
-                rows["b"].append(int(members[0]))
-                rows["dup"].append(1)
-                rows["w_pairs"].append(k * (k - 1) // 2)
-                rows["w_chk"].append(_intra_pair_chk(members))
-        # cross-cluster pairs: verify once per representative pair
-        for x in range(len(gkeys)):
-            for y in range(x + 1, len(gkeys)):
-                sa, sb = rep_set[gkeys[x]], rep_set[gkeys[y]]
-                inter = len(sa & sb)
-                union = len(sa) + len(sb) - inter
-                dup = int(
-                    threshold_den * inter >= threshold_num * union if union else True
-                )
-                A = np.sort(ids_all[groups[gkeys[x]]])
-                B = np.sort(ids_all[groups[gkeys[y]]])
-                rows["a"].append(int(min(A[0], B[0])))
-                rows["b"].append(int(max(A[0], B[0])))
-                rows["dup"].append(dup)
-                rows["w_pairs"].append(len(A) * len(B))
-                rows["w_chk"].append(_cross_pair_chk(A, B))
-        if not rows["a"]:
-            return empty
-        return pd.DataFrame(
-            {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
-        )
-
-    return verify
+_PAIR_EMPTY = {c: pd.Series([], dtype="int64")
+               for c in ("a", "b", "dup", "w_pairs", "w_chk")}
 
 
-class _ShingleStatsStage:
-    """Per-batch partial (n_docs, sum_shingles) over the documents scan."""
+def _mh_group_rows(band: int, ids: np.ndarray, sk1: np.ndarray,
+                   sk2: np.ndarray, rows: dict) -> None:
+    """Candidate generation for ONE colliding (band, band_hash) group of
+    signature-only rows, with VIRAL-CLUSTER COLLAPSE on the 128-bit shingle
+    set key: docs with identical set keys form a cluster — intra-cluster
+    pairs (identical sets => J=1) are emitted as ONE closed-form weighted
+    row (band 0 only: identical sets collide in every band), cross-cluster
+    pairs become ONE representative row with dup=-1 (unknown, verified
+    downstream against real shingle sets) carrying |G1|x|G2| weight and the
+    closed-form pair checksum. A k-clone cluster costs O(k log k), and no
+    shingle data rides this shuffle at all."""
+    sk = np.stack([sk1, sk2], axis=1)
+    _, first, inv = np.unique(sk, axis=0, return_index=True, return_inverse=True)
+    ngroups = len(first)
+    members = [np.sort(ids[inv == u]) for u in range(ngroups)]
+    order = sorted(range(ngroups), key=lambda u: int(members[u][0]))
+    if band == 0:
+        for u in order:
+            m = members[u]
+            k = len(m)
+            if k < 2:
+                continue
+            rows["a"].append(-1)
+            rows["b"].append(int(m[0]))
+            rows["dup"].append(1)
+            rows["w_pairs"].append(k * (k - 1) // 2)
+            rows["w_chk"].append(_intra_pair_chk(m))
+    for x in range(len(order)):
+        for y in range(x + 1, len(order)):
+            A, B = members[order[x]], members[order[y]]
+            rows["a"].append(int(min(A[0], B[0])))
+            rows["b"].append(int(max(A[0], B[0])))
+            rows["dup"].append(-1)
+            rows["w_pairs"].append(len(A) * len(B))
+            rows["w_chk"].append(_cross_pair_chk(A, B))
+
+
+def _mh_bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
+    """One hash BUCKET of the LSH shuffle = MANY (band, band_hash) groups.
+    Groups are split vectorized (one lexsort + run-length boundaries);
+    singleton groups — the vast majority — cost zero per-group Python, and
+    only genuinely colliding groups reach ``_mh_group_rows``."""
+    band = g["band"].to_numpy().astype(np.int64)
+    bh = g["band_hash"].to_numpy().astype(np.int64)
+    ids = g["doc_id"].to_numpy().astype(np.int64)
+    sk1 = g["sk1"].to_numpy().astype(np.int64)
+    sk2 = g["sk2"].to_numpy().astype(np.int64)
+    order, starts, ends = _group_runs(band, bh)
+    if not len(starts):
+        return pd.DataFrame(_PAIR_EMPTY)
+    band, bh, ids = band[order], bh[order], ids[order]
+    sk1, sk2 = sk1[order], sk2[order]
+    rows = {"a": [], "b": [], "dup": [], "w_pairs": [], "w_chk": []}
+    for s, e in zip(starts, ends):
+        _mh_group_rows(int(band[s]), ids[s:e], sk1[s:e], sk2[s:e], rows)
+    if not rows["a"]:
+        return pd.DataFrame(_PAIR_EMPTY)
+    return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+
+
+class _CandShingleStage:
+    """Filtered re-shingle scan: recompute shingle sets ONLY for candidate
+    representative docs (broadcast sorted id array, fetched once per worker
+    via the object store). At 100 TB this reads the full corpus once more
+    but ships shingles for ~candidate-count docs only."""
+
+    def __init__(self, ids_ref):
+        self.ids = ray.get(ids_ref) if not isinstance(ids_ref, np.ndarray) else ids_ref
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ns = [len(_shingle_hashes(t)) for t in batch["text"].to_pylist()]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(self.ids, ids)
+        pos[pos >= len(self.ids)] = 0
+        mask = self.ids[pos] == ids if len(self.ids) else np.zeros(len(ids), bool)
+        if not mask.any():
+            return pa.table(
+                {
+                    "jdoc": pa.array([], pa.int64()),
+                    "pkey": pa.array([], pa.string()),
+                    "w_pairs": pa.array([], pa.int64()),
+                    "w_chk": pa.array([], pa.int64()),
+                    "shingles": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        sub = batch.filter(pa.array(mask))
+        off, hs = _shingle_hash_batch(sub["text"])
         return pa.table(
             {
-                "n_docs": pa.array([len(ns)], pa.int64()),
-                "sum_shingles": pa.array([int(sum(ns))], pa.int64()),
+                "jdoc": sub["doc_id"].cast(pa.int64()),
+                "pkey": pa.array([""] * sub.num_rows, pa.string()),
+                "w_pairs": pa.array(np.zeros(sub.num_rows, np.int64)),
+                "w_chk": pa.array(np.zeros(sub.num_rows, np.int64)),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(off, pa.int32()), pa.array(hs, pa.uint64())
+                ),
             }
         )
 
 
+def _attach_shingles(g: pd.DataFrame) -> pd.DataFrame:
+    """groupby(jdoc): one shingle row (pkey == '') + N pair-side rows ->
+    emit each pair-side row with the doc's shingles attached."""
+    is_sh = g["pkey"] == ""
+    sh_rows = g[is_sh]
+    pair_rows = g[~is_sh]
+    if not len(pair_rows):
+        return pd.DataFrame(
+            {
+                "pkey": pd.Series([], dtype="object"),
+                "w_pairs": pd.Series([], dtype="int64"),
+                "w_chk": pd.Series([], dtype="int64"),
+                "shingles": pd.Series([], dtype="object"),
+            }
+        )
+    sh = sh_rows["shingles"].iloc[0] if len(sh_rows) else np.empty(0, np.uint64)
+    return pd.DataFrame(
+        {
+            "pkey": pair_rows["pkey"].to_numpy(),
+            "w_pairs": pair_rows["w_pairs"].to_numpy().astype(np.int64),
+            "w_chk": pair_rows["w_chk"].to_numpy().astype(np.int64),
+            "shingles": [sh] * len(pair_rows),
+        }
+    )
+
+
+def _judge_pairs(threshold_num: int, threshold_den: int):
+    """groupby(pkey): the pair's two shingle rows -> exact-Jaccard verdict
+    (integer cross-multiplication, exactly the SQL oracle's comparison)."""
+
+    def judge(g: pd.DataFrame) -> pd.DataFrame:
+        a, b = (int(x) for x in g["pkey"].iloc[0].split("|"))
+        sets = [
+            np.asarray(s, dtype=np.uint64) for s in g["shingles"].iloc[:2]
+        ]
+        if len(sets) < 2:  # missing side => shingle scan bug; fail closed
+            dup = 0
+        else:
+            inter = len(np.intersect1d(sets[0], sets[1], assume_unique=True))
+            union = len(sets[0]) + len(sets[1]) - inter
+            dup = int(
+                threshold_den * inter >= threshold_num * union if union else True
+            )
+        return pd.DataFrame(
+            {
+                "a": pd.Series([a], dtype="int64"),
+                "b": pd.Series([b], dtype="int64"),
+                "dup": pd.Series([dup], dtype="int64"),
+                "w_pairs": pd.Series(
+                    [int(g["w_pairs"].max())], dtype="int64"
+                ),
+                "w_chk": pd.Series([int(g["w_chk"].max())], dtype="int64"),
+            }
+        )
+
+    return judge
+
+
 def q_dedup_minhash(sf_dir: str, threshold=(7, 10)):
-    """MinHash+LSH near-dup, fully distributed: shingle -> minhash -> band
-    -> groupby(band, band_hash) -> exact-Jaccard verify INSIDE each bucket
-    (map_groups; shingle sets ride the band shuffle, never the driver) ->
-    pair dedupe via groupby(a, b) -> tiny count/checksum aggregates.
+    """MinHash+LSH near-dup, fully distributed with a SIGNATURE-ONLY band
+    shuffle: one vectorized shingle+signature pass (stats ride along) ->
+    tiny (bkt, band, band_hash, doc_id, set-key) rows -> hash-bucketed
+    groupby(bkt) (bounded group count — see _lsh_n_buckets) with run-length
+    group splitting inside each bucket
+    -> viral-collapsed candidate rows (closed-form weights/checksums, no
+    shingles shuffled) -> pair dedupe via groupby(a, b) -> exact-Jaccard
+    verification of the surviving REPRESENTATIVE pairs only, via a filtered
+    re-shingle scan + doc_id-bucketed join (shingles move for candidate
+    docs only) -> tiny count/checksum aggregates.
+
+    Partitioning assumption (documented per SURVEY §4.2): candidate
+    cluster-pair count << corpus size (the LSH premise) — candidate ids are
+    broadcast once via ray.put; shingle payloads never exceed
+    O(candidates x doc size).
 
     Oracle: DuckDB computes ALL pairs with word-3-gram Jaccard >= 7/10 via an
     inverted-index self-join; with 32x2 banding the LSH candidate set
     contains every such pair w.h.p. (P_miss ~ 4e-10 per pair), so the
     verified counts match exactly. Returns one row:
     (n_docs, sum_shingles, n_dup_pairs, pair_checksum)."""
-    from ray.data.aggregate import Max, Sum as _Sum
+    from ray.data.aggregate import Max
 
     num, den = threshold
+    nb = _lsh_n_buckets(_doc_count(sf_dir) * _MH_BANDS)
     ds = _docs(sf_dir, ["doc_id", "text"])
+    # materialized: the band rows feed BOTH the stats fold and the LSH
+    # groupby — without pinning the blocks, each consumer would re-execute
+    # the shingle+signature pass. Rows are ~44B signatures (no shingles),
+    # i.e. the same data the groupby shuffle materializes anyway.
     bands = ds.map_batches(
-        _cached("minhash", _MinHashStage),
+        _cached(f"minhash{nb}", lambda: _MinHashStage(nb=nb)),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=1024,
-    )
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        _bucket_verify_pairs(num, den), batch_format="pandas"
+    ).materialize()
+    # ONE pass: signatures for the LSH shuffle + shingle stats as a sideband
+    stats = bands.map_batches(
+        lambda b: pa.table(
+            {
+                "n_docs": pa.array(
+                    [int((b["band"].to_numpy(zero_copy_only=False) == 0).sum())],
+                    pa.int64(),
+                ),
+                "sum_shingles": pa.array(
+                    [
+                        int(
+                            b["n_sh"]
+                            .to_numpy(zero_copy_only=False)[
+                                b["band"].to_numpy(zero_copy_only=False) == 0
+                            ]
+                            .sum()
+                        )
+                    ],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sum(["n_docs", "sum_shingles"])
+    pairs = bands.groupby("bkt").map_groups(
+        _mh_bucket_candidates, batch_format="pandas"
     )
     # rows repeated across bands are IDENTICAL (cluster keys are global), so
     # Max over every carried column dedupes them
@@ -661,10 +957,57 @@ def q_dedup_minhash(sf_dir: str, threshold=(7, 10)):
         Max("dup", alias_name="dup"),
         Max("w_pairs", alias_name="w_pairs"),
         Max("w_chk", alias_name="w_chk"),
+    ).materialize()  # branched below (resolved + candidates); tiny rows
+    resolved = uniq.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["dup"], 0)), batch_format="pyarrow"
     )
+    cand = uniq.map_batches(
+        lambda b: b.filter(pc.less(b["dup"], 0)), batch_format="pyarrow"
+    ).to_pandas()
+
+    verified_rows = None
+    if len(cand):
+        rep_ids = np.unique(
+            np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
+        ).astype(np.int64)
+        ids_ref = ray.put(rep_ids)
+        pkeys = [f"{a}|{b}" for a, b in zip(cand["a"], cand["b"])]
+        pair_sides = pa.table(
+            {
+                "jdoc": pa.array(
+                    np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
+                    .astype(np.int64)
+                ),
+                "pkey": pa.array(pkeys + pkeys, pa.string()),
+                "w_pairs": pa.array(
+                    np.tile(cand["w_pairs"].to_numpy().astype(np.int64), 2)
+                ),
+                "w_chk": pa.array(
+                    np.tile(cand["w_chk"].to_numpy().astype(np.int64), 2)
+                ),
+                "shingles": pa.array(
+                    [[]] * (2 * len(cand)), pa.list_(pa.uint64())
+                ),
+            }
+        )
+        sh_rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            _CandShingleStage,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1024,
+            concurrency=max(2, _default_concurrency() // 2),
+            fn_constructor_kwargs={"ids_ref": ids_ref},
+        )
+        verified_rows = (
+            sh_rows.union(ray.data.from_arrow(pair_sides))
+            .groupby("jdoc")
+            .map_groups(_attach_shingles, batch_format="pandas")
+            .groupby("pkey")
+            .map_groups(_judge_pairs(num, den), batch_format="pandas")
+        )
 
     def _pair_partial(b: pa.Table) -> pa.Table:
-        dup = b["dup"].to_numpy(zero_copy_only=False).astype(bool)
+        dup = b["dup"].to_numpy(zero_copy_only=False) == 1
         wp = b["w_pairs"].to_numpy(zero_copy_only=False).astype(np.int64)
         wc = b["w_chk"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
@@ -674,15 +1017,15 @@ def q_dedup_minhash(sf_dir: str, threshold=(7, 10)):
             }
         )
 
-    agg = uniq.map_batches(_pair_partial, batch_format="pyarrow").sum(
+    final = resolved
+    if verified_rows is not None:
+        final = resolved.select_columns(
+            ["a", "b", "dup", "w_pairs", "w_chk"]
+        ).union(verified_rows.select_columns(["a", "b", "dup", "w_pairs", "w_chk"]))
+    agg = final.map_batches(_pair_partial, batch_format="pyarrow").sum(
         ["n_dup", "chk"], ignore_nulls=True
     ) or {"sum(n_dup)": 0, "sum(chk)": 0}
-    stats = _docs(sf_dir, ["text"]).map_batches(
-        _cached("shstats", _ShingleStatsStage),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=1024,
-    ).sum(["n_docs", "sum_shingles"])
+    stats = stats or {"sum(n_docs)": 0, "sum(sum_shingles)": 0}
     return pd.DataFrame(
         [
             {
@@ -748,11 +1091,14 @@ def simhash60(text: str, _cache: dict | None = None) -> int:
 
 class _SimHashStage:
     """Per-doc simhash -> one row per (primary band, sub-band) bucket:
-    (bkey, band_val, doc_id, simhash) — 16 tiny rows per doc. Word-hash
-    cache is per worker (vocabulary is tiny vs corpus)."""
+    (bkt, bkey, band_val, doc_id, simhash) — 16 tiny rows per doc, where
+    bkt hash-buckets the (bkey, band_val) key space down to a bounded
+    shuffle-group count (see _lsh_n_buckets). Word-hash cache is per worker
+    (vocabulary is tiny vs corpus)."""
 
-    def __init__(self):
+    def __init__(self, nb: int = 256):
         self.cache: dict = {}
+        self.nb = np.uint64(nb - 1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -783,37 +1129,34 @@ class _SimHashStage:
                 bkeys.append(np.full(n, i * _SH_SUB + j, dtype=np.int32))
                 vals.append((chunks[i] << np.uint64(w)) | sub)
         reps = _SH_BANDS * _SH_SUB
+        bkey_all = np.concatenate(bkeys)
+        val_all = np.concatenate(vals)
+        with np.errstate(over="ignore"):
+            bkt = _splitmix64(
+                (val_all.astype(np.uint64) << np.uint64(5))
+                ^ bkey_all.astype(np.uint64)
+            ) & self.nb
         return pa.table(
             {
-                "bkey": pa.array(np.concatenate(bkeys), pa.int32()),
-                "band_val": pa.array(
-                    np.concatenate(vals).astype(np.int64), pa.int64()
-                ),
+                "bkt": pa.array(bkt.astype(np.int32), pa.int32()),
+                "bkey": pa.array(bkey_all, pa.int32()),
+                "band_val": pa.array(val_all.astype(np.int64), pa.int64()),
                 "doc_id": pa.array(np.tile(ids, reps), pa.int64()),
                 "simhash": pa.array(np.tile(hs, reps).astype(np.int64), pa.int64()),
             }
         )
 
 
-def _simhash_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Pair verification inside one (band, sub-band) bucket with VIRAL
-    COLLAPSE: docs sharing an identical simhash are grouped first — intra
-    pairs (hamming 0, always dup) are ONE closed-form row per cluster
+def _sh_group_rows(bkey: int, ids_all: np.ndarray, hs_all: np.ndarray,
+                   rows: dict) -> None:
+    """Pair verification inside one colliding (band, sub-band) bucket with
+    VIRAL COLLAPSE: docs sharing an identical simhash are grouped first —
+    intra pairs (hamming 0, always dup) are ONE closed-form row per cluster
     (emitted from bucket 0 only: identical hashes collide in every bucket),
     and cross pairs are popcount-checked once per distinct-hash pair with
     |G1|x|G2| weight. A k-clone cluster costs O(k log k), never O(k^2);
     only dup cross rows are emitted (non-dups contribute nothing)."""
-    empty = pd.DataFrame(
-        {c: pd.Series([], dtype="int64")
-         for c in ("a", "b", "dup", "w_pairs", "w_chk")}
-    )
-    if len(g) < 2:
-        return empty
-    ids_all = g["doc_id"].to_numpy().astype(np.int64)
-    hs_all = g["simhash"].to_numpy().astype(np.int64)
-    bkey = int(g["bkey"].iloc[0])
     uniq_h, inv = np.unique(hs_all, return_inverse=True)
-    rows = {"a": [], "b": [], "dup": [], "w_pairs": [], "w_chk": []}
     members = [np.sort(ids_all[inv == u]) for u in range(len(uniq_h))]
     if bkey == 0:
         for m in members:
@@ -835,14 +1178,31 @@ def _simhash_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
             rows["dup"].append(1)
             rows["w_pairs"].append(len(A) * len(B))
             rows["w_chk"].append(_cross_pair_chk(A, B))
+
+
+def _sh_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """One hash BUCKET = many (bkey, band_val) groups, split vectorized via
+    one lexsort; singleton groups cost zero per-group Python."""
+    bkey = g["bkey"].to_numpy().astype(np.int64)
+    val = g["band_val"].to_numpy().astype(np.int64)
+    ids = g["doc_id"].to_numpy().astype(np.int64)
+    hs = g["simhash"].to_numpy().astype(np.int64)
+    order, starts, ends = _group_runs(bkey, val)
+    if not len(starts):
+        return pd.DataFrame(_PAIR_EMPTY)
+    bkey, val, ids, hs = bkey[order], val[order], ids[order], hs[order]
+    rows = {"a": [], "b": [], "dup": [], "w_pairs": [], "w_chk": []}
+    for s, e in zip(starts, ends):
+        _sh_group_rows(int(bkey[s]), ids[s:e], hs[s:e], rows)
     if not rows["a"]:
-        return empty
+        return pd.DataFrame(_PAIR_EMPTY)
     return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
 
 
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup, fully distributed: 60-bit simhash -> 4 bands x 4
-    sub-bands of tiny bucket rows -> groupby(bkey, band_val) -> viral-collapsed
+    sub-bands of tiny bucket rows -> hash-bucketed groupby(bkt) (bounded
+    group count, run-length group splitting inside) -> viral-collapsed
     popcount verify inside buckets (closed-form weighted rows, O(k log k) for
     k-clone clusters) -> pair dedupe via groupby(a, b) -> tiny aggregates.
     Candidate recall is EXACT (two-level pigeonhole at hamming <= 3, see
@@ -851,15 +1211,16 @@ def q_dedup_simhash(sf_dir: str):
     (n_docs, simhash_checksum, n_dup_pairs, pair_checksum)."""
     from ray.data.aggregate import Max
 
+    nb = _lsh_n_buckets(_doc_count(sf_dir) * _SH_BANDS * _SH_SUB)
     ds = _docs(sf_dir, ["doc_id", "text"])
     bands = ds.map_batches(
-        _cached("simhash", _SimHashStage),
+        _cached(f"simhash{nb}", lambda: _SimHashStage(nb=nb)),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=1024,
     )
-    pairs = bands.groupby(["bkey", "band_val"]).map_groups(
-        _simhash_bucket_pairs, batch_format="pandas"
+    pairs = bands.groupby("bkt").map_groups(
+        _sh_bucket_pairs, batch_format="pandas"
     )
     # rows for the same (a, b) are identical across buckets — Max dedupes
     uniq = pairs.groupby(["a", "b"]).aggregate(
