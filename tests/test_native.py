@@ -132,3 +132,29 @@ def test_native_bitpack_short_buffer():
     b = pack_bits(v, 7)
     with pytest.raises(CodecError):
         unpack_bits(b[:-2], 100, 7)
+
+
+@pytest.mark.skipif(not N.HAVE_NATIVE, reason="no C compiler in environment")
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=4096), st.integers(0, 2**31 - 1))
+def test_native_fsst_encode_matches_regex(blob, seed):
+    """C greedy parse is byte-identical to the regex reference path for any
+    blob and its trained table (incl. 0xFF escapes and 0x00-bearing
+    symbols), and decodes back to the blob."""
+    import os
+
+    from tokenzip.codecs import fsst as F
+
+    # salt the blob with repeated structure so tables are non-trivial
+    rng = np.random.default_rng(seed)
+    rep = bytes(rng.integers(0, 256, 8, dtype=np.uint8).tolist())
+    blob = rep * int(rng.integers(0, 64)) + blob
+    table = F.train_symbol_table(blob)
+    os.environ["TOKENZIP_NO_NATIVE"] = "1"
+    try:
+        ref = F.fsst_encode(blob, table)
+    finally:
+        os.environ.pop("TOKENZIP_NO_NATIVE", None)
+    nat = F.fsst_encode(blob, table)
+    assert nat == ref
+    assert F.fsst_decode(nat, table) == blob

@@ -13,6 +13,7 @@
  */
 
 #include <stdint.h>
+#include <string.h>
 
 int64_t tz_enc_u32(const uint32_t *in, int64_t n, uint8_t *out) {
     uint8_t *p = out;
@@ -226,4 +227,67 @@ int tz_svb_dec_u32(const uint8_t *control, const uint8_t *data,
         out[i] = v;
     }
     return 0;
+}
+
+/* FSST greedy longest-match encode (fsst.py:fsst_encode semantics,
+ * byte-identical): at each position match the longest table symbol
+ * (tie impossible: equal-length symbols are distinct byte strings);
+ * unmatched bytes become ESCAPE(0xFF)+literal. Symbols are passed as
+ * (len, little-endian packed value) pairs; lookup is an open-addressed
+ * hash of (value, len) built per call (<=255 entries, negligible).
+ * Duplicate symbols keep the LAST code, matching the Python dict. */
+#define TZ_FSST_SLOTS 2048
+int64_t tz_fsst_enc(const uint8_t *blob, int64_t n, const uint8_t *sym_lens,
+                    const uint64_t *sym_vals, int32_t n_sym, uint8_t *out) {
+    uint64_t kv[TZ_FSST_SLOTS];
+    uint8_t kl[TZ_FSST_SLOTS];
+    uint8_t kc[TZ_FSST_SLOTS];
+    for (int i = 0; i < TZ_FSST_SLOTS; i++) kl[i] = 0;
+    int max_len = 0;
+    uint32_t len_mask = 0;
+    for (int32_t i = 0; i < n_sym; i++) {
+        uint64_t v = sym_vals[i];
+        int L = sym_lens[i];
+        if (L < 1 || L > 8) return -1;
+        if (L > max_len) max_len = L;
+        len_mask |= 1u << L;
+        uint64_t h = ((v * 0x9E3779B97F4A7C15ULL) ^ ((uint64_t)L * 0xFF51AFD7ED558CCDULL))
+                     >> 32;
+        uint64_t s = h & (TZ_FSST_SLOTS - 1);
+        while (kl[s] && !(kl[s] == L && kv[s] == v)) s = (s + 1) & (TZ_FSST_SLOTS - 1);
+        kv[s] = v;
+        kl[s] = (uint8_t)L;
+        kc[s] = (uint8_t)i;
+    }
+    int64_t o = 0;
+    for (int64_t pos = 0; pos < n;) {
+        int64_t rem = n - pos;
+        uint64_t v8 = 0;
+        if (rem >= 8) memcpy(&v8, blob + pos, 8);
+        else memcpy(&v8, blob + pos, (size_t)rem);
+        int Lmax = rem < max_len ? (int)rem : max_len;
+        int matched = 0;
+        for (int L = Lmax; L >= 1; L--) {
+            if (!((len_mask >> L) & 1u)) continue;
+            uint64_t v = (L == 8) ? v8 : (v8 & ((1ULL << (8 * L)) - 1));
+            uint64_t h = ((v * 0x9E3779B97F4A7C15ULL)
+                          ^ ((uint64_t)L * 0xFF51AFD7ED558CCDULL)) >> 32;
+            uint64_t s = h & (TZ_FSST_SLOTS - 1);
+            while (kl[s]) {
+                if (kl[s] == L && kv[s] == v) {
+                    out[o++] = kc[s];
+                    pos += L;
+                    matched = 1;
+                    break;
+                }
+                s = (s + 1) & (TZ_FSST_SLOTS - 1);
+            }
+            if (matched) break;
+        }
+        if (!matched) {
+            out[o++] = 0xFF;
+            out[o++] = blob[pos++];
+        }
+    }
+    return o;
 }

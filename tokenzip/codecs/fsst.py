@@ -17,6 +17,7 @@ ratio, simpler kernels). This is the stream-split layout again
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -120,12 +121,22 @@ def unpack_table(blob: bytes) -> list[bytes]:
 
 def fsst_encode(blob: bytes, symbols: list[bytes]) -> bytes:
     """Greedy longest-match parse -> code stream (symbol index, or
-    ESCAPE + literal byte for uncovered bytes)."""
+    ESCAPE + literal byte for uncovered bytes). Dispatches to the C kernel
+    (byte-identical, differential-tested); the regex path below is the
+    reference semantics and the no-compiler fallback."""
     if not symbols:
-        out = bytearray()
-        for b in blob:
-            out += bytes((ESCAPE, b))
-        return bytes(out)
+        # all-escape stream, vectorized (0xFF interleaved with literals)
+        b = np.frombuffer(blob, dtype=np.uint8)
+        out = np.empty(2 * len(b), dtype=np.uint8)
+        out[0::2] = ESCAPE
+        out[1::2] = b
+        return out.tobytes()
+    from tokenzip.codecs.native import native_fsst_encode
+
+    if not os.environ.get("TOKENZIP_NO_NATIVE"):
+        r = native_fsst_encode(blob, symbols)
+        if r is not None:
+            return r
     code = {s: i for i, s in enumerate(symbols)}
     pat = _pattern(symbols)
     out = bytearray()

@@ -199,6 +199,43 @@ def native_unpack_bits(b: np.ndarray, n: int, width: int) -> np.ndarray | None:
     return out
 
 
+def _bind_fsst() -> None:
+    if LIB is None:
+        return
+    import ctypes as ct
+
+    i64, vp = ct.c_int64, ct.c_void_p
+    LIB.tz_fsst_enc.restype = i64
+    LIB.tz_fsst_enc.argtypes = [vp, i64, vp, vp, ct.c_int32, vp]
+
+
+_bind_fsst()
+
+
+def native_fsst_encode(blob: bytes, symbols: list) -> bytes | None:
+    """Greedy FSST parse in C — byte-identical to the regex path in
+    fsst.py (differential-tested); None if not applicable."""
+    if LIB is None or not symbols or len(symbols) > 255:
+        return None
+    if any(not 1 <= len(s) <= 8 for s in symbols):
+        return None
+    if len(blob) == 0:
+        return b""
+    lens = np.array([len(s) for s in symbols], dtype=np.uint8)
+    vals = np.array(
+        [int.from_bytes(s, "little") for s in symbols], dtype=np.uint64
+    )
+    inp = np.frombuffer(blob, dtype=np.uint8)
+    out = np.empty(2 * len(inp), dtype=np.uint8)
+    nb = LIB.tz_fsst_enc(
+        inp.ctypes.data, len(inp), lens.ctypes.data, vals.ctypes.data,
+        len(symbols), out.ctypes.data,
+    )
+    if nb < 0:
+        return None
+    return out[:nb].tobytes()
+
+
 def _bind_svb() -> None:
     if LIB is None:
         return
