@@ -263,3 +263,23 @@ def test_compression_by_codec_pin_current(ray_session):
     exp = duckdb.sql(compression_by_codec_sql(glob)).df()
     assert len(exp) == len(COMPRESSION_BY_CODEC_PIN)  # self-audit passed
     assert exp["n_tokens"].tolist() == [r[1] for r in COMPRESSION_BY_CODEC_PIN]
+
+
+def test_distributed_manifest_fold_parity(ray_session, paths, tmp_path, monkeypatch):
+    """The distributed chunk-metadata fold (used beyond _SERIAL_FOLD_MAX
+    fragments) produces byte-identical per-fragment manifest stats to the
+    serial column-pruned fold."""
+    import tokenzip.pipeline as P
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    ta = compress(paths, a, concurrency=2)
+    monkeypatch.setattr(P, "_SERIAL_FOLD_MAX", 0)
+    tb = compress(paths, b, concurrency=2)
+    assert ta == tb
+    ma = json.load(open(os.path.join(a, "manifest.json")))["fragments"]
+    mb = json.load(open(os.path.join(b, "manifest.json")))["fragments"]
+    strip = lambda m: {
+        k: {x: y for x, y in v.items() if x != "completed_at"}
+        for k, v in m.items()
+    }
+    assert strip(ma) == strip(mb)

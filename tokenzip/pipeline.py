@@ -241,33 +241,104 @@ def compress(
         "bytes_out": 0, "tokens_bytes_out": 0, "leb128_bytes": 0,
         "codecs": {}, "shared_tables": shared_tables,
     }
-    for p in todo:
-        frag = _frag_of_path(p)
-        if frag in done:
-            continue
-        if frag not in frags_written:
+    todo_frags = [
+        _frag_of_path(p) for p in todo if _frag_of_path(p) not in done
+    ]
+    fold_frags = sorted(set(todo_frags) & frags_written)
+    stats = _fold_chunk_meta(chunks_dir, fold_frags)
+    for frag in todo_frags:
+        s = stats.get(frag)
+        if s is None:
             man.mark_done(frag, dict(zero))
-            continue
-        t = pq.read_table(
-            os.path.join(chunks_dir, f"frag={frag}"),
-            columns=["n_rows", "n_tokens", "bytes_in", "bytes_out",
-                     "tokens_bytes_out", "leb128_bytes", "tokens_codec"],
-        )
-        codecs, counts = np.unique(t["tokens_codec"].to_numpy(zero_copy_only=False),
-                                   return_counts=True)
-        man.mark_done(frag, {
-            "n_chunks": t.num_rows,
-            "n_rows": int(pa.compute.sum(t["n_rows"]).as_py() or 0),
-            "n_tokens": int(pa.compute.sum(t["n_tokens"]).as_py() or 0),
-            "bytes_in": int(pa.compute.sum(t["bytes_in"]).as_py() or 0),
-            "bytes_out": int(pa.compute.sum(t["bytes_out"]).as_py() or 0),
-            "tokens_bytes_out": int(pa.compute.sum(t["tokens_bytes_out"]).as_py() or 0),
-            "leb128_bytes": int(pa.compute.sum(t["leb128_bytes"]).as_py() or 0),
-            "codecs": {str(c): int(n) for c, n in zip(codecs, counts)},
-            "shared_tables": shared_tables,
-        })
+        else:
+            s["shared_tables"] = shared_tables
+            man.mark_done(frag, s)
     man.save()
     return man.totals()
+
+
+_FOLD_COLS = ("n_rows", "n_tokens", "bytes_in", "bytes_out",
+              "tokens_bytes_out", "leb128_bytes")
+
+
+def _meta_fold_partial(batch: pa.Table) -> pa.Table:
+    """Pre-aggregated per-(frag, codec) partial of one metadata block."""
+    frags = np.array(
+        [p.split("/frag=", 1)[1].split("/", 1)[0]
+         for p in batch["path"].to_pylist()]
+    )
+    codecs = batch["tokens_codec"].to_numpy(zero_copy_only=False)
+    # "|" separator: frag names are path-hash slugs, codec names alnum —
+    # neither contains "|" (numpy U-dtype would strip a \x00 separator)
+    key = np.char.add(np.char.add(frags.astype(str), "|"), codecs.astype(str))
+    uniq, inv = np.unique(key, return_inverse=True)
+    k = len(uniq)
+    cols = {
+        "frag": pa.array([u.split("|", 1)[0] for u in uniq], pa.string()),
+        "codec": pa.array([u.split("|", 1)[1] for u in uniq], pa.string()),
+        "n_chunks": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+    }
+    for c in _FOLD_COLS:
+        v = batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.zeros(k, dtype=np.int64)
+        np.add.at(out, inv, v)
+        cols[c] = pa.array(out)
+    return pa.table(cols)
+
+
+def _fold_chunk_meta(chunks_dir: str, frags: list[str]) -> dict[str, dict]:
+    """Fold chunk metadata into per-fragment manifest stats. Small runs use
+    a serial column-pruned read (cheaper than one Ray execution); beyond
+    _SERIAL_FOLD_MAX fragments the fold is a distributed map over the
+    metadata columns with per-block pre-aggregation — the driver only sees
+    ~blocks x codecs tiny partial rows, never an O(fragments) scan loop."""
+    out: dict[str, dict] = {}
+    if not frags:
+        return out
+    if len(frags) <= _SERIAL_FOLD_MAX:
+        for frag in frags:
+            t = pq.read_table(
+                os.path.join(chunks_dir, f"frag={frag}"),
+                columns=list(_FOLD_COLS) + ["tokens_codec"],
+            )
+            codecs, counts = np.unique(
+                t["tokens_codec"].to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            out[frag] = {
+                "n_chunks": t.num_rows,
+                **{c: int(pa.compute.sum(t[c]).as_py() or 0) for c in _FOLD_COLS},
+                "codecs": {str(c): int(n) for c, n in zip(codecs, counts)},
+            }
+        return out
+    files = [
+        os.path.join(chunks_dir, f"frag={f}", name)
+        for f in frags
+        for name in os.listdir(os.path.join(chunks_dir, f"frag={f}"))
+        if name.endswith(".parquet")
+    ]
+    partials = (
+        ray.data.read_parquet(
+            files,
+            columns=list(_FOLD_COLS) + ["tokens_codec"],
+            include_paths=True,
+        )
+        .map_batches(_meta_fold_partial, batch_format="pyarrow")
+        .take_all()
+    )
+    for r in partials:
+        frag, codec = r["frag"], r["codec"]
+        s = out.setdefault(
+            frag, {"n_chunks": 0, **{c: 0 for c in _FOLD_COLS}, "codecs": {}}
+        )
+        s["n_chunks"] += int(r["n_chunks"])
+        for c in _FOLD_COLS:
+            s[c] += int(r[c])
+        s["codecs"][codec] = s["codecs"].get(codec, 0) + int(r["n_chunks"])
+    return out
+
+
+_SERIAL_FOLD_MAX = 256
 
 
 def chunk_meta_dataset(out_dir: str) -> "ray.data.Dataset":
