@@ -61,37 +61,57 @@ def run_bench() -> dict:
     ).count()
 
     out_dir = os.path.join("/tmp/tokenzip_bench", os.path.basename(os.path.normpath(sf_dir)))
-    shutil.rmtree(out_dir, ignore_errors=True)
 
-    queries: dict[str, float] = {}
-    t0 = time.time()
-    totals = compress(paths, out_dir)
-    queries["compress"] = time.time() - t0
+    # median-of-N full cycles in one session (host-side demand-paging noise
+    # windows measured the same code at 4.7s and 18.4s ninety minutes apart —
+    # a single sample is variance-exposed; per-stage medians with spread are
+    # the honest headline)
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    import statistics
 
-    t0 = time.time()
-    n_rows = decompress(out_dir).count()
-    queries["decompress"] = time.time() - t0
-    assert n_rows == totals["n_rows"], (n_rows, totals)
+    runs: list[dict[str, float]] = []
+    totals = None
+    for _ in range(reps):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        queries: dict[str, float] = {}
+        t0 = time.time()
+        totals = compress(paths, out_dir)
+        queries["compress"] = time.time() - t0
 
-    t0 = time.time()
-    v = verify_roundtrip(paths).to_pandas()
-    queries["verify_roundtrip"] = time.time() - t0
-    assert (v["n_docs"] == v["n_equal"]).all(), v
+        t0 = time.time()
+        n_rows = decompress(out_dir).count()
+        queries["decompress"] = time.time() - t0
+        assert n_rows == totals["n_rows"], (n_rows, totals)
 
-    t0 = time.time()
-    vs = verify_sink_roundtrip(paths, out_dir)
-    queries["verify_sink"] = time.time() - t0
-    assert (vs["n_docs"] == vs["n_equal"]).all(), vs
-    assert vs["n_docs"].sum() == totals["n_rows"], vs
+        t0 = time.time()
+        v = verify_roundtrip(paths).to_pandas()
+        queries["verify_roundtrip"] = time.time() - t0
+        assert (v["n_docs"] == v["n_equal"]).all(), v
 
+        t0 = time.time()
+        vs = verify_sink_roundtrip(paths, out_dir)
+        queries["verify_sink"] = time.time() - t0
+        assert (vs["n_docs"] == vs["n_equal"]).all(), vs
+        assert vs["n_docs"].sum() == totals["n_rows"], vs
+        runs.append(queries)
+
+    med = statistics.median
+    queries = {k: med(r[k] for r in runs) for k in runs[0]}
+    spread = {
+        k: [round(min(r[k] for r in runs), 2), round(max(r[k] for r in runs), 2)]
+        for k in runs[0]
+    }
     # headline value = the three core stages (round-over-round comparable);
     # verify_sink is reported alongside in queries
     value = sum(queries[k] for k in ("compress", "decompress", "verify_roundtrip"))
     result = {
-        "metric": "tokenzip compress+decompress+verify wall time",
+        "metric": "tokenzip compress+decompress+verify wall time "
+                  f"(median of {reps})",
         "value": round(value, 2),
         "unit": "sec",
         "queries": {k: round(s, 2) for k, s in queries.items()},
+        "spread": spread,
+        "reps": reps,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "num_cpus": ncpu,
         "n_rows": totals["n_rows"],
@@ -125,7 +145,12 @@ def run_scaling() -> dict:
     scale_sf = os.environ.get("SCALE_SF", "sfscale")
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=scale_sf)
+        # each leg is a single cycle — the scaling loop already medians
+        # over interleaved reps; nesting medians would cube the wall time
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=scale_sf,
+            BENCH_REPS="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

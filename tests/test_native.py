@@ -158,3 +158,36 @@ def test_native_fsst_encode_matches_regex(blob, seed):
     nat = F.fsst_encode(blob, table)
     assert nat == ref
     assert F.fsst_decode(nat, table) == blob
+
+
+@pytest.mark.skipif(not N.HAVE_NATIVE, reason="no C compiler in environment")
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(-(2**31), 2**31 - 1), min_size=0, max_size=512)
+)
+def test_native_zz32_fused_matches_unfused(vals):
+    """Fused zigzag kernels == zigzag_encode piped through the u32 kernels:
+    same bytes, same size, same decoded values, same error-free roundtrip."""
+    from tokenzip.codecs.varint import encode_leb128, leb128_size, zigzag_encode
+
+    x = np.array(vals, dtype=np.int32)
+    zz = zigzag_encode(x, 32)
+    ref_blob = encode_leb128(zz)
+    ref_size = int(leb128_size(zz).sum())
+    blob = N.native_encode_zz32(x)
+    if len(x):
+        assert blob == ref_blob
+    assert N.native_size_zz32(x) == ref_size
+    rc, out = N.native_decode_zz32(np.frombuffer(ref_blob, np.uint8), len(x))
+    assert rc == 0
+    assert np.array_equal(out, x)
+
+
+@pytest.mark.skipif(not N.HAVE_NATIVE, reason="no C compiler in environment")
+def test_native_zz32_error_codes():
+    rc, _ = N.native_decode_zz32(np.frombuffer(b"\x80", np.uint8), 1)
+    assert rc == 1  # truncated
+    rc, _ = N.native_decode_zz32(np.frombuffer(b"\x80\x80\x80\x80\x80\x01", np.uint8), 1)
+    assert rc == 2  # 6-byte varint at width 32
+    rc, _ = N.native_decode_zz32(np.frombuffer(b"\x80\x80\x80\x80\x7f", np.uint8), 1)
+    assert rc == 2  # last-byte bound

@@ -89,30 +89,40 @@ def encode_batch(
     n_rows = len(lengths)
     n_tokens = int(lengths.sum())
 
-    # one zigzag pass shared by the oracle, the selector floor and the
-    # zigzag-family codecs (leb128/svb/bitpack); stays uint32 — the width-32
-    # kernels never need the uint64 widening. The size oracle is a single
-    # native pass when the C kernel is built (no per-value sizes array).
-    from tokenzip.codecs.native import native_size
+    # ZIGZAG FUSION (native path): the size oracle and the leb128 encode
+    # both run fused zigzag+kernel passes over the SIGNED int32 array — the
+    # zz temporary is never materialized unless a zigzag-family codec other
+    # than leb128 (svb/bitpack) actually needs it. Halves the memory passes
+    # of the hottest encode route (the 8->32 single-box ceiling is DRAM
+    # traffic). NumPy fallback keeps the shared-zz layout.
+    from tokenzip.codecs.native import native_size_zz32
 
-    zz32 = zigzag_encode(values32, 32)
-    nat_total = native_size(zz32)
+    nat_total = native_size_zz32(values32)
     if nat_total is not None:
+        zz32 = None
         sizes = None
         oracle = nat_total
     else:
+        zz32 = zigzag_encode(values32, 32)
         sizes = leb128_size(zz32)
         oracle = int(sizes.sum())
+
+    def _zz32() -> np.ndarray:
+        return zigzag_encode(values32, 32) if zz32 is None else zz32
+
     if tokens_codec == "auto":
         chosen = choose_int_codec(values32, 32, sample=selector_sample)
     else:
         chosen = tokens_codec
     enc, _ = INT_CODECS[chosen]
     if chosen == "leb128":
-        # zigzag-family codecs never touch the raw values: skip the i64 copy
-        streams, meta = enc(None, 32, zz=zz32, sizes=sizes)
+        if zz32 is None:
+            # fused path: _enc_leb128 dispatches on the int32 dtype
+            streams, meta = enc(values32, 32)
+        else:
+            streams, meta = enc(None, 32, zz=zz32, sizes=sizes)
     elif chosen in ("svb", "bitpack"):
-        streams, meta = enc(None, 32, zz=zz32)
+        streams, meta = enc(None, 32, zz=_zz32())
     else:
         values = values32.astype(np.int64)  # i64 domain for for/rle/dict/delta
         streams, meta = enc(values, 32)
@@ -120,7 +130,12 @@ def encode_batch(
     tokens_blob = pack_blob(chosen, meta, streams)
     if tokens_codec == "auto" and chosen != "leb128":
         if sum(len(s) for s in streams) > oracle:
-            lstreams, lmeta = INT_CODECS["leb128"][0](None, 32, zz=zz32, sizes=sizes)
+            if zz32 is None:
+                lstreams, lmeta = INT_CODECS["leb128"][0](values32, 32)
+            else:
+                lstreams, lmeta = INT_CODECS["leb128"][0](
+                    None, 32, zz=zz32, sizes=sizes
+                )
             lmeta["n"] = n_tokens
             tokens_blob = pack_blob("leb128", lmeta, lstreams)
             chosen = "leb128"
@@ -229,7 +244,7 @@ def decode_chunk_row(row: dict) -> pa.Table:
 
     codec, meta, streams = unpack_blob(row["offsets_enc"])
     _, dec = INT_CODECS[codec]
-    cum = dec(streams, meta, n_rows).astype(np.int64)
+    cum = dec(streams, meta, n_rows).astype(np.int64, copy=False)
     offsets = np.zeros(n_rows + 1, dtype=np.int64)
     offsets[1:] = cum
     lengths = np.diff(offsets)
@@ -240,7 +255,7 @@ def decode_chunk_row(row: dict) -> pa.Table:
 
     codec, meta, streams = unpack_blob(row["tokens_enc"])
     _, dec = INT_CODECS[codec]
-    values = dec(streams, meta, n_tokens).astype(np.int32)
+    values = dec(streams, meta, n_tokens).astype(np.int32, copy=False)
 
     tokens = pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int64()).cast(pa.int32())
@@ -257,7 +272,7 @@ def decode_chunk_row(row: dict) -> pa.Table:
     else:
         codec, meta, streams = unpack_blob(row["n_tok_enc"])
         _, dec = INT_CODECS[codec]
-        n_tok = dec(streams, meta, n_rows).astype(np.int32)
+        n_tok = dec(streams, meta, n_rows).astype(np.int32, copy=False)
 
     return pa.table(
         {

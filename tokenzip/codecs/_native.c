@@ -291,3 +291,54 @@ int64_t tz_fsst_enc(const uint8_t *blob, int64_t n, const uint8_t *sym_lens,
     }
     return o;
 }
+
+/* ZigZag-fused int32 kernels: one pass over the signed token array instead
+ * of zigzag-materialize + encode/size/decode passes (the 8->32 single-box
+ * ceiling is memory traffic; halving passes raises it). Byte-identical to
+ * zigzag_encode(x,32) piped through the u32 kernels above. */
+int64_t tz_enc_zz_i32(const int32_t *in, int64_t n, uint8_t *out) {
+    uint8_t *p = out;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t v = ((uint32_t)in[i] << 1) ^ (uint32_t)(in[i] >> 31);
+        while (v >= 0x80u) {
+            *p++ = (uint8_t)(v | 0x80u);
+            v >>= 7;
+        }
+        *p++ = (uint8_t)v;
+    }
+    return (int64_t)(p - out);
+}
+
+int64_t tz_size_zz_i32(const int32_t *in, int64_t n) {
+    int64_t total = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t v = ((uint32_t)in[i] << 1) ^ (uint32_t)(in[i] >> 31);
+        total += 1 + (v >= (1u << 7)) + (v >= (1u << 14)) + (v >= (1u << 21)) +
+                 (v >= (1u << 28));
+    }
+    return total;
+}
+
+/* decode + unzigzag to int32 in one pass; rc 0 ok, 1 truncated, 2 overflow */
+int tz_dec_zz_i32(const uint8_t *in, int64_t nbytes, int64_t n, int32_t *out) {
+    const uint8_t *p = in;
+    const uint8_t *end = in + nbytes;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t v = 0;
+        int shift = 0, k = 0;
+        for (;;) {
+            if (p >= end) return 1;
+            uint8_t b = *p++;
+            k++;
+            if (k > 5) return 2;
+            v |= (uint32_t)(b & 0x7Fu) << shift;
+            if (b < 0x80u) {
+                if (k == 5 && b > 0x0Fu) return 2;
+                break;
+            }
+            shift += 7;
+        }
+        out[i] = (int32_t)(v >> 1) ^ -(int32_t)(v & 1u);
+    }
+    return 0;
+}

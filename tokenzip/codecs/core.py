@@ -119,11 +119,41 @@ def _runs(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _enc_leb128(values, width, zz=None, sizes=None):
+    if (
+        zz is None
+        and width == 32
+        and isinstance(values, np.ndarray)
+        and values.dtype == np.dtype(np.int32)
+    ):
+        # fused zigzag+encode: one pass over the signed array, no zz temp
+        from tokenzip.codecs.native import native_encode_zz32
+
+        blob = native_encode_zz32(np.ascontiguousarray(values))
+        if blob is not None:
+            return [blob], {"w": width}
     u = zz if zz is not None else _zz(values, width)
     return [encode_leb128(u, sizes)], {"w": width}
 
 
 def _dec_leb128(streams, meta, n):
+    if meta["w"] == 32 and n:
+        # fused decode+unzigzag straight to int32 (values are int32-ranged
+        # by construction at width 32; callers astype(copy=False) as needed)
+        from tokenzip.codecs.native import native_decode_zz32
+        from tokenzip.errors import VarintOverflowError, VarintTruncatedError
+
+        b = streams[0]
+        b = b if isinstance(b, np.ndarray) else np.frombuffer(b, dtype=np.uint8)
+        res = native_decode_zz32(np.ascontiguousarray(b), int(n))
+        if res is not None:
+            rc, out = res
+            if rc == 1:
+                raise VarintTruncatedError(
+                    f"expected {n} varints, stream ends mid-varint"
+                )
+            if rc == 2:
+                raise VarintOverflowError("varint exceeds u32 bounds")
+            return out
     return _unzz(decode_leb128(streams[0], n, width=meta["w"]), meta["w"])
 
 

@@ -199,6 +199,50 @@ def native_unpack_bits(b: np.ndarray, n: int, width: int) -> np.ndarray | None:
     return out
 
 
+def _bind_zz() -> None:
+    if LIB is None:
+        return
+    import ctypes as ct
+
+    i64, vp = ct.c_int64, ct.c_void_p
+    LIB.tz_enc_zz_i32.restype = i64
+    LIB.tz_enc_zz_i32.argtypes = [vp, i64, vp]
+    LIB.tz_size_zz_i32.restype = i64
+    LIB.tz_size_zz_i32.argtypes = [vp, i64]
+    LIB.tz_dec_zz_i32.restype = ctypes.c_int
+    LIB.tz_dec_zz_i32.argtypes = [vp, i64, i64, vp]
+
+
+_bind_zz()
+
+
+def native_encode_zz32(x: np.ndarray) -> bytes | None:
+    """Fused zigzag(32) + LEB128 encode of a contiguous int32 array —
+    one memory pass instead of zigzag-materialize + encode."""
+    if LIB is None or x.dtype != np.dtype(np.int32) or len(x) == 0:
+        return None
+    out = np.empty(len(x) * 5, dtype=np.uint8)
+    nbytes = LIB.tz_enc_zz_i32(x.ctypes.data, len(x), out.ctypes.data)
+    return out[:nbytes].tobytes()
+
+
+def native_size_zz32(x: np.ndarray) -> int | None:
+    """Total LEB128 bytes of zigzag(32)-mapped int32 values, fused."""
+    if LIB is None or x.dtype != np.dtype(np.int32):
+        return None
+    return int(LIB.tz_size_zz_i32(x.ctypes.data, len(x)))
+
+
+def native_decode_zz32(b: np.ndarray, n: int) -> tuple[int, np.ndarray] | None:
+    """Fused LEB128 decode + unzigzag to int32; rc 0 ok 1 truncated
+    2 overflow."""
+    if LIB is None:
+        return None
+    out = np.empty(n, dtype=np.int32)
+    rc = LIB.tz_dec_zz_i32(b.ctypes.data, len(b), n, out.ctypes.data)
+    return int(rc), out
+
+
 def _bind_fsst() -> None:
     if LIB is None:
         return
