@@ -257,11 +257,18 @@ def decode_chunk_row(row: dict) -> pa.Table:
     _, dec = INT_CODECS[codec]
     values = dec(streams, meta, n_tokens).astype(np.int32, copy=False)
 
+    # zero-copy arrow view over the decoded NumPy buffer (pa.array would
+    # copy the whole token payload a second time — measurable DRAM traffic
+    # at decode rates); py_buffer keeps the ndarray alive via buf protocol
+    values = np.ascontiguousarray(values)
+    val_arr = pa.Array.from_buffers(
+        pa.int32(), len(values), [None, pa.py_buffer(values)]
+    )
     tokens = pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int64()).cast(pa.int32())
         if n_tokens < 2**31
         else pa.array(offsets, type=pa.int64()),
-        pa.array(values, type=pa.int32()),
+        val_arr,
     )
 
     doc_id = decode_str_column(row["doc_id_enc"])

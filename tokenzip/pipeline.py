@@ -381,11 +381,21 @@ def decompress(out_dir: str, concurrency: int | None = None) -> "ray.data.Datase
         )
     # memory is bounded by the block size (~16 MB compressed -> ~50 MB
     # decoded), NOT by an explicit batch_size: a batch_size breaks
-    # ReadParquet->decode operator fusion and pays a plasma hop per block
-    ds = ray.data.read_parquet(
-        chunks_dir,
-        override_num_blocks=min(len(files), max(8, _bytes_based_blocks(files))),
-    )
+    # ReadParquet->decode operator fusion and pays a plasma hop per block.
+    # Block count is CPU-AWARE (measured, sf0.1/192MB): at 2 cpus fewer,
+    # bigger blocks win (per-task overhead dominates — 12 blocks 2.6s vs 64
+    # blocks 3.7s); at 8+ cpus one-block-per-file wins (1.2-1.4s vs 1.7s).
+    # Splitting BELOW file granularity regressed everywhere (128 blocks
+    # 2.6s, 320 blocks 3.2s at 8 cpus) — never exceed len(files) unless a
+    # single file is straggler-big (>2x the 64 MB target).
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    want = max(8, 4 * cpus)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_blocks = min(len(files), want)
+    if max(os.path.getsize(f) for f in files) > (128 << 20):
+        # skewed sink (one giant file): allow sub-file splits at ~64 MB
+        n_blocks = max(n_blocks, int(total_bytes / (64 << 20)) or 1)
+    ds = ray.data.read_parquet(chunks_dir, override_num_blocks=n_blocks)
     sidecar = os.path.join(out_dir, "symbols.json")
     kwargs = dict(
         batch_format="pyarrow",
