@@ -283,3 +283,30 @@ def test_distributed_manifest_fold_parity(ray_session, paths, tmp_path, monkeypa
         for k, v in m.items()
     }
     assert strip(ma) == strip(mb)
+
+
+def test_straggler_shard_splits_and_verifies(ray_session, tmp_path):
+    """A shard 10x denser than its peers gets extra read blocks (straggler
+    isolation) and verify_roundtrip stays all-equal across the split."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tokenzip.corpus import generate_shard
+    from tokenzip.pipeline import _verify_read_blocks
+
+    paths = []
+    for shard in range(4):
+        rows = 2000 if shard == 1 else 200  # one dense shard
+        t = generate_shard(shard, rows, row_offset=shard * 10_000)
+        p = str(tmp_path / f"part-{shard}.parquet")
+        pq.write_table(t, p, row_group_size=256)
+        paths.append(p)
+
+    uniform = [paths[0]] * 4
+    assert _verify_read_blocks(uniform) == 4  # no skew -> one per file
+    nb = _verify_read_blocks(paths)
+    assert nb > 4  # skew -> the dense shard is split
+
+    v = verify_roundtrip(paths).to_pandas()
+    assert (v["n_docs"] == v["n_equal"]).all()
+    assert int(v["n_docs"].sum()) == 2600

@@ -756,6 +756,19 @@ def _cached_digest_fn(batch):
     return _DIGEST_STAGE[0](batch)
 
 
+def _verify_read_blocks(paths: list[str]) -> int:
+    """One block per file, plus extra blocks under FILE-SIZE SKEW (a shard
+    >2x the median would gate the fused verify stage end-to-end — SURVEY
+    §4.2 cross-fragment straggler isolation)."""
+    sizes = sorted(os.path.getsize(p) for p in paths)
+    if not sizes:
+        return 1
+    median = sizes[len(sizes) // 2]
+    if median and sizes[-1] > 2 * median:
+        return max(len(paths), int(sum(sizes) / median))
+    return len(paths)
+
+
 def verify_roundtrip(
     input_paths: list[str],
     *,
@@ -774,8 +787,13 @@ def verify_roundtrip(
     # comes from the file count, which is the natural unit at 100 TB
     # (thousands of fragments); a corpus with fewer files than cores
     # should be re-sharded at the source, not block-split here.
+    # EXCEPTION — straggler shards: a file much larger than typical would
+    # gate the whole stage as one fused task, so under size skew the block
+    # count rises to ~total/median, splitting only the oversized files
+    # (Ray assigns blocks proportional to bytes) while typical files keep
+    # their fused one-task layout.
     ds = ray.data.read_parquet(
-        input_paths, override_num_blocks=len(input_paths)
+        input_paths, override_num_blocks=_verify_read_blocks(input_paths)
     )
     partials = ds.map_batches(
         _verify_fn,
