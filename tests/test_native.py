@@ -191,3 +191,58 @@ def test_native_zz32_error_codes():
     assert rc == 2  # 6-byte varint at width 32
     rc, _ = N.native_decode_zz32(np.frombuffer(b"\x80\x80\x80\x80\x7f", np.uint8), 1)
     assert rc == 2  # last-byte bound
+
+
+@pytest.mark.skipif(not N.HAVE_NATIVE, reason="no C compiler in environment")
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-(2**31), 2**31 - 1), min_size=0, max_size=40),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_native_doc_chk_matches_numpy(docs):
+    """Fused Horner checksum kernel == the NumPy cumsum-differencing
+    construction in _DocChecksumStage (uint64 wraparound, per-doc sums)."""
+    B = np.uint64(1099511628211)
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+    lengths = np.array([len(d) for d in docs], dtype=np.int64)
+    values = np.array([v for d in docs for v in d], dtype=np.int32)
+    starts = np.zeros(len(docs) + 1, np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    from tokenzip.codecs.varint import zigzag_encode
+
+    with np.errstate(over="ignore"):
+        maxlen = int(lengths.max()) if len(docs) else 0
+        powers = np.ones(maxlen + 1, np.uint64)
+        if maxlen:
+            np.cumprod(np.full(maxlen, B, np.uint64), out=powers[1:])
+        w = np.arange(len(values), dtype=np.int64) - np.repeat(starts[:-1], lengths)
+        terms = (zigzag_encode(values, 32).astype(np.uint64) + MIX) * powers[w]
+        cs = np.zeros(len(values) + 1, np.uint64)
+        np.cumsum(terms, out=cs[1:])
+        ref_h = cs[starts[1:]] - cs[starts[:-1]]
+    tvs = np.zeros(len(values) + 1, np.int64)
+    np.cumsum(values, dtype=np.int64, out=tvs[1:])
+    ref_tv = tvs[starts[1:]] - tvs[starts[:-1]]
+
+    got_h, got_tv = N.native_doc_chk_i32(values, starts, int(MIX), int(B))
+    assert np.array_equal(got_h, ref_h)
+    assert np.array_equal(got_tv, ref_tv)
+
+    # byte-hash kernel against the same polynomial over raw bytes
+    blob = values.view(np.uint8)[: 4 * len(values)]
+    offs = starts * 4
+    with np.errstate(over="ignore"):
+        dmax = int((lengths * 4).max()) if len(docs) else 0
+        dpow = np.ones(dmax + 1, np.uint64)
+        if dmax:
+            np.cumprod(np.full(dmax, B, np.uint64), out=dpow[1:])
+        dw = np.arange(len(blob), dtype=np.int64) - np.repeat(offs[:-1], lengths * 4)
+        dterms = (blob.astype(np.uint64) + MIX) * dpow[dw]
+        dcs = np.zeros(len(blob) + 1, np.uint64)
+        np.cumsum(dterms, out=dcs[1:])
+        ref_bh = dcs[offs[1:]] - dcs[offs[:-1]]
+    got_bh = N.native_byte_chk(blob, offs, int(MIX), int(B))
+    assert np.array_equal(got_bh, ref_bh)

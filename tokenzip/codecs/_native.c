@@ -342,3 +342,36 @@ int tz_dec_zz_i32(const uint8_t *in, int64_t nbytes, int64_t n, int32_t *out) {
     }
     return 0;
 }
+
+/* Per-doc polynomial checksums (pipeline._DocChecksumStage): the NumPy
+ * construction sum_j (x_j + MIX) * B^j costs ~8 full-array passes (repeat,
+ * gather, cumsum differencing); Horner over each doc's reversed range is
+ * ONE pass and bit-identical under uint64 wraparound. x = zigzag32(value)
+ * for token streams, raw byte for doc_id strings. out_sum also folds the
+ * per-doc int64 token sum so the caller drops its cumsum passes. */
+void tz_doc_chk_i32(const int32_t *vals, const int64_t *offs, int64_t n_docs,
+                    uint64_t mix, uint64_t b, uint64_t *out_h,
+                    int64_t *out_sum) {
+    for (int64_t d = 0; d < n_docs; d++) {
+        uint64_t h = 0;
+        int64_t s = 0;
+        for (int64_t j = offs[d + 1] - 1; j >= offs[d]; j--) {
+            uint64_t zz = ((uint32_t)vals[j] << 1) ^ (uint32_t)(vals[j] >> 31);
+            h = h * b + (zz + mix);
+            s += vals[j];
+        }
+        out_h[d] = h;
+        out_sum[d] = s;
+    }
+}
+
+void tz_byte_chk(const uint8_t *bytes, const int64_t *offs, int64_t n_docs,
+                 uint64_t mix, uint64_t b, uint64_t *out_h) {
+    for (int64_t d = 0; d < n_docs; d++) {
+        uint64_t h = 0;
+        for (int64_t j = offs[d + 1] - 1; j >= offs[d]; j--) {
+            h = h * b + ((uint64_t)bytes[j] + mix);
+        }
+        out_h[d] = h;
+    }
+}

@@ -243,6 +243,63 @@ def native_decode_zz32(b: np.ndarray, n: int) -> tuple[int, np.ndarray] | None:
     return int(rc), out
 
 
+def _bind_chk() -> None:
+    if LIB is None:
+        return
+    import ctypes as ct
+
+    i64, vp, u64 = ct.c_int64, ct.c_void_p, ct.c_uint64
+    LIB.tz_doc_chk_i32.restype = None
+    LIB.tz_doc_chk_i32.argtypes = [vp, vp, i64, u64, u64, vp, vp]
+    LIB.tz_byte_chk.restype = None
+    LIB.tz_byte_chk.argtypes = [vp, vp, i64, u64, u64, vp]
+
+
+_bind_chk()
+
+
+def native_doc_chk_i32(
+    vals: np.ndarray, offs: np.ndarray, mix: int, b: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Per-doc (polynomial checksum over zigzag32 values, int64 token sum)
+    in one fused pass; None if not applicable."""
+    if (
+        LIB is None
+        or vals.dtype != np.dtype(np.int32)
+        or offs.dtype != np.dtype(np.int64)
+    ):
+        return None
+    n = len(offs) - 1
+    out_h = np.empty(n, dtype=np.uint64)
+    out_s = np.empty(n, dtype=np.int64)
+    LIB.tz_doc_chk_i32(
+        np.ascontiguousarray(vals).ctypes.data,
+        np.ascontiguousarray(offs).ctypes.data,
+        n, mix, b, out_h.ctypes.data, out_s.ctypes.data,
+    )
+    return out_h, out_s
+
+
+def native_byte_chk(
+    bytes_: np.ndarray, offs: np.ndarray, mix: int, b: int
+) -> np.ndarray | None:
+    """Per-doc polynomial checksum over raw bytes, one pass."""
+    if (
+        LIB is None
+        or bytes_.dtype != np.dtype(np.uint8)
+        or offs.dtype != np.dtype(np.int64)
+    ):
+        return None
+    n = len(offs) - 1
+    out_h = np.empty(n, dtype=np.uint64)
+    LIB.tz_byte_chk(
+        np.ascontiguousarray(bytes_).ctypes.data,
+        np.ascontiguousarray(offs).ctypes.data,
+        n, mix, b, out_h.ctypes.data,
+    )
+    return out_h
+
+
 def _bind_fsst() -> None:
     if LIB is None:
         return

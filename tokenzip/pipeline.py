@@ -447,6 +447,7 @@ class _DocChecksumStage:
 
     def _compute(self, batch: pa.Table) -> pa.Table:
         from tokenzip.chunk import _tokens_parts
+        from tokenzip.codecs.native import native_byte_chk, native_doc_chk_i32
         from tokenzip.codecs.varint import zigzag_encode
 
         lengths, values = _tokens_parts(batch["tokens"])
@@ -454,17 +455,30 @@ class _DocChecksumStage:
         starts = np.zeros(n + 1, np.int64)
         np.cumsum(lengths, out=starts[1:])
         total = int(starts[-1])
-        maxlen = int(lengths.max()) if n else 0
         with np.errstate(over="ignore"):
-            powers = np.ones(maxlen + 1, np.uint64)
-            if maxlen:
-                np.cumprod(np.full(maxlen, self._B, np.uint64), out=powers[1:])
-            w = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], lengths)
-            zz = zigzag_encode(values, 32).astype(np.uint64)
-            terms = (zz + self._MIX) * powers[w]
-            cs = np.zeros(total + 1, np.uint64)
-            np.cumsum(terms, out=cs[1:])
-            tok_hash = cs[starts[1:]] - cs[starts[:-1]]
+            # token-stream checksum + per-doc sums: ONE fused C pass
+            # (Horner) when native is built — the NumPy construction below
+            # is ~8 full-array uint64 passes and was the sink audit's
+            # scaling bottleneck (DRAM-bound)
+            nat = native_doc_chk_i32(
+                values, starts, int(self._MIX), int(self._B)
+            )
+            if nat is not None:
+                tok_hash, tv = nat
+            else:
+                maxlen = int(lengths.max()) if n else 0
+                powers = np.ones(maxlen + 1, np.uint64)
+                if maxlen:
+                    np.cumprod(np.full(maxlen, self._B, np.uint64), out=powers[1:])
+                w = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], lengths)
+                zz = zigzag_encode(values, 32).astype(np.uint64)
+                terms = (zz + self._MIX) * powers[w]
+                cs = np.zeros(total + 1, np.uint64)
+                np.cumsum(terms, out=cs[1:])
+                tok_hash = cs[starts[1:]] - cs[starts[:-1]]
+                tvs = np.zeros(total + 1, np.int64)
+                np.cumsum(values, dtype=np.int64, out=tvs[1:])
+                tv = tvs[starts[1:]] - tvs[starts[:-1]]
 
             src = batch["source"].to_numpy(zero_copy_only=False)
             uniq, inv = np.unique(src, return_inverse=True)
@@ -488,24 +502,27 @@ class _DocChecksumStage:
             doffs = np.frombuffer(did.buffers()[1], dtype=np.int32)[
                 did.offset : did.offset + n + 1
             ].astype(np.int64)
-            dbytes = np.frombuffer(did.buffers()[2], dtype=np.uint8)[
-                doffs[0] : doffs[-1]
-            ].astype(np.uint64)
-            dlens = np.diff(doffs)
-            dmax = int(dlens.max()) if n else 0
-            dpow = np.ones(dmax + 1, np.uint64)
-            if dmax:
-                np.cumprod(np.full(dmax, self._B, np.uint64), out=dpow[1:])
             dstart = doffs - doffs[0]
-            dw = np.arange(len(dbytes), dtype=np.int64) - np.repeat(dstart[:-1], dlens)
-            dterms = (dbytes + self._MIX) * dpow[dw]
-            dcs = np.zeros(len(dbytes) + 1, np.uint64)
-            np.cumsum(dterms, out=dcs[1:])
-            did_hash = dcs[dstart[1:]] - dcs[dstart[:-1]]
-
-        tvs = np.zeros(total + 1, np.int64)
-        np.cumsum(values, dtype=np.int64, out=tvs[1:])
-        tv = tvs[starts[1:]] - tvs[starts[:-1]]
+            dbytes_u8 = np.frombuffer(did.buffers()[2], dtype=np.uint8)[
+                doffs[0] : doffs[-1]
+            ]
+            did_hash = native_byte_chk(
+                dbytes_u8, dstart, int(self._MIX), int(self._B)
+            )
+            if did_hash is None:
+                dbytes = dbytes_u8.astype(np.uint64)
+                dlens = np.diff(doffs)
+                dmax = int(dlens.max()) if n else 0
+                dpow = np.ones(dmax + 1, np.uint64)
+                if dmax:
+                    np.cumprod(np.full(dmax, self._B, np.uint64), out=dpow[1:])
+                dw = np.arange(len(dbytes), dtype=np.int64) - np.repeat(
+                    dstart[:-1], dlens
+                )
+                dterms = (dbytes + self._MIX) * dpow[dw]
+                dcs = np.zeros(len(dbytes) + 1, np.uint64)
+                np.cumsum(dterms, out=dcs[1:])
+                did_hash = dcs[dstart[1:]] - dcs[dstart[:-1]]
         o = np.int64(self.is_o)
         return pa.table(
             {
