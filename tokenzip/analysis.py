@@ -727,7 +727,41 @@ def _intra_pair_chk(ids: np.ndarray) -> int:
 
 
 _PAIR_EMPTY = {c: pd.Series([], dtype="int64")
-               for c in ("a", "b", "dup", "w_pairs", "w_chk")}
+               for c in ("pbkt", "a", "b", "dup", "w_pairs", "w_chk")}
+
+
+def _with_pbkt(rows: dict, nb: int) -> pd.DataFrame:
+    """Attach the pair-dedupe bucket key: hash of (a, b) masked to nb
+    buckets, so the cross-band duplicate elimination is a bounded-key
+    groupby instead of one group per distinct pair."""
+    df = pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+    with np.errstate(over="ignore"):
+        key = _splitmix64(
+            df["a"].to_numpy().view(np.uint64) * np.uint64(0x9E3779B97F4A7C17)
+            + df["b"].to_numpy().view(np.uint64)
+        )
+    df.insert(0, "pbkt", (key & np.uint64(nb - 1)).astype(np.int64))
+    return df
+
+
+def _pair_dedupe(g: pd.DataFrame) -> pd.DataFrame:
+    """One pbkt bucket = many (a, b) pair keys; rows repeated across bands
+    are IDENTICAL (cluster keys are global), so per-key Max == dedupe.
+    Vectorized: one lexsort + maximum.reduceat, no per-pair Python."""
+    a = g["a"].to_numpy().astype(np.int64)
+    b = g["b"].to_numpy().astype(np.int64)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    n = len(a)
+    newk = np.ones(n, dtype=bool)
+    if n > 1:
+        newk[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(newk)
+    out = {"a": a[starts], "b": b[starts]}
+    for c in ("dup", "w_pairs", "w_chk"):
+        v = g[c].to_numpy().astype(np.int64)[order]
+        out[c] = np.maximum.reduceat(v, starts) if n else v
+    return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in out.items()})
 
 
 def _mh_group_rows(band: int, ids: np.ndarray, sk1: np.ndarray,
@@ -767,27 +801,32 @@ def _mh_group_rows(band: int, ids: np.ndarray, sk1: np.ndarray,
             rows["w_chk"].append(_cross_pair_chk(A, B))
 
 
-def _mh_bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
+def _mh_bucket_candidates(nb: int):
     """One hash BUCKET of the LSH shuffle = MANY (band, band_hash) groups.
     Groups are split vectorized (one lexsort + run-length boundaries);
     singleton groups — the vast majority — cost zero per-group Python, and
-    only genuinely colliding groups reach ``_mh_group_rows``."""
-    band = g["band"].to_numpy().astype(np.int64)
-    bh = g["band_hash"].to_numpy().astype(np.int64)
-    ids = g["doc_id"].to_numpy().astype(np.int64)
-    sk1 = g["sk1"].to_numpy().astype(np.int64)
-    sk2 = g["sk2"].to_numpy().astype(np.int64)
-    order, starts, ends = _group_runs(band, bh)
-    if not len(starts):
-        return pd.DataFrame(_PAIR_EMPTY)
-    band, bh, ids = band[order], bh[order], ids[order]
-    sk1, sk2 = sk1[order], sk2[order]
-    rows = {"a": [], "b": [], "dup": [], "w_pairs": [], "w_chk": []}
-    for s, e in zip(starts, ends):
-        _mh_group_rows(int(band[s]), ids[s:e], sk1[s:e], sk2[s:e], rows)
-    if not rows["a"]:
-        return pd.DataFrame(_PAIR_EMPTY)
-    return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+    only genuinely colliding groups reach ``_mh_group_rows``. Emitted rows
+    carry the pair-dedupe bucket key (see _with_pbkt)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        band = g["band"].to_numpy().astype(np.int64)
+        bh = g["band_hash"].to_numpy().astype(np.int64)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        sk1 = g["sk1"].to_numpy().astype(np.int64)
+        sk2 = g["sk2"].to_numpy().astype(np.int64)
+        order, starts, ends = _group_runs(band, bh)
+        if not len(starts):
+            return pd.DataFrame(_PAIR_EMPTY)
+        band, bh, ids = band[order], bh[order], ids[order]
+        sk1, sk2 = sk1[order], sk2[order]
+        rows = {"a": [], "b": [], "dup": [], "w_pairs": [], "w_chk": []}
+        for s, e in zip(starts, ends):
+            _mh_group_rows(int(band[s]), ids[s:e], sk1[s:e], sk2[s:e], rows)
+        if not rows["a"]:
+            return pd.DataFrame(_PAIR_EMPTY)
+        return _with_pbkt(rows, nb)
+
+    return fn
 
 
 class _CandShingleStage:
@@ -909,7 +948,6 @@ def q_dedup_minhash(sf_dir: str, threshold=(7, 10)):
     contains every such pair w.h.p. (P_miss ~ 4e-10 per pair), so the
     verified counts match exactly. Returns one row:
     (n_docs, sum_shingles, n_dup_pairs, pair_checksum)."""
-    from ray.data.aggregate import Max
 
     num, den = threshold
     nb = _lsh_n_buckets(_doc_count(sf_dir) * _MH_BANDS)
@@ -949,14 +987,13 @@ def q_dedup_minhash(sf_dir: str, threshold=(7, 10)):
         batch_format="pyarrow",
     ).sum(["n_docs", "sum_shingles"])
     pairs = bands.groupby("bkt").map_groups(
-        _mh_bucket_candidates, batch_format="pandas"
+        _mh_bucket_candidates(nb), batch_format="pandas"
     )
     # rows repeated across bands are IDENTICAL (cluster keys are global), so
-    # Max over every carried column dedupes them
-    uniq = pairs.groupby(["a", "b"]).aggregate(
-        Max("dup", alias_name="dup"),
-        Max("w_pairs", alias_name="w_pairs"),
-        Max("w_chk", alias_name="w_chk"),
+    # per-(a, b) Max == dedupe — done as a bounded-key bucketed map_groups
+    # (one group per distinct pair would hit Ray's tiny-group pathology)
+    uniq = pairs.groupby("pbkt").map_groups(
+        _pair_dedupe, batch_format="pandas"
     ).materialize()  # branched below (resolved + candidates); tiny rows
     resolved = uniq.map_batches(
         lambda b: b.filter(pc.greater_equal(b["dup"], 0)), batch_format="pyarrow"
@@ -1180,23 +1217,28 @@ def _sh_group_rows(bkey: int, ids_all: np.ndarray, hs_all: np.ndarray,
             rows["w_chk"].append(_cross_pair_chk(A, B))
 
 
-def _sh_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+def _sh_bucket_pairs(nb: int):
     """One hash BUCKET = many (bkey, band_val) groups, split vectorized via
-    one lexsort; singleton groups cost zero per-group Python."""
-    bkey = g["bkey"].to_numpy().astype(np.int64)
-    val = g["band_val"].to_numpy().astype(np.int64)
-    ids = g["doc_id"].to_numpy().astype(np.int64)
-    hs = g["simhash"].to_numpy().astype(np.int64)
-    order, starts, ends = _group_runs(bkey, val)
-    if not len(starts):
-        return pd.DataFrame(_PAIR_EMPTY)
-    bkey, val, ids, hs = bkey[order], val[order], ids[order], hs[order]
-    rows = {"a": [], "b": [], "dup": [], "w_pairs": [], "w_chk": []}
-    for s, e in zip(starts, ends):
-        _sh_group_rows(int(bkey[s]), ids[s:e], hs[s:e], rows)
-    if not rows["a"]:
-        return pd.DataFrame(_PAIR_EMPTY)
-    return pd.DataFrame({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+    one lexsort; singleton groups cost zero per-group Python. Emitted rows
+    carry the pair-dedupe bucket key (see _with_pbkt)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        bkey = g["bkey"].to_numpy().astype(np.int64)
+        val = g["band_val"].to_numpy().astype(np.int64)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        hs = g["simhash"].to_numpy().astype(np.int64)
+        order, starts, ends = _group_runs(bkey, val)
+        if not len(starts):
+            return pd.DataFrame(_PAIR_EMPTY)
+        bkey, val, ids, hs = bkey[order], val[order], ids[order], hs[order]
+        rows = {"a": [], "b": [], "dup": [], "w_pairs": [], "w_chk": []}
+        for s, e in zip(starts, ends):
+            _sh_group_rows(int(bkey[s]), ids[s:e], hs[s:e], rows)
+        if not rows["a"]:
+            return pd.DataFrame(_PAIR_EMPTY)
+        return _with_pbkt(rows, nb)
+
+    return fn
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -1209,7 +1251,6 @@ def q_dedup_simhash(sf_dir: str):
     _SH_SUB_WIDTHS), so the brute-force SQL oracle counts the identical pair
     set. Returns one row:
     (n_docs, simhash_checksum, n_dup_pairs, pair_checksum)."""
-    from ray.data.aggregate import Max
 
     nb = _lsh_n_buckets(_doc_count(sf_dir) * _SH_BANDS * _SH_SUB)
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -1220,14 +1261,11 @@ def q_dedup_simhash(sf_dir: str):
         batch_size=1024,
     )
     pairs = bands.groupby("bkt").map_groups(
-        _sh_bucket_pairs, batch_format="pandas"
+        _sh_bucket_pairs(nb), batch_format="pandas"
     )
-    # rows for the same (a, b) are identical across buckets — Max dedupes
-    uniq = pairs.groupby(["a", "b"]).aggregate(
-        Max("dup", alias_name="dup"),
-        Max("w_pairs", alias_name="w_pairs"),
-        Max("w_chk", alias_name="w_chk"),
-    )
+    # rows for the same (a, b) are identical across buckets — bucketed
+    # vectorized Max dedupes without one-group-per-pair
+    uniq = pairs.groupby("pbkt").map_groups(_pair_dedupe, batch_format="pandas")
 
     def _pair_partial(b: pa.Table) -> pa.Table:
         dup = b["dup"].to_numpy(zero_copy_only=False).astype(bool)
