@@ -52,29 +52,41 @@ class _TokenStatsStage:
         src = batch["source"].to_numpy(zero_copy_only=False)
         n_tok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
         uniq, inv = np.unique(src, return_inverse=True)
+        k = len(uniq)
         tok_src = np.repeat(inv, lengths)  # source index per token
         zz = zigzag_encode(values.astype(np.int32), 32).astype(np.uint64)
         sizes = leb128_size(zz)
+        # ONE stable sort groups tokens contiguously by source; per-source
+        # work then runs on O(group) slices, not O(sources x tokens) masks
+        torder = np.argsort(tok_src, kind="stable")
+        vs, zzs, szs = values[torder], zz[torder], sizes[torder]
+        tcounts = np.bincount(tok_src, minlength=k)
+        tstarts = np.zeros(k + 1, np.int64)
+        np.cumsum(tcounts, out=tstarts[1:])
+        rorder = np.argsort(inv, kind="stable")
+        rcounts = np.bincount(inv, minlength=k)
+        rstarts = np.zeros(k + 1, np.int64)
+        np.cumsum(rcounts, out=rstarts[1:])
+        eq = (n_tok == lengths)[rorder]
         out = {
             "source": [], "n_docs": [], "n_tokens": [], "min_token": [],
             "max_token": [], "sum_zigzag": [], "leb128_bytes": [],
             "n_ntok_match": [],
         }
         for g, s in enumerate(uniq):
-            m = tok_src == g
-            rows = inv == g
-            vals = values[m]
+            sl = slice(tstarts[g], tstarts[g + 1])
+            vals = vs[sl]
             out["source"].append(str(s))
-            out["n_docs"].append(int(rows.sum()))
-            out["n_tokens"].append(int(m.sum()))
+            out["n_docs"].append(int(rcounts[g]))
+            out["n_tokens"].append(int(tcounts[g]))
             out["min_token"].append(int(vals.min()) if len(vals) else 2**31 - 1)
             out["max_token"].append(int(vals.max()) if len(vals) else -(2**31))
-            out["sum_zigzag"].append(int(zz[m].sum(dtype=np.uint64)))
+            out["sum_zigzag"].append(int(zzs[sl].sum(dtype=np.uint64)))
             # actual engine encode: blob length must equal the size oracle
-            blob = encode_leb128(zz[m])
-            assert len(blob) == int(sizes[m].sum())
+            blob = encode_leb128(zzs[sl])
+            assert len(blob) == int(szs[sl].sum())
             out["leb128_bytes"].append(len(blob))
-            out["n_ntok_match"].append(int((n_tok[rows] == lengths[rows]).sum()))
+            out["n_ntok_match"].append(int(eq[rstarts[g] : rstarts[g + 1]].sum()))
         return pa.table(out)
 
 
