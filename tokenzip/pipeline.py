@@ -262,20 +262,22 @@ _FOLD_COLS = ("n_rows", "n_tokens", "bytes_in", "bytes_out",
 
 
 def _meta_fold_partial(batch: pa.Table) -> pa.Table:
-    """Pre-aggregated per-(frag, codec) partial of one metadata block."""
+    """Pre-aggregated per-(frag, codec) partial of one metadata block.
+    The composite key is an INDEX PAIR (no string separator — a frag name
+    could contain any byte, and numpy U-dtype strips NULs)."""
     frags = np.array(
         [p.split("/frag=", 1)[1].split("/", 1)[0]
          for p in batch["path"].to_pylist()]
     )
     codecs = batch["tokens_codec"].to_numpy(zero_copy_only=False)
-    # "|" separator: frag names are path-hash slugs, codec names alnum —
-    # neither contains "|" (numpy U-dtype would strip a \x00 separator)
-    key = np.char.add(np.char.add(frags.astype(str), "|"), codecs.astype(str))
+    uf, fi = np.unique(frags, return_inverse=True)
+    uc, ci = np.unique(codecs, return_inverse=True)
+    key = fi * max(1, len(uc)) + ci
     uniq, inv = np.unique(key, return_inverse=True)
     k = len(uniq)
     cols = {
-        "frag": pa.array([u.split("|", 1)[0] for u in uniq], pa.string()),
-        "codec": pa.array([u.split("|", 1)[1] for u in uniq], pa.string()),
+        "frag": pa.array([str(uf[u // max(1, len(uc))]) for u in uniq], pa.string()),
+        "codec": pa.array([str(uc[u % max(1, len(uc))]) for u in uniq], pa.string()),
         "n_chunks": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
     }
     for c in _FOLD_COLS:
