@@ -101,9 +101,11 @@ def run_bench() -> dict:
         k: [round(min(r[k] for r in runs), 2), round(max(r[k] for r in runs), 2)]
         for k in runs[0]
     }
-    # headline value = the three core stages (round-over-round comparable);
-    # verify_sink is reported alongside in queries
-    value = sum(queries[k] for k in ("compress", "decompress", "verify_roundtrip"))
+    # headline value = median of the per-RUN core-stage totals (an actual
+    # achieved wall time — a sum of per-stage medians could combine legs no
+    # single run achieved); verify_sink is reported alongside in queries
+    core = ("compress", "decompress", "verify_roundtrip")
+    value = med(sum(r[k] for k in core) for r in runs)
     result = {
         "metric": "tokenzip compress+decompress+verify wall time "
                   f"(median of {reps})",

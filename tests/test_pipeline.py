@@ -304,8 +304,21 @@ def test_straggler_shard_splits_and_verifies(ray_session, tmp_path):
 
     uniform = [paths[0]] * 4
     assert _verify_read_blocks(uniform) == 4  # no skew -> one per file
-    nb = _verify_read_blocks(paths)
+
+    # policy math at representative sizes (tiny test files stay below the
+    # 16 MB split floor by design): 3 x 32 MB + one 640 MB straggler
+    import tokenzip.pipeline as P
+
+    fake = {p: 32 << 20 for p in paths}
+    fake[paths[1]] = 640 << 20
+    real_getsize = os.path.getsize
+    try:
+        os.path.getsize = lambda p: fake.get(p) or real_getsize(p)
+        nb = _verify_read_blocks(paths)
+    finally:
+        os.path.getsize = real_getsize
     assert nb > 4  # skew -> the dense shard is split
+    assert nb <= 64  # ...at bounded granularity, never an explosion
 
     v = verify_roundtrip(paths).to_pandas()
     assert (v["n_docs"] == v["n_equal"]).all()

@@ -666,6 +666,11 @@ class _MinHashStage:
             sk1 = _splitmix64(h1 + n_sh.astype(np.uint64))
             sk2 = _splitmix64(h2 ^ n_sh.astype(np.uint64))
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # the intra-cluster sentinel row uses a = -1, and the SQL oracles
+        # compute % on non-negative ids — reject negatives loudly (same
+        # contract as dedup_exact's _hash_key_rows guard)
+        if len(ids) and int(ids.min()) < 0:
+            raise ValueError("dedup_minhash requires non-negative doc_id")
         bh_flat = bh.reshape(-1)
         return pa.table(
             {
@@ -829,14 +834,24 @@ def _mh_bucket_candidates(nb: int):
     return fn
 
 
+def _jbkt_of(ids: np.ndarray, nbv: int) -> np.ndarray:
+    """Hash-bucket key over doc ids (bounded-group-count joins)."""
+    with np.errstate(over="ignore"):
+        return (
+            _splitmix64(ids.astype(np.int64).view(np.uint64))
+            & np.uint64(nbv - 1)
+        ).astype(np.int64)
+
+
 class _CandShingleStage:
     """Filtered re-shingle scan: recompute shingle sets ONLY for candidate
     representative docs (broadcast sorted id array, fetched once per worker
     via the object store). At 100 TB this reads the full corpus once more
     but ships shingles for ~candidate-count docs only."""
 
-    def __init__(self, ids_ref):
+    def __init__(self, ids_ref, nbv: int = 256):
         self.ids = ray.get(ids_ref) if not isinstance(ids_ref, np.ndarray) else ids_ref
+        self.nbv = nbv
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -847,6 +862,8 @@ class _CandShingleStage:
             return pa.table(
                 {
                     "jdoc": pa.array([], pa.int64()),
+                    "jbkt": pa.array([], pa.int64()),
+                    "kbkt": pa.array([], pa.int64()),
                     "pkey": pa.array([], pa.string()),
                     "w_pairs": pa.array([], pa.int64()),
                     "w_chk": pa.array([], pa.int64()),
@@ -855,9 +872,12 @@ class _CandShingleStage:
             )
         sub = batch.filter(pa.array(mask))
         off, hs = _shingle_hash_batch(sub["text"])
+        sub_ids = sub["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "jdoc": sub["doc_id"].cast(pa.int64()),
+                "jbkt": pa.array(_jbkt_of(sub_ids, self.nbv)),
+                "kbkt": pa.array(np.zeros(sub.num_rows, np.int64)),
                 "pkey": pa.array([""] * sub.num_rows, pa.string()),
                 "w_pairs": pa.array(np.zeros(sub.num_rows, np.int64)),
                 "w_chk": pa.array(np.zeros(sub.num_rows, np.int64)),
@@ -868,59 +888,82 @@ class _CandShingleStage:
         )
 
 
+_ATTACH_EMPTY = {
+    "kbkt": pd.Series([], dtype="int64"),
+    "pkey": pd.Series([], dtype="object"),
+    "w_pairs": pd.Series([], dtype="int64"),
+    "w_chk": pd.Series([], dtype="int64"),
+    "shingles": pd.Series([], dtype="object"),
+}
+
+
 def _attach_shingles(g: pd.DataFrame) -> pd.DataFrame:
-    """groupby(jdoc): one shingle row (pkey == '') + N pair-side rows ->
-    emit each pair-side row with the doc's shingles attached."""
+    """groupby(jbkt): one bucket holds MANY jdocs — shingle rows
+    (pkey == '') hash-join onto the pair-side rows via pandas merge (C
+    hash join, no per-doc Ray group). A missing shingle side degrades to
+    an empty set (the judge then fails closed)."""
     is_sh = g["pkey"] == ""
-    sh_rows = g[is_sh]
-    pair_rows = g[~is_sh]
-    if not len(pair_rows):
-        return pd.DataFrame(
-            {
-                "pkey": pd.Series([], dtype="object"),
-                "w_pairs": pd.Series([], dtype="int64"),
-                "w_chk": pd.Series([], dtype="int64"),
-                "shingles": pd.Series([], dtype="object"),
-            }
+    sh = g.loc[is_sh, ["jdoc", "shingles"]]
+    pairs = g.loc[~is_sh, ["jdoc", "kbkt", "pkey", "w_pairs", "w_chk"]]
+    if not len(pairs):
+        return pd.DataFrame(_ATTACH_EMPTY)
+    out = pairs.merge(sh, on="jdoc", how="left")
+    missing = out["shingles"].isna()
+    if missing.any():
+        empty = np.empty(0, np.uint64)
+        out.loc[missing, "shingles"] = pd.Series(
+            [empty] * int(missing.sum()), index=out.index[missing]
         )
-    sh = sh_rows["shingles"].iloc[0] if len(sh_rows) else np.empty(0, np.uint64)
     return pd.DataFrame(
         {
-            "pkey": pair_rows["pkey"].to_numpy(),
-            "w_pairs": pair_rows["w_pairs"].to_numpy().astype(np.int64),
-            "w_chk": pair_rows["w_chk"].to_numpy().astype(np.int64),
-            "shingles": [sh] * len(pair_rows),
+            "kbkt": out["kbkt"].to_numpy().astype(np.int64),
+            "pkey": out["pkey"].to_numpy(),
+            "w_pairs": out["w_pairs"].to_numpy().astype(np.int64),
+            "w_chk": out["w_chk"].to_numpy().astype(np.int64),
+            "shingles": out["shingles"].to_numpy(),
         }
     )
 
 
 def _judge_pairs(threshold_num: int, threshold_den: int):
-    """groupby(pkey): the pair's two shingle rows -> exact-Jaccard verdict
-    (integer cross-multiplication, exactly the SQL oracle's comparison)."""
+    """groupby(kbkt): one bucket holds MANY pkeys — sorted run-length split,
+    then the exact-Jaccard verdict per pair (integer cross-multiplication,
+    exactly the SQL oracle's comparison). Per-pair Python survives only for
+    the set intersection itself; the per-pair Ray group overhead is gone."""
 
     def judge(g: pd.DataFrame) -> pd.DataFrame:
-        a, b = (int(x) for x in g["pkey"].iloc[0].split("|"))
-        sets = [
-            np.asarray(s, dtype=np.uint64) for s in g["shingles"].iloc[:2]
-        ]
-        if len(sets) < 2:  # missing side => shingle scan bug; fail closed
-            dup = 0
-        else:
-            inter = len(np.intersect1d(sets[0], sets[1], assume_unique=True))
-            union = len(sets[0]) + len(sets[1]) - inter
-            dup = int(
-                threshold_den * inter >= threshold_num * union if union else True
-            )
+        empty = {c: pd.Series([], dtype="int64")
+                 for c in ("a", "b", "dup", "w_pairs", "w_chk")}
+        if not len(g):
+            return pd.DataFrame(empty)
+        g = g.sort_values("pkey", kind="stable")
+        pk = g["pkey"].to_numpy()
+        newk = np.ones(len(pk), dtype=bool)
+        newk[1:] = pk[1:] != pk[:-1]
+        starts = np.flatnonzero(newk)
+        ends = np.concatenate((starts[1:], [len(pk)]))
+        sh = g["shingles"].to_numpy()
+        wp = g["w_pairs"].to_numpy().astype(np.int64)
+        wc = g["w_chk"].to_numpy().astype(np.int64)
+        rows = {"a": [], "b": [], "dup": [], "w_pairs": [], "w_chk": []}
+        for s, e in zip(starts, ends):
+            a, b = (int(x) for x in pk[s].split("|"))
+            sets = [np.asarray(x, dtype=np.uint64) for x in sh[s : min(e, s + 2)]]
+            if e - s < 2:  # missing side => shingle scan bug; fail closed
+                dup = 0
+            else:
+                inter = len(np.intersect1d(sets[0], sets[1], assume_unique=True))
+                union = len(sets[0]) + len(sets[1]) - inter
+                dup = int(
+                    threshold_den * inter >= threshold_num * union if union else True
+                )
+            rows["a"].append(a)
+            rows["b"].append(b)
+            rows["dup"].append(dup)
+            rows["w_pairs"].append(int(wp[s:e].max()))
+            rows["w_chk"].append(int(wc[s:e].max()))
         return pd.DataFrame(
-            {
-                "a": pd.Series([a], dtype="int64"),
-                "b": pd.Series([b], dtype="int64"),
-                "dup": pd.Series([dup], dtype="int64"),
-                "w_pairs": pd.Series(
-                    [int(g["w_pairs"].max())], dtype="int64"
-                ),
-                "w_chk": pd.Series([int(g["w_chk"].max())], dtype="int64"),
-            }
+            {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
         )
 
     return judge
@@ -1008,13 +1051,29 @@ def q_dedup_minhash(sf_dir: str, threshold=(7, 10)):
             np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
         ).astype(np.int64)
         ids_ref = ray.put(rep_ids)
+        # bucket keys sized to the candidate set: the attach join and the
+        # judge both run as bounded-key map_groups (never one Ray group per
+        # doc/pair — the same tiny-group pathology the band stage avoids)
+        nbv = _lsh_n_buckets(2 * len(cand), target=4096)
         pkeys = [f"{a}|{b}" for a, b in zip(cand["a"], cand["b"])]
+        jdocs = np.concatenate(
+            [cand["a"].to_numpy(), cand["b"].to_numpy()]
+        ).astype(np.int64)
+        a_np = cand["a"].to_numpy().astype(np.int64)
+        b_np = cand["b"].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            kb = (
+                _splitmix64(
+                    a_np.view(np.uint64) * np.uint64(0x9E3779B97F4A7C17)
+                    + b_np.view(np.uint64)
+                )
+                & np.uint64(nbv - 1)
+            ).astype(np.int64)
         pair_sides = pa.table(
             {
-                "jdoc": pa.array(
-                    np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
-                    .astype(np.int64)
-                ),
+                "jdoc": pa.array(jdocs),
+                "jbkt": pa.array(_jbkt_of(jdocs, nbv)),
+                "kbkt": pa.array(np.tile(kb, 2)),
                 "pkey": pa.array(pkeys + pkeys, pa.string()),
                 "w_pairs": pa.array(
                     np.tile(cand["w_pairs"].to_numpy().astype(np.int64), 2)
@@ -1033,13 +1092,13 @@ def q_dedup_minhash(sf_dir: str, threshold=(7, 10)):
             zero_copy_batch=True,
             batch_size=1024,
             concurrency=max(2, _default_concurrency() // 2),
-            fn_constructor_kwargs={"ids_ref": ids_ref},
+            fn_constructor_kwargs={"ids_ref": ids_ref, "nbv": nbv},
         )
         verified_rows = (
             sh_rows.union(ray.data.from_arrow(pair_sides))
-            .groupby("jdoc")
+            .groupby("jbkt")
             .map_groups(_attach_shingles, batch_format="pandas")
-            .groupby("pkey")
+            .groupby("kbkt")
             .map_groups(_judge_pairs(num, den), batch_format="pandas")
         )
 
@@ -1139,6 +1198,9 @@ class _SimHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # a = -1 is the intra-cluster sentinel; oracle modulo needs ids >= 0
+        if len(ids) and int(ids.min()) < 0:
+            raise ValueError("dedup_simhash requires non-negative doc_id")
         hs = np.array(
             [simhash60(t, self.cache) for t in batch["text"].to_pylist()],
             dtype=np.uint64,

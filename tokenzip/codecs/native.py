@@ -47,9 +47,10 @@ def _cpu_tag() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
+                if not line.strip():
+                    break  # end of the first CPU block; all cores uniform
                 if line.startswith(("model name", "flags", "Features")):
                     parts.append(line.strip())
-                    break  # first CPU is enough; all cores are uniform here
     except OSError:
         pass
     return hashlib.sha1("|".join(parts).encode()).hexdigest()[:8]
@@ -221,6 +222,7 @@ def native_encode_zz32(x: np.ndarray) -> bytes | None:
     one memory pass instead of zigzag-materialize + encode."""
     if LIB is None or x.dtype != np.dtype(np.int32) or len(x) == 0:
         return None
+    x = np.ascontiguousarray(x)
     out = np.empty(len(x) * 5, dtype=np.uint8)
     nbytes = LIB.tz_enc_zz_i32(x.ctypes.data, len(x), out.ctypes.data)
     return out[:nbytes].tobytes()
@@ -230,6 +232,7 @@ def native_size_zz32(x: np.ndarray) -> int | None:
     """Total LEB128 bytes of zigzag(32)-mapped int32 values, fused."""
     if LIB is None or x.dtype != np.dtype(np.int32):
         return None
+    x = np.ascontiguousarray(x)  # local ref keeps the buffer alive
     return int(LIB.tz_size_zz_i32(x.ctypes.data, len(x)))
 
 
@@ -238,6 +241,7 @@ def native_decode_zz32(b: np.ndarray, n: int) -> tuple[int, np.ndarray] | None:
     2 overflow."""
     if LIB is None:
         return None
+    b = np.ascontiguousarray(b)
     out = np.empty(n, dtype=np.int32)
     rc = LIB.tz_dec_zz_i32(b.ctypes.data, len(b), n, out.ctypes.data)
     return int(rc), out
@@ -272,9 +276,12 @@ def native_doc_chk_i32(
     n = len(offs) - 1
     out_h = np.empty(n, dtype=np.uint64)
     out_s = np.empty(n, dtype=np.int64)
+    # bind to locals: a temporary's buffer can be freed the moment
+    # .ctypes.data is taken if no reference outlives the expression
+    vals_c = np.ascontiguousarray(vals)
+    offs_c = np.ascontiguousarray(offs)
     LIB.tz_doc_chk_i32(
-        np.ascontiguousarray(vals).ctypes.data,
-        np.ascontiguousarray(offs).ctypes.data,
+        vals_c.ctypes.data, offs_c.ctypes.data,
         n, mix, b, out_h.ctypes.data, out_s.ctypes.data,
     )
     return out_h, out_s
@@ -292,10 +299,10 @@ def native_byte_chk(
         return None
     n = len(offs) - 1
     out_h = np.empty(n, dtype=np.uint64)
+    bytes_c = np.ascontiguousarray(bytes_)
+    offs_c = np.ascontiguousarray(offs)
     LIB.tz_byte_chk(
-        np.ascontiguousarray(bytes_).ctypes.data,
-        np.ascontiguousarray(offs).ctypes.data,
-        n, mix, b, out_h.ctypes.data,
+        bytes_c.ctypes.data, offs_c.ctypes.data, n, mix, b, out_h.ctypes.data
     )
     return out_h
 

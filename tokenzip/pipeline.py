@@ -266,7 +266,7 @@ def _meta_fold_partial(batch: pa.Table) -> pa.Table:
     The composite key is an INDEX PAIR (no string separator — a frag name
     could contain any byte, and numpy U-dtype strips NULs)."""
     frags = np.array(
-        [p.split("/frag=", 1)[1].split("/", 1)[0]
+        [p.rsplit("/frag=", 1)[1].split("/", 1)[0]
          for p in batch["path"].to_pylist()]
     )
     codecs = batch["tokens_codec"].to_numpy(zero_copy_only=False)
@@ -784,7 +784,10 @@ def _verify_read_blocks(paths: list[str]) -> int:
         return 1
     median = sizes[len(sizes) // 2]
     if median and sizes[-1] > 2 * median:
-        return max(len(paths), int(sum(sizes) / median))
+        # split granularity = max(median, 16 MB): isolates the straggler
+        # without exploding into tiny tasks when the median shard is small
+        gran = max(median, 16 << 20)
+        return max(len(paths), int(sum(sizes) / gran))
     return len(paths)
 
 
