@@ -265,3 +265,67 @@ def test_simhash_viral_cluster_and_near_misses(ray_session, tmp_path):
     assert simhash60(base) == simhash60(base)
     exp = _ddb_on_docs(simhash_sql(), d)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_dedup_embedding_planted_near_dups(ray_session, tmp_path):
+    """Planted embedding near-dups: clusters of nearly-identical vectors
+    (cos ~ 0.999) plus orthogonal-ish noise vectors. The Ray all-pairs
+    result must match the DuckDB self-join oracle exactly (integer count
+    + modular pair checksum)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokenzip.analysis import q_dedup_embedding
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    vecs, ids = [], []
+    vid = 0
+    for c in range(3):  # 3 clusters of 4 near-identical vectors
+        base = rng.normal(size=dim)
+        for _ in range(4):
+            vecs.append(base + rng.normal(scale=0.01, size=dim))
+            ids.append(vid)
+            vid += 1
+    for _ in range(30):  # noise
+        vecs.append(rng.normal(size=dim))
+        ids.append(vid)
+        vid += 1
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    p = str(tmp_path / "embeddings.parquet")
+    pq.write_table(t, p)
+
+    got = q_dedup_embedding(str(tmp_path), tau=(2, 5)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}')")
+    exp = con.sql(
+        """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+)
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(SUM((ai % 1000000007) * 1000003 + (bi % 1000000007)), 0)
+            % 1000000007 AS BIGINT) AS pair_checksum
+FROM p
+"""
+    ).df()
+    # each 4-clone cluster contributes C(4,2)=6 pairs at cos ~ 0.999
+    assert int(got["n_dup_pairs"].iloc[0]) >= 18
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )

@@ -310,6 +310,96 @@ def q_embedding_topk_ivf(sf_dir: str, k: int = 10, n_clusters: int = 8, n_probe:
     )
 
 
+class _CosinePairStage:
+    """Per-batch exact embedding-cosine NEAR-DUP pairs against the
+    broadcast normalized matrix (ray.put once, fetched once per actor):
+    one float64 matmul per batch, upper triangle selected by vec_id
+    comparison, sparse nonzero() so only matching pairs materialize.
+
+    Partitioning assumption (SURVEY §4.2): the broadcast side is the FULL
+    normalized matrix (n x d float64) — exact all-pairs is the
+    bounded-corpus variant. At 100 TB, bucket by coarse IVF centroid (the
+    _IVFStage layout) and verify within probed buckets instead."""
+
+    def __init__(self, mat_ref, ids_ref, tau_num: int, tau_den: int):
+        self.M = ray.get(mat_ref)
+        self.ids = ray.get(ids_ref)
+        self.tau = tau_num / tau_den
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _emb_matrix(batch["embedding"])
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.min()) < 0:
+            raise ValueError("dedup_embedding requires non-negative vec_id")
+        if len(ids) == 0 or self.M.shape[0] == 0:
+            return pa.table(
+                {"n_vecs": pa.array([len(ids)], pa.int64()),
+                 "n_dup": pa.array([0], pa.int64()),
+                 "chk": pa.array([0], pa.int64())}
+            )
+        norms = np.linalg.norm(emb, axis=1)
+        emb = emb / np.where(norms == 0, 1.0, norms)[:, None]
+        cos = emb @ self.M.T
+        mask = (cos >= self.tau) & (self.ids[None, :] > ids[:, None])
+        r, c = np.nonzero(mask)
+        am = (ids % _PAIR_MOD).astype(np.int64)
+        bm = (self.ids % _PAIR_MOD).astype(np.int64)
+        chk = int(((am[r] * _PAIR_K % _PAIR_MOD + bm[c]) % _PAIR_MOD).sum()
+                  % _PAIR_MOD)
+        return pa.table(
+            {"n_vecs": pa.array([len(ids)], pa.int64()),
+             "n_dup": pa.array([len(r)], pa.int64()),
+             "chk": pa.array([chk], pa.int64())}
+        )
+
+
+def q_dedup_embedding(sf_dir: str, tau=(2, 5)):
+    """Embedding-cosine near-dup over the embeddings table: pairs with
+    cosine >= tau (default 0.4 — chosen >=1e-4 away from every pair at the
+    oracle scale, so float64 summation-order noise (~1e-15) can never flip
+    a pair). Exact all-pairs via broadcast-matrix matmuls distributed over
+    batches; the float threshold itself never surfaces — outputs are
+    integer (n_vecs, n_dup_pairs, pair_checksum), matching the DuckDB
+    self-join oracle's modular arithmetic. Returns one row."""
+    import pyarrow.parquet as pq
+
+    num, den = tau
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    # broadcast side (documented bound — see _CosinePairStage): pruned
+    # column read, normalized once, shipped once via the object store
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    M = _emb_matrix(t["embedding"])
+    if len(M):
+        norms = np.linalg.norm(M, axis=1)
+        M = M / np.where(norms == 0, 1.0, norms)[:, None]
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat_ref, ids_ref = ray.put(M), ray.put(ids)
+
+    agg = (
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(
+            _CosinePairStage,
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=max(2, _default_concurrency() // 2),
+            fn_constructor_kwargs={
+                "mat_ref": mat_ref, "ids_ref": ids_ref,
+                "tau_num": num, "tau_den": den,
+            },
+        )
+        .sum(["n_vecs", "n_dup", "chk"])
+    ) or {"sum(n_vecs)": 0, "sum(n_dup)": 0, "sum(chk)": 0}
+    return pd.DataFrame(
+        [
+            {
+                "n_vecs": int(agg["sum(n_vecs)"] or 0),
+                "n_dup_pairs": int(agg["sum(n_dup)"] or 0),
+                "pair_checksum": int(agg["sum(chk)"] or 0) % _PAIR_MOD,
+            }
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text quality metrics (exact-arithmetic columns so the SQL oracle matches)
 # ---------------------------------------------------------------------------
