@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_by_source": _media_features,
         "embedding_topk_ivf": a.q_embedding_topk_ivf,
         "dedup_embedding": a.q_dedup_embedding,
+        "dedup_jaccard": a.q_dedup_jaccard,
     }
 
 
@@ -112,6 +113,11 @@ FROM documents GROUP BY source ORDER BY source
         "media_features_by_source": _O.media_sql(),
         "boundary_roundtrip": _O.boundary_sql(),
         "dedup_minhash": _O.minhash_sql(),
+        # exact inverted-index n-gram Jaccard: the SAME oracle as minhash —
+        # the two pipelines compute the identical ground truth by different
+        # distributed strategies (LSH-approximate-with-exact-verify vs
+        # exact postings join), a built-in cross-check
+        "dedup_jaccard": _O.minhash_sql(),
         "dedup_simhash": _O.simhash_sql(),
         # recall-pinned oracle: the IVF result is deterministic (fixed
         # corpus + seeded k-means on a bounded sample + float64 matmul), so

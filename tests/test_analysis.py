@@ -329,3 +329,39 @@ FROM p
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
     )
+
+
+def test_jaccard_exact_agrees_with_minhash_and_oracle(ray_session, tmp_path):
+    """The exact inverted-index Jaccard and the LSH minhash pipeline must
+    produce the identical row (and match the shared SQL oracle) on a
+    planted near-dup corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokenzip.analysis import q_dedup_jaccard, q_dedup_minhash
+    from tokenzip.oracles import minhash_sql
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(40):
+        if i % 7 == 0:
+            rows.append((i, base))  # clones (J = 1)
+        elif i % 7 == 1:
+            rows.append((i, base + " extra"))  # near-dup
+        else:
+            rows.append((i, f"unique document number {i} with words {i * 3}"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    d = str(tmp_path / "documents.parquet")
+    pq.write_table(t, d)
+
+    ja = q_dedup_jaccard(str(tmp_path)).reset_index(drop=True)
+    mh = q_dedup_minhash(str(tmp_path)).reset_index(drop=True)
+    exp = _ddb_on_docs(minhash_sql(), d)
+    assert int(ja["n_dup_pairs"].iloc[0]) > 0
+    pd.testing.assert_frame_equal(ja, exp, check_dtype=False)
+    pd.testing.assert_frame_equal(mh, exp, check_dtype=False)

@@ -1224,6 +1224,186 @@ def q_dedup_minhash(sf_dir: str, threshold=(7, 10)):
     )
 
 
+def _jaccard_cooc(nbkt: int):
+    """One shingle-hash bucket = many inverted-index postings lists.
+    Run-length split by shingle hash, then each list of k docs emits its
+    C(k,2) co-occurrence pairs (this IS the exact inverted-index join —
+    quadratic in document frequency, exactly like the SQL oracle; the LSH
+    dedups exist to avoid this cost at scale). Same-bucket duplicates of a
+    pair are combined before the shuffle (np.unique counts)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"pbkt": pd.Series([], dtype="int64"),
+             "a": pd.Series([], dtype="int64"),
+             "b": pd.Series([], dtype="int64"),
+             "inter": pd.Series([], dtype="int64")}
+        )
+        sh = g["sh"].to_numpy().astype(np.int64)
+        doc = g["doc"].to_numpy().astype(np.int64)
+        order, starts, ends = _group_runs(sh)
+        if not len(starts):
+            return empty
+        doc = doc[order]
+        pa_, pb_ = [], []
+        for s, e in zip(starts, ends):
+            d = np.sort(doc[s:e])
+            ia, ib = np.triu_indices(len(d), k=1)
+            pa_.append(d[ia])
+            pb_.append(d[ib])
+        a = np.concatenate(pa_)
+        b = np.concatenate(pb_)
+        key = np.stack([a, b], axis=1)
+        uniq, counts = np.unique(key, axis=0, return_counts=True)
+        with np.errstate(over="ignore"):
+            pb = (
+                _splitmix64(
+                    uniq[:, 0].view(np.uint64) * np.uint64(0x9E3779B97F4A7C17)
+                    + uniq[:, 1].view(np.uint64)
+                )
+                & np.uint64(nbkt - 1)
+            ).astype(np.int64)
+        return pd.DataFrame(
+            {"pbkt": pd.Series(pb, dtype="int64"),
+             "a": pd.Series(uniq[:, 0], dtype="int64"),
+             "b": pd.Series(uniq[:, 1], dtype="int64"),
+             "inter": pd.Series(counts.astype(np.int64), dtype="int64")}
+        )
+
+    return fn
+
+
+def _pair_sum(g: pd.DataFrame) -> pd.DataFrame:
+    """groupby(pbkt): SUM the per-bucket intersection partials per (a, b)
+    — one lexsort + add.reduceat, no per-pair Python."""
+    a = g["a"].to_numpy().astype(np.int64)
+    b = g["b"].to_numpy().astype(np.int64)
+    v = g["inter"].to_numpy().astype(np.int64)
+    order = np.lexsort((b, a))
+    a, b, v = a[order], b[order], v[order]
+    n = len(a)
+    newk = np.ones(n, dtype=bool)
+    if n > 1:
+        newk[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.flatnonzero(newk)
+    return pd.DataFrame(
+        {"a": pd.Series(a[starts], dtype="int64"),
+         "b": pd.Series(b[starts], dtype="int64"),
+         "inter": pd.Series(np.add.reduceat(v, starts) if n else v,
+                            dtype="int64")}
+    )
+
+
+def q_dedup_jaccard(sf_dir: str, threshold=(7, 10)):
+    """EXACT word-3-gram Jaccard near-dup via a distributed inverted
+    index — the exactness baseline dedup_minhash approximates (both share
+    the same SQL oracle and must produce the same row). One vectorized
+    shingle pass emits hash-bucketed postings (plus per-doc shingle counts
+    as sentinel rows in the same pass); co-occurrence pairs are generated
+    inside buckets, intersection counts summed by bucketed map_groups, and
+    the Jaccard verdict is an integer cross-multiplication against
+    broadcast per-doc set sizes.
+
+    Scale note (SURVEY §4.2): the inverted-index join is quadratic in
+    document frequency (a k-clone cluster costs O(k^2) pairs per shared
+    gram — inherent to EXACT Jaccard, the oracle pays it too), and the
+    per-doc count table is broadcast (n_docs x 16 B). Use dedup_minhash at
+    corpus scale; this query is the ground truth.
+    Returns one row: (n_docs, sum_shingles, n_dup_pairs, pair_checksum)."""
+    num, den = threshold
+    nb = _lsh_n_buckets(_doc_count(sf_dir) * 96)
+
+    def _inv_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.min()) < 0:
+            raise ValueError("dedup_jaccard requires non-negative doc_id")
+        off, hs = _shingle_hash_batch(batch["text"])
+        n_sh = np.diff(off)
+        doc_of = np.repeat(ids, n_sh)
+        bkt = (hs & np.uint64(nb - 1)).astype(np.int32)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    np.concatenate([bkt, np.zeros(len(ids), np.int32)])
+                ),
+                "sh": pa.array(
+                    np.concatenate([hs.view(np.int64), n_sh.astype(np.int64)])
+                ),
+                "doc": pa.array(np.concatenate([doc_of, ids])),
+                "isd": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(hs), np.int8), np.ones(len(ids), np.int8)]
+                    )
+                ),
+            }
+        )
+
+    rows = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            _inv_rows, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=1024,
+        )
+        .materialize()  # feeds the doc-count pull AND the postings groupby
+    )
+    docs_pd = rows.map_batches(
+        lambda b: b.filter(pc.equal(b["isd"], 1)).select(["doc", "sh"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # (doc_id, n_sh) — broadcast bound documented above
+    n_docs = len(docs_pd)
+    sum_shingles = int(docs_pd["sh"].sum())
+    doc_ids_sorted = np.sort(docs_pd["doc"].to_numpy().astype(np.int64))
+    nsh_sorted = (
+        docs_pd.sort_values("doc")["sh"].to_numpy().astype(np.int64)
+    )
+    nsh_ref = ray.put((doc_ids_sorted, nsh_sorted))
+
+    pairs = (
+        rows.map_batches(
+            lambda b: b.filter(pc.equal(b["isd"], 0)), batch_format="pyarrow"
+        )
+        .groupby("bkt")
+        .map_groups(_jaccard_cooc(nb), batch_format="pandas")
+        .groupby("pbkt")
+        .map_groups(_pair_sum, batch_format="pandas")
+    )
+
+    def _judge(b: pa.Table) -> pa.Table:
+        ids_s, nsh_s = ray.get(nsh_ref)
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        inter = b["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = nsh_s[np.searchsorted(ids_s, a)]
+        nb_ = nsh_s[np.searchsorted(ids_s, bb)]
+        union = na + nb_ - inter
+        dup = np.where(union > 0, den * inter >= num * union, True)
+        am = a % _PAIR_MOD
+        bm = bb % _PAIR_MOD
+        terms = (am * _PAIR_K % _PAIR_MOD + bm) % _PAIR_MOD
+        return pa.table(
+            {
+                "n_dup": pa.array([int(dup.sum())], pa.int64()),
+                "chk": pa.array(
+                    [int(terms[dup].sum() % _PAIR_MOD)], pa.int64()
+                ),
+            }
+        )
+
+    agg = pairs.map_batches(_judge, batch_format="pyarrow").sum(
+        ["n_dup", "chk"], ignore_nulls=True
+    ) or {"sum(n_dup)": 0, "sum(chk)": 0}
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": n_docs,
+                "sum_shingles": sum_shingles,
+                "n_dup_pairs": int(agg["sum(n_dup)"] or 0),
+                "pair_checksum": int(agg["sum(chk)"] or 0) % _PAIR_MOD,
+            }
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup (60-bit, md5 word hashes — SQL-recomputable end to end)
 # ---------------------------------------------------------------------------
