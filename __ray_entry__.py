@@ -129,22 +129,8 @@ SELECT CAST(10 AS BIGINT) AS k, CAST(3 AS BIGINT) AS n_probe,
        CAST(10 AS BIGINT) AS n_found
 """,
         # embedding-cosine near-dup: pairs with cos >= 2/5 in float64 on
-        # both engines; tau sits >=1e-4 from every pair at this scale, so
-        # summation-order noise cannot flip a pair. Integer outputs only;
-        # the checksum's per-term modular folds match analysis._PAIR_MOD.
-        "dedup_embedding": """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-p AS (
-  SELECT a.vec_id AS ai, b.vec_id AS bi
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
-)
-SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,
-       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
-       CAST(COALESCE(SUM((ai % 1000000007) * 1000003 + (bi % 1000000007)), 0)
-            % 1000000007 AS BIGINT) AS pair_checksum
-FROM p
-""",
+        # both engines (shared builder — also used by tests/test_analysis.py)
+        "dedup_embedding": _O.embedding_dedup_sql(),
         "roundtrip_by_source": f"""
 WITH tok AS (
   SELECT doc_id, CAST(SUM(CAST(t AS BIGINT)) AS BIGINT) AS tv

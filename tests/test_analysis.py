@@ -306,24 +306,13 @@ def test_dedup_embedding_planted_near_dups(ray_session, tmp_path):
     p = str(tmp_path / "embeddings.parquet")
     pq.write_table(t, p)
 
+    from tokenzip.oracles import embedding_dedup_sql
+
     got = q_dedup_embedding(str(tmp_path), tau=(2, 5)).reset_index(drop=True)
     con = duckdb.connect()
     con.sql(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}')")
-    exp = con.sql(
-        """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-p AS (
-  SELECT a.vec_id AS ai, b.vec_id AS bi
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
-)
-SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,
-       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
-       CAST(COALESCE(SUM((ai % 1000000007) * 1000003 + (bi % 1000000007)), 0)
-            % 1000000007 AS BIGINT) AS pair_checksum
-FROM p
-"""
-    ).df()
+    # same builder the harness registers in __ray_entry__.oracle_sql()
+    exp = con.sql(embedding_dedup_sql()).df()
     # each 4-clone cluster contributes C(4,2)=6 pairs at cos ~ 0.999
     assert int(got["n_dup_pairs"].iloc[0]) >= 18
     pd.testing.assert_frame_equal(

@@ -23,6 +23,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from tokenzip.pipeline import _default_concurrency
+from tokenzip.stages import _bcast, _bget
 
 STOPWORDS = ("the", "a", "and", "of", "to")
 
@@ -47,6 +48,8 @@ def _docs(sf_dir: str, columns=None):
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=columns
     )
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -180,7 +183,7 @@ class _CosineStage:
     actor here — never shipped per batch."""
 
     def __init__(self, query_ref, k: int):
-        self.q = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
+        self.q = _bget(query_ref)
         self.qn = self.q / np.linalg.norm(self.q)
         self.k = k
 
@@ -201,7 +204,7 @@ def q_embedding_topk(sf_dir: str, k: int = 10):
     path = os.path.join(sf_dir, "embeddings.parquet")
 
     qv = _fetch_query_vector(path)
-    qref = ray.put(qv)
+    qref = _bcast(qv)
 
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(
@@ -229,8 +232,8 @@ class _IVFStage:
     (small state) ride the object store once per actor."""
 
     def __init__(self, centroids_ref, query_ref, probe_ids, k: int):
-        self.cent = ray.get(centroids_ref)
-        q = ray.get(query_ref)
+        self.cent = _bget(centroids_ref)
+        q = _bget(query_ref)
         self.qn = q / np.linalg.norm(q)
         self.probe = set(int(i) for i in probe_ids)
         self.k = k
@@ -285,7 +288,7 @@ def q_embedding_topk_ivf(sf_dir: str, k: int = 10, n_clusters: int = 8, n_probe:
     qn = qv / np.linalg.norm(qv)
     probe_ids = np.argsort(-(cent @ qn))[:n_probe]
 
-    cent_ref, q_ref = ray.put(cent), ray.put(qv)
+    cent_ref, q_ref = _bcast(cent), _bcast(qv)
     ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
     partials = ds.map_batches(
         _IVFStage,
@@ -322,8 +325,8 @@ class _CosinePairStage:
     _IVFStage layout) and verify within probed buckets instead."""
 
     def __init__(self, mat_ref, ids_ref, tau_num: int, tau_den: int):
-        self.M = ray.get(mat_ref)
-        self.ids = ray.get(ids_ref)
+        self.M = _bget(mat_ref)
+        self.ids = _bget(ids_ref)
         self.tau = tau_num / tau_den
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -373,7 +376,7 @@ def q_dedup_embedding(sf_dir: str, tau=(2, 5)):
         norms = np.linalg.norm(M, axis=1)
         M = M / np.where(norms == 0, 1.0, norms)[:, None]
     ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    mat_ref, ids_ref = ray.put(M), ray.put(ids)
+    mat_ref, ids_ref = _bcast(M), _bcast(ids)
 
     agg = (
         ray.data.read_parquet(path, columns=["vec_id", "embedding"])
@@ -940,7 +943,7 @@ class _CandShingleStage:
     but ships shingles for ~candidate-count docs only."""
 
     def __init__(self, ids_ref, nbv: int = 256):
-        self.ids = ray.get(ids_ref) if not isinstance(ids_ref, np.ndarray) else ids_ref
+        self.ids = _bget(ids_ref)
         self.nbv = nbv
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1140,7 +1143,7 @@ def q_dedup_minhash(sf_dir: str, threshold=(7, 10)):
         rep_ids = np.unique(
             np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
         ).astype(np.int64)
-        ids_ref = ray.put(rep_ids)
+        ids_ref = _bcast(rep_ids)
         # bucket keys sized to the candidate set: the attach join and the
         # judge both run as bounded-key map_groups (never one Ray group per
         # doc/pair — the same tiny-group pathology the band stage avoids)
@@ -1241,18 +1244,30 @@ def _jaccard_cooc(nbkt: int):
         )
         sh = g["sh"].to_numpy().astype(np.int64)
         doc = g["doc"].to_numpy().astype(np.int64)
-        order, starts, ends = _group_runs(sh)
+        # lexsort by (sh, doc): each gram's posting run has docs already
+        # ascending; then ALL C(k,2) pairs across all runs are emitted at
+        # once with run-length arithmetic (repeat/arange/gather) — no
+        # per-run Python even when every gram is shared (dup-dense corpora).
+        order = np.lexsort((doc, sh))
+        sh_s, doc_s = sh[order], doc[order]
+        chg = np.flatnonzero(sh_s[1:] != sh_s[:-1])
+        starts = np.concatenate(([0], chg + 1))
+        lens = np.concatenate((starts[1:], [len(sh_s)])) - starts
+        multi = lens >= 2
+        starts, lens = starts[multi], lens[multi]
         if not len(starts):
             return empty
-        doc = doc[order]
-        pa_, pb_ = [], []
-        for s, e in zip(starts, ends):
-            d = np.sort(doc[s:e])
-            ia, ib = np.triu_indices(len(d), k=1)
-            pa_.append(d[ia])
-            pb_.append(d[ib])
-        a = np.concatenate(pa_)
-        b = np.concatenate(pb_)
+        n_el = int(lens.sum())
+        # absolute position in doc_s of every element of every multi-run
+        el = np.repeat(starts, lens) + (
+            np.arange(n_el) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        rep = np.repeat(starts + lens, lens) - 1 - el  # later elems in run
+        total = int(rep.sum())
+        owner = np.repeat(el, rep)  # a-side position, one per emitted pair
+        off = np.arange(total) - np.repeat(np.cumsum(rep) - rep, rep)
+        a = doc_s[owner]
+        b = doc_s[owner + 1 + off]
         key = np.stack([a, b], axis=1)
         uniq, counts = np.unique(key, axis=0, return_counts=True)
         with np.errstate(over="ignore"):

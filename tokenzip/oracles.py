@@ -101,6 +101,30 @@ FROM dup
 """
 
 
+def embedding_dedup_sql(tau=(2, 5)) -> str:
+    """Embedding-cosine near-dup oracle: exact float64 self-join over the
+    ``embeddings`` view, pairs with cosine >= tau (default 0.4 — chosen
+    >=1e-4 away from every pair at the oracle scale so summation-order
+    noise cannot flip a pair). Integer outputs only; the per-term modular
+    folds match analysis._PAIR_MOD / _PAIR_K exactly."""
+    from tokenzip.analysis import _PAIR_K, _PAIR_MOD
+
+    num, den = tau
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {num / den}
+)
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(SUM((ai % {_PAIR_MOD}) * {_PAIR_K} + (bi % {_PAIR_MOD})), 0)
+            % {_PAIR_MOD} AS BIGINT) AS pair_checksum
+FROM p
+"""
+
+
 def simhash_sql() -> str:
     """Brute-force oracle recomputing the engine's 60-bit simhash exactly:
     word hash = first 15 md5 hex nibbles (strpos arithmetic, int64-safe),

@@ -25,7 +25,13 @@ import ray
 import ray.data
 
 from tokenzip.manifest import Manifest
-from tokenzip.stages import DecodeStage, EncodeStage, SharedTableEncodeStage, VerifyStage
+from tokenzip.stages import (
+    DecodeStage,
+    EncodeStage,
+    SharedTableEncodeStage,
+    VerifyStage,
+    _bcast,
+)
 
 # Per-worker-process stage cache: stateless stages run as plain Ray TASKS
 # (long-lived workers amortize imports; no per-execution actor-pool startup,
@@ -200,7 +206,7 @@ def compress(
             load_shared_tables(sidecar)
         tables = _train_shared_tables(input_paths)
         save_shared_tables(sidecar)
-        tables_ref = ray.put(tables)
+        tables_ref = _bcast(tables)  # wrapped ref: restartable-actor safe
         ds = ds.map_batches(
             SharedTableEncodeStage,
             batch_format="pyarrow",

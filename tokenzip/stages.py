@@ -19,6 +19,35 @@ import pyarrow.compute as pc
 from tokenzip.chunk import CHUNK_SCHEMA, decode_chunks, encode_batch
 
 
+def _bcast(obj) -> list:
+    """ray.put + wrap in a list: the actor-pool constructor receives the
+    tiny wrapped ref (never the payload) and fetches it once in __init__
+    via _bget. Note ray#53727 ('constructor arguments in the object store,
+    restart will fail') is logged by Ray Data 2.49 for EVERY actor-pool
+    map_batches — it ray.puts its own MapTransformer — so the line still
+    appears; the driver-owned broadcast payload itself survives actor
+    restarts as long as the driver is alive."""
+    import ray
+
+    return [ray.put(obj)]
+
+
+def _bget(wrapped):
+    """Resolve a _bcast-wrapped ref (or pass through a plain object, so
+    stages stay directly constructible in unit tests)."""
+    import ray
+
+    if (
+        isinstance(wrapped, list)
+        and len(wrapped) == 1
+        and isinstance(wrapped[0], ray.ObjectRef)
+    ):
+        return ray.get(wrapped[0])
+    if isinstance(wrapped, ray.ObjectRef):
+        return ray.get(wrapped)
+    return wrapped
+
+
 class EncodeStage:
     """Encode input batches into chunk rows, one chunk per (batch, source)
     partition so the per-column auto-selector sees homogeneous value
@@ -132,14 +161,12 @@ class SharedTableEncodeStage(EncodeStage):
 
     def __init__(self, tables_ref=None, tables=None, **kw):
         super().__init__(**kw)
-        import ray
-
         from tokenzip.codecs.strings import (
             SHARED_STR_DICTS,
             SHARED_STR_TABLES,
         )
 
-        payload = tables if tables is not None else ray.get(tables_ref)
+        payload = tables if tables is not None else _bget(tables_ref)
         SHARED_STR_TABLES.update(payload.get("fsst_tables", {}))
         SHARED_STR_DICTS.update(payload.get("str_dicts", {}))
         self.shared = payload.get("refs", {})
