@@ -63,7 +63,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk_ivf": a.q_embedding_topk_ivf,
         "dedup_embedding": a.q_dedup_embedding,
         "dedup_jaccard": a.q_dedup_jaccard,
+        "events_window_agg": _events_window_agg,
+        "events_asof_orders": _events_asof_orders,
     }
+
+
+def _events_window_agg(sf_dir: str):
+    from tokenzip.relational import q_events_window_agg
+
+    return q_events_window_agg(sf_dir)
+
+
+def _events_asof_orders(sf_dir: str):
+    from tokenzip.relational import q_events_asof_orders
+
+    return q_events_asof_orders(sf_dir)
 
 
 def _media_features(sf_dir: str):
@@ -119,6 +133,9 @@ FROM documents GROUP BY source ORDER BY source
         # exact postings join), a built-in cross-check
         "dedup_jaccard": _O.minhash_sql(),
         "dedup_simhash": _O.simhash_sql(),
+        # time-keyed relational operators over the events/orders views
+        "events_window_agg": _O.events_window_sql(),
+        "events_asof_orders": _O.events_asof_sql(),
         # recall-pinned oracle: the IVF result is deterministic (fixed
         # corpus + seeded k-means on a bounded sample + float64 matmul), so
         # the sf0.01 recall is a constant the engine must reproduce exactly

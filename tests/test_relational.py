@@ -1,0 +1,158 @@
+"""Distributed as-of join + sliding-window aggregate: planted edge cases
+(unmatched rows, order-date ties, time peers, inclusive window boundary)
+hand-checked AND differentially verified against the DuckDB oracles, plus
+the real sf0.001 tables."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+_HOUR_MS = 3_600_000
+
+
+def _ts(ms_list):
+    return pa.array(np.asarray(ms_list, np.int64) * 1000, pa.timestamp("us"))
+
+
+def _write_events(d, rows):
+    """rows: list of (event_id, tms_ms, user_id, event_type, value)."""
+    eid, tms, uid, et, val = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "ts": _ts(tms),
+                "user_id": pa.array(uid, pa.int64()),
+                "event_type": pa.array(et, pa.string()),
+                "value": pa.array(val, pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+
+
+def _write_orders(d, rows):
+    """rows: list of (o_orderkey, o_custkey, price, oms_ms)."""
+    ok, ck, pr, oms = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "o_custkey": pa.array(ck, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+                "o_totalprice": pa.array(pr, pa.float64()),
+                "o_orderdate": _ts(oms),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+
+
+def _oracle(tmp_path, sql):
+    con = duckdb.connect()
+    for t in ["events", "orders"]:
+        p = tmp_path / f"{t}.parquet"
+        if p.exists():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.sql(sql).df()
+
+
+def test_window_agg_peers_and_boundary(ray_session, tmp_path):
+    """Time peers (two events, same user, same ms) count each other in BOTH
+    rows (SQL RANGE-frame peer semantics); an event exactly window_ms
+    earlier is INSIDE the window; one ms earlier than that is outside."""
+    from tokenzip.oracles import events_window_sql
+    from tokenzip.relational import q_events_window_agg
+
+    base = 1_700_000_000_000
+    rows = [
+        # user 1: peers at identical ms -> each sees cnt=2
+        (0, base, 1, "click", 1.0),
+        (1, base, 1, "click", 1.0),
+        # user 2: exactly 1h apart -> second sees cnt=2 (inclusive bound)
+        (2, base, 2, "view", 1.0),
+        (3, base + _HOUR_MS, 2, "view", 1.0),
+        # user 3: 1h + 1ms apart -> second sees cnt=1 (outside)
+        (4, base, 3, "error", 1.0),
+        (5, base + _HOUR_MS + 1, 3, "error", 1.0),
+    ]
+    _write_events(tmp_path, rows)
+    got = q_events_window_agg(str(tmp_path)).reset_index(drop=True)
+    by = got.set_index("event_type")
+    assert by.loc["click", "sum_window_cnt"] == 4  # 2 + 2
+    assert by.loc["click", "max_window_cnt"] == 2
+    assert by.loc["view", "sum_window_cnt"] == 3  # 1 + 2
+    assert by.loc["error", "sum_window_cnt"] == 2  # 1 + 1
+    exp = _oracle(tmp_path, events_window_sql())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_asof_unmatched_ties_and_latest(ray_session, tmp_path):
+    """Events before any order stay unmatched; two orders with the same
+    (custkey, date) resolve to the MAX orderkey; the latest at-or-before
+    order wins, including the exact-same-millisecond order (inclusive)."""
+    from tokenzip.analysis import _PAIR_K, _PAIR_MOD
+    from tokenzip.oracles import events_asof_sql
+    from tokenzip.relational import q_events_asof_orders
+
+    base = 1_700_000_000_000
+    _write_orders(
+        tmp_path,
+        [
+            (10, 1, 5.00, base),          # tie on (cust 1, base): key 10...
+            (11, 1, 7.00, base),          # ...vs 11 -> 11 wins
+            (12, 1, 9.00, base + 1000),   # later order for cust 1
+            (13, 2, 3.00, base + 500),    # cust 2's only order
+        ],
+    )
+    _write_events(
+        tmp_path,
+        [
+            (100, base - 1, 1, "click", 1.0),     # before any order: unmatched
+            (101, base, 1, "click", 1.0),         # same ms as tie -> okey 11
+            (102, base + 999, 1, "view", 1.0),    # before okey 12 -> okey 11
+            (103, base + 1000, 1, "view", 1.0),   # at okey 12 -> okey 12
+            (104, base, 2, "click", 1.0),         # before cust 2's order
+            (105, base + 500, 2, "click", 1.0),   # matches okey 13
+            (106, base, 99, "error", 1.0),        # user with no orders at all
+        ],
+    )
+    got = q_events_asof_orders(str(tmp_path)).reset_index(drop=True)
+    by = got.set_index("event_type")
+    assert by.loc["click", "n_events"] == 4
+    assert by.loc["click", "n_matched"] == 2  # events 101 (okey 11), 105 (13)
+    assert by.loc["click", "sum_price_cents"] == 700 + 300
+    chk = ((101 % _PAIR_MOD) * _PAIR_K + 11 + (105 % _PAIR_MOD) * _PAIR_K + 13) % _PAIR_MOD
+    assert by.loc["click", "join_checksum"] == chk
+    assert by.loc["view", "n_matched"] == 2  # okey 11 then okey 12
+    assert by.loc["view", "sum_price_cents"] == 700 + 900
+    assert by.loc["error", "n_matched"] == 0
+    assert by.loc["error", "sum_price_cents"] == 0
+    exp = _oracle(tmp_path, events_asof_sql())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_relational_match_oracle_on_testdata(ray_session):
+    """Both operators agree with their DuckDB oracles on the real sf0.001
+    events/orders tables (the driver's differential check, locally)."""
+    from tokenzip.oracles import events_asof_sql, events_window_sql
+    from tokenzip.relational import q_events_asof_orders, q_events_window_agg
+
+    con = duckdb.connect()
+    for t in ["events", "orders"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+    got_w = q_events_window_agg(SF).reset_index(drop=True)
+    exp_w = con.sql(events_window_sql()).df()
+    pd.testing.assert_frame_equal(got_w, exp_w, check_dtype=False)
+
+    got_a = q_events_asof_orders(SF).reset_index(drop=True)
+    exp_a = con.sql(events_asof_sql()).df()
+    pd.testing.assert_frame_equal(got_a, exp_a, check_dtype=False)

@@ -101,6 +101,60 @@ FROM dup
 """
 
 
+def events_window_sql(window_ms: int = 3_600_000) -> str:
+    """Sliding-window oracle: SQL's RANGE frame IS the spec the Ray
+    operator implements — per event, count same-user events with time in
+    [t - W, t] inclusive of ORDER BY peers, on millisecond-quantized
+    timestamps (epoch_us // 1000, exact int64 on both engines)."""
+    return f"""
+WITH e AS (SELECT event_type, user_id, epoch_us(ts) // 1000 AS tms FROM events),
+w AS (SELECT event_type,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY tms
+                            RANGE BETWEEN {window_ms} PRECEDING AND CURRENT ROW) AS cnt
+      FROM e)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cnt) AS BIGINT) AS sum_window_cnt,
+       CAST(MAX(cnt) AS BIGINT) AS max_window_cnt
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_asof_sql() -> str:
+    """AS-OF join oracle: latest order (max order date, ties to max
+    orderkey via a HUGEINT composite) of the same customer at-or-before
+    each event. Price in exact cents via the identical floor(x*100 + 0.5)
+    both engines use; checksum congruent to the Ray side's per-term
+    modular fold."""
+    from tokenzip.analysis import _PAIR_K, _PAIR_MOD
+
+    return f"""
+WITH e AS (SELECT event_id, event_type, user_id, epoch_us(ts) // 1000 AS tms
+           FROM events),
+o AS (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) // 1000 AS oms,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM orders),
+m AS (
+  SELECT e.event_id,
+         arg_max(o.o_orderkey,
+                 CAST(o.oms AS HUGEINT) * 4294967296 + o.o_orderkey) AS okey,
+         arg_max(o.price_c,
+                 CAST(o.oms AS HUGEINT) * 4294967296 + o.o_orderkey) AS price_c
+  FROM e JOIN o ON e.user_id = o.o_custkey AND o.oms <= e.tms
+  GROUP BY e.event_id
+)
+SELECT e.event_type AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(m.okey) AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(m.price_c), 0) AS BIGINT) AS sum_price_cents,
+       CAST(COALESCE(SUM((e.event_id % {_PAIR_MOD}) * {_PAIR_K}
+                         + (m.okey % {_PAIR_MOD})), 0)
+            % {_PAIR_MOD} AS BIGINT) AS join_checksum
+FROM e LEFT JOIN m ON e.event_id = m.event_id
+GROUP BY e.event_type ORDER BY event_type
+"""
+
+
 def embedding_dedup_sql(tau=(2, 5)) -> str:
     """Embedding-cosine near-dup oracle: exact float64 self-join over the
     ``embeddings`` view, pairs with cosine >= tau (default 0.4 — chosen

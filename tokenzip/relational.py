@@ -1,0 +1,291 @@
+"""Time-keyed relational operators Ray Data lacks natively: a distributed
+AS-OF join and a sliding-window aggregate, both built from the engine's
+established co-partitioning primitives (hash-bucket the equality key ->
+``groupby(bucket)`` -> one vectorized sort-merge per group — the same
+bounded-group-count layout the LSH dedups use, see analysis._lsh_n_buckets).
+
+Both operators quantize timestamps to MILLISECONDS (``epoch_us // 1000``)
+so every comparison is exact int64 arithmetic — no float time math — and
+both emit integer-only aggregates (counts, cent-sums, modular checksums)
+that the DuckDB oracles (tokenzip.oracles.events_*_sql) recompute exactly.
+
+Partitioning assumption (SURVEY.md §4.2): all rows of one join/window key
+land in one hash bucket, so a single viral key concentrates in one group.
+Group work is O(k log k) (one lexsort + searchsorted), so a k-row hot key
+costs k log k, not k^2; at 100 TB, salt the hot key by a coarse time range
+and merge the per-range as-of frontiers.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Max, Sum
+
+from tokenzip.analysis import (
+    _PAIR_K,
+    _PAIR_MOD,
+    _int_group_sums,
+    _jbkt_of,
+    _lsh_n_buckets,
+)
+from tokenzip.pipeline import _default_concurrency
+
+# rank << _T_SHIFT + (t_ms - group_min) must stay < 2^63: 2^42 ms ~ 139
+# years of in-group time span, leaving 2^21 distinct keys per bucket group
+# (groups are sized to ~32k rows, so ranks never approach that).
+_T_SHIFT = 42
+
+
+def _row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _ts_ms(col: pa.ChunkedArray) -> np.ndarray:
+    """timestamp[us] column -> int64 epoch milliseconds (floor division —
+    identical to the oracle's ``epoch_us(ts) // 1000``; both engines see
+    non-negative epochs, asserted loudly below)."""
+    us = col.combine_chunks().to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    if len(us) and int(us.min()) < 0:
+        raise ValueError("relational ops require timestamps >= epoch")
+    return us // 1000
+
+
+def _cents(col: pa.ChunkedArray) -> np.ndarray:
+    """DOUBLE currency -> exact int64 cents via floor(x*100 + 0.5) — the
+    identical expression the SQL oracle uses (round-half-up for the
+    non-negative amounts both tables carry)."""
+    v = col.combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+def _comp_keys(key: np.ndarray, tms: np.ndarray) -> np.ndarray:
+    """(key rank << _T_SHIFT) + (t - min): one sortable int64 per row that
+    orders by (key, time) — segmented searchsorted over ALL keys at once,
+    no per-key Python loop."""
+    _, rank = np.unique(key, return_inverse=True)
+    dt = tms - tms.min()
+    if int(dt.max()) >= (1 << _T_SHIFT):
+        raise ValueError("in-group time span exceeds 2^42 ms")
+    return (rank.astype(np.int64) << _T_SHIFT) + dt
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window aggregate over events
+# ---------------------------------------------------------------------------
+
+
+_WIN_EMPTY = {
+    "event_type": pd.Series([], dtype="object"),
+    "n_events": pd.Series([], dtype="int64"),
+    "sum_cnt": pd.Series([], dtype="int64"),
+    "max_cnt": pd.Series([], dtype="int64"),
+}
+
+
+def _win_group(window_ms: int):
+    """groupby(bkt): per-user sliding RANGE window count — for every event,
+    the number of same-user events with t in [t - W, t] INCLUSIVE of time
+    peers (exactly SQL's ``RANGE BETWEEN W PRECEDING AND CURRENT ROW``,
+    which counts all rows tied on the ORDER BY value). One lexsort + two
+    searchsorted calls over the composite (user, time) key — vectorized
+    across every user in the bucket."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(_WIN_EMPTY)
+        uid = g["uid"].to_numpy().astype(np.int64)
+        tms = g["tms"].to_numpy().astype(np.int64)
+        et = g["et"].to_numpy()
+        order = np.lexsort((tms, uid))
+        uid, tms, et = uid[order], tms[order], et[order]
+        comp = _comp_keys(uid, tms)
+        floor_ = comp - (comp & ((1 << _T_SHIFT) - 1))  # run start per row
+        lo = np.searchsorted(comp, np.maximum(comp - window_ms, floor_), side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        cnt = (hi - lo).astype(np.int64)
+        types, inv = np.unique(et, return_inverse=True)
+        n = np.bincount(inv, minlength=len(types)).astype(np.int64)
+        s = _int_group_sums(cnt, inv, len(types))
+        mx = np.zeros(len(types), np.int64)
+        np.maximum.at(mx, inv, cnt)
+        return pd.DataFrame(
+            {"event_type": types, "n_events": n, "sum_cnt": s, "max_cnt": mx}
+        )
+
+    return fn
+
+
+def q_events_window_agg(sf_dir: str, window_ms: int = 3_600_000):
+    """Sliding-window aggregate: per event, the count of same-user events in
+    the preceding ``window_ms`` (inclusive RANGE frame), aggregated per
+    event_type as (n_events, sum of window counts, max window count).
+    Plan: hash-bucket user_id (all of a user's events co-locate) ->
+    groupby(bucket) -> one vectorized window pass per group -> tiny
+    per-type Ray aggregate. Returns one row per event_type."""
+    path = os.path.join(sf_dir, "events.parquet")
+    nb = _lsh_n_buckets(_row_count(path))
+
+    def rows(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(uid, nb)),
+                "uid": pa.array(uid),
+                "tms": pa.array(_ts_ms(b["ts"])),
+                "et": b["event_type"].combine_chunks(),
+            }
+        )
+
+    partials = (
+        ray.data.read_parquet(path, columns=["user_id", "ts", "event_type"])
+        .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(_win_group(window_ms), batch_format="pandas")
+    )
+    agg = (
+        partials.groupby("event_type")
+        .aggregate(Sum("n_events"), Sum("sum_cnt"), Max("max_cnt"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"].astype(str),
+            "n_events": agg["sum(n_events)"].astype("int64"),
+            "sum_window_cnt": agg["sum(sum_cnt)"].astype("int64"),
+            "max_window_cnt": agg["max(max_cnt)"].astype("int64"),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Distributed AS-OF join: events -> latest prior order of the same customer
+# ---------------------------------------------------------------------------
+
+
+_ASOF_EMPTY = {
+    "event_type": pd.Series([], dtype="object"),
+    "n_events": pd.Series([], dtype="int64"),
+    "n_matched": pd.Series([], dtype="int64"),
+    "sum_price": pd.Series([], dtype="int64"),
+    "chk": pd.Series([], dtype="int64"),
+}
+
+
+def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
+    """groupby(bkt): in-partition sort-merge as-of. Orders sorted by
+    (key, time, orderkey); each event binary-searches the LAST order row
+    with composite key <= its own — ties on (key, time) resolve to the max
+    orderkey, matching the oracle's arg_max ordering. Cross-key bleed is
+    impossible: the composite embeds the key rank, checked after lookup."""
+    if not len(g):
+        return pd.DataFrame(_ASOF_EMPTY)
+    side = g["side"].to_numpy().astype(np.int64)
+    key = g["key"].to_numpy().astype(np.int64)
+    tms = g["tms"].to_numpy().astype(np.int64)
+    ids = g["id"].to_numpy().astype(np.int64)
+    comp = _comp_keys(key, tms)
+
+    om = side == 0
+    okey, ocomp = ids[om], comp[om]
+    oprice = g["price_c"].to_numpy().astype(np.int64)[om]
+    oo = np.lexsort((okey, ocomp))
+    okey, ocomp, oprice = okey[oo], ocomp[oo], oprice[oo]
+    orank = ocomp >> _T_SHIFT
+
+    em = ~om
+    ecomp, eid = comp[em], ids[em]
+    et = g["et"].to_numpy()[em]
+    erank = ecomp >> _T_SHIFT
+    pos = np.searchsorted(ocomp, ecomp, side="right") - 1
+    safe = np.maximum(pos, 0)
+    matched = (pos >= 0) & (orank[safe] == erank) if len(okey) else np.zeros(len(ecomp), bool)
+
+    types, inv = np.unique(et, return_inverse=True)
+    k = len(types)
+    n = np.bincount(inv, minlength=k).astype(np.int64)
+    nm = np.bincount(inv[matched], minlength=k).astype(np.int64)
+    price = _int_group_sums(oprice[safe[matched]], inv[matched], k) if matched.any() else np.zeros(k, np.int64)
+    # per-term modular fold keeps every intermediate < 2^63 (ids may be
+    # arbitrary int64 at scale); congruent to the oracle's HUGEINT end-mod
+    terms = ((eid % _PAIR_MOD) * _PAIR_K % _PAIR_MOD + okey[safe] % _PAIR_MOD) % _PAIR_MOD if len(okey) else np.zeros(len(eid), np.int64)
+    chk = _int_group_sums(terms[matched], inv[matched], k) % _PAIR_MOD if matched.any() else np.zeros(k, np.int64)
+    return pd.DataFrame(
+        {"event_type": types, "n_events": n, "n_matched": nm, "sum_price": price, "chk": chk}
+    )
+
+
+def q_events_asof_orders(sf_dir: str):
+    """AS-OF join: for every event, the latest order (by order date, ties
+    broken by max orderkey) of the same customer placed at-or-before the
+    event, aggregated per event_type as (n_events, n_matched, sum of the
+    matched orders' totalprice in cents, modular join checksum over
+    (event_id, orderkey) pairs). Plan: both tables hash-bucket their
+    equality key into ONE shuffle (union of schema-aligned tagged rows) ->
+    groupby(bucket) -> vectorized in-partition sort-merge -> tiny per-type
+    aggregate. The shuffle moves 5 int64-ish columns per row — never the
+    wide payloads. Returns one row per event_type."""
+    epath = os.path.join(sf_dir, "events.parquet")
+    opath = os.path.join(sf_dir, "orders.parquet")
+    nb = _lsh_n_buckets(_row_count(epath) + _row_count(opath))
+
+    def erows(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(uid)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(uid, nb)),
+                "side": pa.array(np.ones(n, np.int64)),
+                "key": pa.array(uid),
+                "tms": pa.array(_ts_ms(b["ts"])),
+                "id": b["event_id"].combine_chunks().cast(pa.int64()),
+                "price_c": pa.array(np.zeros(n, np.int64)),
+                "et": b["event_type"].combine_chunks(),
+            }
+        )
+
+    def orows(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ck)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ck, nb)),
+                "side": pa.array(np.zeros(n, np.int64)),
+                "key": pa.array(ck),
+                "tms": pa.array(_ts_ms(b["o_orderdate"])),
+                "id": b["o_orderkey"].combine_chunks().cast(pa.int64()),
+                "price_c": pa.array(_cents(b["o_totalprice"])),
+                "et": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    ev = ray.data.read_parquet(
+        epath, columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(erows, batch_format="pyarrow", zero_copy_batch=True)
+    od = ray.data.read_parquet(
+        opath, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
+
+    partials = ev.union(od).groupby("bkt").map_groups(_asof_group, batch_format="pandas")
+    agg = (
+        partials.groupby("event_type")
+        .aggregate(Sum("n_events"), Sum("n_matched"), Sum("sum_price"), Sum("chk"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"].astype(str),
+            "n_events": agg["sum(n_events)"].astype("int64"),
+            "n_matched": agg["sum(n_matched)"].astype("int64"),
+            "sum_price_cents": agg["sum(sum_price)"].astype("int64"),
+            "join_checksum": agg["sum(chk)"].astype("int64") % _PAIR_MOD,
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
