@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard": a.q_dedup_jaccard,
         "events_window_agg": _events_window_agg,
         "events_asof_orders": _events_asof_orders,
+        "events_range_orders": _events_range_orders,
     }
 
 
@@ -78,6 +79,12 @@ def _events_asof_orders(sf_dir: str):
     from tokenzip.relational import q_events_asof_orders
 
     return q_events_asof_orders(sf_dir)
+
+
+def _events_range_orders(sf_dir: str):
+    from tokenzip.relational import q_events_range_orders
+
+    return q_events_range_orders(sf_dir)
 
 
 def _media_features(sf_dir: str):
@@ -136,6 +143,7 @@ FROM documents GROUP BY source ORDER BY source
         # time-keyed relational operators over the events/orders views
         "events_window_agg": _O.events_window_sql(),
         "events_asof_orders": _O.events_asof_sql(),
+        "events_range_orders": _O.events_range_sql(),
         # recall-pinned oracle: the IVF result is deterministic (fixed
         # corpus + seeded k-means on a bounded sample + float64 matmul), so
         # the sf0.01 recall is a constant the engine must reproduce exactly

@@ -139,11 +139,61 @@ def test_asof_unmatched_ties_and_latest(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_range_join_boundaries_and_counts(ray_session, tmp_path):
+    """Inclusive window on BOTH ends ([t - W, t]): an order exactly W
+    earlier and one at the event's exact ms both join; W+1ms earlier and
+    1ms later both miss. Multi-order windows aggregate (prefix-sum path)
+    and zero-pair events still count in n_events."""
+    from tokenzip.analysis import _PAIR_K, _PAIR_MOD
+    from tokenzip.oracles import events_range_sql
+    from tokenzip.relational import q_events_range_orders
+
+    W = 1000  # 1s window keeps the planted arithmetic obvious
+    base = 1_700_000_000_000
+    _write_orders(
+        tmp_path,
+        [
+            (10, 1, 1.00, base - W - 1),  # just outside (too old)
+            (11, 1, 2.00, base - W),      # exactly W earlier: inside
+            (12, 1, 3.00, base - 1),      # inside
+            (13, 1, 4.00, base),          # exact event ms: inside
+            (14, 1, 5.00, base + 1),      # after the event: outside
+            (15, 2, 6.00, base),          # other customer
+        ],
+    )
+    _write_events(
+        tmp_path,
+        [
+            (100, base, 1, "click", 1.0),      # joins orders 11, 12, 13
+            (101, base + 1, 1, "view", 1.0),   # joins 11(? W earlier+1ms: out), 12, 13, 14
+            (102, base, 99, "error", 1.0),     # no orders: zero pairs
+        ],
+    )
+    got = q_events_range_orders(str(tmp_path), range_ms=W).reset_index(drop=True)
+    by = got.set_index("event_type")
+    assert by.loc["click", "n_events"] == 1
+    assert by.loc["click", "n_pairs"] == 3
+    assert by.loc["click", "sum_price_cents"] == 200 + 300 + 400
+    chk = sum((100 % _PAIR_MOD) * _PAIR_K + k for k in (11, 12, 13)) % _PAIR_MOD
+    assert by.loc["click", "pair_checksum"] == chk
+    assert by.loc["view", "n_pairs"] == 3  # 12, 13, 14 (11 aged out by 1ms)
+    assert by.loc["view", "sum_price_cents"] == 300 + 400 + 500
+    assert by.loc["error", "n_events"] == 1
+    assert by.loc["error", "n_pairs"] == 0
+    assert by.loc["error", "pair_checksum"] == 0
+    exp = _oracle(tmp_path, events_range_sql(W))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 def test_relational_match_oracle_on_testdata(ray_session):
     """Both operators agree with their DuckDB oracles on the real sf0.001
     events/orders tables (the driver's differential check, locally)."""
-    from tokenzip.oracles import events_asof_sql, events_window_sql
-    from tokenzip.relational import q_events_asof_orders, q_events_window_agg
+    from tokenzip.oracles import events_asof_sql, events_range_sql, events_window_sql
+    from tokenzip.relational import (
+        q_events_asof_orders,
+        q_events_range_orders,
+        q_events_window_agg,
+    )
 
     con = duckdb.connect()
     for t in ["events", "orders"]:
@@ -156,3 +206,7 @@ def test_relational_match_oracle_on_testdata(ray_session):
     got_a = q_events_asof_orders(SF).reset_index(drop=True)
     exp_a = con.sql(events_asof_sql()).df()
     pd.testing.assert_frame_equal(got_a, exp_a, check_dtype=False)
+
+    got_r = q_events_range_orders(SF).reset_index(drop=True)
+    exp_r = con.sql(events_range_sql()).df()
+    pd.testing.assert_frame_equal(got_r, exp_r, check_dtype=False)

@@ -155,6 +155,45 @@ GROUP BY e.event_type ORDER BY event_type
 """
 
 
+def events_range_sql(range_ms: int = 10_000 * 86_400_000) -> str:
+    """Interval range-join oracle: enumerate every (event, order) pair of
+    the same customer with the order dated in the trailing inclusive
+    window [tms - range_ms, tms] and aggregate per event_type. n_events
+    counts ALL events (zero-pair events included); DuckDB's SUM(BIGINT)
+    accumulates in HUGEINT, so the checksum fold is exact and congruent
+    to the Ray side's per-event modular prefix-sum fold
+    (tokenzip.relational._range_group)."""
+    from tokenzip.analysis import _PAIR_K, _PAIR_MOD
+
+    return f"""
+WITH e AS (SELECT event_id, event_type, user_id, epoch_us(ts) // 1000 AS tms
+           FROM events),
+o AS (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) // 1000 AS oms,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM orders),
+ec AS (SELECT event_type, COUNT(*) AS n_events FROM e GROUP BY event_type),
+p AS (
+  SELECT e.event_type, e.event_id, o.o_orderkey AS okey, o.price_c
+  FROM e JOIN o ON e.user_id = o.o_custkey
+               AND o.oms <= e.tms AND o.oms >= e.tms - {range_ms}
+),
+pa AS (
+  SELECT event_type,
+         COUNT(*) AS n_pairs,
+         SUM(price_c) AS sum_price,
+         SUM((event_id % {_PAIR_MOD}) * {_PAIR_K} + (okey % {_PAIR_MOD}))
+           % {_PAIR_MOD} AS chk
+  FROM p GROUP BY event_type
+)
+SELECT ec.event_type AS event_type,
+       CAST(ec.n_events AS BIGINT) AS n_events,
+       CAST(COALESCE(pa.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(pa.sum_price, 0) AS BIGINT) AS sum_price_cents,
+       CAST(COALESCE(pa.chk, 0) AS BIGINT) AS pair_checksum
+FROM ec LEFT JOIN pa USING (event_type) ORDER BY event_type
+"""
+
+
 def embedding_dedup_sql(tau=(2, 5)) -> str:
     """Embedding-cosine near-dup oracle: exact float64 self-join over the
     ``embeddings`` view, pairs with cosine >= tau (default 0.4 — chosen

@@ -222,19 +222,11 @@ def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def q_events_asof_orders(sf_dir: str):
-    """AS-OF join: for every event, the latest order (by order date, ties
-    broken by max orderkey) of the same customer placed at-or-before the
-    event, aggregated per event_type as (n_events, n_matched, sum of the
-    matched orders' totalprice in cents, modular join checksum over
-    (event_id, orderkey) pairs). Plan: both tables hash-bucket their
-    equality key into ONE shuffle (union of schema-aligned tagged rows) ->
-    groupby(bucket) -> vectorized in-partition sort-merge -> tiny per-type
-    aggregate. The shuffle moves 5 int64-ish columns per row — never the
-    wide payloads. Returns one row per event_type."""
-    epath = os.path.join(sf_dir, "events.parquet")
-    opath = os.path.join(sf_dir, "orders.parquet")
-    nb = _lsh_n_buckets(_row_count(epath) + _row_count(opath))
+def _tagged_sides(epath: str, opath: str, nb: int):
+    """Column-pruned reads of events (side=1) and orders (side=0) projected
+    onto ONE shared schema (bkt, side, key, tms, id, price_c, et) so a
+    single union feeds the co-partitioning shuffle. The shuffle moves five
+    int64-ish columns per row — never the wide payloads."""
 
     def erows(b: pa.Table) -> pa.Table:
         uid = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -272,7 +264,125 @@ def q_events_asof_orders(sf_dir: str):
     od = ray.data.read_parquet(
         opath, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     ).map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
+    return ev, od
 
+
+_RANGE_EMPTY = {
+    "event_type": pd.Series([], dtype="object"),
+    "n_events": pd.Series([], dtype="int64"),
+    "n_pairs": pd.Series([], dtype="int64"),
+    "sum_price": pd.Series([], dtype="int64"),
+    "chk": pd.Series([], dtype="int64"),
+}
+
+
+def _range_group(range_ms: int):
+    """groupby(bkt): interval range join WITHOUT pair enumeration — for
+    each event, the orders of the same customer with date in
+    [t - range_ms, t] are located as a contiguous slice [lo, hi) of the
+    (key, time)-sorted order array, so per-event pair count, price sum and
+    modular pair checksum all come from prefix-sum differences. Group cost
+    is O(k log k) even when the join output is quadratic."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(_RANGE_EMPTY)
+        side = g["side"].to_numpy().astype(np.int64)
+        key = g["key"].to_numpy().astype(np.int64)
+        tms = g["tms"].to_numpy().astype(np.int64)
+        ids = g["id"].to_numpy().astype(np.int64)
+        comp = _comp_keys(key, tms)
+
+        om = side == 0
+        ocomp = comp[om]
+        oo = np.argsort(ocomp, kind="stable")
+        ocomp = ocomp[oo]
+        okey_mod = (ids[om][oo] % _PAIR_MOD).astype(np.int64)
+        oprice = g["price_c"].to_numpy().astype(np.int64)[om][oo]
+        # prefix sums: per-event slice aggregates in O(1) per event
+        pfx_price = np.concatenate(([0], np.cumsum(oprice)))
+        pfx_kmod = np.concatenate(([0], np.cumsum(okey_mod)))
+
+        em = ~om
+        ecomp, eid = comp[em], ids[em]
+        et = g["et"].to_numpy()[em]
+        floor_ = ecomp - (ecomp & ((1 << _T_SHIFT) - 1))
+        lo = np.searchsorted(ocomp, np.maximum(ecomp - range_ms, floor_), side="left")
+        hi = np.searchsorted(ocomp, ecomp, side="right")
+        cnt = (hi - lo).astype(np.int64)
+        price = pfx_price[hi] - pfx_price[lo]
+        # sum over the slice of (eid%M)*K + okey%M, folded mod M per event
+        kmod_sum = pfx_kmod[hi] - pfx_kmod[lo]
+        eterm = (eid % _PAIR_MOD) * _PAIR_K % _PAIR_MOD
+        chk_ev = ((cnt % _PAIR_MOD) * eterm % _PAIR_MOD + kmod_sum % _PAIR_MOD) % _PAIR_MOD
+
+        types, inv = np.unique(et, return_inverse=True)
+        k = len(types)
+        n = np.bincount(inv, minlength=k).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_type": types,
+                "n_events": n,
+                "n_pairs": _int_group_sums(cnt, inv, k),
+                "sum_price": _int_group_sums(price, inv, k),
+                "chk": _int_group_sums(chk_ev, inv, k) % _PAIR_MOD,
+            }
+        )
+
+    return fn
+
+
+def q_events_range_orders(sf_dir: str, range_ms: int = 10_000 * 86_400_000):
+    """Interval range join: every (event, order) pair of the same customer
+    with the order dated within the trailing ``range_ms`` window
+    (inclusive both ends), aggregated per event_type as (n_events, number
+    of join pairs, pair price sum in cents, modular pair checksum). The
+    default window (10,000 days) deliberately lands mid-way through the
+    testdata order history (orders 1995-2001, events 2024), so ~a quarter
+    of the equality pairs fall OUTSIDE the window — the oracle check
+    discriminates the boundary, not just the equality join. Same
+    co-partitioned layout as the as-of join; the group kernel never
+    materializes pairs (prefix-sum slices), so a customer with many orders
+    in-window costs O(log k) per event, not O(orders). Returns one row per
+    event_type."""
+    epath = os.path.join(sf_dir, "events.parquet")
+    opath = os.path.join(sf_dir, "orders.parquet")
+    nb = _lsh_n_buckets(_row_count(epath) + _row_count(opath))
+    ev, od = _tagged_sides(epath, opath, nb)
+    partials = ev.union(od).groupby("bkt").map_groups(
+        _range_group(range_ms), batch_format="pandas"
+    )
+    agg = (
+        partials.groupby("event_type")
+        .aggregate(Sum("n_events"), Sum("n_pairs"), Sum("sum_price"), Sum("chk"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"].astype(str),
+            "n_events": agg["sum(n_events)"].astype("int64"),
+            "n_pairs": agg["sum(n_pairs)"].astype("int64"),
+            "sum_price_cents": agg["sum(sum_price)"].astype("int64"),
+            "pair_checksum": agg["sum(chk)"].astype("int64") % _PAIR_MOD,
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_events_asof_orders(sf_dir: str):
+    """AS-OF join: for every event, the latest order (by order date, ties
+    broken by max orderkey) of the same customer placed at-or-before the
+    event, aggregated per event_type as (n_events, n_matched, sum of the
+    matched orders' totalprice in cents, modular join checksum over
+    (event_id, orderkey) pairs). Plan: both tables hash-bucket their
+    equality key into ONE shuffle (union of schema-aligned tagged rows) ->
+    groupby(bucket) -> vectorized in-partition sort-merge -> tiny per-type
+    aggregate. The shuffle moves 5 int64-ish columns per row — never the
+    wide payloads. Returns one row per event_type."""
+    epath = os.path.join(sf_dir, "events.parquet")
+    opath = os.path.join(sf_dir, "orders.parquet")
+    nb = _lsh_n_buckets(_row_count(epath) + _row_count(opath))
+    ev, od = _tagged_sides(epath, opath, nb)
     partials = ev.union(od).groupby("bkt").map_groups(_asof_group, batch_format="pandas")
     agg = (
         partials.groupby("event_type")
