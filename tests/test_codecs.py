@@ -111,3 +111,96 @@ def test_pack_unpack_blob():
 def test_blob_deterministic():
     values = FAMILIES["zipf_small"]
     assert encode_int_column(values, "dict", 32) == encode_int_column(values, "dict", 32)
+
+
+# ---------------------------------------------------------------------------
+# Shared rank-table codec (srank): the token-stream analog of the shared
+# FSST string tables — trained dictionary broadcast by hash, escapes for
+# out-of-table values.
+# ---------------------------------------------------------------------------
+
+
+def _mk_rank_table(vals):
+    from tokenzip.codecs.core import register_shared_rank_table
+
+    return register_shared_rank_table(np.asarray(vals, dtype=np.int64))
+
+
+def _srank_blob(values, th):
+    from tokenzip.codecs.core import SHARED_INT_CODECS
+
+    enc, _ = SHARED_INT_CODECS["srank"]
+    streams, meta = enc(np.asarray(values, np.int64), 32, th)
+    meta["n"] = len(values)
+    return pack_blob("srank", meta, streams)
+
+
+def test_srank_roundtrip_with_escapes():
+    th = _mk_rank_table([5, 7, 9])  # rank 0 -> 5, 1 -> 7, 2 -> 9
+    values = np.array([5, 9, 7, 11, -3, 5, 5], dtype=np.int64)
+    blob = _srank_blob(values, th)
+    np.testing.assert_array_equal(decode_int_column(blob, np.int64), values)
+    # in-table values cost their rank's LEB128 size, escapes the raw value
+    _, meta, _ = unpack_blob(blob)
+    assert meta["k"] == 3 and meta["x"] == 2
+
+
+def test_srank_empty_and_all_escape():
+    th = _mk_rank_table([1])
+    for values in (np.empty(0, np.int64), np.array([42, -42], np.int64)):
+        blob = _srank_blob(values, th)
+        np.testing.assert_array_equal(decode_int_column(blob, np.int64), values)
+
+
+def test_srank_extreme_values_no_alias():
+    """Far-out-of-table int64 values must escape, never alias into the dense
+    lookup table through subtraction wraparound."""
+    th = _mk_rank_table([2**62, 2**62 + 1, 2**62 + 50])
+    values = np.array(
+        [-(2**63), 2**63 - 1, 2**62, 2**62 + 50, 0, -1], dtype=np.int64
+    )
+    blob = _srank_blob(values, th)
+    np.testing.assert_array_equal(decode_int_column(blob, np.int64), values)
+
+
+def test_srank_wide_table_sorted_lookup():
+    """A table whose value range exceeds the dense-map cap uses the sorted
+    binary-search lookup — same results."""
+    tbl = np.array([0, 2**40, -(2**40), 17], dtype=np.int64)
+    th = _mk_rank_table(tbl)
+    values = np.array([17, 2**40, -(2**40), 0, 99], dtype=np.int64)
+    blob = _srank_blob(values, th)
+    np.testing.assert_array_equal(decode_int_column(blob, np.int64), values)
+
+
+def test_srank_missing_table_raises():
+    from tokenzip.codecs.core import SHARED_RANK_TABLES
+
+    th = _mk_rank_table([3, 1, 4])
+    blob = _srank_blob(np.array([1, 3, 4], np.int64), th)
+    saved = SHARED_RANK_TABLES.pop(th)
+    try:
+        with pytest.raises(ChunkFormatError, match="not loaded"):
+            decode_int_column(blob, np.int64)
+    finally:
+        SHARED_RANK_TABLES[th] = saved
+
+
+def test_srank_sidecar_persistence(tmp_path):
+    from tokenzip.codecs.core import SHARED_RANK_TABLES, _RANK_LOOKUPS
+    from tokenzip.codecs.strings import load_shared_tables, save_shared_tables
+
+    th = _mk_rank_table([100, 200, 300])
+    values = np.array([200, 100, 999], np.int64)
+    blob = _srank_blob(values, th)
+    sidecar = str(tmp_path / "symbols.json")
+    save_shared_tables(sidecar)
+    saved = SHARED_RANK_TABLES.pop(th)
+    _RANK_LOOKUPS.pop(th, None)
+    try:
+        load_shared_tables(sidecar)
+        assert th in SHARED_RANK_TABLES
+        np.testing.assert_array_equal(SHARED_RANK_TABLES[th], saved)
+        np.testing.assert_array_equal(decode_int_column(blob, np.int64), values)
+    finally:
+        SHARED_RANK_TABLES[th] = saved

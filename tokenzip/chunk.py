@@ -25,6 +25,7 @@ import pyarrow as pa
 
 from tokenzip.codecs.core import (
     INT_CODECS,
+    int_decoder,
     pack_blob,
     unpack_blob,
 )
@@ -140,6 +141,48 @@ def encode_batch(
             tokens_blob = pack_blob("leb128", lmeta, lstreams)
             chosen = "leb128"
 
+    if (
+        tokens_codec == "auto"
+        and shared
+        and n_rows
+        and shared.get("tokens_rank_by_source")
+    ):
+        # shared per-source token rank table: compete against the stateless
+        # winner (sample-estimated first; exact encode only when promising)
+        # — shared mode never loses, same floor pattern as doc_id/source.
+        th = shared["tokens_rank_by_source"].get(batch["source"][0].as_py())
+        if th is not None:
+            from tokenzip.codecs.core import SHARED_INT_CODECS, _rank_lookup
+
+            look, k = _rank_lookup(th)
+            nv = len(values32)
+            if nv > selector_sample:
+                half = selector_sample // 2
+                stride = max(1, (nv - half) // half)
+                s = np.concatenate([values32[:half], values32[half::stride][:half]])
+                scale = nv / len(s)
+            else:
+                s, scale = values32, 1.0
+            rs = look(np.ascontiguousarray(s, dtype=np.int64))
+            esc = rs == k
+            est = float(leb128_size(rs.view(np.uint64)).sum())
+            if esc.any():
+                est += float(
+                    leb128_size(
+                        zigzag_encode(
+                            np.ascontiguousarray(s, dtype=np.int64)[esc], 64
+                        ).astype(np.uint64)
+                    ).sum()
+                )
+            if est * scale < len(tokens_blob):
+                senc, _ = SHARED_INT_CODECS["srank"]
+                sstreams, smeta = senc(values32, 32, th)
+                smeta["n"] = n_tokens
+                sblob = pack_blob("srank", smeta, sstreams)
+                if len(sblob) < len(tokens_blob):
+                    tokens_blob = sblob
+                    chosen = "srank"
+
     # list offsets as their own delta stream (lengths are the deltas)
     len_enc, _ = INT_CODECS["delta"]
     off_streams, off_meta = len_enc(np.cumsum(lengths), 32 if n_tokens < 2**31 else 32)
@@ -243,8 +286,7 @@ def decode_chunk_row(row: dict) -> pa.Table:
     n_tokens = int(row["n_tokens"])
 
     codec, meta, streams = unpack_blob(row["offsets_enc"])
-    _, dec = INT_CODECS[codec]
-    cum = dec(streams, meta, n_rows).astype(np.int64, copy=False)
+    cum = int_decoder(codec)(streams, meta, n_rows).astype(np.int64, copy=False)
     offsets = np.zeros(n_rows + 1, dtype=np.int64)
     offsets[1:] = cum
     lengths = np.diff(offsets)
@@ -254,8 +296,7 @@ def decode_chunk_row(row: dict) -> pa.Table:
         )
 
     codec, meta, streams = unpack_blob(row["tokens_enc"])
-    _, dec = INT_CODECS[codec]
-    values = dec(streams, meta, n_tokens).astype(np.int32, copy=False)
+    values = int_decoder(codec)(streams, meta, n_tokens).astype(np.int32, copy=False)
 
     # zero-copy arrow view over the decoded NumPy buffer (pa.array would
     # copy the whole token payload a second time — measurable DRAM traffic
@@ -278,8 +319,7 @@ def decode_chunk_row(row: dict) -> pa.Table:
         n_tok = lengths.astype(np.int32)
     else:
         codec, meta, streams = unpack_blob(row["n_tok_enc"])
-        _, dec = INT_CODECS[codec]
-        n_tok = dec(streams, meta, n_rows).astype(np.int32, copy=False)
+        n_tok = int_decoder(codec)(streams, meta, n_rows).astype(np.int32, copy=False)
 
     return pa.table(
         {

@@ -31,7 +31,7 @@ from tokenzip.codecs.varint import leb128_size, zigzag_encode
 DEFAULT_SAMPLE = 65_536
 
 # Candidate order is the tie-break preference (decode speed at equal size).
-INT_CANDIDATES = ("rle", "dict", "for", "bitpack", "svb", "delta", "leb128")
+INT_CANDIDATES = ("rle", "dict", "for", "bitpack", "svb", "delta", "rankdict", "leb128")
 
 
 def estimate_int_sizes(
@@ -96,6 +96,15 @@ def estimate_int_sizes(
             cb = bit_width(k - 1) + (1 if n > m else 0) if k > 1 else 0
             dict_bytes = float(leb128_size(_zz(uniq, 64)).sum())  # upper bound on delta dict
             sizes[c] = m * cb / 8.0 * scale + dict_bytes
+        elif c == "rankdict":
+            uniq, counts = np.unique(s, return_counts=True)
+            k = len(uniq)
+            # rank payload: counts sorted desc, rank r costs leb128(r) bytes
+            cs = np.sort(counts)[::-1].astype(np.float64)
+            rb = leb128_size(np.arange(k, dtype=np.uint64)).astype(np.float64)
+            dict_bytes = float(leb128_size(_zz(uniq, 64)).sum())
+            cb = bit_width(k - 1) + (1 if n > m else 0) if k > 1 else 0
+            sizes[c] = float(cs @ rb) * scale + dict_bytes + k * cb / 8.0
         elif c == "delta":
             d = np.empty(m, dtype=np.int64)
             d[0] = s[0]

@@ -287,12 +287,18 @@ def save_shared_tables(path: str) -> None:
     import json
     import os
 
+    from tokenzip.codecs.core import SHARED_RANK_TABLES
+
     data = {
         "fsst": {
             th: [base64.b64encode(s).decode() for s in symbols]
             for th, symbols in SHARED_STR_TABLES.items()
         },
         "dict": dict(SHARED_STR_DICTS),
+        "rank": {
+            th: base64.b64encode(np.ascontiguousarray(v, dtype="<i8").tobytes()).decode()
+            for th, v in SHARED_RANK_TABLES.items()
+        },
     }
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"
@@ -306,12 +312,19 @@ def load_shared_tables(path: str) -> None:
     import base64
     import json
 
+    from tokenzip.codecs.core import SHARED_RANK_TABLES, _RANK_LOOKUPS
+
     with open(path) as f:
         data = json.load(f)
     for th, symbols in data.get("fsst", {}).items():
         SHARED_STR_TABLES[th] = [base64.b64decode(s) for s in symbols]
     for th, values in data.get("dict", {}).items():
         SHARED_STR_DICTS[th] = values
+    for th, blob in data.get("rank", {}).items():
+        SHARED_RANK_TABLES[th] = np.frombuffer(
+            base64.b64decode(blob), dtype="<i8"
+        ).astype(np.int64)
+        _RANK_LOOKUPS.pop(th, None)
 
 
 def encode_str_column(arr: pa.Array, codec: str = "auto", table_hash: str | None = None) -> bytes:

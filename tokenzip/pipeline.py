@@ -75,18 +75,29 @@ def _train_shared_tables(paths: list[str]) -> dict:
         register_shared_str_table,
     )
 
+    from tokenzip.chunk import _tokens_parts
+    from tokenzip.codecs.core import register_shared_rank_table
+
     spaths = sorted(paths)
     if len(spaths) > _TRAIN_SAMPLE_FRAGS:
         idx = np.linspace(0, len(spaths) - 1, _TRAIN_SAMPLE_FRAGS).astype(int)
         spaths = [spaths[i] for i in sorted(set(idx.tolist()))]
     by_source: dict[str, list[bytes]] = {}
+    tok_by_source: dict[str, list[np.ndarray]] = {}
     for p in spaths:
         f = pq.ParquetFile(p)
-        t = f.read_row_group(0, columns=["doc_id", "source"])
+        t = f.read_row_group(0, columns=["doc_id", "source", "tokens"])
         ids = t["doc_id"].to_pylist()
         srcs = t["source"].to_pylist()
         for d, s in zip(ids, srcs):
             by_source.setdefault(s, []).append(d.encode())
+        lengths, flat = _tokens_parts(t["tokens"])
+        su, sinv = np.unique(np.asarray(srcs, dtype=object), return_inverse=True)
+        tok_inv = np.repeat(sinv, lengths)
+        for ci, s in enumerate(su):
+            seg = flat[tok_inv == ci]
+            if len(seg):
+                tok_by_source.setdefault(str(s), []).append(seg)
     global_hash = register_shared_str_table(
         F.train_symbol_table(b"".join(b"".join(v) for _, v in sorted(by_source.items())))
     )
@@ -95,16 +106,37 @@ def _train_shared_tables(paths: list[str]) -> dict:
         for s, v in sorted(by_source.items())
     }
     dict_hash = register_shared_str_dict(sorted(by_source))
+
+    # per-source token frequency-rank tables (shared integer dictionaries):
+    # rank 0 = most frequent sampled token; ties break by ascending value
+    # (stable argsort), so a resumed run re-derives identical tables/hashes
+    _RANK_TABLE_CAP = 1 << 20  # beyond ~1M ranks a rank costs >= 3 bytes
+    rank_by_source: dict[str, str] = {}
+    for s, arrs in sorted(tok_by_source.items()):
+        flat = np.concatenate(arrs).astype(np.int64, copy=False) if arrs else None
+        if flat is None or not len(flat):
+            continue
+        from tokenzip.codecs.core import _unique_inverse_counts
+
+        uniq, _, counts = _unique_inverse_counts(flat)
+        order = np.argsort(-counts, kind="stable")[:_RANK_TABLE_CAP]
+        rank_by_source[s] = register_shared_rank_table(uniq[order])
+
+    from tokenzip.codecs.core import SHARED_RANK_TABLES
     from tokenzip.codecs.strings import SHARED_STR_DICTS, SHARED_STR_TABLES
 
     hashes = {global_hash, *src_tables.values()}
     return {
         "fsst_tables": {h: SHARED_STR_TABLES[h] for h in hashes},
         "str_dicts": {dict_hash: SHARED_STR_DICTS[dict_hash]},
+        "rank_tables": {
+            h: SHARED_RANK_TABLES[h] for h in set(rank_by_source.values())
+        },
         "refs": {
             "doc_id_fsst": global_hash,
             "doc_id_fsst_by_source": src_tables,
             "source_dict": dict_hash,
+            "tokens_rank_by_source": rank_by_source,
         },
     }
 

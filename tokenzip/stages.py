@@ -166,9 +166,14 @@ class SharedTableEncodeStage(EncodeStage):
             SHARED_STR_TABLES,
         )
 
+        from tokenzip.codecs.core import _RANK_LOOKUPS, SHARED_RANK_TABLES
+
         payload = tables if tables is not None else _bget(tables_ref)
         SHARED_STR_TABLES.update(payload.get("fsst_tables", {}))
         SHARED_STR_DICTS.update(payload.get("str_dicts", {}))
+        for h, v in payload.get("rank_tables", {}).items():
+            SHARED_RANK_TABLES[h] = v
+            _RANK_LOOKUPS.pop(h, None)
         self.shared = payload.get("refs", {})
 
     def encode_one(self, batch: pa.Table) -> pa.Table:
