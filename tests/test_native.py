@@ -246,3 +246,60 @@ def test_native_doc_chk_matches_numpy(docs):
         ref_bh = dcs[offs[1:]] - dcs[offs[:-1]]
     got_bh = N.native_byte_chk(blob, offs, int(MIX), int(B))
     assert np.array_equal(got_bh, ref_bh)
+
+
+@given(
+    st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1, max_size=400),
+    st.sampled_from([8, 16, 32]),
+)
+@settings(max_examples=120, deadline=None)
+def test_native_for_fused_matches_numpy(vals, width):
+    """tz_unpack_add_i32 (fused FOR decode) vs unpack_bits + _mod_add +
+    astype(int32) — value-identical on any int32 input, all widths <= 32."""
+    from tokenzip.codecs.core import INT_CODECS
+
+    enc, dec = INT_CODECS["for"]
+    v = np.array(vals, dtype=np.int64)
+    streams, meta = enc(v, width)
+    nat = dec(streams, meta, len(v))
+    assert nat.dtype == np.int32
+    lib, N.LIB = N.LIB, None
+    try:
+        ref = dec(streams, meta, len(v))
+    finally:
+        N.LIB = lib
+    np.testing.assert_array_equal(nat, ref)
+    np.testing.assert_array_equal(nat.astype(np.int64), v)
+
+
+@given(st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1, max_size=400))
+@settings(max_examples=120, deadline=None)
+def test_native_delta_fused_matches_numpy(vals):
+    """tz_dec_delta_i32 (fused delta decode) vs decode+unzigzag+cumsum —
+    value-identical including mod-2^64 intermediate wraparound."""
+    from tokenzip.codecs.core import INT_CODECS
+
+    enc, dec = INT_CODECS["delta"]
+    v = np.array(vals, dtype=np.int64)
+    streams, meta = enc(v, 32)
+    nat = dec(streams, meta, len(v))
+    assert nat.dtype == np.int32
+    lib, N.LIB = N.LIB, None
+    try:
+        ref = dec(streams, meta, len(v))
+    finally:
+        N.LIB = lib
+    np.testing.assert_array_equal(nat, ref)
+    np.testing.assert_array_equal(nat.astype(np.int64), v)
+
+
+def test_native_delta_fused_error_codes():
+    from tokenzip.codecs.core import INT_CODECS
+
+    _, dec = INT_CODECS["delta"]
+    # truncated: stream ends mid-varint
+    with pytest.raises(VarintTruncatedError):
+        dec([b"\x80"], {"w": 32}, 1)
+    # overflow: an 11-byte varint
+    with pytest.raises(VarintOverflowError):
+        dec([b"\x80" * 10 + b"\x01"], {"w": 32}, 1)

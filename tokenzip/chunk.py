@@ -165,7 +165,7 @@ def encode_batch(
                 s, scale = values32, 1.0
             rs = look(np.ascontiguousarray(s, dtype=np.int64))
             esc = rs == k
-            est = float(leb128_size(rs.view(np.uint64)).sum())
+            est = float(leb128_size(rs).sum())
             if esc.any():
                 est += float(
                     leb128_size(
@@ -185,7 +185,7 @@ def encode_batch(
 
     # list offsets as their own delta stream (lengths are the deltas)
     len_enc, _ = INT_CODECS["delta"]
-    off_streams, off_meta = len_enc(np.cumsum(lengths), 32 if n_tokens < 2**31 else 32)
+    off_streams, off_meta = len_enc(np.cumsum(lengths), 32 if n_tokens < 2**31 else 64)
     off_meta["n"] = n_rows
     offsets_blob = pack_blob("delta", off_meta, off_streams)
 

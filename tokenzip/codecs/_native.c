@@ -343,6 +343,113 @@ int tz_dec_zz_i32(const uint8_t *in, int64_t nbytes, int64_t n, int32_t *out) {
     return 0;
 }
 
+/* Hash-based distinct+count+code pass for int64 values — the wide-range
+ * complement of the dense bincount path in core._unique_inverse_counts
+ * (token streams hashed across the full int32 range defeat bincount; the
+ * sort-based np.unique fallback costs an argsort over n). Open addressing,
+ * linear probing, power-of-2 cap. counts must arrive zeroed; codes[i]
+ * receives the slot index of vals[i]. Returns the distinct count k, or -1
+ * when occupancy would exceed cap/2 (caller doubles cap and retries). */
+int64_t tz_hash_codes_i64(const int64_t *vals, int64_t n, int64_t cap,
+                          int64_t *keys, int64_t *counts, int32_t *codes) {
+    uint64_t mask = (uint64_t)cap - 1;
+    int64_t k = 0, limit = cap >> 1;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t x = (uint64_t)vals[i]; /* splitmix64 finalizer */
+        x ^= x >> 30;
+        x *= 0xBF58476D1CE4E5B9ULL;
+        x ^= x >> 27;
+        x *= 0x94D049BB133111EBULL;
+        x ^= x >> 31;
+        uint64_t s = x & mask;
+        for (;;) {
+            if (counts[s] == 0) {
+                if (k >= limit) return -1;
+                keys[s] = vals[i];
+                counts[s] = 1;
+                codes[i] = (int32_t)s;
+                k++;
+                break;
+            }
+            if (keys[s] == vals[i]) {
+                counts[s]++;
+                codes[i] = (int32_t)s;
+                break;
+            }
+            s = (s + 1) & mask;
+        }
+    }
+    return k;
+}
+
+/* FOR decode fused: unpack width-bit unsigned deltas, add ref (mod 2^64),
+ * write int32 truncating — one pass replacing unpack_bits + _mod_add +
+ * astype(int32). Bit layout identical to tz_unpack_u64. */
+void tz_unpack_add_i32(const uint8_t *in, int64_t nbytes, int64_t n, int width,
+                       uint64_t ref, int32_t *out) {
+    uint64_t mask = (width >= 64) ? ~0ULL : ((1ULL << width) - 1);
+    int64_t i = 0;
+    if (width <= 57) {
+        for (; i < n; i++) {
+            int64_t bit = i * (int64_t)width;
+            int64_t byte = bit >> 3;
+            if (byte + 8 > nbytes) break;
+            uint64_t w;
+            __builtin_memcpy(&w, in + byte, 8);
+            out[i] = (int32_t)(uint32_t)(((w >> (bit & 7)) & mask) + ref);
+        }
+    }
+    unsigned __int128 acc = 0;
+    int nbits = 0;
+    int64_t bit0 = i * (int64_t)width;
+    const uint8_t *p = in + (bit0 >> 3);
+    const uint8_t *end = in + nbytes;
+    int skip = (int)(bit0 & 7);
+    if (i < n && p < end) {
+        acc = *p++ >> skip;
+        nbits = 8 - skip;
+    }
+    for (; i < n; i++) {
+        while (nbits < width && p < end) {
+            acc |= (unsigned __int128)(*p++) << nbits;
+            nbits += 8;
+        }
+        out[i] = (int32_t)(uint32_t)((((uint64_t)acc) & mask) + ref);
+        acc >>= width;
+        nbits -= width;
+    }
+}
+
+/* Delta decode fused: LEB128(u64) + unzigzag64 + running prefix sum
+ * (mod-2^64 wraparound), write int32 truncating — one pass replacing
+ * decode_leb128 + zigzag_decode + cumsum + astype(int32).
+ * rc 0 ok, 1 truncated, 2 overflow. */
+int tz_dec_delta_i32(const uint8_t *in, int64_t nbytes, int64_t n,
+                     int32_t *out) {
+    const uint8_t *p = in;
+    const uint8_t *end = in + nbytes;
+    uint64_t acc = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t v = 0;
+        int shift = 0, k = 0;
+        for (;;) {
+            if (p >= end) return 1;
+            uint8_t b = *p++;
+            k++;
+            if (k > 10) return 2;
+            v |= (uint64_t)(b & 0x7Fu) << shift;
+            if (b < 0x80u) {
+                if (k == 10 && b > 0x01u) return 2;
+                break;
+            }
+            shift += 7;
+        }
+        acc += (v >> 1) ^ (0 - (v & 1)); /* unzigzag64, mod-2^64 add */
+        out[i] = (int32_t)(uint32_t)acc;
+    }
+    return 0;
+}
+
 /* Per-doc polynomial checksums (pipeline._DocChecksumStage): the NumPy
  * construction sum_j (x_j + MIX) * B^j costs ~8 full-array passes (repeat,
  * gather, cumsum differencing); Horner over each doc's reversed range is

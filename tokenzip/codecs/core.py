@@ -122,6 +122,18 @@ def _unique_inverse_counts(
             code_of = np.empty(rng, dtype=np.int64)
             code_of[nz] = np.arange(len(nz))
             return nz + vmin, code_of[shifted], c[nz]
+        # wide range (hashed vocabularies): one-pass C hash distinct+count
+        # instead of np.unique's argsort over n
+        from tokenzip.codecs.native import native_hash_codes_i64
+
+        res = native_hash_codes_i64(np.ascontiguousarray(values, dtype=np.int64))
+        if res is not None:
+            keys, counts_s, codes, k = res
+            occ = np.flatnonzero(counts_s)
+            sidx = np.argsort(keys[occ], kind="stable")
+            code_of_slot = np.empty(len(keys), dtype=np.int64)
+            code_of_slot[occ[sidx]] = np.arange(k)
+            return keys[occ][sidx], code_of_slot[codes], counts_s[occ][sidx]
     uniq, inv, counts = np.unique(values, return_inverse=True, return_counts=True)
     return uniq, inv, counts
 
@@ -280,8 +292,24 @@ def _enc_for(values, width):
 
 
 def _dec_for(streams, meta, n):
-    deltas = unpack_bits(streams[0], n, meta["b"])
-    return _mod_add(deltas, meta["ref"])
+    w, ref, bits = meta["w"], meta["ref"], meta["b"]
+    if w <= 32 and n and bits:
+        # fused unpack + reference-add straight to int32 (one memory pass;
+        # values are int32-ranged by construction at width <= 32)
+        from tokenzip.codecs.native import native_unpack_add_i32
+
+        b = streams[0]
+        b = b if isinstance(b, np.ndarray) else np.frombuffer(b, dtype=np.uint8)
+        if len(b) < (n * bits + 7) // 8:
+            raise CodecError(
+                f"bitpack buffer too short: {len(b)} < {(n * bits + 7) // 8}"
+            )
+        out = native_unpack_add_i32(b, n, bits, ref)
+        if out is not None:
+            return out
+    deltas = unpack_bits(streams[0], n, bits)
+    res = _mod_add(deltas, ref)
+    return res.astype(np.int32, copy=False) if w <= 32 else res
 
 
 def _enc_rle(values, width):
@@ -332,9 +360,14 @@ def _dec_dict(streams, meta, n):
     if k > 1:
         with np.errstate(over="ignore"):
             uniq[1:] = uniq[0] + np.cumsum(raw[1:]).view(np.int64)
-    codes = unpack_bits(streams[1], n, meta["cb"]).astype(np.int64)
-    if len(codes) and codes.max() >= k:
+    codes_u = unpack_bits(streams[1], n, meta["cb"])
+    if len(codes_u) and int(codes_u.max()) >= k:
         raise ChunkFormatError("dictionary code out of range")
+    codes = codes_u.view(np.int64)
+    if meta["w"] <= 32:
+        # gather from an int32 dictionary so the n-sized output is written
+        # once at 4 B/value (values are int32-ranged at width <= 32)
+        return uniq.astype(np.int32)[codes]
     return uniq[codes]
 
 
@@ -362,18 +395,20 @@ def _enc_rankdict(values, width):
             uniq, counts = nz + vmin, c[nz]
             k = len(uniq)
             order = np.argsort(-counts, kind="stable")
-            rank_of = np.empty(k, dtype=np.int64)
-            rank_of[order] = np.arange(k)
-            table = np.zeros(rng, dtype=np.int64)
+            # uint32 ranks: k < 2^31 always; the n-sized gather writes
+            # 4 B/value and the LEB128 encode takes the faster u32 kernel
+            rank_of = np.empty(k, dtype=np.uint32)
+            rank_of[order] = np.arange(k, dtype=np.uint32)
+            table = np.zeros(rng, dtype=np.uint32)
             table[nz] = rank_of
-            ranks = table[shifted].view(np.uint64)
+            ranks = table[shifted]
     if ranks is None:
         uniq, inv, counts = _unique_inverse_counts(values)
         k = len(uniq)
         order = np.argsort(-counts, kind="stable")  # rank -> sorted-uniq index
-        rank_of = np.empty(k, dtype=np.int64)
-        rank_of[order] = np.arange(k)
-        ranks = rank_of[inv].view(np.uint64) if k else np.empty(0, np.uint64)
+        rank_of = np.empty(k, dtype=np.uint32)
+        rank_of[order] = np.arange(k, dtype=np.uint32)
+        ranks = rank_of[inv] if k else np.empty(0, np.uint32)
     code_bits = bit_width(k - 1) if k > 1 else 0
     if k == 0:
         dict_stream = b""
@@ -400,13 +435,19 @@ def _dec_rankdict(streams, meta, n):
     if k > 1:
         with np.errstate(over="ignore"):
             uniq[1:] = uniq[0] + np.cumsum(raw[1:]).view(np.int64)
-    order = unpack_bits(streams[1], k, meta["cb"]).astype(np.int64)
-    if len(order) and order.max() >= k:
+    order_u = unpack_bits(streams[1], k, meta["cb"])
+    if len(order_u) and int(order_u.max()) >= k:
         raise ChunkFormatError("rankdict permutation index out of range")
-    ranks = decode_leb128(streams[2], n, width=64).astype(np.int64)
-    if len(ranks) and ranks.max() >= k:
+    order = order_u.view(np.int64)
+    ranks_u = decode_leb128(streams[2], n, width=64)
+    if len(ranks_u) and int(ranks_u.max()) >= k:
         raise ChunkFormatError("rankdict rank out of range")
-    return uniq[order][ranks]
+    ranks = np.ascontiguousarray(ranks_u).view(np.int64)
+    vals_by_rank = uniq[order]
+    if meta["w"] <= 32:
+        # int32 rank table => the n-sized gather writes 4 B/value
+        vals_by_rank = vals_by_rank.astype(np.int32)
+    return vals_by_rank[ranks]
 
 
 def _enc_delta(values, width):
@@ -426,11 +467,32 @@ def _enc_delta(values, width):
 
 
 def _dec_delta(streams, meta, n):
+    narrow = meta["w"] <= 32
     if n == 0:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.int32 if narrow else np.int64)
+    if narrow:
+        # fused LEB128 + unzigzag + prefix-sum straight to int32: one pass
+        # (final values are int32-ranged by construction at width <= 32;
+        # intermediate wraparound is mod-2^64, identical to the NumPy path)
+        from tokenzip.codecs.native import native_dec_delta_i32
+        from tokenzip.errors import VarintOverflowError, VarintTruncatedError
+
+        b = streams[0]
+        b = b if isinstance(b, np.ndarray) else np.frombuffer(b, dtype=np.uint8)
+        res = native_dec_delta_i32(np.ascontiguousarray(b), int(n))
+        if res is not None:
+            rc, out = res
+            if rc == 1:
+                raise VarintTruncatedError(
+                    f"expected {n} varints, stream ends mid-varint"
+                )
+            if rc == 2:
+                raise VarintOverflowError("varint exceeds u64 bounds")
+            return out
     seq = zigzag_decode(decode_leb128(streams[0], n, width=64), 64).astype(np.int64)
     with np.errstate(over="ignore"):
-        return np.cumsum(seq)
+        out = np.cumsum(seq)
+    return out.astype(np.int32, copy=False) if narrow else out
 
 
 # ---------------------------------------------------------------------------
@@ -444,6 +506,7 @@ def _dec_delta(streams, meta, n):
 
 SHARED_RANK_TABLES: dict[str, np.ndarray] = {}  # hash -> values ordered by rank
 _RANK_LOOKUPS: dict[str, tuple] = {}  # hash -> (kind, ...) value->rank state
+_RANK_VALS32: dict[str, np.ndarray] = {}  # hash -> int32 cast of the table
 
 
 def register_shared_rank_table(vals_by_rank: np.ndarray) -> str:
@@ -453,6 +516,7 @@ def register_shared_rank_table(vals_by_rank: np.ndarray) -> str:
     th = hashlib.sha1(arr.tobytes()).hexdigest()[:12]
     SHARED_RANK_TABLES[th] = arr
     _RANK_LOOKUPS.pop(th, None)
+    _RANK_VALS32.pop(th, None)
     return th
 
 
@@ -465,14 +529,16 @@ def _rank_lookup(th: str):
     if state is None:
         vals = SHARED_RANK_TABLES[th]
         k = len(vals)
+        # uint32 rank payloads throughout (k is capped at 2^20): halves the
+        # gather write traffic and takes the faster u32 LEB128 kernel
         if k and int(vals.max()) - int(vals.min()) + 1 <= max(1 << 22, 4 * k):
             vmin, vmax = int(vals.min()), int(vals.max())
-            dense = np.full(vmax - vmin + 1, k, dtype=np.int64)
-            dense[vals - vmin] = np.arange(k)
+            dense = np.full(vmax - vmin + 1, k, dtype=np.uint32)
+            dense[vals - vmin] = np.arange(k, dtype=np.uint32)
             state = ("dense", vmin, vmax, dense, k)
         else:
             order = np.argsort(vals, kind="stable")
-            state = ("sorted", vals[order], order, k)
+            state = ("sorted", vals[order], order.astype(np.uint32), k)
         _RANK_LOOKUPS[th] = state
 
     if state[0] == "dense":
@@ -498,7 +564,7 @@ def _rank_lookup(th: str):
             pos = np.searchsorted(svals, values)
             pos_c = np.minimum(pos, max(k - 1, 0))
             hit = svals[pos_c] == values if k else np.zeros(len(values), bool)
-            r = np.full(len(values), k, dtype=np.int64)
+            r = np.full(len(values), k, dtype=np.uint32)
             if hit.any():
                 r[hit] = sorder[pos_c[hit]]
             return r
@@ -520,7 +586,7 @@ def _enc_srank(values, width, table_hash: str):
         encode_leb128(zigzag_encode(values[esc], 64).astype(np.uint64)) if x else b""
     )
     return (
-        [encode_leb128(ranks.view(np.uint64)), exc_stream],
+        [encode_leb128(ranks), exc_stream],
         {"w": width, "th": table_hash, "k": k, "x": x},
     )
 
@@ -535,19 +601,46 @@ def _dec_srank(streams, meta, n):
         )
     if len(vals) != k:
         raise ChunkFormatError(f"shared rank table {th} length {len(vals)} != {k}")
-    ranks = decode_leb128(streams[0], n, width=64).astype(np.int64)
-    if len(ranks) and int(ranks.max()) > k:
+    ranks_u = decode_leb128(streams[0], n, width=64)
+    if len(ranks_u) and int(ranks_u.max()) > k:
         raise ChunkFormatError("srank rank out of range")
+    ranks = np.ascontiguousarray(ranks_u).view(np.int64)
     esc = ranks == k
     if int(esc.sum()) != x:
         raise ChunkFormatError("srank escape count mismatch")
-    out = np.empty(n, dtype=np.int64)
+    exc = (
+        zigzag_decode(decode_leb128(streams[1], x, width=64), 64).astype(np.int64)
+        if x
+        else None
+    )
+    # narrow (int32 gather, 4 B/value written) only when every output value
+    # fits int32 — srank is documented lossless for ANY int64, so extreme
+    # tables/escapes keep the wide path. Table fit is cached per hash.
+    fits32 = _RANK_VALS32.get(th)
+    if fits32 is None or len(fits32) != k:
+        fits32 = _RANK_VALS32[th] = (
+            vals.astype(np.int32)
+            if (k == 0 or (vals.min() >= -(2**31) and vals.max() < 2**31))
+            else np.empty(0, np.int32)  # sentinel: table does not fit
+        )
+        if len(fits32) != k:
+            fits32 = None
+    narrow = (
+        meta["w"] <= 32
+        and (k == 0 or fits32 is not None)
+        and (
+            exc is None
+            or not len(exc)
+            or (exc.min() >= -(2**31) and exc.max() < 2**31)
+        )
+    )
+    if narrow and k:
+        vals = fits32
+    out = np.empty(n, dtype=np.int32 if narrow else np.int64)
     hit = ~esc
     out[hit] = vals[ranks[hit]]
-    if x:
-        out[esc] = zigzag_decode(decode_leb128(streams[1], x, width=64), 64).astype(
-            np.int64
-        )
+    if exc is not None:
+        out[esc] = exc.astype(out.dtype, copy=False)
     return out
 
 

@@ -200,6 +200,79 @@ def native_unpack_bits(b: np.ndarray, n: int, width: int) -> np.ndarray | None:
     return out
 
 
+def _bind_dec32() -> None:
+    if LIB is None:
+        return
+    import ctypes as ct
+
+    i64, vp, i32, u64 = ct.c_int64, ct.c_void_p, ct.c_int, ct.c_uint64
+    LIB.tz_unpack_add_i32.restype = None
+    LIB.tz_unpack_add_i32.argtypes = [vp, i64, i64, i32, u64, vp]
+    LIB.tz_dec_delta_i32.restype = ct.c_int
+    LIB.tz_dec_delta_i32.argtypes = [vp, i64, i64, vp]
+    LIB.tz_hash_codes_i64.restype = i64
+    LIB.tz_hash_codes_i64.argtypes = [vp, i64, i64, vp, vp, vp]
+
+
+_bind_dec32()
+
+
+def native_hash_codes_i64(
+    vals: np.ndarray, cap_limit: int = 1 << 22
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int] | None:
+    """One-pass hash distinct+count over an int64 array: returns
+    (keys[cap], counts[cap], codes[n] slot per value, k). None when native
+    is unavailable or the distinct count exceeds cap_limit/2 (caller falls
+    back to sort-based np.unique — bounding the hash arena keeps per-task
+    temporaries small on page-fault-expensive hosts)."""
+    if LIB is None or vals.dtype != np.dtype(np.int64):
+        return None
+    n = len(vals)
+    vals_c = np.ascontiguousarray(vals)
+    codes = np.empty(n, dtype=np.int32)
+    cap = 1 << 16
+    while cap <= cap_limit:
+        keys = np.empty(cap, dtype=np.int64)
+        counts = np.zeros(cap, dtype=np.int64)
+        k = int(
+            LIB.tz_hash_codes_i64(
+                vals_c.ctypes.data, n, cap,
+                keys.ctypes.data, counts.ctypes.data, codes.ctypes.data,
+            )
+        )
+        if k >= 0:
+            return keys, counts, codes, k
+        cap <<= 2
+    return None
+
+
+def native_unpack_add_i32(
+    b: np.ndarray, n: int, width: int, ref: int
+) -> np.ndarray | None:
+    """Fused frame-of-reference decode: unpack width-bit deltas, add ref
+    (mod 2^64), truncate to int32 — one memory pass. None if unavailable."""
+    if LIB is None or width <= 0 or width > 64:
+        return None
+    out = np.empty(n, dtype=np.int32)
+    b_c = np.ascontiguousarray(b)
+    LIB.tz_unpack_add_i32(
+        b_c.ctypes.data, len(b_c), n, width,
+        ref & 0xFFFFFFFFFFFFFFFF, out.ctypes.data,
+    )
+    return out
+
+
+def native_dec_delta_i32(b: np.ndarray, n: int) -> tuple[int, np.ndarray] | None:
+    """Fused delta decode: LEB128 + unzigzag64 + prefix sum, truncated to
+    int32 — one pass; rc 0 ok 1 truncated 2 overflow. None if unavailable."""
+    if LIB is None:
+        return None
+    out = np.empty(n, dtype=np.int32)
+    b_c = np.ascontiguousarray(b)
+    rc = LIB.tz_dec_delta_i32(b_c.ctypes.data, len(b_c), n, out.ctypes.data)
+    return int(rc), out
+
+
 def _bind_zz() -> None:
     if LIB is None:
         return

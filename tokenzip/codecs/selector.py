@@ -66,6 +66,17 @@ def estimate_int_sizes(
     zz = _zz(s, width) if width <= 32 else zigzag_encode(s, 64).astype(np.uint64)
 
     sizes: dict[str, float] = {}
+    uc = None  # (uniq, counts) shared between the dict/rankdict estimates
+
+    def _uniq_counts():
+        nonlocal uc
+        if uc is None:
+            from tokenzip.codecs.core import _unique_inverse_counts
+
+            uniq, _, counts = _unique_inverse_counts(s)
+            uc = (uniq, counts)
+        return uc
+
     for c in candidates:
         if c == "leb128":
             sizes[c] = float(leb128_size(zz).sum()) * scale
@@ -89,7 +100,7 @@ def estimate_int_sizes(
                 + float(leb128_size(run_lens.astype(np.uint64)).sum())
             ) * scale
         elif c == "dict":
-            uniq = np.unique(s)
+            uniq, _ = _uniq_counts()
             k = len(uniq)
             # sampled distinct-count underestimates the true cardinality;
             # inflate the code width by one bit as a safety margin
@@ -97,7 +108,7 @@ def estimate_int_sizes(
             dict_bytes = float(leb128_size(_zz(uniq, 64)).sum())  # upper bound on delta dict
             sizes[c] = m * cb / 8.0 * scale + dict_bytes
         elif c == "rankdict":
-            uniq, counts = np.unique(s, return_counts=True)
+            uniq, counts = _uniq_counts()
             k = len(uniq)
             # rank payload: counts sorted desc, rank r costs leb128(r) bytes
             cs = np.sort(counts)[::-1].astype(np.float64)

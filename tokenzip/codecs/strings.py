@@ -312,7 +312,7 @@ def load_shared_tables(path: str) -> None:
     import base64
     import json
 
-    from tokenzip.codecs.core import SHARED_RANK_TABLES, _RANK_LOOKUPS
+    from tokenzip.codecs.core import SHARED_RANK_TABLES, _RANK_LOOKUPS, _RANK_VALS32
 
     with open(path) as f:
         data = json.load(f)
@@ -325,6 +325,7 @@ def load_shared_tables(path: str) -> None:
             base64.b64decode(blob), dtype="<i8"
         ).astype(np.int64)
         _RANK_LOOKUPS.pop(th, None)
+        _RANK_VALS32.pop(th, None)
 
 
 def encode_str_column(arr: pa.Array, codec: str = "auto", table_hash: str | None = None) -> bytes:

@@ -166,7 +166,7 @@ class SharedTableEncodeStage(EncodeStage):
             SHARED_STR_TABLES,
         )
 
-        from tokenzip.codecs.core import _RANK_LOOKUPS, SHARED_RANK_TABLES
+        from tokenzip.codecs.core import _RANK_LOOKUPS, _RANK_VALS32, SHARED_RANK_TABLES
 
         payload = tables if tables is not None else _bget(tables_ref)
         SHARED_STR_TABLES.update(payload.get("fsst_tables", {}))
@@ -174,6 +174,7 @@ class SharedTableEncodeStage(EncodeStage):
         for h, v in payload.get("rank_tables", {}).items():
             SHARED_RANK_TABLES[h] = v
             _RANK_LOOKUPS.pop(h, None)
+            _RANK_VALS32.pop(h, None)
         self.shared = payload.get("refs", {})
 
     def encode_one(self, batch: pa.Table) -> pa.Table:
