@@ -173,6 +173,33 @@ def test_srank_wide_table_sorted_lookup():
     np.testing.assert_array_equal(decode_int_column(blob, np.int64), values)
 
 
+def test_srank_hash_probe_matches_sorted_lookup():
+    """Wide-range tables use the native open-addressing probe when available;
+    its ranks (and therefore the encoded bytes) must be identical to the
+    sorted binary-search fallback, including escapes."""
+    from tokenzip.codecs.core import _RANK_LOOKUPS, _rank_lookup
+    from tokenzip.codecs.native import LIB
+
+    if LIB is None:
+        pytest.skip("native kernels unavailable")
+    rng = np.random.default_rng(11)
+    tbl = (rng.choice(2**62, size=700, replace=False) - 2**61).astype(np.int64)
+    th = _mk_rank_table(tbl)
+    values = np.concatenate(
+        [rng.choice(tbl, 5000), rng.integers(-(2**62), 2**62, 300)]
+    ).astype(np.int64)
+    look, k = _rank_lookup(th)
+    assert _RANK_LOOKUPS[th][0] == "hash"
+    r_hash = look(values)
+    order = np.argsort(tbl, kind="stable")
+    _RANK_LOOKUPS[th] = ("sorted", tbl[order], order.astype(np.uint32), k)
+    r_sorted = _rank_lookup(th)[0](values)
+    np.testing.assert_array_equal(r_hash, r_sorted)
+    assert int((r_hash == k).sum()) >= 300  # escapes present and agreed
+    blob = _srank_blob(values, th)
+    np.testing.assert_array_equal(decode_int_column(blob, np.int64), values)
+
+
 def test_srank_missing_table_raises():
     from tokenzip.codecs.core import SHARED_RANK_TABLES
 

@@ -382,6 +382,36 @@ int64_t tz_hash_codes_i64(const int64_t *vals, int64_t n, int64_t cap,
     return k;
 }
 
+/* Read-only hash probe: map int64 values to uint32 ranks through a
+ * prebuilt open-addressing table (same splitmix64 probe sequence as
+ * tz_hash_codes_i64; 0xFFFFFFFF marks an empty slot). Misses emit `miss`
+ * (the escape rank). One pass; the shared-rank-table encode path. */
+void tz_hash_probe_i64(const int64_t *vals, int64_t n, int64_t cap,
+                       const int64_t *keys, const uint32_t *rank_tbl,
+                       uint32_t miss, uint32_t *out) {
+    uint64_t mask = (uint64_t)cap - 1;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t x = (uint64_t)vals[i];
+        x ^= x >> 30;
+        x *= 0xBF58476D1CE4E5B9ULL;
+        x ^= x >> 27;
+        x *= 0x94D049BB133111EBULL;
+        x ^= x >> 31;
+        uint64_t s = x & mask;
+        uint32_t r = miss;
+        for (;;) {
+            uint32_t rt = rank_tbl[s];
+            if (rt == 0xFFFFFFFFu) break; /* empty slot: miss */
+            if (keys[s] == vals[i]) {
+                r = rt;
+                break;
+            }
+            s = (s + 1) & mask;
+        }
+        out[i] = r;
+    }
+}
+
 /* FOR decode fused: unpack width-bit unsigned deltas, add ref (mod 2^64),
  * write int32 truncating — one pass replacing unpack_bits + _mod_add +
  * astype(int32). Bit layout identical to tz_unpack_u64. */

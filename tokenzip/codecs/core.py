@@ -403,12 +403,30 @@ def _enc_rankdict(values, width):
             table[nz] = rank_of
             ranks = table[shifted]
     if ranks is None:
-        uniq, inv, counts = _unique_inverse_counts(values)
-        k = len(uniq)
-        order = np.argsort(-counts, kind="stable")  # rank -> sorted-uniq index
-        rank_of = np.empty(k, dtype=np.uint32)
-        rank_of[order] = np.arange(k, dtype=np.uint32)
-        ranks = rank_of[inv] if k else np.empty(0, np.uint32)
+        from tokenzip.codecs.native import native_hash_codes_i64
+
+        res = native_hash_codes_i64(np.ascontiguousarray(values, dtype=np.int64))
+        if res is not None and n:
+            # wide-range fast path: ONE n-sized gather through a fused
+            # slot->rank table (hash pass + gather + LEB128 = ~3 passes)
+            keys, counts_s, codes, k = res
+            occ = np.flatnonzero(counts_s)
+            sidx = np.argsort(keys[occ], kind="stable")
+            uniq = keys[occ][sidx]
+            counts = counts_s[occ][sidx]
+            order = np.argsort(-counts, kind="stable")
+            rank_of = np.empty(k, dtype=np.uint32)
+            rank_of[order] = np.arange(k, dtype=np.uint32)
+            slot_rank = np.empty(len(keys), dtype=np.uint32)
+            slot_rank[occ[sidx]] = rank_of
+            ranks = slot_rank[codes]
+        else:
+            uniq, inv, counts = _unique_inverse_counts(values)
+            k = len(uniq)
+            order = np.argsort(-counts, kind="stable")  # rank -> sorted-uniq idx
+            rank_of = np.empty(k, dtype=np.uint32)
+            rank_of[order] = np.arange(k, dtype=np.uint32)
+            ranks = rank_of[inv] if k else np.empty(0, np.uint32)
     code_bits = bit_width(k - 1) if k > 1 else 0
     if k == 0:
         dict_stream = b""
@@ -537,11 +555,44 @@ def _rank_lookup(th: str):
             dense[vals - vmin] = np.arange(k, dtype=np.uint32)
             state = ("dense", vmin, vmax, dense, k)
         else:
-            order = np.argsort(vals, kind="stable")
-            state = ("sorted", vals[order], order.astype(np.uint32), k)
+            from tokenzip.codecs.native import native_hash_codes_i64
+
+            res = native_hash_codes_i64(vals) if k else None
+            if res is not None:
+                # wide-range fast path: open-addressing table built with the
+                # SAME splitmix64+linear probe sequence the C probe kernel
+                # replays — one hash pass per batch instead of searchsorted
+                keys, _counts, codes, _ = res
+                rank_tbl = np.full(len(keys), 0xFFFFFFFF, dtype=np.uint32)
+                rank_tbl[codes] = np.arange(k, dtype=np.uint32)
+                state = ("hash", keys, rank_tbl, k)
+            else:
+                order = np.argsort(vals, kind="stable")
+                state = ("sorted", vals[order], order.astype(np.uint32), k)
         _RANK_LOOKUPS[th] = state
 
-    if state[0] == "dense":
+    if state[0] == "hash":
+        from tokenzip.codecs.native import native_hash_probe_i64
+
+        _, hkeys, rank_tbl, k = state
+
+        def look(values: np.ndarray) -> np.ndarray:
+            r = native_hash_probe_i64(
+                np.ascontiguousarray(values, dtype=np.int64), hkeys, rank_tbl, k
+            )
+            if r is None:  # native vanished mid-process: rebuild sorted state
+                _RANK_LOOKUPS.pop(th, None)
+                order = np.argsort(SHARED_RANK_TABLES[th], kind="stable")
+                _RANK_LOOKUPS[th] = (
+                    "sorted",
+                    SHARED_RANK_TABLES[th][order],
+                    order.astype(np.uint32),
+                    k,
+                )
+                return _rank_lookup(th)[0](values)
+            return r
+
+    elif state[0] == "dense":
         _, vmin, vmax, dense, k = state
 
         def look(values: np.ndarray) -> np.ndarray:

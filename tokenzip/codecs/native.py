@@ -212,6 +212,8 @@ def _bind_dec32() -> None:
     LIB.tz_dec_delta_i32.argtypes = [vp, i64, i64, vp]
     LIB.tz_hash_codes_i64.restype = i64
     LIB.tz_hash_codes_i64.argtypes = [vp, i64, i64, vp, vp, vp]
+    LIB.tz_hash_probe_i64.restype = None
+    LIB.tz_hash_probe_i64.argtypes = [vp, i64, i64, vp, vp, ct.c_uint32, vp]
 
 
 _bind_dec32()
@@ -271,6 +273,31 @@ def native_dec_delta_i32(b: np.ndarray, n: int) -> tuple[int, np.ndarray] | None
     b_c = np.ascontiguousarray(b)
     rc = LIB.tz_dec_delta_i32(b_c.ctypes.data, len(b_c), n, out.ctypes.data)
     return int(rc), out
+
+
+def native_hash_probe_i64(
+    vals: np.ndarray, keys: np.ndarray, rank_tbl: np.ndarray, miss: int
+) -> np.ndarray | None:
+    """Probe a prebuilt open-addressing (keys, rank) table for each value;
+    misses emit `miss`. Tables come from native_hash_codes_i64 so the probe
+    sequence matches the build. None when native is unavailable."""
+    if (
+        LIB is None
+        or vals.dtype != np.dtype(np.int64)
+        or keys.dtype != np.dtype(np.int64)
+        or rank_tbl.dtype != np.dtype(np.uint32)
+        or len(keys) != len(rank_tbl)
+    ):
+        return None
+    out = np.empty(len(vals), dtype=np.uint32)
+    vals_c = np.ascontiguousarray(vals)
+    keys_c = np.ascontiguousarray(keys)
+    rt_c = np.ascontiguousarray(rank_tbl)
+    LIB.tz_hash_probe_i64(
+        vals_c.ctypes.data, len(vals_c), len(keys_c),
+        keys_c.ctypes.data, rt_c.ctypes.data, miss, out.ctypes.data,
+    )
+    return out
 
 
 def _bind_zz() -> None:
