@@ -813,6 +813,20 @@ def _cached_digest_fn(batch):
     return _DIGEST_STAGE[0](batch)
 
 
+def _fold_verify_partials(b: pa.Table) -> pa.Table:
+    """Fold per-batch verify partials by source inside one block. Wrapping
+    int64 sums are associative, so the fold tree needs no shuffle; np.unique
+    sorts, giving source-ordered output. Schema-stable for empty input."""
+    src = b["source"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(src, return_inverse=True)
+    out = {"source": pa.array([str(s) for s in uniq], pa.string())}
+    for c in ("n_docs", "n_equal", "sum_n_tok", "sum_token_values"):
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, b[c].to_numpy(zero_copy_only=False))
+        out[c] = pa.array(acc, pa.int64())
+    return pa.table(out)
+
+
 def _verify_read_blocks(paths: list[str]) -> int:
     """One block per file, plus extra blocks under FILE-SIZE SKEW (a shard
     >2x the median would gate the fused verify stage end-to-end — SURVEY
@@ -836,9 +850,8 @@ def verify_roundtrip(
     batch_size: int | None = None,
 ) -> "ray.data.Dataset":
     """encode -> decode -> per-row equality inside each batch, pre-aggregated
-    per source, then one small groupby. Result columns:
+    per source, then one tiny combiner fold (no all-to-all). Result columns:
     (source, n_docs, n_equal, sum_n_tok, sum_token_values)."""
-    from ray.data.aggregate import Sum
 
     # one block per FILE => the read fuses with the verify stage into one
     # task (no plasma hop, no separate read operator holding scheduler
@@ -862,13 +875,14 @@ def verify_roundtrip(
         batch_size=batch_size,
         fn_kwargs={"tokens_codec": tokens_codec},
     )
-    return (
-        partials.groupby("source")
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("n_equal", alias_name="n_equal"),
-            Sum("sum_n_tok", alias_name="sum_n_tok"),
-            Sum("sum_token_values", alias_name="sum_token_values"),
-        )
-        .sort("source")
+    # combiner fold instead of groupby+sort: partial rows are tiny (one per
+    # source per batch), so coalescing them into ONE block and folding there
+    # replaces two all-to-all operators (whose range partitions are mostly
+    # EMPTY at low source cardinality, spamming zero-schema RefBundles) with
+    # a single cheap move. np.unique sorts, so the result is source-ordered.
+    return partials.repartition(1, shuffle=False).map_batches(
+        _fold_verify_partials,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
     )
