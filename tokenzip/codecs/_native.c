@@ -512,3 +512,133 @@ void tz_byte_chk(const uint8_t *bytes, const int64_t *offs, int64_t n_docs,
         out_h[d] = h;
     }
 }
+
+/* ---------------------------------------------------------------------------
+ * Canonical-Huffman kernels for frequency-rank streams (codecs/huffman.py).
+ * Public construction: Huffman 1952 lengths via the two-queue method
+ * (van Leeuwen 1976), zlib-style length cap repair (done in Python on the
+ * ~64-entry histogram), canonical code assignment ordered by (length,
+ * symbol). Encode is MSB-first into a 64-bit accumulator; decode peeks a
+ * W-bit one-level LUT for short codes and falls back to the canonical
+ * first-code walk for long ones.
+ * ------------------------------------------------------------------------- */
+
+/* Two-queue Huffman: leaf depths for weights sorted ASCENDING. depths out
+ * int32[k]. Merged internal nodes are produced in nondecreasing weight
+ * order, so two array queues suffice — O(k), no heap. k >= 2. */
+void tz_huff_depths(const int64_t *w_asc, int64_t k, int32_t *depth,
+                    int64_t *scratch_w, int32_t *scratch_parent) {
+    /* nodes 0..k-1 = leaves; k..2k-2 = internal (in scratch arrays with
+     * index offset -k). parent stored for every node; root has none. */
+    int64_t li = 0;      /* next leaf */
+    int64_t ii = 0;      /* next unconsumed internal */
+    int64_t ni = 0;      /* number of internal nodes created */
+    for (int64_t m = 0; m < k - 1; m++) {
+        int64_t c1, c2;
+        /* pick two smallest among leaf head and internal head */
+        if (li < k && (ii >= ni || w_asc[li] <= scratch_w[ii]))
+            c1 = li++;
+        else
+            c1 = k + ii++;
+        if (li < k && (ii >= ni || w_asc[li] <= scratch_w[ii]))
+            c2 = li++;
+        else
+            c2 = k + ii++;
+        int64_t wsum = (c1 < k ? w_asc[c1] : scratch_w[c1 - k]) +
+                       (c2 < k ? w_asc[c2] : scratch_w[c2 - k]);
+        scratch_w[ni] = wsum;
+        /* record parent (internal index ni) for both children */
+        if (c1 < k) depth[c1] = (int32_t)ni; else scratch_parent[c1 - k] = (int32_t)ni;
+        if (c2 < k) depth[c2] = (int32_t)ni; else scratch_parent[c2 - k] = (int32_t)ni;
+        ni++;
+    }
+    /* resolve internal depths root-down: parent index is always larger */
+    int32_t *idepth = scratch_parent; /* reuse: overwrite parent with depth */
+    if (ni > 0) {
+        /* process from root (ni-1) down; idepth[j] currently holds parent */
+        int32_t root = (int32_t)(ni - 1);
+        /* temporary: compute depths into scratch_w reinterpreted? use a
+         * second pass with a separate loop over a small stack-free order */
+        for (int64_t j = ni - 1; j >= 0; j--) {
+            if (j == root) { idepth[j] = 0; }
+            else { idepth[j] = idepth[idepth[j]] + 1; }
+        }
+    }
+    for (int64_t i = 0; i < k; i++)
+        depth[i] = (ni > 0) ? idepth[depth[i]] + 1 : 0;
+}
+
+/* MSB-first Huffman encode: per-symbol (code, len) tables. Returns bytes
+ * written, or -1 if any symbol >= k. Caller sizes out via the exact bit
+ * total. len <= 31 guaranteed by the Python-side cap. */
+int64_t tz_huff_enc_u32(const uint32_t *syms, int64_t n, int64_t k,
+                        const uint32_t *codes, const uint8_t *lens,
+                        uint8_t *out) {
+    uint64_t acc = 0;
+    int nb = 0;
+    uint8_t *p = out;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t s = syms[i];
+        if (s >= (uint64_t)k) return -1;
+        int l = lens[s];
+        acc = (acc << l) | codes[s];
+        nb += l;
+        while (nb >= 8) {
+            nb -= 8;
+            *p++ = (uint8_t)(acc >> nb);
+        }
+    }
+    if (nb) *p++ = (uint8_t)(acc << (8 - nb));
+    return (int64_t)(p - out);
+}
+
+/* Canonical decode. W-bit LUT for codes with len <= W (lut_sym/lut_len,
+ * 2^W entries, lut_len 0 = long code); longer codes resolved by the
+ * canonical first-code walk over (blc, first_code, first_sym) with symbol
+ * ids taken from sym_ordered (symbols sorted by (len, sym)). Returns 0 ok,
+ * 1 if the stream ran out of bits. */
+int64_t tz_huff_dec_u32(const uint8_t *in, int64_t nbytes, int64_t n,
+                        int W, const uint32_t *lut_sym, const uint8_t *lut_len,
+                        int maxlen, const int64_t *blc,
+                        const int64_t *first_code, const int64_t *first_sym,
+                        const uint32_t *sym_ordered, uint32_t *out) {
+    uint64_t acc = 0;
+    int nb = 0;
+    int64_t pos = 0;
+    uint64_t wmask = (W > 0) ? ((1ULL << W) - 1) : 0;
+    int64_t total_bits = nbytes * 8;
+    int64_t used_bits = 0;
+    for (int64_t i = 0; i < n; i++) {
+        while (nb <= 56 && pos < nbytes) {
+            acc = (acc << 8) | in[pos++];
+            nb += 8;
+        }
+        uint64_t peek = (nb >= W) ? ((acc >> (nb - W)) & wmask)
+                                  : ((acc << (W - nb)) & wmask);
+        int l = lut_len[peek];
+        uint32_t sym;
+        if (l != 0) {
+            sym = lut_sym[peek];
+        } else {
+            /* long code: walk lengths W+1..maxlen */
+            int ll = W + 1;
+            for (;; ll++) {
+                if (ll > maxlen) return 1; /* corrupt */
+                uint64_t code = (nb >= ll)
+                                    ? ((acc >> (nb - ll)) & ((1ULL << ll) - 1))
+                                    : ((acc << (ll - nb)) & ((1ULL << ll) - 1));
+                int64_t off = (int64_t)code - first_code[ll];
+                if (off >= 0 && off < blc[ll]) {
+                    sym = sym_ordered[first_sym[ll] + off];
+                    l = ll;
+                    break;
+                }
+            }
+        }
+        used_bits += l;
+        if (used_bits > total_bits) return 1;
+        nb -= l;
+        out[i] = sym;
+    }
+    return 0;
+}

@@ -435,9 +435,40 @@ def _enc_rankdict(values, width):
         with np.errstate(over="ignore"):
             diffs = uniq[1:].view(np.uint64) - uniq[:-1].view(np.uint64)
         dict_stream = encode_leb128(np.concatenate([first, diffs]))
+    meta = {"w": width, "k": k, "cb": code_bits}
+    rank_stream = None
+    if k == 1 and n:
+        # single-symbol chunk: zero-bit codes (the decoder replays the count)
+        rank_stream = b""
+        meta["rs"] = "h"
+        meta["blc"] = []
+    elif k >= 2 and n:
+        # rank-stream coding choice: canonical Huffman vs LEB128, both sized
+        # exactly from the rank-count boundaries (no trial encode). Ranks are
+        # count-sorted, so the Huffman table ships as a ~40-byte
+        # counts-per-length histogram ("blc") — closes LEB128's 1-byte floor
+        # on sub-byte-entropy sources (web: 6.5 bits/token).
+        from tokenzip.codecs.huffman import blc_from_lens, encode_syms, huff_lengths
+
+        counts_desc = np.ascontiguousarray(counts[order], dtype=np.int64)
+        cum = np.cumsum(counts_desc)
+        leb_bytes = int(cum[-1])
+        for t in (1 << 7, 1 << 14, 1 << 21, 1 << 28):
+            if k > t:
+                leb_bytes += int(cum[-1] - cum[t - 1])
+        lens = huff_lengths(counts_desc)
+        hbits = int((counts_desc * lens).sum())
+        blc = blc_from_lens(lens)
+        # include the histogram's JSON-header cost in the comparison
+        if (hbits + 7) // 8 + 4 * len(blc) + 12 < leb_bytes:
+            rank_stream = encode_syms(ranks, lens)
+            meta["rs"] = "h"
+            meta["blc"] = blc
+    if rank_stream is None:
+        rank_stream = encode_leb128(ranks)
     return (
-        [dict_stream, pack_bits(order.astype(np.uint64), code_bits), encode_leb128(ranks)],
-        {"w": width, "k": k, "cb": code_bits},
+        [dict_stream, pack_bits(order.astype(np.uint64), code_bits), rank_stream],
+        meta,
     )
 
 
@@ -457,10 +488,21 @@ def _dec_rankdict(streams, meta, n):
     if len(order_u) and int(order_u.max()) >= k:
         raise ChunkFormatError("rankdict permutation index out of range")
     order = order_u.view(np.int64)
-    ranks_u = decode_leb128(streams[2], n, width=64)
-    if len(ranks_u) and int(ranks_u.max()) >= k:
-        raise ChunkFormatError("rankdict rank out of range")
-    ranks = np.ascontiguousarray(ranks_u).view(np.int64)
+    if meta.get("rs") == "h":
+        from tokenzip.codecs.huffman import decode_syms, lens_from_blc
+
+        if k == 1:
+            ranks = np.zeros(n, dtype=np.int64)
+        else:
+            lens = lens_from_blc(meta["blc"])
+            if len(lens) != k:
+                raise ChunkFormatError("huffman histogram size != dictionary size")
+            ranks = decode_syms(streams[2], n, lens).astype(np.int64, copy=False)
+    else:
+        ranks_u = decode_leb128(streams[2], n, width=64)
+        if len(ranks_u) and int(ranks_u.max()) >= k:
+            raise ChunkFormatError("rankdict rank out of range")
+        ranks = np.ascontiguousarray(ranks_u).view(np.int64)
     vals_by_rank = uniq[order]
     if meta["w"] <= 32:
         # int32 rank table => the n-sized gather writes 4 B/value
@@ -525,9 +567,16 @@ def _dec_delta(streams, meta, n):
 SHARED_RANK_TABLES: dict[str, np.ndarray] = {}  # hash -> values ordered by rank
 _RANK_LOOKUPS: dict[str, tuple] = {}  # hash -> (kind, ...) value->rank state
 _RANK_VALS32: dict[str, np.ndarray] = {}  # hash -> int32 cast of the table
+# hash -> per-symbol Huffman lengths (k+1 incl. the escape symbol at index k),
+# trained on the same sample as the table; optional — srank falls back to
+# LEB128 ranks when absent
+SHARED_RANK_LENS: dict[str, np.ndarray] = {}
+_RANK_LENS_HASH: dict[str, str] = {}  # hash -> sha1(lens)[:8] integrity tag
 
 
-def register_shared_rank_table(vals_by_rank: np.ndarray) -> str:
+def register_shared_rank_table(
+    vals_by_rank: np.ndarray, lens_by_sym: np.ndarray | None = None
+) -> str:
     import hashlib
 
     arr = np.ascontiguousarray(vals_by_rank, dtype=np.int64)
@@ -535,7 +584,28 @@ def register_shared_rank_table(vals_by_rank: np.ndarray) -> str:
     SHARED_RANK_TABLES[th] = arr
     _RANK_LOOKUPS.pop(th, None)
     _RANK_VALS32.pop(th, None)
+    if lens_by_sym is not None:
+        lens = np.ascontiguousarray(lens_by_sym, dtype=np.uint8)
+        if len(lens) != len(arr) + 1:
+            raise ChunkFormatError(
+                "shared rank lengths must cover every rank plus the escape"
+            )
+        SHARED_RANK_LENS[th] = lens
+        _RANK_LENS_HASH[th] = hashlib.sha1(lens.tobytes()).hexdigest()[:8]
+    else:
+        SHARED_RANK_LENS.pop(th, None)
+        _RANK_LENS_HASH.pop(th, None)
     return th
+
+
+def _rank_lens_hash(th: str) -> str:
+    tag = _RANK_LENS_HASH.get(th)
+    if tag is None:
+        import hashlib
+
+        tag = hashlib.sha1(SHARED_RANK_LENS[th].tobytes()).hexdigest()[:8]
+        _RANK_LENS_HASH[th] = tag
+    return tag
 
 
 def _rank_lookup(th: str):
@@ -624,10 +694,13 @@ def _rank_lookup(th: str):
 
 
 def _enc_srank(values, width, table_hash: str):
-    """Shared-rank encode: per-value LEB128 rank against the broadcast
-    table; values outside the table emit the escape rank k plus their raw
+    """Shared-rank encode: per-value rank against the broadcast table;
+    values outside the table emit the escape rank k plus their raw
     zigzag-LEB128 value in a positional exceptions stream (lossless for any
-    int64, mirroring FSST's escape byte)."""
+    int64, mirroring FSST's escape byte). The rank stream is canonical
+    Huffman (lengths trained once with the table, broadcast alongside it)
+    when that beats LEB128 for this chunk, else LEB128 — per-chunk choice
+    recorded in meta["rs"]."""
     values = np.ascontiguousarray(values, dtype=np.int64)
     look, k = _rank_lookup(table_hash)
     ranks = look(values)
@@ -636,10 +709,28 @@ def _enc_srank(values, width, table_hash: str):
     exc_stream = (
         encode_leb128(zigzag_encode(values[esc], 64).astype(np.uint64)) if x else b""
     )
-    return (
-        [encode_leb128(ranks), exc_stream],
-        {"w": width, "th": table_hash, "k": k, "x": x},
-    )
+    meta = {"w": width, "th": table_hash, "k": k, "x": x}
+    n = len(values)
+    lens = SHARED_RANK_LENS.get(table_hash)
+    rank_stream = None
+    if lens is not None and n:
+        from tokenzip.codecs.huffman import encode_syms
+
+        hbits = int(lens[ranks].astype(np.int64).sum())
+        leb_bytes = (
+            n
+            + int((ranks >= 128).sum())
+            + int((ranks >= 16384).sum())
+            + int((ranks >= (1 << 21)).sum())
+            + int((ranks >= (1 << 28)).sum())
+        )
+        if (hbits + 7) // 8 < leb_bytes:
+            rank_stream = encode_syms(ranks, lens)
+            meta["rs"] = "h"
+            meta["lh"] = _rank_lens_hash(table_hash)
+    if rank_stream is None:
+        rank_stream = encode_leb128(ranks)
+    return [rank_stream, exc_stream], meta
 
 
 def _dec_srank(streams, meta, n):
@@ -652,10 +743,23 @@ def _dec_srank(streams, meta, n):
         )
     if len(vals) != k:
         raise ChunkFormatError(f"shared rank table {th} length {len(vals)} != {k}")
-    ranks_u = decode_leb128(streams[0], n, width=64)
-    if len(ranks_u) and int(ranks_u.max()) > k:
-        raise ChunkFormatError("srank rank out of range")
-    ranks = np.ascontiguousarray(ranks_u).view(np.int64)
+    if meta.get("rs") == "h":
+        from tokenzip.codecs.huffman import decode_syms
+
+        lens = SHARED_RANK_LENS.get(th)
+        if lens is None:
+            raise ChunkFormatError(
+                f"shared rank lengths for {th} not loaded — decode needs the "
+                f"run's symbols sidecar registered via load_shared_tables()"
+            )
+        if len(lens) != k + 1 or _rank_lens_hash(th) != meta.get("lh"):
+            raise ChunkFormatError(f"shared rank lengths for {th} mismatch chunk")
+        ranks = decode_syms(streams[0], n, lens).astype(np.int64, copy=False)
+    else:
+        ranks_u = decode_leb128(streams[0], n, width=64)
+        if len(ranks_u) and int(ranks_u.max()) > k:
+            raise ChunkFormatError("srank rank out of range")
+        ranks = np.ascontiguousarray(ranks_u).view(np.int64)
     esc = ranks == k
     if int(esc.sum()) != x:
         raise ChunkFormatError("srank escape count mismatch")

@@ -479,3 +479,86 @@ def native_svb_decode(control: np.ndarray, data: np.ndarray, n: int):
         control.ctypes.data, data.ctypes.data, len(data), n, out.ctypes.data
     )
     return int(rc), out
+
+
+def _bind_huff() -> None:
+    if LIB is None:
+        return
+    import ctypes as ct
+
+    i64, i32, vp = ct.c_int64, ct.c_int, ct.c_void_p
+    LIB.tz_huff_depths.restype = None
+    LIB.tz_huff_depths.argtypes = [vp, i64, vp, vp, vp]
+    LIB.tz_huff_enc_u32.restype = i64
+    LIB.tz_huff_enc_u32.argtypes = [vp, i64, i64, vp, vp, vp]
+    LIB.tz_huff_dec_u32.restype = i64
+    LIB.tz_huff_dec_u32.argtypes = [
+        vp, i64, i64, i32, vp, vp, i32, vp, vp, vp, vp, vp,
+    ]
+
+
+_bind_huff()
+
+
+def native_huff_depths(w_asc: np.ndarray) -> np.ndarray | None:
+    """Two-queue Huffman leaf depths for weights sorted ascending."""
+    if LIB is None or w_asc.dtype != np.dtype(np.int64):
+        return None
+    k = len(w_asc)
+    if k < 2:
+        return np.zeros(k, dtype=np.int64)
+    w_c = np.ascontiguousarray(w_asc)
+    depth = np.empty(k, dtype=np.int32)
+    scratch_w = np.empty(k - 1, dtype=np.int64)
+    scratch_p = np.empty(k - 1, dtype=np.int32)
+    LIB.tz_huff_depths(
+        w_c.ctypes.data, k, depth.ctypes.data,
+        scratch_w.ctypes.data, scratch_p.ctypes.data,
+    )
+    return depth.astype(np.int64)
+
+
+def native_huff_encode(
+    syms: np.ndarray, codes: np.ndarray, lens: np.ndarray, nbits: int
+) -> bytes | None:
+    """MSB-first canonical-Huffman encode; nbits = exact total bit count."""
+    if (
+        LIB is None
+        or syms.dtype != np.dtype(np.uint32)
+        or codes.dtype != np.dtype(np.uint32)
+        or lens.dtype != np.dtype(np.uint8)
+    ):
+        return None
+    out = np.empty((nbits + 7) // 8, dtype=np.uint8)
+    nb = LIB.tz_huff_enc_u32(
+        np.ascontiguousarray(syms).ctypes.data, len(syms), len(codes),
+        np.ascontiguousarray(codes).ctypes.data,
+        np.ascontiguousarray(lens).ctypes.data, out.ctypes.data,
+    )
+    if nb < 0 or nb != len(out):
+        return None
+    return out.tobytes()
+
+
+def native_huff_decode(
+    b: np.ndarray, n: int, w: int,
+    lut_sym: np.ndarray, lut_len: np.ndarray,
+    maxlen: int, blc: np.ndarray, first_code: np.ndarray,
+    first_sym: np.ndarray, sym_ordered: np.ndarray,
+) -> tuple[int, np.ndarray] | None:
+    """Canonical-Huffman decode; rc 0 ok, 1 truncated/corrupt."""
+    if LIB is None or b.dtype != np.dtype(np.uint8):
+        return None
+    out = np.empty(n, dtype=np.uint32)
+    rc = LIB.tz_huff_dec_u32(
+        np.ascontiguousarray(b).ctypes.data, len(b), n, w,
+        np.ascontiguousarray(lut_sym, dtype=np.uint32).ctypes.data,
+        np.ascontiguousarray(lut_len, dtype=np.uint8).ctypes.data,
+        maxlen,
+        np.ascontiguousarray(blc, dtype=np.int64).ctypes.data,
+        np.ascontiguousarray(first_code, dtype=np.int64).ctypes.data,
+        np.ascontiguousarray(first_sym, dtype=np.int64).ctypes.data,
+        np.ascontiguousarray(sym_ordered, dtype=np.uint32).ctypes.data,
+        out.ctypes.data,
+    )
+    return int(rc), out

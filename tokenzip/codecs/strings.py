@@ -287,7 +287,7 @@ def save_shared_tables(path: str) -> None:
     import json
     import os
 
-    from tokenzip.codecs.core import SHARED_RANK_TABLES
+    from tokenzip.codecs.core import SHARED_RANK_LENS, SHARED_RANK_TABLES
 
     data = {
         "fsst": {
@@ -298,6 +298,12 @@ def save_shared_tables(path: str) -> None:
         "rank": {
             th: base64.b64encode(np.ascontiguousarray(v, dtype="<i8").tobytes()).decode()
             for th, v in SHARED_RANK_TABLES.items()
+        },
+        "rank_lens": {
+            th: base64.b64encode(
+                np.ascontiguousarray(v, dtype=np.uint8).tobytes()
+            ).decode()
+            for th, v in SHARED_RANK_LENS.items()
         },
     }
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -312,7 +318,13 @@ def load_shared_tables(path: str) -> None:
     import base64
     import json
 
-    from tokenzip.codecs.core import SHARED_RANK_TABLES, _RANK_LOOKUPS, _RANK_VALS32
+    from tokenzip.codecs.core import (
+        _RANK_LENS_HASH,
+        _RANK_LOOKUPS,
+        _RANK_VALS32,
+        SHARED_RANK_LENS,
+        SHARED_RANK_TABLES,
+    )
 
     with open(path) as f:
         data = json.load(f)
@@ -326,6 +338,10 @@ def load_shared_tables(path: str) -> None:
         ).astype(np.int64)
         _RANK_LOOKUPS.pop(th, None)
         _RANK_VALS32.pop(th, None)
+        SHARED_RANK_LENS.pop(th, None)
+        _RANK_LENS_HASH.pop(th, None)
+    for th, blob in data.get("rank_lens", {}).items():
+        SHARED_RANK_LENS[th] = np.frombuffer(base64.b64decode(blob), dtype=np.uint8)
 
 
 def encode_str_column(arr: pa.Array, codec: str = "auto", table_hash: str | None = None) -> bytes:

@@ -274,8 +274,8 @@ COMPRESSION_BY_CODEC_PIN = [
     # (tokens_codec, n_tokens, tokens_bytes_out, leb128_bytes)
     ("dict", 229_561, 1_069_774, 1_133_515),
     ("for", 3_941_573, 7_449_094, 12_581_265),
-    ("leb128", 1_953_992, 2_543_341, 2_542_389),
-    ("rankdict", 4_676_605, 5_992_829, 6_084_391),
+    ("leb128", 1_087_047, 1_414_630, 1_413_978),
+    ("rankdict", 5_543_550, 5_106_215, 7_212_802),
     ("rle", 1_395_516, 652_351, 3_804_123),
 ]
 

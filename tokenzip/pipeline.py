@@ -117,20 +117,29 @@ def _train_shared_tables(paths: list[str]) -> dict:
         if flat is None or not len(flat):
             continue
         from tokenzip.codecs.core import _unique_inverse_counts
+        from tokenzip.codecs.huffman import huff_lengths_any
 
         uniq, _, counts = _unique_inverse_counts(flat)
         order = np.argsort(-counts, kind="stable")[:_RANK_TABLE_CAP]
-        rank_by_source[s] = register_shared_rank_table(uniq[order])
+        # canonical-Huffman lengths trained on the SAME sample: k table
+        # symbols plus the escape (pseudo-count = uncovered sample mass);
+        # chunks pick Huffman vs LEB128 ranks per chunk at encode time
+        counts_desc = counts[order].astype(np.int64)
+        esc_count = max(1, int(len(flat) - counts_desc.sum()))
+        lens = huff_lengths_any(np.concatenate([counts_desc, [esc_count]]))
+        rank_by_source[s] = register_shared_rank_table(uniq[order], lens)
 
-    from tokenzip.codecs.core import SHARED_RANK_TABLES
+    from tokenzip.codecs.core import SHARED_RANK_LENS, SHARED_RANK_TABLES
     from tokenzip.codecs.strings import SHARED_STR_DICTS, SHARED_STR_TABLES
 
     hashes = {global_hash, *src_tables.values()}
+    rank_hashes = set(rank_by_source.values())
     return {
         "fsst_tables": {h: SHARED_STR_TABLES[h] for h in hashes},
         "str_dicts": {dict_hash: SHARED_STR_DICTS[dict_hash]},
-        "rank_tables": {
-            h: SHARED_RANK_TABLES[h] for h in set(rank_by_source.values())
+        "rank_tables": {h: SHARED_RANK_TABLES[h] for h in rank_hashes},
+        "rank_lens": {
+            h: SHARED_RANK_LENS[h] for h in rank_hashes if h in SHARED_RANK_LENS
         },
         "refs": {
             "doc_id_fsst": global_hash,

@@ -128,10 +128,15 @@ def q_compression_by_codec(sf_dir: str):
     self-audited in SQL against the corpus's closed-form token/LEB128 totals
     — see oracles.compression_by_codec_sql."""
     import os
+    import shutil
 
     from tokenzip.pipeline import compress, chunk_meta_dataset
 
     out_dir = os.path.join("/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir)))
+    # fresh compress every time: the manifest's resume would otherwise serve
+    # chunks written by an OLDER codec version, silently diverging from the
+    # pinned per-codec byte counts
+    shutil.rmtree(out_dir, ignore_errors=True)
     compress(corpus_paths(sf_dir), out_dir)
     meta = chunk_meta_dataset(out_dir)
     return (

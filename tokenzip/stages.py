@@ -166,7 +166,13 @@ class SharedTableEncodeStage(EncodeStage):
             SHARED_STR_TABLES,
         )
 
-        from tokenzip.codecs.core import _RANK_LOOKUPS, _RANK_VALS32, SHARED_RANK_TABLES
+        from tokenzip.codecs.core import (
+            _RANK_LENS_HASH,
+            _RANK_LOOKUPS,
+            _RANK_VALS32,
+            SHARED_RANK_LENS,
+            SHARED_RANK_TABLES,
+        )
 
         payload = tables if tables is not None else _bget(tables_ref)
         SHARED_STR_TABLES.update(payload.get("fsst_tables", {}))
@@ -175,6 +181,10 @@ class SharedTableEncodeStage(EncodeStage):
             SHARED_RANK_TABLES[h] = v
             _RANK_LOOKUPS.pop(h, None)
             _RANK_VALS32.pop(h, None)
+            SHARED_RANK_LENS.pop(h, None)
+            _RANK_LENS_HASH.pop(h, None)
+        for h, lens in payload.get("rank_lens", {}).items():
+            SHARED_RANK_LENS[h] = lens
         self.shared = payload.get("refs", {})
 
     def encode_one(self, batch: pa.Table) -> pa.Table:
