@@ -66,7 +66,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_agg": _events_window_agg,
         "events_asof_orders": _events_asof_orders,
         "events_range_orders": _events_range_orders,
+        "pack_stats_by_source": _pack_stats,
+        "vocab_topk": _vocab_topk,
+        "split_stats_by_source": _split_stats,
     }
+
+
+def _pack_stats(sf_dir: str):
+    from tokenzip.training import q_pack_stats_by_source
+
+    return q_pack_stats_by_source(sf_dir)
+
+
+def _vocab_topk(sf_dir: str):
+    from tokenzip.training import q_vocab_topk
+
+    return q_vocab_topk(sf_dir)
+
+
+def _split_stats(sf_dir: str):
+    from tokenzip.training import q_split_stats_by_source
+
+    return q_split_stats_by_source(sf_dir)
 
 
 def _events_window_agg(sf_dir: str):
@@ -103,6 +124,24 @@ _FP_EXPR = (
 
 
 
+def _pack_sql(glob: str) -> str:
+    from tokenzip.training import pack_stats_sql
+
+    return pack_stats_sql(glob)
+
+
+def _vocab_sql(glob: str) -> str:
+    from tokenzip.training import vocab_topk_sql
+
+    return vocab_topk_sql(glob)
+
+
+def _split_sql(glob: str) -> str:
+    from tokenzip.training import split_stats_sql
+
+    return split_stats_sql(glob)
+
+
 def oracle_sql() -> dict[str, str]:
     from tokenzip import oracles as _O
 
@@ -130,6 +169,9 @@ SELECT source,
 FROM documents GROUP BY source ORDER BY source
 """,
         "compression_by_codec": _O.compression_by_codec_sql(glob),
+        "pack_stats_by_source": _pack_sql(glob),
+        "vocab_topk": _vocab_sql(glob),
+        "split_stats_by_source": _split_sql(glob),
         "lang_id_confusion": _O.lang_id_sql(),
         "media_features_by_source": _O.media_sql(),
         "boundary_roundtrip": _O.boundary_sql(),

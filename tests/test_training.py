@@ -1,0 +1,195 @@
+"""Training-set preparation operators (tokenzip.training): sequence
+packing (stats + full emit), vocabulary top-k, deterministic train/val
+split — each checked against a straightforward local NumPy/DuckDB
+reference on the sf0.001 corpus plus planted edge-case tables."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "sf0.001"
+L = 2048
+
+
+def _local_pack_reference(tbl: pa.Table, seq_len: int) -> pd.DataFrame:
+    """Single-process packing geometry: the semantics in ~15 lines."""
+    df = tbl.select(["doc_id", "n_tok", "source"]).to_pandas()
+    df = df.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    out = []
+    for source, g in df.groupby("source", sort=True):
+        ntok = g["n_tok"].to_numpy().astype(np.int64)
+        off = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+        total = int(ntok.sum())
+        boundary = (ntok > 0) & (off // seq_len != (off + ntok - 1) // seq_len)
+        from tokenzip.analysis import _PAIR_K, _PAIR_MOD
+
+        term = ((off % _PAIR_MOD) * _PAIR_K + ntok % _PAIR_MOD) % _PAIR_MOD
+        out.append(
+            {
+                "source": source,
+                "n_docs": len(g),
+                "total_tokens": total,
+                "n_sequences": total // seq_len,
+                "n_boundary_docs": int(boundary.sum()),
+                "pack_checksum": int(term.sum() % _PAIR_MOD),
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def test_pack_stats_matches_local_reference(ray_session):
+    from tokenzip.corpus import corpus_paths
+    from tokenzip.training import q_pack_stats_by_source
+
+    paths = corpus_paths(SF)
+    tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+    expect = _local_pack_reference(tbl, L)
+    got = q_pack_stats_by_source(SF, seq_len=L)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), expect.astype(got.dtypes.to_dict())
+    )
+
+
+def test_pack_stats_matches_duckdb_window_oracle(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import pack_stats_sql, q_pack_stats_by_source
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_pack_stats_by_source(SF, seq_len=L)
+    odf = duckdb.sql(pack_stats_sql(glob, L)).df()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_pack_sequences_emit_exact_stream(ray_session, tmp_path):
+    """The emitted sequences ARE the concatenated per-source streams: every
+    sequence exactly seq_len long, count == total // seq_len, and the
+    re-concatenated stream equals the locally-built one token for token."""
+    from tokenzip.corpus import corpus_paths
+    from tokenzip.training import pack_sequences
+
+    seq_len = 256  # small L so sf0.001 yields many sequences
+    paths = corpus_paths(SF)
+    tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+    df = tbl.to_pandas().sort_values(["source", "doc_id"])
+    streams = {
+        s: np.concatenate(
+            [np.asarray(t, np.int32) for t in g["tokens"]]
+            + [np.empty(0, np.int32)]
+        )
+        for s, g in df.groupby("source", sort=True)
+    }
+
+    out = pack_sequences(SF, seq_len=seq_len).to_pandas()
+    assert (out.groupby("source")["seq_id"].nunique()
+            == out.groupby("source").size()).all()  # one row per seq
+    for s, g in out.groupby("source", sort=True):
+        g = g.sort_values("seq_id")
+        assert list(g["seq_id"]) == list(range(len(g)))
+        assert len(g) == len(streams[s]) // seq_len
+        got = np.concatenate([np.asarray(t, np.int32) for t in g["tokens"]])
+        assert np.array_equal(got, streams[s][: len(g) * seq_len])
+
+
+def test_pack_stats_planted_edges(ray_session, tmp_path, monkeypatch):
+    """Planted table: empty docs, a doc exactly filling a sequence, a doc
+    spanning 3 boundaries — geometry checked by hand."""
+    import tokenzip.training as tr
+
+    rows = [
+        ("doc-0", 10, "a"),       # off 0
+        ("doc-1", 0, "a"),        # empty: no boundary, no offset change
+        ("doc-2", 6, "a"),        # off 10, crosses 16-boundary (L=16)
+        ("doc-3", 16, "a"),       # off 16: exactly fills seq 1
+        ("doc-4", 40, "a"),       # off 32: spans seqs 2,3,4 exactly->no, 32..71
+        ("doc-5", 5, "b"),        # other source
+    ]
+    tok = lambda n: np.arange(n, dtype=np.int32)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows]),
+            "tokens": pa.array([tok(r[1]) for r in rows], pa.list_(pa.int32())),
+            "n_tok": pa.array([r[1] for r in rows], pa.int32()),
+            "source": pa.array([r[2] for r in rows]),
+        }
+    )
+    p = tmp_path / "tokens"
+    p.mkdir()
+    pq.write_table(tbl, p / "part-0000.parquet")
+    monkeypatch.setattr(tr, "corpus_paths", lambda sf: [str(p / "part-0000.parquet")])
+
+    got = tr.q_pack_stats_by_source("planted", seq_len=16).set_index("source")
+    assert got.loc["a", "n_docs"] == 5
+    assert got.loc["a", "total_tokens"] == 72
+    assert got.loc["a", "n_sequences"] == 4
+    # boundary docs: doc-2 (10..15 vs boundary at 16? 10+6-1=15 -> no!),
+    # recompute: doc-2 occupies [10,16) -> last index 15, seq 0 -> NOT boundary;
+    # doc-3 [16,32) -> seq 1 exactly -> not boundary; doc-4 [32,72) -> seqs 2..4 -> boundary
+    assert got.loc["a", "n_boundary_docs"] == 1
+    assert got.loc["b", "n_sequences"] == 0
+    # cross-check the whole frame against the local reference
+    expect = _local_pack_reference(tbl, 16).set_index("source")
+    pd.testing.assert_frame_equal(got, expect.astype(got.dtypes.to_dict()))
+
+
+def test_vocab_topk_matches_duckdb(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import q_vocab_topk, vocab_topk_sql
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_vocab_topk(SF, k=25)
+    odf = duckdb.sql(vocab_topk_sql(glob, 25)).df()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_vocab_topk_bucket_boundary_ties(ray_session, tmp_path, monkeypatch):
+    """Tokens tied at the k-th count must resolve by smaller token id, even
+    when the tied tokens live in different hash buckets."""
+    import tokenzip.training as tr
+
+    # tokens 1000 and 1513 (different buckets mod 512) both appear 3x;
+    # token 7 appears 5x; k=2 must pick (7,5),(1000,3)
+    toks = [7] * 5 + [1000] * 3 + [1513] * 3
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["doc-0"]),
+            "tokens": pa.array([np.array(toks, np.int32)], pa.list_(pa.int32())),
+            "n_tok": pa.array([len(toks)], pa.int32()),
+            "source": pa.array(["a"]),
+        }
+    )
+    p = tmp_path / "t.parquet"
+    pq.write_table(tbl, p)
+    monkeypatch.setattr(tr, "corpus_paths", lambda sf: [str(p)])
+    got = tr.q_vocab_topk("planted", k=2)
+    assert got["token"].tolist() == [7, 1000]
+    assert got["cnt"].tolist() == [5, 3]
+
+
+def test_split_stats_deterministic_and_matches_duckdb(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import q_split_stats_by_source, split_stats_sql
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    a = q_split_stats_by_source(SF)
+    b = q_split_stats_by_source(SF)
+    pd.testing.assert_frame_equal(a, b)  # placement-independent
+    odf = duckdb.sql(split_stats_sql(glob)).df()
+    pd.testing.assert_frame_equal(a, odf.astype(a.dtypes.to_dict()))
+    # both splits exist and val is the small one per source
+    piv = a.pivot(index="source", columns="split", values="n_docs")
+    assert (piv["train"] > piv["val"]).all()
+
+
+def test_split_is_pure_row_function():
+    """The md5 rule itself, independent of Ray: stable and ~5% val."""
+    import hashlib
+
+    from tokenzip.training import _SPLIT_DEN
+
+    ids = [f"doc-{i:08d}" for i in range(20_000)]
+    hv = [int(hashlib.md5(i.encode()).hexdigest()[:15], 16) for i in ids]
+    val = sum(1 for h in hv if h % _SPLIT_DEN == 0)
+    assert abs(val / len(ids) - 1 / _SPLIT_DEN) < 0.01

@@ -73,4 +73,13 @@ def __getattr__(name):  # lazy: pipeline pulls in ray; keep bare import light
         from tokenzip import chunk
 
         return getattr(chunk, name)
+    if name in (
+        "pack_sequences",
+        "q_pack_stats_by_source",
+        "q_vocab_topk",
+        "q_split_stats_by_source",
+    ):
+        from tokenzip import training
+
+        return getattr(training, name)
     raise AttributeError(name)

@@ -1,0 +1,540 @@
+"""Training-set preparation operators over the token corpus (the
+`input_hint` table: doc_id:string, tokens:list<int32>, n_tok:int32,
+source:string) — the steps between "deduplicated corpus" and "batches on
+the accelerator":
+
+* **sequence packing** (`q_pack_stats_by_source`, `pack_sequences`): the
+  GPT-style pretraining transform — concatenate every document's tokens in
+  a deterministic global order (doc_id ascending per source) and cut the
+  stream into fixed-length training sequences. The hard part at 10^12 docs
+  is the *global prefix sum* of n_tok in that order; implemented as a
+  sampled range-bucket two-phase scan (the same boundary-sampling a
+  distributed sort uses), NOT a full `ds.sort`: phase A is a column-pruned
+  map over (doc_id, n_tok, source) emitting per-(source, range-bucket)
+  partial sums; the driver scans the tiny bucket table into exclusive base
+  offsets; phase B co-locates each range bucket with ONE bounded-group
+  shuffle of id-rows (no token payloads) and assigns exact per-doc offsets
+  with a vectorized in-group lexsort + segmented cumsum.
+
+* **vocabulary statistics** (`q_vocab_topk`): global token-frequency top-k.
+  Per-batch `np.unique` partials, hash-bucketed `groupby` so group count is
+  bounded regardless of vocabulary size, bucket-local top-k (a bucket's
+  top-k superset of any global top-k member), tiny driver merge.
+
+* **deterministic train/val split** (`q_split_stats_by_source`): md5-hash
+  split on doc_id (stable under re-runs, re-shards, and resume — the split
+  is a pure function of the row, never of placement), pre-aggregated
+  per-batch so the shuffle is sources x splits rows.
+
+All three are oracle-checked against DuckDB (window-function prefix sums /
+UNNEST group-bys / the same md5-nibble arithmetic) via __ray_entry__.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from tokenzip.analysis import _PAIR_K, _PAIR_MOD
+from tokenzip.corpus import corpus_paths
+
+SEQ_LEN = 2048  # default packed-sequence length (tokens)
+
+# phase-B range buckets hold ~this many docs: big enough that the id-row
+# shuffle has bounded group count, small enough that one group's lexsort
+# (~64k x 16B) is trivially in-memory. At 10^12 docs the phase-A bucket
+# table is ~15M rows x 3 cols — the driver scan is a cumsum over it; fold
+# it hierarchically (tree scan) if that ever dominates.
+_BUCKET_DOCS = 65_536
+
+
+def _ids_dataset(paths: list[str]) -> "ray.data.Dataset":
+    """Column-pruned id stream: packing geometry never reads token payloads."""
+    return ray.data.read_parquet(paths, columns=["doc_id", "n_tok", "source"])
+
+
+def _sample_bounds(paths: list[str], n_buckets: int) -> np.ndarray:
+    """Range-bucket boundaries from a bounded sample of doc_ids (first row
+    group of every file — the same bounded-sample pattern as the IVF k-means
+    trainer, analysis.py). Returns (n_buckets - 1) sorted cut points; bucket
+    of a doc = searchsorted(bounds, doc_id, 'right')."""
+    ids: list[str] = []
+    per_file = max(256, (n_buckets * 64) // max(1, len(paths)))
+    for p in paths:
+        f = pq.ParquetFile(p)
+        t = f.read_row_group(0, columns=["doc_id"])
+        col = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(col) > per_file:
+            col = col[:: max(1, len(col) // per_file)]
+        ids.extend(col.tolist())
+    ids.sort()
+    if n_buckets <= 1 or len(ids) < 2:
+        return np.array([], dtype=object)
+    cuts = [ids[(i * len(ids)) // n_buckets] for i in range(1, n_buckets)]
+    return np.array(sorted(set(cuts)), dtype=object)
+
+
+def _bucket_of(doc_id: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    if len(bounds) == 0:
+        return np.zeros(len(doc_id), dtype=np.int64)
+    return np.searchsorted(bounds, doc_id, side="right").astype(np.int64)
+
+
+def _n_docs(paths: list[str]) -> int:
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: distributed prefix scan -> per-doc global offsets
+# ---------------------------------------------------------------------------
+
+
+def _phase_a(bounds: np.ndarray):
+    """Per-batch partial sums per (source, bucket): the scan's reduce leg."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        ntok = b["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        bkt = _bucket_of(ids, bounds)
+        df = pd.DataFrame({"source": src, "bkt": bkt, "tok": ntok})
+        agg = df.groupby(["source", "bkt"], as_index=False)["tok"].sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return fn
+
+
+def _bucket_bases(paths: list[str], bounds: np.ndarray) -> dict:
+    """Exclusive per-(source, bucket) base offsets: tiny bucket table ->
+    driver cumsum in (source, bucket-index) order. Also returns per-source
+    totals."""
+    parts = (
+        _ids_dataset(paths)
+        .map_batches(_phase_a(bounds), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "bkt"])
+        .aggregate(Sum("tok", alias_name="tok"))
+        .to_pandas()
+    )
+    parts = parts.sort_values(["source", "bkt"]).reset_index(drop=True)
+    bases: dict[tuple, int] = {}
+    totals: dict[str, int] = {}
+    for source, grp in parts.groupby("source", sort=True):
+        run = 0
+        for bkt, tok in zip(grp["bkt"], grp["tok"]):
+            bases[(source, int(bkt))] = run
+            run += int(tok)
+        totals[source] = run
+    return {"bases": bases, "totals": totals}
+
+
+def _pack_group(seq_len: int, bases_ref):
+    """groupby(bkt): exact per-doc offsets inside one range bucket — lexsort
+    by (source, doc_id), segmented exclusive cumsum per source, add the
+    broadcast (source, bucket) base — then fold the packing stats so only
+    sources-sized partials leave the group."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(_PACK_EMPTY)
+        bases = ray.get(bases_ref) if not isinstance(bases_ref, dict) else bases_ref
+        src = g["source"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        ntok = g["n_tok"].to_numpy().astype(np.int64)
+        bkt = int(g["bkt"].iloc[0])
+        order = np.lexsort((ids, src))
+        src, ids, ntok = src[order], ids[order], ntok[order]
+        # segmented exclusive cumsum per source run
+        csum = np.zeros(len(ntok) + 1, np.int64)
+        np.cumsum(ntok, out=csum[1:])
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ends = np.r_[starts[1:], len(src)]
+        seg_base = np.repeat(csum[starts], ends - starts)
+        off = csum[:-1] - seg_base
+        for lo, hi, s in zip(starts, ends, src[starts]):
+            off[lo:hi] += bases["bases"].get((s, bkt), 0)
+        # fold stats per source (ADVICE-safe modular terms: reduce mod M
+        # BEFORE the * K so every intermediate stays far below 2**63)
+        offm = off % _PAIR_MOD
+        term = (offm * _PAIR_K + ntok % _PAIR_MOD) % _PAIR_MOD
+        boundary = (ntok > 0) & (off // seq_len != (off + ntok - 1) // seq_len)
+        out = [
+            {
+                "source": s,
+                "n_docs": int(hi - lo),
+                "total_tokens": int(ntok[lo:hi].sum()),
+                "n_boundary_docs": int(boundary[lo:hi].sum()),
+                "chk": int(term[lo:hi].sum() % _PAIR_MOD),
+            }
+            for lo, hi, s in zip(starts, ends, src[starts])
+        ]
+        return pd.DataFrame(out)
+
+    return fn
+
+
+_PACK_EMPTY = {
+    "source": pd.Series([], dtype="object"),
+    "n_docs": pd.Series([], dtype="int64"),
+    "total_tokens": pd.Series([], dtype="int64"),
+    "n_boundary_docs": pd.Series([], dtype="int64"),
+    "chk": pd.Series([], dtype="int64"),
+}
+
+
+def q_pack_stats_by_source(sf_dir: str, seq_len: int = SEQ_LEN) -> pd.DataFrame:
+    """Sequence-packing geometry per source: how many fixed-`seq_len`
+    training sequences the source fills, how many docs straddle a sequence
+    boundary, and an offset checksum pinning every doc's exact position in
+    the packed stream (oracle: DuckDB window-function prefix sums)."""
+    paths = corpus_paths(sf_dir)
+    nb = max(8, _n_docs(paths) // _BUCKET_DOCS)
+    bounds = _sample_bounds(paths, nb)
+    scan = _bucket_bases(paths, bounds)
+    bases_ref = ray.put(scan) if ray.is_initialized() else scan
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("bkt", pa.array(_bucket_of(ids, bounds)))
+
+    parts = (
+        _ids_dataset(paths)
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(_pack_group(seq_len, bases_ref), batch_format="pandas")
+    )
+    agg = (
+        parts.groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("n_boundary_docs", alias_name="n_boundary_docs"),
+            Sum("chk", alias_name="chk"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "source": agg["source"].astype(str),
+            "n_docs": agg["n_docs"].astype("int64"),
+            "total_tokens": agg["total_tokens"].astype("int64"),
+            "n_sequences": (agg["total_tokens"] // seq_len).astype("int64"),
+            "n_boundary_docs": agg["n_boundary_docs"].astype("int64"),
+            "pack_checksum": (agg["chk"] % _PAIR_MOD).astype("int64"),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def pack_stats_sql(glob: str, seq_len: int = SEQ_LEN) -> str:
+    return f"""
+WITH d AS (
+  SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         COALESCE(SUM(CAST(n_tok AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM read_parquet('{glob}')
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+  CAST(SUM(n_tok) // {seq_len} AS BIGINT) AS n_sequences,
+  CAST(SUM(CASE WHEN n_tok > 0
+                 AND off // {seq_len} != (off + n_tok - 1) // {seq_len}
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+  CAST(SUM(((off % {_PAIR_MOD}) * {_PAIR_K} + n_tok % {_PAIR_MOD})
+           % {_PAIR_MOD}) % {_PAIR_MOD} AS BIGINT) AS pack_checksum
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: full emit path (packed sequences as a Dataset)
+# ---------------------------------------------------------------------------
+
+
+def _emit_group(seq_len: int, bases_ref):
+    """groupby(bkt) over FULL rows (tokens included): assign offsets exactly
+    as _pack_group, then slice every doc's tokens at sequence boundaries and
+    emit (source, seq_id, pos, tokens-piece) rows. A later groupby(seq
+    bucket) concatenates pieces into whole sequences; a doc never needs to
+    co-locate with its sequence peers here, so the only payload shuffle is
+    the piece rows themselves — the unavoidable reorder."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "seq_id": pd.Series([], dtype="int64"),
+                    "pos": pd.Series([], dtype="int64"),
+                    "piece": pd.Series([], dtype="object"),
+                }
+            )
+        bases = ray.get(bases_ref) if not isinstance(bases_ref, dict) else bases_ref
+        bkt = int(g["bkt"].iloc[0])
+        src = g["source"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        toks = g["tokens"].to_numpy()
+        ntok = g["n_tok"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, src))
+        src, ids, toks, ntok = src[order], ids[order], toks[order], ntok[order]
+        csum = np.zeros(len(ntok) + 1, np.int64)
+        np.cumsum(ntok, out=csum[1:])
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ends = np.r_[starts[1:], len(src)]
+        seg_base = np.repeat(csum[starts], ends - starts)
+        off = csum[:-1] - seg_base
+        for lo, hi, s in zip(starts, ends, src[starts]):
+            off[lo:hi] += bases["bases"].get((s, bkt), 0)
+        rows = {"source": [], "seq_id": [], "pos": [], "piece": []}
+        for i in range(len(src)):
+            o, n = int(off[i]), int(ntok[i])
+            if n == 0:
+                continue
+            arr = np.asarray(toks[i], dtype=np.int32)
+            p = 0
+            while p < n:
+                seq = (o + p) // seq_len
+                take = min(n - p, (seq + 1) * seq_len - (o + p))
+                rows["source"].append(src[i])
+                rows["seq_id"].append(seq)
+                rows["pos"].append((o + p) % seq_len)
+                rows["piece"].append(arr[p : p + take])
+                p += take
+        return pd.DataFrame(rows)
+
+    return fn
+
+
+def _assemble_group(seq_len: int, totals_ref):
+    """groupby(seq bucket): order pieces by (source, seq_id, pos) and stitch
+    full sequences; trailing partial sequences (the stream tail) are
+    dropped, matching total_tokens // seq_len."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"source": [], "seq_id": [], "tokens": []}
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype="object"),
+                    "seq_id": pd.Series([], dtype="int64"),
+                    "tokens": pd.Series([], dtype="object"),
+                }
+            )
+        totals = ray.get(totals_ref) if not isinstance(totals_ref, dict) else totals_ref
+        for (source, seq), grp in g.groupby(["source", "seq_id"], sort=True):
+            if (int(seq) + 1) * seq_len > totals["totals"].get(source, 0):
+                continue  # tail partial sequence
+            grp = grp.sort_values("pos")
+            buf = np.concatenate([np.asarray(p, np.int32) for p in grp["piece"]])
+            out["source"].append(source)
+            out["seq_id"].append(int(seq))
+            out["tokens"].append(buf)
+        return pd.DataFrame(out)
+
+    return fn
+
+
+def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN) -> "ray.data.Dataset":
+    """Emit the packed training sequences themselves: Dataset of
+    (source, seq_id:int64, tokens:list<int32> of exactly seq_len).
+    Composable with compress() — pack then encode the packed table."""
+    paths = corpus_paths(sf_dir)
+    nb = max(8, _n_docs(paths) // _BUCKET_DOCS)
+    bounds = _sample_bounds(paths, nb)
+    scan = _bucket_bases(paths, bounds)
+    ref = ray.put(scan) if ray.is_initialized() else scan
+
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("bkt", pa.array(_bucket_of(ids, bounds)))
+
+    pieces = (
+        ray.data.read_parquet(paths)
+        .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(_emit_group(seq_len, ref), batch_format="pandas")
+    )
+    # second shuffle: co-locate a sequence's pieces. Bucket seq ids so group
+    # count stays bounded (a sequence has <= seq_len pieces, typically ~2).
+    def seq_tag(b: pa.Table) -> pa.Table:
+        sid = b["seq_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("sbkt", pa.array((sid // 1024).astype(np.int64)))
+
+    return (
+        pieces.map_batches(seq_tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sbkt")
+        .map_groups(_assemble_group(seq_len, ref), batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary statistics: global token-frequency top-k
+# ---------------------------------------------------------------------------
+
+_VOCAB_NB = 512  # hash buckets over token space: bounded group count
+
+
+class _VocabPartialStage:
+    """Per-batch (bucket, token, cnt) partials via one np.unique over the
+    batch's flat token values — vocabulary-sized output per batch, never
+    token-sized."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+
+        _, values = _tokens_parts(batch["tokens"])
+        if not len(values):
+            return pa.table(
+                {
+                    "bkt": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        uniq, cnt = np.unique(values.astype(np.int64), return_counts=True)
+        return pa.table(
+            {
+                "bkt": pa.array(uniq % _VOCAB_NB),
+                "token": pa.array(uniq),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+
+def _vocab_topk_group(k: int):
+    """groupby(bkt): exact per-token totals inside the bucket, keep the
+    bucket-local top-k — a superset of the bucket's global-top-k members."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype="int64"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        agg = g.groupby("token", as_index=False)["cnt"].sum()
+        agg = agg.sort_values(["cnt", "token"], ascending=[False, True]).head(k)
+        return agg[["token", "cnt"]].astype("int64")
+
+    return fn
+
+
+def q_vocab_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global top-k token frequencies (ties broken by smaller token id) —
+    the vocabulary audit a tokenizer/pretraining run starts with."""
+    paths = corpus_paths(sf_dir)
+    parts = (
+        ray.data.read_parquet(paths, columns=["tokens"])
+        .map_batches(
+            _VocabPartialStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bkt")
+        .map_groups(_vocab_topk_group(k), batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.sort_values(["cnt", "token"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype({"token": "int64", "cnt": "int64"})
+
+
+def vocab_topk_sql(glob: str, k: int = 20) -> str:
+    return f"""
+SELECT CAST(t AS BIGINT) AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(tokens) AS t FROM read_parquet('{glob}'))
+GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val split
+# ---------------------------------------------------------------------------
+
+_SPLIT_DEN = 20  # 1/20 -> val (5%)
+
+
+class _SplitPartialStage:
+    """Per-batch (source, split) partials. The split is md5(doc_id)'s first
+    15 hex nibbles mod 20 — a pure row function, so identical under
+    re-sharding, task retries, and resume (placement-independent, unlike
+    anything derived from block or row position)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        ntok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        hv = np.fromiter(
+            (
+                int(hashlib.md5(i.encode()).hexdigest()[:15], 16)
+                for i in ids
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        is_val = (hv % _SPLIT_DEN) == 0
+        df = pd.DataFrame(
+            {
+                "source": src,
+                "split": np.where(is_val, "val", "train"),
+                "n": np.ones(len(ids), np.int64),
+                "tok": ntok,
+            }
+        )
+        agg = df.groupby(["source", "split"], as_index=False).agg(
+            n_docs=("n", "sum"), sum_tokens=("tok", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def q_split_stats_by_source(sf_dir: str) -> pd.DataFrame:
+    """Train/val doc and token counts per source under the deterministic
+    md5 split — the budget sheet for a pretraining mix."""
+    paths = corpus_paths(sf_dir)
+    agg = (
+        _ids_dataset(paths)
+        .map_batches(
+            _SplitPartialStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["source", "split"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "source": agg["source"].astype(str),
+            "split": agg["split"].astype(str),
+            "n_docs": agg["n_docs"].astype("int64"),
+            "sum_tokens": agg["sum_tokens"].astype("int64"),
+        }
+    )
+    return out.sort_values(["source", "split"]).reset_index(drop=True)
+
+
+def split_stats_sql(glob: str) -> str:
+    # identical md5-nibble arithmetic to the engine (int64-safe: 15 nibbles
+    # < 2^60); same idiom as oracles.simhash_sql
+    nib = lambda i: f"(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1)"
+    hv = " + ".join(f"{nib(i + 1)} * {16 ** (14 - i)}" for i in range(15))
+    return f"""
+WITH h AS (
+  SELECT source, CAST(n_tok AS BIGINT) AS n_tok, md5(doc_id) AS m
+  FROM read_parquet('{glob}')
+),
+x AS (SELECT source, n_tok, {hv} AS hv FROM h)
+SELECT source,
+       CASE WHEN hv % {_SPLIT_DEN} = 0 THEN 'val' ELSE 'train' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+FROM x GROUP BY source, split ORDER BY source, split
+"""
