@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": _events_asof_orders,
         "events_range_orders": _events_range_orders,
         "pack_stats_by_source": _pack_stats,
+        "pack_emit_by_source": _pack_emit,
         "vocab_topk": _vocab_topk,
         "split_stats_by_source": _split_stats,
     }
@@ -76,6 +77,12 @@ def _pack_stats(sf_dir: str):
     from tokenzip.training import q_pack_stats_by_source
 
     return q_pack_stats_by_source(sf_dir)
+
+
+def _pack_emit(sf_dir: str):
+    from tokenzip.training import q_pack_emit_by_source
+
+    return q_pack_emit_by_source(sf_dir)
 
 
 def _vocab_topk(sf_dir: str):
@@ -130,6 +137,12 @@ def _pack_sql(glob: str) -> str:
     return pack_stats_sql(glob)
 
 
+def _pack_emit_sql(glob: str) -> str:
+    from tokenzip.training import pack_emit_sql
+
+    return pack_emit_sql(glob)
+
+
 def _vocab_sql(glob: str) -> str:
     from tokenzip.training import vocab_topk_sql
 
@@ -170,6 +183,7 @@ FROM documents GROUP BY source ORDER BY source
 """,
         "compression_by_codec": _O.compression_by_codec_sql(glob),
         "pack_stats_by_source": _pack_sql(glob),
+        "pack_emit_by_source": _pack_emit_sql(glob),
         "vocab_topk": _vocab_sql(glob),
         "split_stats_by_source": _split_sql(glob),
         "lang_id_confusion": _O.lang_id_sql(),

@@ -134,6 +134,18 @@ def test_pack_stats_planted_edges(ray_session, tmp_path, monkeypatch):
     pd.testing.assert_frame_equal(got, expect.astype(got.dtypes.to_dict()))
 
 
+def test_pack_emit_checksum_matches_duckdb(ray_session):
+    """End-to-end emit differential: every emitted sequence's (id, content)
+    checksum equals the oracle's window-arithmetic recomputation."""
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import pack_emit_sql, q_pack_emit_by_source
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_pack_emit_by_source(SF, seq_len=512)
+    odf = duckdb.sql(pack_emit_sql(glob, 512)).df()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
 def test_vocab_topk_matches_duckdb(ray_session):
     from tokenzip.corpus import ensure_corpus
     from tokenzip.training import q_vocab_topk, vocab_topk_sql

@@ -92,6 +92,19 @@ def _n_docs(paths: list[str]) -> int:
     return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
 
 
+def _cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        return 8
+
+
+def _n_range_buckets(n_docs: int) -> int:
+    """Range-bucket count: at least ~4 groups/cpu so the phase-B shuffle
+    parallelizes at small corpora; ~_BUCKET_DOCS docs/bucket at scale."""
+    return max(8, 4 * _cpus(), n_docs // _BUCKET_DOCS)
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing: distributed prefix scan -> per-doc global offsets
 # ---------------------------------------------------------------------------
@@ -195,7 +208,7 @@ def q_pack_stats_by_source(sf_dir: str, seq_len: int = SEQ_LEN) -> pd.DataFrame:
     boundary, and an offset checksum pinning every doc's exact position in
     the packed stream (oracle: DuckDB window-function prefix sums)."""
     paths = corpus_paths(sf_dir)
-    nb = max(8, _n_docs(paths) // _BUCKET_DOCS)
+    nb = _n_range_buckets(_n_docs(paths))
     bounds = _sample_bounds(paths, nb)
     scan = _bucket_bases(paths, bounds)
     bases_ref = ray.put(scan) if ray.is_initialized() else scan
@@ -260,85 +273,132 @@ FROM d GROUP BY source ORDER BY source
 # ---------------------------------------------------------------------------
 
 
-def _emit_group(seq_len: int, bases_ref):
-    """groupby(bkt) over FULL rows (tokens included): assign offsets exactly
-    as _pack_group, then slice every doc's tokens at sequence boundaries and
-    emit (source, seq_id, pos, tokens-piece) rows. A later groupby(seq
-    bucket) concatenates pieces into whole sequences; a doc never needs to
-    co-locate with its sequence peers here, so the only payload shuffle is
-    the piece rows themselves — the unavoidable reorder."""
+_PIECE_SCHEMA = pa.schema(
+    [
+        ("source", pa.string()),
+        ("seq_id", pa.int64()),
+        ("pos", pa.int64()),
+        ("piece", pa.large_list(pa.int32())),
+    ]
+)
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame(
-                {
-                    "source": pd.Series([], dtype="object"),
-                    "seq_id": pd.Series([], dtype="int64"),
-                    "pos": pd.Series([], dtype="int64"),
-                    "piece": pd.Series([], dtype="object"),
-                }
-            )
+
+def _emit_group(seq_len: int, bases_ref):
+    """groupby(bkt) over FULL rows (tokens included): one Arrow gather into
+    (source, doc_id) order makes each source run a CONTIGUOUS slice of the
+    group's flat token stream, so pieces fall out of cutting that slice at
+    global seq_len multiples — no per-doc work at all. Emits (source,
+    seq_id, pos, piece) rows; a later groupby(seq bucket) stitches pieces
+    into whole sequences. A doc never co-locates with its sequence peers
+    here, so the only payload shuffle is the piece rows — the unavoidable
+    reorder."""
+
+    def fn(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _PIECE_SCHEMA.empty_table()
+        from tokenzip.chunk import _tokens_parts
+
         bases = ray.get(bases_ref) if not isinstance(bases_ref, dict) else bases_ref
-        bkt = int(g["bkt"].iloc[0])
-        src = g["source"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        toks = g["tokens"].to_numpy()
-        ntok = g["n_tok"].to_numpy().astype(np.int64)
+        bkt = int(g["bkt"][0].as_py())
+        src = g["source"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, src))
-        src, ids, toks, ntok = src[order], ids[order], toks[order], ntok[order]
-        csum = np.zeros(len(ntok) + 1, np.int64)
-        np.cumsum(ntok, out=csum[1:])
+        g = g.take(pa.array(order))
+        src = src[order]
+        lengths, flat = _tokens_parts(g["tokens"])
+        csum = np.zeros(len(lengths) + 1, np.int64)
+        np.cumsum(lengths, out=csum[1:])
         starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
         ends = np.r_[starts[1:], len(src)]
-        seg_base = np.repeat(csum[starts], ends - starts)
-        off = csum[:-1] - seg_base
+
+        p_off = [np.zeros(1, np.int64)]  # flat-value offsets of piece bounds
+        p_src, p_seq, p_pos = [], [], []
         for lo, hi, s in zip(starts, ends, src[starts]):
-            off[lo:hi] += bases["bases"].get((s, bkt), 0)
-        rows = {"source": [], "seq_id": [], "pos": [], "piece": []}
-        for i in range(len(src)):
-            o, n = int(off[i]), int(ntok[i])
-            if n == 0:
+            base = bases["bases"].get((s, bkt), 0)  # run's global start pos
+            t0, t1 = int(csum[lo]), int(csum[hi])
+            if t1 == t0:
                 continue
-            arr = np.asarray(toks[i], dtype=np.int32)
-            p = 0
-            while p < n:
-                seq = (o + p) // seq_len
-                take = min(n - p, (seq + 1) * seq_len - (o + p))
-                rows["source"].append(src[i])
-                rows["seq_id"].append(seq)
-                rows["pos"].append((o + p) % seq_len)
-                rows["piece"].append(arr[p : p + take])
-                p += take
-        return pd.DataFrame(rows)
+            first_cut = (base // seq_len + 1) * seq_len
+            cuts = np.arange(first_cut, base + (t1 - t0), seq_len, dtype=np.int64)
+            bounds = np.r_[base, cuts, base + (t1 - t0)]  # piece global starts+end
+            p_off.append(bounds[1:] - base + t0)
+            p_src.append(np.full(len(bounds) - 1, s, dtype=object))
+            p_seq.append(bounds[:-1] // seq_len)
+            p_pos.append(bounds[:-1] % seq_len)
+        if len(p_off) == 1:
+            return _PIECE_SCHEMA.empty_table()
+        offsets = np.concatenate(p_off)
+        # runs partition the sorted flat stream contiguously, so ONE
+        # LargeListArray over the whole flat values array carries every piece
+        pieces = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(flat, pa.int32())
+        )
+        return pa.table(
+            {
+                "source": pa.array(np.concatenate(p_src), pa.string()),
+                "seq_id": pa.array(np.concatenate(p_seq), pa.int64()),
+                "pos": pa.array(np.concatenate(p_pos), pa.int64()),
+                "piece": pieces,
+            },
+            schema=_PIECE_SCHEMA,
+        )
 
     return fn
 
 
-def _assemble_group(seq_len: int, totals_ref):
-    """groupby(seq bucket): order pieces by (source, seq_id, pos) and stitch
-    full sequences; trailing partial sequences (the stream tail) are
-    dropped, matching total_tokens // seq_len."""
+_SEQ_SCHEMA = pa.schema(
+    [("source", pa.string()), ("seq_id", pa.int64()), ("tokens", pa.list_(pa.int32()))]
+)
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"source": [], "seq_id": [], "tokens": []}
-        if not len(g):
-            return pd.DataFrame(
-                {
-                    "source": pd.Series([], dtype="object"),
-                    "seq_id": pd.Series([], dtype="int64"),
-                    "tokens": pd.Series([], dtype="object"),
-                }
-            )
-        totals = ray.get(totals_ref) if not isinstance(totals_ref, dict) else totals_ref
-        for (source, seq), grp in g.groupby(["source", "seq_id"], sort=True):
-            if (int(seq) + 1) * seq_len > totals["totals"].get(source, 0):
-                continue  # tail partial sequence
-            grp = grp.sort_values("pos")
-            buf = np.concatenate([np.asarray(p, np.int32) for p in grp["piece"]])
-            out["source"].append(source)
-            out["seq_id"].append(int(seq))
-            out["tokens"].append(buf)
-        return pd.DataFrame(out)
+
+def _assemble_group(seq_len: int, totals_ref):
+    """groupby(seq bucket): gather pieces into (source, seq_id, pos) order —
+    each complete sequence is then a contiguous seq_len slice of the flat
+    stream — and drop trailing partial sequences (the stream tail),
+    matching total_tokens // seq_len. Fully vectorized: one lexsort, one
+    Arrow take, one boolean repeat."""
+
+    def fn(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _SEQ_SCHEMA.empty_table()
+        from tokenzip.chunk import _tokens_parts
+
+        totals = (
+            ray.get(totals_ref) if not isinstance(totals_ref, dict) else totals_ref
+        )["totals"]
+        src = g["source"].to_numpy(zero_copy_only=False)
+        sid = g["seq_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = g["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((pos, sid, src))
+        g = g.take(pa.array(order))
+        src, sid = src[order], sid[order]
+        lengths, flat = _tokens_parts(g["piece"])
+        starts = np.flatnonzero(
+            np.r_[True, (src[1:] != src[:-1]) | (sid[1:] != sid[:-1])]
+        )
+        ends = np.r_[starts[1:], len(src)]
+        run_src, run_sid = src[starts], sid[starts]
+        tot = np.array([totals.get(s, 0) for s in run_src], dtype=np.int64)
+        keep = (run_sid + 1) * seq_len <= tot
+        csum = np.zeros(len(lengths) + 1, np.int64)
+        np.cumsum(lengths, out=csum[1:])
+        run_tok = csum[ends] - csum[starts]
+        if keep.any() and not (run_tok[keep] == seq_len).all():
+            raise AssertionError("incomplete kept sequence — packing bug")
+        flat_keep = flat[np.repeat(keep, run_tok)]
+        nk = int(keep.sum())
+        toks = pa.ListArray.from_arrays(
+            pa.array(np.arange(nk + 1, dtype=np.int64) * seq_len, pa.int32()),
+            pa.array(flat_keep, pa.int32()),
+        )
+        return pa.table(
+            {
+                "source": pa.array(run_src[keep], pa.string()),
+                "seq_id": pa.array(run_sid[keep], pa.int64()),
+                "tokens": toks,
+            },
+            schema=_SEQ_SCHEMA,
+        )
 
     return fn
 
@@ -348,7 +408,7 @@ def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN) -> "ray.data.Dataset":
     (source, seq_id:int64, tokens:list<int32> of exactly seq_len).
     Composable with compress() — pack then encode the packed table."""
     paths = corpus_paths(sf_dir)
-    nb = max(8, _n_docs(paths) // _BUCKET_DOCS)
+    nb = _n_range_buckets(_n_docs(paths))
     bounds = _sample_bounds(paths, nb)
     scan = _bucket_bases(paths, bounds)
     ref = ray.put(scan) if ray.is_initialized() else scan
@@ -361,19 +421,110 @@ def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN) -> "ray.data.Dataset":
         ray.data.read_parquet(paths)
         .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bkt")
-        .map_groups(_emit_group(seq_len, ref), batch_format="pandas")
+        .map_groups(_emit_group(seq_len, ref), batch_format="pyarrow")
     )
-    # second shuffle: co-locate a sequence's pieces. Bucket seq ids so group
-    # count stays bounded (a sequence has <= seq_len pieces, typically ~2).
+    # second shuffle: co-locate a sequence's pieces. Hash-bucket (source,
+    # seq-id-block) so the group count is bounded and even regardless of
+    # corpus size (a sequence has at most 2 + seq_len/min_doc pieces,
+    # typically ~2). crc32, not hash(): Python's hash is per-process salted.
+    import zlib
+
+    nb2 = max(64, 8 * _cpus())
+
     def seq_tag(b: pa.Table) -> pa.Table:
         sid = b["seq_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.append_column("sbkt", pa.array((sid // 1024).astype(np.int64)))
+        src = b["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        salt = np.array([zlib.crc32(s.encode()) for s in uniq], dtype=np.int64)
+        return b.append_column("sbkt", pa.array((sid // 4 + salt[inv]) % nb2))
 
     return (
         pieces.map_batches(seq_tag, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("sbkt")
-        .map_groups(_assemble_group(seq_len, ref), batch_format="pandas")
+        .map_groups(_assemble_group(seq_len, ref), batch_format="pyarrow")
     )
+
+
+class _EmitChkStage:
+    """Per-batch partials over EMITTED sequences: per source, the sequence
+    count and a checksum binding every sequence's id to the zigzag-sum of
+    its exact token content — the oracle recomputes both from the raw
+    corpus with window arithmetic, so a single misplaced token anywhere in
+    the packed stream flips the hash."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+        from tokenzip.codecs.varint import zigzag_encode
+
+        lengths, flat = _tokens_parts(batch["tokens"])
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        sid = batch["seq_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zz = zigzag_encode(flat, 32).astype(np.int64)
+        zcs = np.zeros(len(flat) + 1, np.int64)
+        np.cumsum(zz, out=zcs[1:])
+        row_off = np.zeros(len(lengths) + 1, np.int64)
+        np.cumsum(lengths, out=row_off[1:])
+        zzsum = zcs[row_off[1:]] - zcs[row_off[:-1]]
+        term = ((sid % _PAIR_MOD) * _PAIR_K + zzsum % _PAIR_MOD) % _PAIR_MOD
+        df = pd.DataFrame({"source": src, "n": 1, "chk": term})
+        agg = df.groupby("source", as_index=False).agg(
+            n_sequences=("n", "sum"), chk=("chk", "sum")
+        )
+        agg["chk"] %= _PAIR_MOD
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def q_pack_emit_by_source(sf_dir: str, seq_len: int = SEQ_LEN) -> pd.DataFrame:
+    """Run the FULL packing emit path and checksum the emitted sequences —
+    the end-to-end differential for pack_sequences (stats-only geometry
+    can't catch a token landing in the wrong sequence)."""
+    seqs = pack_sequences(sf_dir, seq_len=seq_len)
+    agg = (
+        seqs.map_batches(
+            _EmitChkStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("source")
+        .aggregate(
+            Sum("n_sequences", alias_name="n_sequences"),
+            Sum("chk", alias_name="chk"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "source": agg["source"].astype(str),
+            "n_sequences": agg["n_sequences"].astype("int64"),
+            "emit_checksum": (agg["chk"] % _PAIR_MOD).astype("int64"),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def pack_emit_sql(glob: str, seq_len: int = SEQ_LEN) -> str:
+    zz = "CASE WHEN ut >= 0 THEN 2*CAST(ut AS BIGINT) ELSE -2*CAST(ut AS BIGINT)-1 END"
+    return f"""
+WITH d AS (
+  SELECT source, tokens,
+         COALESCE(SUM(CAST(n_tok AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM read_parquet('{glob}')
+),
+tot AS (SELECT source, SUM(CAST(n_tok AS BIGINT)) AS t
+        FROM read_parquet('{glob}') GROUP BY source),
+u AS (SELECT source, off + ui AS p, {zz} AS zt
+      FROM (SELECT source, off, unnest(tokens) AS ut,
+                   unnest(range(len(tokens))) AS ui
+            FROM d)),
+s AS (SELECT source, p // {seq_len} AS seq, SUM(zt) AS zzsum
+      FROM u GROUP BY source, p // {seq_len}),
+k AS (SELECT s.source, seq, zzsum FROM s JOIN tot ON s.source = tot.source
+      WHERE (seq + 1) * {seq_len} <= t)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sequences,
+       CAST(SUM(((seq % {_PAIR_MOD}) * {_PAIR_K} + zzsum % {_PAIR_MOD})
+                % {_PAIR_MOD}) % {_PAIR_MOD} AS BIGINT) AS emit_checksum
+FROM k GROUP BY source ORDER BY source
+"""
 
 
 # ---------------------------------------------------------------------------
