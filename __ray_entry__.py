@@ -70,7 +70,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_emit_by_source": _pack_emit,
         "vocab_topk": _vocab_topk,
         "split_stats_by_source": _split_stats,
+        "table_roundtrip_events": _table_roundtrip,
     }
+
+
+def _table_roundtrip(sf_dir: str):
+    from tokenzip.table import q_table_roundtrip_events
+
+    return q_table_roundtrip_events(sf_dir)
 
 
 def _pack_stats(sf_dir: str):
@@ -155,6 +162,12 @@ def _split_sql(glob: str) -> str:
     return split_stats_sql(glob)
 
 
+def _table_sql() -> str:
+    from tokenzip.table import table_roundtrip_events_sql
+
+    return table_roundtrip_events_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     from tokenzip import oracles as _O
 
@@ -186,6 +199,7 @@ FROM documents GROUP BY source ORDER BY source
         "pack_emit_by_source": _pack_emit_sql(glob),
         "vocab_topk": _vocab_sql(glob),
         "split_stats_by_source": _split_sql(glob),
+        "table_roundtrip_events": _table_sql(),
         "lang_id_confusion": _O.lang_id_sql(),
         "media_features_by_source": _O.media_sql(),
         "boundary_roundtrip": _O.boundary_sql(),

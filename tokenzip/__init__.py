@@ -82,4 +82,8 @@ def __getattr__(name):  # lazy: pipeline pulls in ray; keep bare import light
         from tokenzip import training
 
         return getattr(training, name)
+    if name in ("compress_table", "decompress_table"):
+        from tokenzip import table
+
+        return getattr(table, name)
     raise AttributeError(name)

@@ -1,0 +1,355 @@
+"""Generic-table compression: the engine's codec family applied to ANY
+parquet table, not just the token corpus.
+
+The reference is a general-purpose integer codec library (varints over any
+`u8..u64` stream, /root/reference/src/lib.rs); the flagship `pipeline`
+module specializes its Ray shape to the tokens schema. This module is the
+general case: `compress_table(paths, out_dir)` auto-selects a codec per
+(integer or timestamp) column per chunk, stores every other column
+verbatim (columnar passthrough — floats/strings round-trip bit-identical
+by construction), and writes frag-partitioned chunk parquet plus the same
+resumable lineage manifest `compress()` uses. `decompress_table(out_dir)`
+streams the original schema back, bit-identical.
+
+Ray shape mirrors pipeline.compress: fused ReadParquet -> encode map
+(zero-copy Arrow, one chunk row per block), partitioned write, chunk-meta
+manifest fold; decode is a fused read -> map_batches. Each chunk row
+carries the per-column codec ids, the original dtype tags, and byte
+counts, so lineage and the LEB128 size bound stay auditable per chunk.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from tokenzip.codecs.core import (
+    decode_int_column,
+    encode_int_column,
+    leb128_oracle_bytes,
+)
+from tokenzip.codecs.selector import choose_int_codec
+from tokenzip.errors import ChunkFormatError
+from tokenzip.manifest import Manifest
+from tokenzip.pipeline import _add_frag, _fold_chunk_meta, _frag_of_path
+
+_INT_WIDTH = {"int8": 8, "int16": 16, "int32": 32, "int64": 64}
+
+_DTYPE_OF_TAG = {
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "timestamp[s]": pa.timestamp("s"),
+    "timestamp[ms]": pa.timestamp("ms"),
+    "timestamp[us]": pa.timestamp("us"),
+    "timestamp[ns]": pa.timestamp("ns"),
+}
+
+
+def _col_plan(schema: pa.Schema) -> tuple[list[tuple[str, int, str]], list[str]]:
+    """(encoded columns as (name, width, dtype-tag), passthrough names).
+    Encoded: signed ints at their native width, timestamps as width-64
+    (delta usually wins on sorted time columns). Unsigned/bool/float/
+    string/nested: verbatim columnar passthrough."""
+    enc, passthru = [], []
+    for f in schema:
+        tag = str(f.type)
+        if tag in _INT_WIDTH:
+            enc.append((f.name, _INT_WIDTH[tag], tag))
+        elif pa.types.is_timestamp(f.type) and f.type.tz is None:
+            enc.append((f.name, 64, tag))
+        else:
+            passthru.append(f.name)
+    return enc, passthru
+
+
+def _one_list(arr: pa.Array) -> pa.Array:
+    """Wrap a column slice as a one-element large_list (the chunk row's
+    passthrough payload) — offsets only, values zero-copy."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    return pa.LargeListArray.from_arrays(
+        pa.array([0, len(arr)], pa.int64()), arr
+    )
+
+
+def _encode_table_fn(batch: pa.Table) -> pa.Table:
+    """One chunk row per (batch, frag): every plannable column packed with
+    the auto-selected codec (LEB128 fallback keeps the size bound — sampling
+    can mispredict, the floor cannot), the rest wrapped verbatim."""
+    schema = batch.schema
+    enc_plan, passthru = _col_plan(
+        pa.schema([f for f in schema if f.name != "frag"])
+    )
+    frags = batch["frag"].to_numpy(zero_copy_only=False)
+    uniq = np.unique(frags)
+    rows = []
+    for frag in uniq:
+        sub = batch.filter(pa.array(frags == frag)) if len(uniq) > 1 else batch
+        names, codecs, dtags, blobs = [], [], [], []
+        bytes_in = bytes_out = oracle = 0
+        for name, width, tag in enc_plan:
+            col = sub[name]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if col.null_count:
+                raise ChunkFormatError(f"null values in column {name!r}")
+            vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            codec = choose_int_codec(vals, width)
+            blob = encode_int_column(vals, codec, width)
+            bound = leb128_oracle_bytes(vals, width)
+            if codec != "leb128" and len(blob) > len(
+                lb := encode_int_column(vals, "leb128", width)
+            ):
+                codec, blob = "leb128", lb
+            names.append(name)
+            codecs.append(codec)
+            dtags.append(tag)
+            blobs.append(blob)
+            bytes_in += vals.nbytes
+            bytes_out += len(blob)
+            oracle += bound
+        row = {
+            "frag": str(frag),
+            "n_rows": sub.num_rows,
+            "n_tokens": sum(
+                sub.num_rows for _ in enc_plan
+            ),  # encoded int values (manifest fold key)
+            "bytes_in": bytes_in,
+            "bytes_out": bytes_out,
+            "tokens_bytes_out": bytes_out,
+            "leb128_bytes": oracle,
+            "enc_names": names,
+            "enc_codecs": codecs,
+            "enc_dtypes": dtags,
+            "enc_blobs": blobs,
+            "col_order": [f.name for f in schema if f.name != "frag"],
+        }
+        arrays = {
+            "frag": pa.array([row["frag"]], pa.string()),
+            "n_rows": pa.array([row["n_rows"]], pa.int64()),
+            "n_tokens": pa.array([row["n_tokens"]], pa.int64()),
+            "bytes_in": pa.array([row["bytes_in"]], pa.int64()),
+            "bytes_out": pa.array([row["bytes_out"]], pa.int64()),
+            "tokens_bytes_out": pa.array([row["tokens_bytes_out"]], pa.int64()),
+            "leb128_bytes": pa.array([row["leb128_bytes"]], pa.int64()),
+            # scalar codec-plan string so pipeline._fold_chunk_meta's codec
+            # mix accounting works unchanged for table chunks
+            "tokens_codec": pa.array(
+                [",".join(f"{n}={c}" for n, c in zip(names, codecs))],
+                pa.string(),
+            ),
+            "enc_names": pa.array([names], pa.list_(pa.string())),
+            "enc_codecs": pa.array([codecs], pa.list_(pa.string())),
+            "enc_dtypes": pa.array([dtags], pa.list_(pa.string())),
+            "enc_blobs": pa.array([blobs], pa.list_(pa.binary())),
+            "col_order": pa.array([row["col_order"]], pa.list_(pa.string())),
+        }
+        for name in passthru:
+            arrays[f"p_{name}"] = _one_list(sub[name])
+        rows.append(pa.table(arrays))
+    return pa.concat_tables(rows)
+
+
+def compress_table(
+    input_paths: list[str],
+    out_dir: str,
+    *,
+    concurrency: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Compress any parquet table into chunk parquet + lineage manifest.
+    Same resume contract as pipeline.compress: done fragments skipped,
+    partial output of unfinished fragments wiped before re-encode."""
+    chunks_dir = os.path.join(out_dir, "chunks")
+    man = Manifest(out_dir)
+    done = man.done_fragments() if resume else set()
+    if not resume and os.path.isdir(chunks_dir):
+        shutil.rmtree(chunks_dir)
+        man.data["fragments"] = {}
+    elif resume and not done and os.path.isdir(chunks_dir):
+        shutil.rmtree(chunks_dir)
+    todo = [p for p in input_paths if _frag_of_path(p) not in done]
+    if not todo:
+        return man.totals()
+    for p in todo:
+        d = os.path.join(chunks_dir, f"frag={_frag_of_path(p)}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    total_bytes = sum(os.path.getsize(p) for p in todo)
+    target_block_bytes = min(64 << 20, max(4 << 20, total_bytes // 256))
+    n_blocks = max(len(todo), int(total_bytes / target_block_bytes) or 1)
+    ds = ray.data.read_parquet(todo, include_paths=True, override_num_blocks=n_blocks)
+    ds = ds.map_batches(_add_frag, batch_format="pyarrow", zero_copy_batch=True)
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    ds = ds.map_batches(_encode_table_fn, **kwargs)
+    ds.write_parquet(chunks_dir, partition_cols=["frag"], compression="none")
+
+    frags_written = (
+        {d.split("=", 1)[1] for d in os.listdir(chunks_dir) if d.startswith("frag=")}
+        if os.path.isdir(chunks_dir)
+        else set()
+    )
+    zero = {
+        "n_chunks": 0, "n_rows": 0, "n_tokens": 0, "bytes_in": 0,
+        "bytes_out": 0, "tokens_bytes_out": 0, "leb128_bytes": 0, "codecs": {},
+    }
+    todo_frags = [_frag_of_path(p) for p in todo]
+    stats = _fold_chunk_meta(chunks_dir, sorted(set(todo_frags) & frags_written))
+    for frag in todo_frags:
+        man.mark_done(frag, stats.get(frag) or dict(zero))
+    man.save()
+    return man.totals()
+
+
+def _decode_table_fn(batch: pa.Table) -> pa.Table:
+    """Chunk rows -> original-schema rows (bit-identical)."""
+    out = []
+    names_col = batch["enc_names"].to_pylist()
+    codecs_col = batch["enc_codecs"].to_pylist()  # lineage; blob embeds codec
+    dtags_col = batch["enc_dtypes"].to_pylist()
+    blobs_col = batch["enc_blobs"].to_pylist()
+    order_col = batch["col_order"].to_pylist()
+    for i in range(batch.num_rows):
+        cols: dict[str, pa.Array] = {}
+        for name, tag, blob in zip(names_col[i], dtags_col[i], blobs_col[i]):
+            typ = _DTYPE_OF_TAG.get(tag)
+            if typ is None:
+                raise ChunkFormatError(f"unknown dtype tag {tag!r}")
+            vals = decode_int_column(blob)
+            cols[name] = pa.array(vals, pa.int64()).cast(typ)
+        for f in batch.schema:
+            if f.name.startswith("p_"):
+                lst = batch[f.name]
+                lst = (
+                    lst.combine_chunks()
+                    if isinstance(lst, pa.ChunkedArray)
+                    else lst
+                )
+                cols[f.name[2:]] = lst.slice(i, 1).flatten()
+        out.append(pa.table({n: cols[n] for n in order_col[i]}))
+    return pa.concat_tables(out)
+
+
+class _EventsChkStage:
+    """Per-batch partials over the DECODED events table: per event_type,
+    counts and checksums of every compressed column (ids raw-summed,
+    epoch-us summed mod M to stay in int64) plus the passthrough props
+    length — the DuckDB oracle recomputes all of it from the ORIGINAL
+    table, so any decode drift in any column flips a sum."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from tokenzip.analysis import _PAIR_MOD
+
+        ts = (
+            batch["ts"]
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        props_len = pa.compute.utf8_length(batch["props"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+                "eid": batch["event_id"].to_numpy(zero_copy_only=False),
+                "uid": batch["user_id"].to_numpy(zero_copy_only=False),
+                "tsm": ts % _PAIR_MOD,
+                "plen": props_len,
+            }
+        )
+        agg = df.groupby("event_type", as_index=False).agg(
+            n_rows=("eid", "size"),
+            sum_event_id=("eid", "sum"),
+            sum_user_id=("uid", "sum"),
+            sum_ts_mod=("tsm", "sum"),
+            sum_props_len=("plen", "sum"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def q_table_roundtrip_events(sf_dir: str):
+    """Persisted generic-table differential: compress events.parquet with
+    the auto-selector (delta wins the sorted ts column), decompress the
+    WRITTEN chunks, and checksum every column per event_type against the
+    original table recomputed by DuckDB."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from tokenzip.analysis import _PAIR_MOD
+
+    src = os.path.join(sf_dir, "events.parquet")
+    out_dir = os.path.join(
+        "/tmp/tokenzip_table",
+        os.path.basename(os.path.normpath(sf_dir)) + "_events",
+    )
+    compress_table([src], out_dir)
+    agg = (
+        decompress_table(out_dir)
+        .map_batches(
+            _EventsChkStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_event_id", alias_name="sum_event_id"),
+            Sum("sum_user_id", alias_name="sum_user_id"),
+            Sum("sum_ts_mod", alias_name="sum_ts_mod"),
+            Sum("sum_props_len", alias_name="sum_props_len"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"].astype(str),
+            "n_rows": agg["n_rows"].astype("int64"),
+            "sum_event_id": agg["sum_event_id"].astype("int64"),
+            "sum_user_id": agg["sum_user_id"].astype("int64"),
+            "sum_ts_mod": (agg["sum_ts_mod"] % _PAIR_MOD).astype("int64"),
+            "sum_props_len": agg["sum_props_len"].astype("int64"),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def table_roundtrip_events_sql() -> str:
+    from tokenzip.analysis import _PAIR_MOD
+
+    return f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+       CAST(SUM(epoch_us(ts) % {_PAIR_MOD}) % {_PAIR_MOD} AS BIGINT) AS sum_ts_mod,
+       CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_props_len
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def decompress_table(out_dir: str) -> "ray.data.Dataset":
+    """Read table chunks -> Dataset with the original schema and values."""
+    chunks_dir = os.path.join(out_dir, "chunks")
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(chunks_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        raise ChunkFormatError(f"no chunk parquet under {chunks_dir}")
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_blocks = min(len(files), max(8, 4 * cpus))
+    ds = ray.data.read_parquet(chunks_dir, override_num_blocks=n_blocks)
+    return ds.map_batches(
+        _decode_table_fn, batch_format="pyarrow", zero_copy_batch=True
+    )
