@@ -5,6 +5,9 @@
     python -m tokenzip verify      <input_dir_or_glob>
     python -m tokenzip verify-sink <input_dir_or_glob> <out_dir>
     python -m tokenzip stats       <out_dir>
+    python -m tokenzip table-compress   <input_dir_or_glob> <out_dir>
+    python -m tokenzip table-decompress <out_dir> <restored_dir>
+    python -m tokenzip pack        <sf_dir_or_corpus> <out_dir> [--seq-len N]
 
 Owns its Ray session (guarded init; the library itself never calls
 ray.init) — submit with ``ray job submit -- python -m tokenzip compress ...``
@@ -56,6 +59,21 @@ def main(argv: list[str] | None = None) -> int:
 
     st = sub.add_parser("stats", help="print the manifest totals of a run")
     st.add_argument("out_dir")
+
+    tc = sub.add_parser(
+        "table-compress", help="compress ANY parquet table (generic columns)"
+    )
+    tc.add_argument("input"), tc.add_argument("out_dir")
+    tc.add_argument("--no-resume", action="store_true")
+
+    td = sub.add_parser("table-decompress", help="restore a generic table")
+    td.add_argument("out_dir"), td.add_argument("restored_dir")
+
+    pk = sub.add_parser(
+        "pack", help="pack token docs into fixed-length training sequences"
+    )
+    pk.add_argument("sf_dir"), pk.add_argument("out_dir")
+    pk.add_argument("--seq-len", type=int, default=2048)
 
     args = ap.parse_args(argv)
 
@@ -112,6 +130,24 @@ def main(argv: list[str] | None = None) -> int:
             print(df.to_string(index=False))
             print(json.dumps({"all_equal": ok}))
             return 0 if ok else 1
+        elif args.cmd == "table-compress":
+            from tokenzip.table import compress_table
+
+            totals = compress_table(
+                _paths(args.input), args.out_dir, resume=not args.no_resume
+            )
+            print(json.dumps(totals, sort_keys=True))
+        elif args.cmd == "table-decompress":
+            from tokenzip.table import decompress_table
+
+            decompress_table(args.out_dir).write_parquet(args.restored_dir)
+            print(json.dumps({"rows": "written", "dir": args.restored_dir}))
+        elif args.cmd == "pack":
+            from tokenzip.training import pack_sequences
+
+            ds = pack_sequences(args.sf_dir, seq_len=args.seq_len)
+            ds.write_parquet(args.out_dir)
+            print(json.dumps({"dir": args.out_dir, "seq_len": args.seq_len}))
     finally:
         ray.shutdown()
     return 0

@@ -56,6 +56,22 @@ SEQ_LEN = 2048  # default packed-sequence length (tokens)
 _BUCKET_DOCS = 65_536
 
 
+def _token_paths(sf_dir_or_path: str) -> list[str]:
+    """Input resolution: an existing directory (or file) of token-schema
+    parquet is used as-is; otherwise the name resolves to the deterministic
+    synthetic corpus (corpus.ensure_corpus)."""
+    p = sf_dir_or_path
+    if os.path.isfile(p) and p.endswith(".parquet"):
+        return [p]
+    if os.path.isdir(p):
+        found = sorted(
+            os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
+        )
+        if found:
+            return found
+    return corpus_paths(p)
+
+
 def _ids_dataset(paths: list[str]) -> "ray.data.Dataset":
     """Column-pruned id stream: packing geometry never reads token payloads."""
     return ray.data.read_parquet(paths, columns=["doc_id", "n_tok", "source"])
@@ -207,7 +223,7 @@ def q_pack_stats_by_source(sf_dir: str, seq_len: int = SEQ_LEN) -> pd.DataFrame:
     training sequences the source fills, how many docs straddle a sequence
     boundary, and an offset checksum pinning every doc's exact position in
     the packed stream (oracle: DuckDB window-function prefix sums)."""
-    paths = corpus_paths(sf_dir)
+    paths = _token_paths(sf_dir)
     nb = _n_range_buckets(_n_docs(paths))
     bounds = _sample_bounds(paths, nb)
     scan = _bucket_bases(paths, bounds)
@@ -407,7 +423,7 @@ def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN) -> "ray.data.Dataset":
     """Emit the packed training sequences themselves: Dataset of
     (source, seq_id:int64, tokens:list<int32> of exactly seq_len).
     Composable with compress() — pack then encode the packed table."""
-    paths = corpus_paths(sf_dir)
+    paths = _token_paths(sf_dir)
     nb = _n_range_buckets(_n_docs(paths))
     bounds = _sample_bounds(paths, nb)
     scan = _bucket_bases(paths, bounds)
@@ -583,7 +599,7 @@ def _vocab_topk_group(k: int):
 def q_vocab_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Global top-k token frequencies (ties broken by smaller token id) —
     the vocabulary audit a tokenizer/pretraining run starts with."""
-    paths = corpus_paths(sf_dir)
+    paths = _token_paths(sf_dir)
     parts = (
         ray.data.read_parquet(paths, columns=["tokens"])
         .map_batches(
@@ -648,7 +664,7 @@ class _SplitPartialStage:
 def q_split_stats_by_source(sf_dir: str) -> pd.DataFrame:
     """Train/val doc and token counts per source under the deterministic
     md5 split — the budget sheet for a pretraining mix."""
-    paths = corpus_paths(sf_dir)
+    paths = _token_paths(sf_dir)
     agg = (
         _ids_dataset(paths)
         .map_batches(
