@@ -52,21 +52,26 @@ _DTYPE_OF_TAG = {
 }
 
 
-def _col_plan(schema: pa.Schema) -> tuple[list[tuple[str, int, str]], list[str]]:
-    """(encoded columns as (name, width, dtype-tag), passthrough names).
-    Encoded: signed ints at their native width, timestamps as width-64
-    (delta usually wins on sorted time columns). Unsigned/bool/float/
-    string/nested: verbatim columnar passthrough."""
-    enc, passthru = [], []
+def _col_plan(
+    schema: pa.Schema,
+) -> tuple[list[tuple[str, int, str]], list[str], list[str]]:
+    """(int columns as (name, width, dtype-tag), string column names,
+    passthrough names). Ints at their native width, naive timestamps as
+    width-64 (delta usually wins on sorted time columns), strings through
+    the plain/dict/prefix_int/FSST auto-selector. Unsigned/bool/float/
+    nested: verbatim columnar passthrough."""
+    enc, strs, passthru = [], [], []
     for f in schema:
         tag = str(f.type)
         if tag in _INT_WIDTH:
             enc.append((f.name, _INT_WIDTH[tag], tag))
         elif pa.types.is_timestamp(f.type) and f.type.tz is None:
             enc.append((f.name, 64, tag))
+        elif pa.types.is_string(f.type):
+            strs.append(f.name)
         else:
             passthru.append(f.name)
-    return enc, passthru
+    return enc, strs, passthru
 
 
 def _one_list(arr: pa.Array) -> pa.Array:
@@ -82,8 +87,10 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
     """One chunk row per (batch, frag): every plannable column packed with
     the auto-selected codec (LEB128 fallback keeps the size bound — sampling
     can mispredict, the floor cannot), the rest wrapped verbatim."""
+    from tokenzip.codecs.strings import encode_str_column
+
     schema = batch.schema
-    enc_plan, passthru = _col_plan(
+    enc_plan, str_cols, passthru = _col_plan(
         pa.schema([f for f in schema if f.name != "frag"])
     )
     frags = batch["frag"].to_numpy(zero_copy_only=False)
@@ -92,7 +99,7 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
     for frag in uniq:
         sub = batch.filter(pa.array(frags == frag)) if len(uniq) > 1 else batch
         names, codecs, dtags, blobs = [], [], [], []
-        bytes_in = bytes_out = oracle = 0
+        bytes_in = int_bytes_out = str_bytes_out = oracle = 0
         for name, width, tag in enc_plan:
             col = sub[name]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -111,17 +118,30 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
             dtags.append(tag)
             blobs.append(blob)
             bytes_in += vals.nbytes
-            bytes_out += len(blob)
+            int_bytes_out += len(blob)
             oracle += bound
+        for name in str_cols:
+            col = sub[name]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if col.null_count:
+                raise ChunkFormatError(f"null values in column {name!r}")
+            blob = encode_str_column(col, "auto")
+            names.append(name)
+            codecs.append("str")  # blob header names the actual codec
+            dtags.append("string")
+            blobs.append(blob)
+            bytes_in += sum(b.size for b in col.buffers() if b is not None)
+            str_bytes_out += len(blob)
         row = {
             "frag": str(frag),
             "n_rows": sub.num_rows,
-            "n_tokens": sum(
-                sub.num_rows for _ in enc_plan
-            ),  # encoded int values (manifest fold key)
+            "n_tokens": sub.num_rows * len(enc_plan),  # encoded int values
             "bytes_in": bytes_in,
-            "bytes_out": bytes_out,
-            "tokens_bytes_out": bytes_out,
+            "bytes_out": int_bytes_out + str_bytes_out,
+            # the LEB128 size bound covers integer streams only: compare
+            # tokens_bytes_out (int blobs) to leb128_bytes, never the
+            # string payload
+            "tokens_bytes_out": int_bytes_out,
             "leb128_bytes": oracle,
             "enc_names": names,
             "enc_codecs": codecs,
@@ -217,9 +237,14 @@ def _decode_table_fn(batch: pa.Table) -> pa.Table:
     dtags_col = batch["enc_dtypes"].to_pylist()
     blobs_col = batch["enc_blobs"].to_pylist()
     order_col = batch["col_order"].to_pylist()
+    from tokenzip.codecs.strings import decode_str_column
+
     for i in range(batch.num_rows):
         cols: dict[str, pa.Array] = {}
         for name, tag, blob in zip(names_col[i], dtags_col[i], blobs_col[i]):
+            if tag == "string":
+                cols[name] = decode_str_column(blob)
+                continue
             typ = _DTYPE_OF_TAG.get(tag)
             if typ is None:
                 raise ChunkFormatError(f"unknown dtype tag {tag!r}")

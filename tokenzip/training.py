@@ -56,18 +56,30 @@ SEQ_LEN = 2048  # default packed-sequence length (tokens)
 _BUCKET_DOCS = 65_536
 
 
+_TOKEN_COLS = {"doc_id", "tokens", "n_tok", "source"}
+
+
 def _token_paths(sf_dir_or_path: str) -> list[str]:
-    """Input resolution: an existing directory (or file) of token-schema
-    parquet is used as-is; otherwise the name resolves to the deterministic
-    synthetic corpus (corpus.ensure_corpus)."""
+    """Input resolution: an existing directory (or file) of TOKEN-SCHEMA
+    parquet is used as-is (the first file's schema must carry the
+    input_hint columns — a directory of other tables, e.g. the testdata
+    sf dirs, falls through); otherwise the name resolves to the
+    deterministic synthetic corpus (corpus.ensure_corpus)."""
+
+    def _is_token_file(path: str) -> bool:
+        try:
+            return _TOKEN_COLS <= set(pq.ParquetFile(path).schema_arrow.names)
+        except Exception:
+            return False
+
     p = sf_dir_or_path
-    if os.path.isfile(p) and p.endswith(".parquet"):
+    if os.path.isfile(p) and p.endswith(".parquet") and _is_token_file(p):
         return [p]
     if os.path.isdir(p):
         found = sorted(
             os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")
         )
-        if found:
+        if found and _is_token_file(found[0]):
             return found
     return corpus_paths(p)
 
