@@ -311,67 +311,126 @@ _PIECE_SCHEMA = pa.schema(
 )
 
 
-def _emit_group(seq_len: int, bases_ref):
-    """groupby(bkt) over FULL rows (tokens included): one Arrow gather into
-    (source, doc_id) order makes each source run a CONTIGUOUS slice of the
-    group's flat token stream, so pieces fall out of cutting that slice at
-    global seq_len multiples — no per-doc work at all. Emits (source,
-    seq_id, pos, piece) rows; a later groupby(seq bucket) stitches pieces
-    into whole sequences. A doc never co-locates with its sequence peers
-    here, so the only payload shuffle is the piece rows — the unavoidable
-    reorder."""
+def _offsets_group(bases_ref):
+    """groupby(bkt) over ID ROWS ONLY: exact per-doc global offsets inside
+    one range bucket (lexsort + segmented cumsum + broadcast base), emitted
+    as the compact (bkt, doc_id, off, source) sidecar rows. Token payloads
+    never enter this shuffle."""
 
-    def fn(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "bkt": pd.Series([], dtype="int64"),
+                    "doc_id": pd.Series([], dtype="object"),
+                    "off": pd.Series([], dtype="int64"),
+                }
+            )
+        bases = ray.get(bases_ref) if not isinstance(bases_ref, dict) else bases_ref
+        src = g["source"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        ntok = g["n_tok"].to_numpy().astype(np.int64)
+        bkt = int(g["bkt"].iloc[0])
+        order = np.lexsort((ids, src))
+        src, ids, ntok = src[order], ids[order], ntok[order]
+        csum = np.zeros(len(ntok) + 1, np.int64)
+        np.cumsum(ntok, out=csum[1:])
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ends = np.r_[starts[1:], len(src)]
+        seg_base = np.repeat(csum[starts], ends - starts)
+        off = csum[:-1] - seg_base
+        for lo, hi, s in zip(starts, ends, src[starts]):
+            off[lo:hi] += bases["bases"].get((s, bkt), 0)
+        o2 = np.argsort(ids, kind="stable")  # partition files doc_id-sorted
+        return pd.DataFrame(
+            {"bkt": np.full(len(ids), bkt), "doc_id": ids[o2], "off": off[o2]}
+        )
+
+    return fn
+
+
+class _PieceEmitStage:
+    """MAP-ONLY piece emission (actor pool): look each doc's global offset
+    up in the bkt-partitioned offset sidecar (tiny parquet, cached per
+    actor) and cut the batch's own flat token stream at sequence
+    boundaries — the token payload is never shuffled to learn its offsets;
+    the only payload movement left is the final assemble-by-sequence
+    reorder, which no packing implementation can avoid."""
+
+    def __init__(self, bounds: np.ndarray, off_dir: str, seq_len: int = SEQ_LEN):
+        self.bounds = bounds  # KB-sized cut points: shipped once per actor
+        self.off_dir = off_dir
+        self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.seq_len = seq_len
+
+    def _partition(self, bkt: int) -> tuple[np.ndarray, np.ndarray]:
+        part = self.cache.get(bkt)
+        if part is None:
+            if len(self.cache) > 64:  # ~1-2 MB each: bound actor heap
+                self.cache.clear()
+            t = pq.read_table(os.path.join(self.off_dir, f"bkt={bkt}"))
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            off = t["off"].to_numpy(zero_copy_only=False).astype(np.int64)
+            o = np.argsort(ids, kind="stable")  # multi-file partitions
+            part = self.cache[bkt] = (ids[o], off[o])
+        return part
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
             return _PIECE_SCHEMA.empty_table()
         from tokenzip.chunk import _tokens_parts
 
-        bases = ray.get(bases_ref) if not isinstance(bases_ref, dict) else bases_ref
-        bkt = int(g["bkt"][0].as_py())
-        src = g["source"].to_numpy(zero_copy_only=False)
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, src))
-        g = g.take(pa.array(order))
-        src = src[order]
-        lengths, flat = _tokens_parts(g["tokens"])
-        csum = np.zeros(len(lengths) + 1, np.int64)
-        np.cumsum(lengths, out=csum[1:])
-        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-        ends = np.r_[starts[1:], len(src)]
-
-        p_off = [np.zeros(1, np.int64)]  # flat-value offsets of piece bounds
-        p_src, p_seq, p_pos = [], [], []
-        for lo, hi, s in zip(starts, ends, src[starts]):
-            base = bases["bases"].get((s, bkt), 0)  # run's global start pos
-            t0, t1 = int(csum[lo]), int(csum[hi])
-            if t1 == t0:
-                continue
-            first_cut = (base // seq_len + 1) * seq_len
-            cuts = np.arange(first_cut, base + (t1 - t0), seq_len, dtype=np.int64)
-            bounds = np.r_[base, cuts, base + (t1 - t0)]  # piece global starts+end
-            p_off.append(bounds[1:] - base + t0)
-            p_src.append(np.full(len(bounds) - 1, s, dtype=object))
-            p_seq.append(bounds[:-1] // seq_len)
-            p_pos.append(bounds[:-1] % seq_len)
-        if len(p_off) == 1:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        lengths, flat = _tokens_parts(batch["tokens"])
+        ntok = lengths.astype(np.int64)
+        bkts = _bucket_of(ids, self.bounds)
+        off = np.empty(len(ids), np.int64)
+        for b in np.unique(bkts):
+            pids, poff = self._partition(int(b))
+            m = bkts == b
+            idx = np.searchsorted(pids, ids[m])
+            if (idx >= len(pids)).any() or not (pids[idx] == ids[m]).all():
+                raise KeyError("doc_id missing from offset sidecar")
+            off[m] = poff[idx]
+        L = self.seq_len
+        # per-doc piece counts -> flat piece table, fully vectorized
+        last = off + np.maximum(ntok, 1) - 1
+        n_pieces = np.where(ntok > 0, last // L - off // L + 1, 0)
+        tp = int(n_pieces.sum())
+        if tp == 0:
             return _PIECE_SCHEMA.empty_table()
-        offsets = np.concatenate(p_off)
-        # runs partition the sorted flat stream contiguously, so ONE
-        # LargeListArray over the whole flat values array carries every piece
+        doc_of_p = np.repeat(np.arange(len(ids)), n_pieces)
+        p_rank = np.arange(tp) - np.repeat(
+            np.cumsum(n_pieces) - n_pieces, n_pieces
+        )
+        # global start of piece k of doc d: off[d] for k=0, else the k-th
+        # seq boundary after off[d]
+        gstart = np.where(
+            p_rank == 0,
+            off[doc_of_p],
+            (off[doc_of_p] // L + p_rank) * L,
+        )
+        doc_end = (off + ntok)[doc_of_p]
+        gend = np.minimum((gstart // L + 1) * L, doc_end)
+        flen = gend - gstart
+        offsets = np.zeros(tp + 1, np.int64)
+        np.cumsum(flen, out=offsets[1:])
+        # pieces tile the batch's flat token stream exactly in order (every
+        # token of every doc lands in exactly one piece, docs and their
+        # pieces both contiguous), so the list values ARE flat — zero-copy
         pieces = pa.LargeListArray.from_arrays(
             pa.array(offsets, pa.int64()), pa.array(flat, pa.int32())
         )
         return pa.table(
             {
-                "source": pa.array(np.concatenate(p_src), pa.string()),
-                "seq_id": pa.array(np.concatenate(p_seq), pa.int64()),
-                "pos": pa.array(np.concatenate(p_pos), pa.int64()),
+                "source": pa.array(src[doc_of_p], pa.string()),
+                "seq_id": pa.array(gstart // L, pa.int64()),
+                "pos": pa.array(gstart % L, pa.int64()),
                 "piece": pieces,
             },
             schema=_PIECE_SCHEMA,
         )
-
-    return fn
 
 
 _SEQ_SCHEMA = pa.schema(
@@ -431,10 +490,22 @@ def _assemble_group(seq_len: int, totals_ref):
     return fn
 
 
-def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN) -> "ray.data.Dataset":
+def pack_sequences(
+    sf_dir: str, seq_len: int = SEQ_LEN, workdir: str | None = None
+) -> "ray.data.Dataset":
     """Emit the packed training sequences themselves: Dataset of
     (source, seq_id:int64, tokens:list<int32> of exactly seq_len).
-    Composable with compress() — pack then encode the packed table."""
+    Composable with compress() — pack then encode the packed table.
+
+    The token payload moves through exactly ONE shuffle (the final
+    assemble-by-sequence reorder, inherent to packing): per-doc offsets
+    come from the id-only prefix scan, written as a bkt-partitioned
+    parquet sidecar (~20 B/doc) that the map-only piece-emit actors look
+    up with a per-actor partition cache — for doc_id-clustered shards
+    (the common layout) each actor touches a handful of partitions."""
+    import shutil
+    import tempfile
+
     paths = _token_paths(sf_dir)
     nb = _n_range_buckets(_n_docs(paths))
     bounds = _sample_bounds(paths, nb)
@@ -445,11 +516,33 @@ def pack_sequences(sf_dir: str, seq_len: int = SEQ_LEN) -> "ray.data.Dataset":
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         return b.append_column("bkt", pa.array(_bucket_of(ids, bounds)))
 
-    pieces = (
-        ray.data.read_parquet(paths)
+    # the sidecar must outlive this call (the returned Dataset is lazy and
+    # the emit actors read it at execution time) — scratch lives under one
+    # parent so runs are discoverable/cleanable; pass workdir to control it
+    parent = "/tmp/tokenzip_pack"
+    os.makedirs(parent, exist_ok=True)
+    off_dir = workdir or tempfile.mkdtemp(prefix="off_", dir=parent)
+    shutil.rmtree(off_dir, ignore_errors=True)
+    (
+        _ids_dataset(paths)
         .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bkt")
-        .map_groups(_emit_group(seq_len, ref), batch_format="pyarrow")
+        .map_groups(_offsets_group(ref), batch_format="pandas")
+        .write_parquet(off_dir, partition_cols=["bkt"])
+    )
+
+    from tokenzip.pipeline import _default_concurrency
+
+    pieces = ray.data.read_parquet(paths).map_batches(
+        _PieceEmitStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_default_concurrency(),
+        fn_constructor_kwargs={
+            "bounds": bounds,
+            "off_dir": off_dir,
+            "seq_len": seq_len,
+        },
     )
     # second shuffle: co-locate a sequence's pieces. Hash-bucket (source,
     # seq-id-block) so the group count is bounded and even regardless of
