@@ -71,7 +71,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _vocab_topk,
         "split_stats_by_source": _split_stats,
         "table_roundtrip_events": _table_roundtrip,
+        "mixture_sample_stats": _mixture_stats,
+        "decontamination_by_source": _decontam,
     }
+
+
+def _mixture_stats(sf_dir: str):
+    from tokenzip.training import q_mixture_sample_stats
+
+    return q_mixture_sample_stats(sf_dir)
+
+
+def _decontam(sf_dir: str):
+    from tokenzip.training import q_decontamination_by_source
+
+    return q_decontamination_by_source(sf_dir)
 
 
 def _table_roundtrip(sf_dir: str):
@@ -168,6 +182,18 @@ def _table_sql() -> str:
     return table_roundtrip_events_sql()
 
 
+def _mixture_sql(glob: str) -> str:
+    from tokenzip.training import mixture_sample_sql
+
+    return mixture_sample_sql(glob)
+
+
+def _decontam_sql() -> str:
+    from tokenzip.training import decontamination_sql
+
+    return decontamination_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     from tokenzip import oracles as _O
 
@@ -200,6 +226,8 @@ FROM documents GROUP BY source ORDER BY source
         "vocab_topk": _vocab_sql(glob),
         "split_stats_by_source": _split_sql(glob),
         "table_roundtrip_events": _table_sql(),
+        "mixture_sample_stats": _mixture_sql(glob),
+        "decontamination_by_source": _decontam_sql(),
         "lang_id_confusion": _O.lang_id_sql(),
         "media_features_by_source": _O.media_sql(),
         "boundary_roundtrip": _O.boundary_sql(),

@@ -195,6 +195,68 @@ def test_split_stats_deterministic_and_matches_duckdb(ray_session):
     assert (piv["train"] > piv["val"]).all()
 
 
+def test_mixture_sample_matches_duckdb(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import mixture_sample_sql, q_mixture_sample_stats
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_mixture_sample_stats(SF)
+    odf = duckdb.sql(mixture_sample_sql(glob)).df()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+    # weights actually bite: web must sample below its raw count, code ~all
+    g = got.set_index("source")
+    assert g.loc["web", "n_sampled"] < g.loc["web", "n_docs"]
+    assert g.loc["code", "n_sampled"] == g.loc["code", "n_docs"]
+    assert g.loc["synth", "n_sampled"] < 0.3 * g.loc["synth", "n_docs"]
+
+
+def test_decontamination_matches_duckdb(ray_session):
+    from tokenzip.training import (
+        decontamination_sql,
+        q_decontamination_by_source,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_decontamination_by_source(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    odf = con.execute(decontamination_sql()).fetchdf()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_decontamination_planted_overlap(ray_session, tmp_path, monkeypatch):
+    """Planted corpus: one training doc copies an eval doc's text (must be
+    contaminated), one shares no gram (must not)."""
+    import tokenzip.analysis as an
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([100, 1, 2], pa.int64()),  # 100 -> eval row
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon",
+                    "zeta alpha beta gamma theta",  # shares gram 'alpha beta gamma'
+                    "one two three four five",  # disjoint
+                ]
+            ),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["a", "a", "b"]),
+            "n_chars": pa.array([30, 27, 23], pa.int64()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    from tokenzip.training import q_decontamination_by_source
+
+    got = q_decontamination_by_source(str(d)).set_index("source")
+    assert got.loc["a", "n_contaminated"] == 1
+    assert got.loc["a", "sum_hit_grams"] == 1
+    assert got.loc["b", "n_contaminated"] == 0
+
+
 def test_split_is_pure_row_function():
     """The md5 rule itself, independent of Ray: stable and ~5% val."""
     import hashlib

@@ -727,6 +727,233 @@ GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT {k}
 
 
 # ---------------------------------------------------------------------------
+# Mixture sampling: down-weight sources to configured ratios
+# ---------------------------------------------------------------------------
+
+# pretraining-mix weights: P(keep doc | source). Deterministic per doc via
+# the salted md5 rule below — stable under re-sharding/retries/resume, and
+# independent of the train/val split hash (different salt)
+MIX_WEIGHTS = {"web": 0.5, "code": 1.0, "books": 0.8, "wiki": 1.0, "synth": 0.1}
+_MIX_DEN = 1_000_000
+
+
+def _mix_hash(doc_id: str) -> int:
+    return int(hashlib.md5(("mix:" + doc_id).encode()).hexdigest()[:15], 16)
+
+
+class _MixturePartialStage:
+    """Per-batch (source, n_docs, n_sampled, sum_tokens, sum_tokens_sampled)
+    partials under the md5 mixture rule."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        ntok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        hv = np.fromiter(
+            (_mix_hash(i) for i in ids), dtype=np.int64, count=len(ids)
+        )
+        thr = np.array(
+            [int(MIX_WEIGHTS.get(s, 1.0) * _MIX_DEN) for s in src], dtype=np.int64
+        )
+        keep = (hv % _MIX_DEN) < thr
+        df = pd.DataFrame(
+            {
+                "source": src,
+                "n": np.ones(len(ids), np.int64),
+                "k": keep.astype(np.int64),
+                "tok": ntok,
+                "ktok": np.where(keep, ntok, 0),
+            }
+        )
+        agg = df.groupby("source", as_index=False).agg(
+            n_docs=("n", "sum"),
+            n_sampled=("k", "sum"),
+            sum_tokens=("tok", "sum"),
+            sum_tokens_sampled=("ktok", "sum"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def q_mixture_sample_stats(sf_dir: str) -> pd.DataFrame:
+    """Data-mixing budget sheet: per source, docs/tokens surviving the
+    configured mixture weights under the deterministic md5 rule — the
+    sampling step between raw corpus and the training mix."""
+    paths = _token_paths(sf_dir)
+    agg = (
+        _ids_dataset(paths)
+        .map_batches(
+            _MixturePartialStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_sampled", alias_name="n_sampled"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+            Sum("sum_tokens_sampled", alias_name="sum_tokens_sampled"),
+        )
+        .to_pandas()
+    )
+    out = agg.astype(
+        {
+            "n_docs": "int64",
+            "n_sampled": "int64",
+            "sum_tokens": "int64",
+            "sum_tokens_sampled": "int64",
+        }
+    )
+    out["source"] = out["source"].astype(str)
+    return (
+        out[["source", "n_docs", "n_sampled", "sum_tokens", "sum_tokens_sampled"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+def mixture_sample_sql(glob: str) -> str:
+    nib = lambda i: f"(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1)"
+    hv = " + ".join(f"{nib(i + 1)} * {16 ** (14 - i)}" for i in range(15))
+    thr = " ".join(
+        f"WHEN source = '{s}' THEN {int(w * _MIX_DEN)}"
+        for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH h AS (
+  SELECT source, CAST(n_tok AS BIGINT) AS n_tok,
+         md5('mix:' || doc_id) AS m
+  FROM read_parquet('{glob}')
+),
+x AS (SELECT source, n_tok, {hv} AS hv,
+             CASE {thr} ELSE {_MIX_DEN} END AS thr
+      FROM h)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN hv % {_MIX_DEN} < thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CASE WHEN hv % {_MIX_DEN} < thr THEN n_tok ELSE 0 END) AS BIGINT)
+         AS sum_tokens_sampled
+FROM x GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: n-gram overlap of training docs vs a benchmark set
+# ---------------------------------------------------------------------------
+
+
+def q_decontamination_by_source(sf_dir: str) -> pd.DataFrame:
+    """Benchmark-decontamination audit over the `documents` table: eval set
+    = docs with doc_id % 100 == 0 (a stand-in benchmark); a training doc is
+    contaminated when it shares any word-3-gram with any eval doc. Shape:
+    the eval gram set is SMALL by definition (benchmarks are MBs), so it is
+    hashed once (the vectorized 64-bit shingle hasher shared with minhash,
+    analysis._shingle_hash_batch), np.unique'd, broadcast via ray.put, and
+    membership-tested per batch with one searchsorted — no shuffle at all;
+    partials pre-aggregate to sources-sized rows. Hash-vs-string-equality
+    divergence is the same ~2^-64/gram-pair argument the minhash oracle
+    documents."""
+    from tokenzip.analysis import _docs, _shingle_hash_batch
+
+    # eval grams: one bounded read of the ~1% benchmark rows (vectorized
+    # batch filter, never a per-row lambda)
+    def eval_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(ids % 100 == 0))
+
+    ev = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(eval_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    off, h = _shingle_hash_batch(pa.array(ev["text"], pa.string()), 3)
+    ev_grams = np.unique(h)
+    ev_ref = ray.put(ev_grams) if ray.is_initialized() else ev_grams
+
+    def partial(b: pa.Table) -> pa.Table:
+        grams = ray.get(ev_ref) if not isinstance(ev_ref, np.ndarray) else ev_ref
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        train = (ids % 100) != 0
+        off_, h_ = _shingle_hash_batch(b["text"], 3)
+        if len(grams) and len(h_):
+            idx = np.minimum(np.searchsorted(grams, h_), len(grams) - 1)
+            hit = grams[idx] == h_
+            doc_of_g = np.repeat(np.arange(len(ids)), np.diff(off_))
+            n_hits = np.bincount(doc_of_g[hit], minlength=len(ids)).astype(
+                np.int64
+            )
+        else:
+            n_hits = np.zeros(len(ids), np.int64)
+        df = pd.DataFrame(
+            {
+                "source": src[train],
+                "n": np.ones(int(train.sum()), np.int64),
+                "c": (n_hits[train] > 0).astype(np.int64),
+                "g": n_hits[train],
+            }
+        )
+        agg = df.groupby("source", as_index=False).agg(
+            n_train_docs=("n", "sum"),
+            n_contaminated=("c", "sum"),
+            sum_hit_grams=("g", "sum"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    agg = (
+        _docs(sf_dir, ["doc_id", "text", "source"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_train_docs", alias_name="n_train_docs"),
+            Sum("n_contaminated", alias_name="n_contaminated"),
+            Sum("sum_hit_grams", alias_name="sum_hit_grams"),
+        )
+        .to_pandas()
+    )
+    out = agg.astype(
+        {"n_train_docs": "int64", "n_contaminated": "int64", "sum_hit_grams": "int64"}
+    )
+    out["source"] = out["source"].astype(str)
+    return (
+        out[["source", "n_train_docs", "n_contaminated", "sum_hit_grams"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+def decontamination_sql() -> str:
+    """Same gram construction as oracles.minhash_sql (word-3-grams with the
+    short-doc whole-text rule), distinct per doc."""
+    return """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ws) - 2, 1)),
+           i -> CASE WHEN len(ws) >= 3
+                     THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     ELSE array_to_string(ws, ' ') END)) AS gram
+  FROM w
+),
+gd AS (SELECT DISTINCT doc_id, source, gram FROM g),
+ev AS (SELECT DISTINCT gram FROM gd WHERE doc_id % 100 = 0),
+tr AS (SELECT * FROM gd WHERE doc_id % 100 != 0),
+hits AS (
+  SELECT tr.doc_id, COUNT(*) AS c
+  FROM tr JOIN ev ON tr.gram = ev.gram
+  GROUP BY tr.doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+       CAST(COUNT(hits.c) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(SUM(hits.c), 0) AS BIGINT) AS sum_hit_grams
+FROM (SELECT doc_id, source FROM documents WHERE doc_id % 100 != 0) d
+LEFT JOIN hits ON d.doc_id = hits.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic train/val split
 # ---------------------------------------------------------------------------
 
