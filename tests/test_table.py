@@ -89,6 +89,21 @@ def test_table_compress_resume_skips_done(ray_session, tmp_path):
     }
 
 
+def test_table_reserved_columns_rejected(ray_session, tmp_path):
+    """'frag'/'path' collide with the pipeline's provenance columns and must
+    be refused loudly, never silently dropped."""
+    from tokenzip.errors import ChunkFormatError
+    from tokenzip.table import compress_table
+
+    for reserved in ("frag", "path"):
+        t = pa.table({"x": pa.array([1, 2], pa.int64()),
+                      reserved: pa.array(["a", "b"])})
+        src = tmp_path / f"{reserved}.parquet"
+        pq.write_table(t, src)
+        with pytest.raises(ChunkFormatError, match=reserved):
+            compress_table([str(src)], str(tmp_path / f"out_{reserved}"))
+
+
 def test_table_null_int_rejected(ray_session, tmp_path):
     from tokenzip.errors import ChunkFormatError
     from tokenzip.table import compress_table

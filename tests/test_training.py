@@ -146,6 +146,40 @@ def test_pack_emit_checksum_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
 
 
+def test_pack_emit_doc_id_reused_across_sources(ray_session, tmp_path, monkeypatch):
+    """Regression: the offset sidecar is keyed by (source, doc_id) — a
+    corpus reusing the same doc_id in two sources must pack both docs at
+    their own per-source offsets."""
+    import tokenzip.training as tr
+
+    tok = lambda lo, n: np.arange(lo, lo + n, dtype=np.int32)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["d1", "d1", "d2"]),
+            "tokens": pa.array(
+                [tok(0, 10), tok(100, 6), tok(200, 6)], pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([10, 6, 6], pa.int32()),
+            "source": pa.array(["a", "b", "b"]),
+        }
+    )
+    p = tmp_path / "tokens"
+    p.mkdir()
+    pq.write_table(tbl, p / "part-0000.parquet")
+    monkeypatch.setattr(tr, "_token_paths", lambda sf: [str(p / "part-0000.parquet")])
+    out = tr.pack_sequences("planted", seq_len=8).to_pandas()
+    got = {
+        (r["source"], r["seq_id"]): np.asarray(r["tokens"], np.int32)
+        for _, r in out.iterrows()
+    }
+    assert set(got) == {("a", 0), ("b", 0)}
+    assert np.array_equal(got[("a", 0)], np.arange(8, dtype=np.int32))
+    # source b stream: d1 tokens 100..105 then d2 tokens 200..205
+    assert np.array_equal(
+        got[("b", 0)], np.r_[np.arange(100, 106), np.arange(200, 202)].astype(np.int32)
+    )
+
+
 def test_vocab_topk_matches_duckdb(ray_session):
     from tokenzip.corpus import ensure_corpus
     from tokenzip.training import q_vocab_topk, vocab_topk_sql

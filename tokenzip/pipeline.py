@@ -189,6 +189,41 @@ def _add_frag(batch: pa.Table) -> pa.Table:
     return batch.drop_columns(["path"]).append_column("frag", pa.array(frags))
 
 
+def _compress_setup(
+    input_paths: list[str], out_dir: str, resume: bool
+) -> tuple["Manifest", list[str], str, int]:
+    """Shared resume scaffolding of compress() and table.compress_table():
+    manifest load, done-fragment skip, partial-output wipe, and byte-scaled
+    block-count sizing. Returns (manifest, todo_paths, chunks_dir,
+    n_blocks); empty todo => nothing left to encode."""
+    chunks_dir = os.path.join(out_dir, "chunks")
+    man = Manifest(out_dir)
+    done = man.done_fragments() if resume else set()
+    if not resume and os.path.isdir(chunks_dir):
+        shutil.rmtree(chunks_dir)
+        man.data["fragments"] = {}
+    elif resume and not done and os.path.isdir(chunks_dir):
+        # chunk output with no manifest lineage (older manifest version or a
+        # run that crashed before its first mark_done): wipe, re-encode
+        shutil.rmtree(chunks_dir)
+    todo = [p for p in input_paths if _frag_of_path(p) not in done]
+    # wipe partial output of unfinished fragments (crashed prior run)
+    for p in todo:
+        d = os.path.join(chunks_dir, f"frag={_frag_of_path(p)}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    # split the read below file granularity (row-group level), sized to the
+    # actual input bytes: fine-grained blocks balance the encode+write stage
+    # best (measured; the fully-fused one-block-per-file layout regresses the
+    # write-heavy compress path at higher parallelism, unlike verify).
+    # Target block bytes scales with the input (4 MB floor for small runs,
+    # 64 MB ceiling at 100 TB) instead of a constant block-count cap.
+    total_bytes = sum(os.path.getsize(p) for p in todo)
+    target_block_bytes = min(64 << 20, max(4 << 20, total_bytes // 256))
+    n_blocks = max(len(todo), int(total_bytes / target_block_bytes) or 1)
+    return man, todo, chunks_dir, n_blocks
+
+
 def compress(
     input_paths: list[str],
     out_dir: str,
@@ -205,34 +240,9 @@ def compress(
     the manifest are not re-read; chunk output of unfinished fragments is
     wiped before re-encoding so a crashed run never double-writes.
     """
-    chunks_dir = os.path.join(out_dir, "chunks")
-    man = Manifest(out_dir)
-    done = man.done_fragments() if resume else set()
-    if not resume and os.path.isdir(chunks_dir):
-        shutil.rmtree(chunks_dir)
-        man.data["fragments"] = {}
-    elif resume and not done and os.path.isdir(chunks_dir):
-        # chunk output with no manifest lineage (older manifest version or a
-        # run that crashed before its first mark_done): wipe, re-encode
-        shutil.rmtree(chunks_dir)
-    todo = [p for p in input_paths if _frag_of_path(p) not in done]
+    man, todo, chunks_dir, n_blocks = _compress_setup(input_paths, out_dir, resume)
     if not todo:
         return man.totals()
-    # wipe partial output of unfinished fragments (crashed prior run)
-    for p in todo:
-        d = os.path.join(chunks_dir, f"frag={_frag_of_path(p)}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-
-    # split the read below file granularity (row-group level), sized to the
-    # actual input bytes: fine-grained blocks balance the encode+write stage
-    # best (measured; the fully-fused one-block-per-file layout regresses the
-    # write-heavy compress path at higher parallelism, unlike verify).
-    # Target block bytes scales with the input (4 MB floor for small runs,
-    # 64 MB ceiling at 100 TB) instead of a constant block-count cap.
-    total_bytes = sum(os.path.getsize(p) for p in todo)
-    target_block_bytes = min(64 << 20, max(4 << 20, total_bytes // 256))
-    n_blocks = max(len(todo), int(total_bytes / target_block_bytes) or 1)
     ds = ray.data.read_parquet(todo, include_paths=True, override_num_blocks=n_blocks)
     ds = ds.map_batches(_add_frag, batch_format="pyarrow", zero_copy_batch=True)
     if shared_tables:
@@ -288,9 +298,7 @@ def compress(
         "bytes_out": 0, "tokens_bytes_out": 0, "leb128_bytes": 0,
         "codecs": {}, "shared_tables": shared_tables,
     }
-    todo_frags = [
-        _frag_of_path(p) for p in todo if _frag_of_path(p) not in done
-    ]
+    todo_frags = [_frag_of_path(p) for p in todo]  # todo already excludes done
     fold_frags = sorted(set(todo_frags) & frags_written)
     stats = _fold_chunk_meta(chunks_dir, fold_frags)
     for frag in todo_frags:

@@ -21,10 +21,10 @@ counts, so lineage and the LEB128 size bound stay auditable per chunk.
 from __future__ import annotations
 
 import os
-import shutil
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 import ray.data
 
@@ -35,7 +35,6 @@ from tokenzip.codecs.core import (
 )
 from tokenzip.codecs.selector import choose_int_codec
 from tokenzip.errors import ChunkFormatError
-from tokenzip.manifest import Manifest
 from tokenzip.pipeline import _add_frag, _fold_chunk_meta, _frag_of_path
 
 _INT_WIDTH = {"int8": 8, "int16": 16, "int32": 32, "int64": 64}
@@ -183,27 +182,24 @@ def compress_table(
     resume: bool = True,
 ) -> dict:
     """Compress any parquet table into chunk parquet + lineage manifest.
-    Same resume contract as pipeline.compress: done fragments skipped,
-    partial output of unfinished fragments wiped before re-encode."""
-    chunks_dir = os.path.join(out_dir, "chunks")
-    man = Manifest(out_dir)
-    done = man.done_fragments() if resume else set()
-    if not resume and os.path.isdir(chunks_dir):
-        shutil.rmtree(chunks_dir)
-        man.data["fragments"] = {}
-    elif resume and not done and os.path.isdir(chunks_dir):
-        shutil.rmtree(chunks_dir)
-    todo = [p for p in input_paths if _frag_of_path(p) not in done]
+    Same resume contract as pipeline.compress (shared _compress_setup):
+    done fragments skipped, partial output of unfinished fragments wiped
+    before re-encode."""
+    from tokenzip.pipeline import _compress_setup
+
+    # 'frag'/'path' are the pipeline's provenance columns — refuse inputs
+    # that collide rather than silently dropping or shadowing user data
+    sch = pq.ParquetFile(input_paths[0]).schema_arrow
+    for reserved in ("frag", "path"):
+        if reserved in sch.names:
+            raise ChunkFormatError(
+                f"input column {reserved!r} collides with the engine's "
+                "provenance columns; rename it before compress_table"
+            )
+
+    man, todo, chunks_dir, n_blocks = _compress_setup(input_paths, out_dir, resume)
     if not todo:
         return man.totals()
-    for p in todo:
-        d = os.path.join(chunks_dir, f"frag={_frag_of_path(p)}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-
-    total_bytes = sum(os.path.getsize(p) for p in todo)
-    target_block_bytes = min(64 << 20, max(4 << 20, total_bytes // 256))
-    n_blocks = max(len(todo), int(total_bytes / target_block_bytes) or 1)
     ds = ray.data.read_parquet(todo, include_paths=True, override_num_blocks=n_blocks)
     ds = ds.map_batches(_add_frag, batch_format="pyarrow", zero_copy_batch=True)
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
@@ -313,10 +309,19 @@ def q_table_roundtrip_events(sf_dir: str):
 
     from tokenzip.analysis import _PAIR_MOD
 
+    import hashlib
+
     src = os.path.join(sf_dir, "events.parquet")
+    # key the scratch sink by input CONTENT identity (path+size+mtime), not
+    # just the sf name: regenerated testdata at the same path must never
+    # resume against stale chunks
+    st = os.stat(src)
+    fp = hashlib.sha1(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     out_dir = os.path.join(
         "/tmp/tokenzip_table",
-        os.path.basename(os.path.normpath(sf_dir)) + "_events",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_events_{fp}",
     )
     compress_table([src], out_dir)
     agg = (

@@ -90,16 +90,25 @@ def _ids_dataset(paths: list[str]) -> "ray.data.Dataset":
 
 
 def _sample_bounds(paths: list[str], n_buckets: int) -> np.ndarray:
-    """Range-bucket boundaries from a bounded sample of doc_ids (first row
-    group of every file — the same bounded-sample pattern as the IVF k-means
-    trainer, analysis.py). Returns (n_buckets - 1) sorted cut points; bucket
-    of a doc = searchsorted(bounds, doc_id, 'right')."""
+    """Range-bucket boundaries from a bounded sample of doc_ids — row
+    groups STRIDED ACROSS each whole file (files are typically
+    range-partitioned by id, so sampling only the first row group would
+    collapse ~all of a file's docs into one bucket), rows strided within.
+    Returns (n_buckets - 1) sorted cut points; bucket of a doc =
+    searchsorted(bounds, doc_id, 'right')."""
     ids: list[str] = []
     per_file = max(256, (n_buckets * 64) // max(1, len(paths)))
     for p in paths:
         f = pq.ParquetFile(p)
-        t = f.read_row_group(0, columns=["doc_id"])
-        col = t["doc_id"].to_numpy(zero_copy_only=False)
+        nrg = f.metadata.num_row_groups
+        rgs = range(nrg) if nrg <= 8 else range(0, nrg, max(1, nrg // 8))
+        cols = [
+            f.read_row_group(rg, columns=["doc_id"])["doc_id"].to_numpy(
+                zero_copy_only=False
+            )
+            for rg in rgs
+        ]
+        col = np.concatenate(cols) if cols else np.array([], dtype=object)
         if len(col) > per_file:
             col = col[:: max(1, len(col) // per_file)]
         ids.extend(col.tolist())
@@ -176,31 +185,38 @@ def _bucket_bases(paths: list[str], bounds: np.ndarray) -> dict:
     return {"bases": bases, "totals": totals}
 
 
+def _group_offsets(g: pd.DataFrame, bases: dict):
+    """The shared in-bucket offset math of the stats and emit paths: lexsort
+    by (source, doc_id), segmented exclusive cumsum per source run, add the
+    broadcast (source, bucket) base. Returns (src, ids, ntok, off,
+    run_starts, run_ends) in sorted order."""
+    src = g["source"].to_numpy()
+    ids = g["doc_id"].to_numpy()
+    ntok = g["n_tok"].to_numpy().astype(np.int64)
+    bkt = int(g["bkt"].iloc[0])
+    order = np.lexsort((ids, src))
+    src, ids, ntok = src[order], ids[order], ntok[order]
+    csum = np.zeros(len(ntok) + 1, np.int64)
+    np.cumsum(ntok, out=csum[1:])
+    starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    ends = np.r_[starts[1:], len(src)]
+    seg_base = np.repeat(csum[starts], ends - starts)
+    off = csum[:-1] - seg_base
+    for lo, hi, s in zip(starts, ends, src[starts]):
+        off[lo:hi] += bases["bases"].get((s, bkt), 0)
+    return src, ids, ntok, off, starts, ends
+
+
 def _pack_group(seq_len: int, bases_ref):
-    """groupby(bkt): exact per-doc offsets inside one range bucket — lexsort
-    by (source, doc_id), segmented exclusive cumsum per source, add the
-    broadcast (source, bucket) base — then fold the packing stats so only
-    sources-sized partials leave the group."""
+    """groupby(bkt): exact per-doc offsets inside one range bucket
+    (_group_offsets), then fold the packing stats so only sources-sized
+    partials leave the group."""
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
             return pd.DataFrame(_PACK_EMPTY)
         bases = ray.get(bases_ref) if not isinstance(bases_ref, dict) else bases_ref
-        src = g["source"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        ntok = g["n_tok"].to_numpy().astype(np.int64)
-        bkt = int(g["bkt"].iloc[0])
-        order = np.lexsort((ids, src))
-        src, ids, ntok = src[order], ids[order], ntok[order]
-        # segmented exclusive cumsum per source run
-        csum = np.zeros(len(ntok) + 1, np.int64)
-        np.cumsum(ntok, out=csum[1:])
-        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-        ends = np.r_[starts[1:], len(src)]
-        seg_base = np.repeat(csum[starts], ends - starts)
-        off = csum[:-1] - seg_base
-        for lo, hi, s in zip(starts, ends, src[starts]):
-            off[lo:hi] += bases["bases"].get((s, bkt), 0)
+        src, ids, ntok, off, starts, ends = _group_offsets(g, bases)
         # fold stats per source (ADVICE-safe modular terms: reduce mod M
         # BEFORE the * K so every intermediate stays far below 2**63)
         offm = off % _PAIR_MOD
@@ -313,37 +329,29 @@ _PIECE_SCHEMA = pa.schema(
 
 def _offsets_group(bases_ref):
     """groupby(bkt) over ID ROWS ONLY: exact per-doc global offsets inside
-    one range bucket (lexsort + segmented cumsum + broadcast base), emitted
-    as the compact (bkt, doc_id, off, source) sidecar rows. Token payloads
-    never enter this shuffle."""
+    one range bucket (_group_offsets), emitted as the compact
+    (bkt, source, doc_id, off) sidecar rows — source is part of the lookup
+    key so corpora reusing doc_ids across sources stay correct. Token
+    payloads never enter this shuffle."""
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
             return pd.DataFrame(
                 {
                     "bkt": pd.Series([], dtype="int64"),
+                    "source": pd.Series([], dtype="object"),
                     "doc_id": pd.Series([], dtype="object"),
                     "off": pd.Series([], dtype="int64"),
                 }
             )
         bases = ray.get(bases_ref) if not isinstance(bases_ref, dict) else bases_ref
-        src = g["source"].to_numpy()
-        ids = g["doc_id"].to_numpy()
-        ntok = g["n_tok"].to_numpy().astype(np.int64)
+        src, ids, ntok, off, _, _ = _group_offsets(g, bases)
         bkt = int(g["bkt"].iloc[0])
-        order = np.lexsort((ids, src))
-        src, ids, ntok = src[order], ids[order], ntok[order]
-        csum = np.zeros(len(ntok) + 1, np.int64)
-        np.cumsum(ntok, out=csum[1:])
-        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-        ends = np.r_[starts[1:], len(src)]
-        seg_base = np.repeat(csum[starts], ends - starts)
-        off = csum[:-1] - seg_base
-        for lo, hi, s in zip(starts, ends, src[starts]):
-            off[lo:hi] += bases["bases"].get((s, bkt), 0)
-        o2 = np.argsort(ids, kind="stable")  # partition files doc_id-sorted
+        # rows already (source, doc_id)-lexsorted: partition files carry the
+        # lookup order directly
         return pd.DataFrame(
-            {"bkt": np.full(len(ids), bkt), "doc_id": ids[o2], "off": off[o2]}
+            {"bkt": np.full(len(ids), bkt), "source": src, "doc_id": ids,
+             "off": off}
         )
 
     return fn
@@ -363,16 +371,17 @@ class _PieceEmitStage:
         self.cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self.seq_len = seq_len
 
-    def _partition(self, bkt: int) -> tuple[np.ndarray, np.ndarray]:
+    def _partition(self, bkt: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         part = self.cache.get(bkt)
         if part is None:
             if len(self.cache) > 64:  # ~1-2 MB each: bound actor heap
                 self.cache.clear()
             t = pq.read_table(os.path.join(self.off_dir, f"bkt={bkt}"))
+            src = t["source"].to_numpy(zero_copy_only=False)
             ids = t["doc_id"].to_numpy(zero_copy_only=False)
             off = t["off"].to_numpy(zero_copy_only=False).astype(np.int64)
-            o = np.argsort(ids, kind="stable")  # multi-file partitions
-            part = self.cache[bkt] = (ids[o], off[o])
+            o = np.lexsort((ids, src))  # multi-file partitions
+            part = self.cache[bkt] = (src[o], ids[o], off[o])
         return part
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -387,11 +396,20 @@ class _PieceEmitStage:
         bkts = _bucket_of(ids, self.bounds)
         off = np.empty(len(ids), np.int64)
         for b in np.unique(bkts):
-            pids, poff = self._partition(int(b))
+            psrc, pids, poff = self._partition(int(b))
             m = bkts == b
-            idx = np.searchsorted(pids, ids[m])
-            if (idx >= len(pids)).any() or not (pids[idx] == ids[m]).all():
-                raise KeyError("doc_id missing from offset sidecar")
+            bsrc, bids = src[m], ids[m]
+            idx = np.empty(int(m.sum()), np.int64)
+            # lookup keyed by (source, doc_id): one searchsorted per source
+            # run of the (src, id)-lexsorted partition
+            for s in np.unique(bsrc):
+                lo = np.searchsorted(psrc, s, side="left")
+                hi = np.searchsorted(psrc, s, side="right")
+                sm = bsrc == s
+                j = lo + np.searchsorted(pids[lo:hi], bids[sm])
+                if (j >= hi).any() or not (pids[j] == bids[sm]).all():
+                    raise KeyError("(source, doc_id) missing from offset sidecar")
+                idx[sm] = j
             off[m] = poff[idx]
         L = self.seq_len
         # per-doc piece counts -> flat piece table, fully vectorized
@@ -474,6 +492,10 @@ def _assemble_group(seq_len: int, totals_ref):
             raise AssertionError("incomplete kept sequence — packing bug")
         flat_keep = flat[np.repeat(keep, run_tok)]
         nk = int(keep.sum())
+        if nk * seq_len >= (1 << 31):  # output schema is list<int32>
+            raise AssertionError(
+                "assemble group exceeds int32 list offsets — raise nb2"
+            )
         toks = pa.ListArray.from_arrays(
             pa.array(np.arange(nk + 1, dtype=np.int64) * seq_len, pa.int32()),
             pa.array(flat_keep, pa.int32()),
@@ -518,11 +540,16 @@ def pack_sequences(
 
     # the sidecar must outlive this call (the returned Dataset is lazy and
     # the emit actors read it at execution time) — scratch lives under one
-    # parent so runs are discoverable/cleanable; pass workdir to control it
-    parent = "/tmp/tokenzip_pack"
-    os.makedirs(parent, exist_ok=True)
-    off_dir = workdir or tempfile.mkdtemp(prefix="off_", dir=parent)
-    shutil.rmtree(off_dir, ignore_errors=True)
+    # parent so runs are discoverable/cleanable; pass workdir to control
+    # (and clean) it — callers that consume the Dataset eagerly (e.g.
+    # q_pack_emit_by_source) rmtree their workdir afterwards
+    if workdir:
+        off_dir = workdir
+        shutil.rmtree(off_dir, ignore_errors=True)
+    else:
+        parent = "/tmp/tokenzip_pack"
+        os.makedirs(parent, exist_ok=True)
+        off_dir = tempfile.mkdtemp(prefix="off_", dir=parent)
     (
         _ids_dataset(paths)
         .map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
@@ -550,7 +577,11 @@ def pack_sequences(
     # typically ~2). crc32, not hash(): Python's hash is per-process salted.
     import zlib
 
-    nb2 = max(64, 8 * _cpus())
+    # scale the assemble-group count with the corpus so one group's flat
+    # stream stays ~50M tokens (bounded task memory, and far below the
+    # int32 list-offset ceiling of the output schema)
+    total_tokens = sum(scan["totals"].values())
+    nb2 = max(64, 8 * _cpus(), total_tokens // 50_000_000)
 
     def seq_tag(b: pa.Table) -> pa.Table:
         sid = b["seq_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -599,18 +630,26 @@ def q_pack_emit_by_source(sf_dir: str, seq_len: int = SEQ_LEN) -> pd.DataFrame:
     """Run the FULL packing emit path and checksum the emitted sequences —
     the end-to-end differential for pack_sequences (stats-only geometry
     can't catch a token landing in the wrong sequence)."""
-    seqs = pack_sequences(sf_dir, seq_len=seq_len)
-    agg = (
-        seqs.map_batches(
-            _EmitChkStage(), batch_format="pyarrow", zero_copy_batch=True
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="off_emitq_", dir="/tmp")
+    try:
+        seqs = pack_sequences(sf_dir, seq_len=seq_len, workdir=workdir)
+        agg = (
+            seqs.map_batches(
+                _EmitChkStage(), batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("source")
+            .aggregate(
+                Sum("n_sequences", alias_name="n_sequences"),
+                Sum("chk", alias_name="chk"),
+            )
+            .to_pandas()
         )
-        .groupby("source")
-        .aggregate(
-            Sum("n_sequences", alias_name="n_sequences"),
-            Sum("chk", alias_name="chk"),
-        )
-        .to_pandas()
-    )
+    finally:
+        # the aggregate above consumed the Dataset, so the sidecar is done
+        shutil.rmtree(workdir, ignore_errors=True)
     out = pd.DataFrame(
         {
             "source": agg["source"].astype(str),
