@@ -106,16 +106,45 @@ def estimate_int_sizes(
             # inflate the code width by one bit as a safety margin
             cb = bit_width(k - 1) + (1 if n > m else 0) if k > 1 else 0
             dict_bytes = float(leb128_size(_zz(uniq, 64)).sum())  # upper bound on delta dict
-            sizes[c] = m * cb / 8.0 * scale + dict_bytes
+            # cardinality-growth correction: when the sample has NOT
+            # saturated the vocabulary (distincts are a large fraction of
+            # the sample), true cardinality grows ~linearly with n — an
+            # unscaled dictionary-stream estimate under-prices dict by
+            # ~scale x on hashed/high-cardinality streams and mis-routes
+            # chunks away from bitpack/leb128 (measured 151 KB on one
+            # sf0.01 synth group)
+            growth = scale if k > m // 2 else 1.0
+            sizes[c] = m * cb / 8.0 * scale + dict_bytes * growth
         elif c == "rankdict":
             uniq, counts = _uniq_counts()
             k = len(uniq)
-            # rank payload: counts sorted desc, rank r costs leb128(r) bytes
-            cs = np.sort(counts)[::-1].astype(np.float64)
+            # rank payload: counts sorted desc; the encoder picks canonical
+            # Huffman vs LEB128 for the rank stream per chunk
+            # (core._enc_rankdict), so the estimate must price BOTH and take
+            # the min — a LEB128-only estimate never routes sub-byte-entropy
+            # chunks (web: 6.5 bits/token) to rankdict even though the
+            # Huffman rank stream beats plain LEB128 (measured 372 KB left
+            # on the table at sf0.01)
+            cs = np.sort(counts)[::-1]
+            csf = cs.astype(np.float64)
             rb = leb128_size(np.arange(k, dtype=np.uint64)).astype(np.float64)
+            rank_payload = float(csf @ rb)
+            if k >= 2:
+                from tokenzip.codecs.huffman import huff_lengths
+
+                lens = huff_lengths(cs)
+                # mirror the encoder's header cost model: packed bits +
+                # 4 B/length-histogram entry + ~12 B of JSON key overhead
+                h_est = (
+                    float(csf @ lens.astype(np.float64)) / 8.0
+                    + 4.0 * float(lens.max())
+                    + 12.0
+                )
+                rank_payload = min(rank_payload, h_est)
             dict_bytes = float(leb128_size(_zz(uniq, 64)).sum())
             cb = bit_width(k - 1) + (1 if n > m else 0) if k > 1 else 0
-            sizes[c] = float(cs @ rb) * scale + dict_bytes + k * cb / 8.0
+            growth = scale if k > m // 2 else 1.0
+            sizes[c] = rank_payload * scale + (dict_bytes + k * cb / 8.0) * growth
         elif c == "delta":
             d = np.empty(m, dtype=np.int64)
             d[0] = s[0]
