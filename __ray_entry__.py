@@ -73,7 +73,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_roundtrip_events": _table_roundtrip,
         "mixture_sample_stats": _mixture_stats,
         "decontamination_by_source": _decontam,
+        "distinct_tokens_by_source": _distinct_tokens,
+        "sample_bottomk_by_source": _sample_bottomk,
     }
+
+
+def _sample_bottomk(sf_dir: str):
+    from tokenzip.training import q_sample_bottomk_by_source
+
+    return q_sample_bottomk_by_source(sf_dir)
+
+
+def _distinct_tokens(sf_dir: str):
+    from tokenzip.sketch import q_distinct_tokens_by_source
+
+    return q_distinct_tokens_by_source(sf_dir)
 
 
 def _mixture_stats(sf_dir: str):
@@ -194,6 +208,18 @@ def _decontam_sql() -> str:
     return decontamination_sql()
 
 
+def _distinct_sql(glob: str) -> str:
+    from tokenzip.sketch import distinct_tokens_sql
+
+    return distinct_tokens_sql(glob)
+
+
+def _bottomk_sql(glob: str) -> str:
+    from tokenzip.training import sample_bottomk_sql
+
+    return sample_bottomk_sql(glob)
+
+
 def oracle_sql() -> dict[str, str]:
     from tokenzip import oracles as _O
 
@@ -229,6 +255,12 @@ FROM documents GROUP BY source ORDER BY source
         "mixture_sample_stats": _mixture_sql(glob),
         "decontamination_by_source": _decontam_sql(),
         "lang_id_confusion": _O.lang_id_sql(),
+        # HLL sketch vs exact distinct: the exact column is DuckDB's own
+        # COUNT(DISTINCT); the sketch column is a pinned constant that the
+        # SQL self-audits to within 5% of that exact count (a drifted pin
+        # returns zero rows -> red row count, never a silent match)
+        "distinct_tokens_by_source": _distinct_sql(glob),
+        "sample_bottomk_by_source": _bottomk_sql(glob),
         "media_features_by_source": _O.media_sql(),
         "boundary_roundtrip": _O.boundary_sql(),
         "dedup_minhash": _O.minhash_sql(),

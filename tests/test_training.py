@@ -244,6 +244,25 @@ def test_mixture_sample_matches_duckdb(ray_session):
     assert g.loc["synth", "n_sampled"] < 0.3 * g.loc["synth", "n_docs"]
 
 
+def test_sample_bottomk_matches_duckdb(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import (
+        SAMPLE_K,
+        q_sample_bottomk_by_source,
+        sample_bottomk_sql,
+    )
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_sample_bottomk_by_source(SF)
+    odf = duckdb.sql(sample_bottomk_sql(glob)).df()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+    # every source has >= SAMPLE_K docs at this sf, so the sample is full
+    assert (got["n_kept"] == SAMPLE_K).all()
+    # deterministic under re-run (the salt-hash contract)
+    again = q_sample_bottomk_by_source(SF)
+    pd.testing.assert_frame_equal(got, again)
+
+
 def test_decontamination_matches_duckdb(ray_session):
     from tokenzip.training import (
         decontamination_sql,

@@ -876,6 +876,103 @@ FROM x GROUP BY source ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# Uniform fixed-size sample: deterministic distributed bottom-k by hash
+# ---------------------------------------------------------------------------
+
+# Bernoulli mixture sampling (above) yields a RANDOM-SIZE sample; eval-set
+# carving wants an EXACT-size uniform sample. Bottom-k by a salted md5 of
+# doc_id is the classic distributed answer: each batch keeps its local k
+# smallest hashes (tiny partial rows), one sources-sized groupby keeps the
+# global k — no full sort, no full shuffle, deterministic under
+# re-sharding / retries / resume (same salt-hash contract as the split and
+# mixture rules; salt "smp:" keeps all three rules independent).
+SAMPLE_K = 64
+_SMP_MOD = 10**12  # checksum modulus: 64 * 10^12 < 2^63, overflow-free
+
+
+def _smp_digest(doc_id: str) -> str:
+    return hashlib.md5(("smp:" + doc_id).encode()).hexdigest()
+
+
+class _BottomKPartialStage:
+    """Per-batch per-source local bottom-k rows (source, m, n_tok)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(zero_copy_only=False),
+                "m": [_smp_digest(i) for i in ids],
+                "n_tok": batch["n_tok"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        part = (
+            df.sort_values(["source", "m"])
+            .groupby("source", sort=False)
+            .head(SAMPLE_K)
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+
+def _bottomk_final_group(df: pd.DataFrame) -> pd.DataFrame:
+    kept = df.sort_values("m").head(SAMPLE_K)
+    hv = np.array([int(m[:15], 16) % _SMP_MOD for m in kept["m"]], dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "source": [df["source"].iloc[0]],
+            "n_kept": [len(kept)],
+            "sum_kept_tok": [int(kept["n_tok"].sum())],
+            "hash_sum": [int(hv.sum())],
+        }
+    )
+
+
+def q_sample_bottomk_by_source(sf_dir: str) -> pd.DataFrame:
+    """Exact-size uniform sample audit: per source the SAMPLE_K docs with
+    the smallest salted-md5 hashes, reported as (n_kept, token mass, and a
+    content checksum over the kept hash values)."""
+    paths = _token_paths(sf_dir)
+    out = (
+        _ids_dataset(paths)
+        .map_batches(
+            _BottomKPartialStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("source")
+        .map_groups(_bottomk_final_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["source"] = out["source"].astype(str)
+    return out.astype(
+        {"n_kept": "int64", "sum_kept_tok": "int64", "hash_sum": "int64"}
+    )
+
+
+def sample_bottomk_sql(glob: str) -> str:
+    nib = lambda i: f"(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1)"
+    hv = " + ".join(f"{nib(i + 1)} * {16 ** (14 - i)}" for i in range(15))
+    return f"""
+WITH h AS (
+  SELECT source, CAST(n_tok AS BIGINT) AS n_tok,
+         md5('smp:' || doc_id) AS m
+  FROM read_parquet('{glob}')
+),
+k AS (
+  SELECT * FROM h
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY m) <= {SAMPLE_K}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_kept_tok,
+       CAST(SUM(({hv}) % {_SMP_MOD}) AS BIGINT) AS hash_sum
+FROM k GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Decontamination: n-gram overlap of training docs vs a benchmark set
 # ---------------------------------------------------------------------------
 
