@@ -75,7 +75,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontamination_by_source": _decontam,
         "distinct_tokens_by_source": _distinct_tokens,
         "sample_bottomk_by_source": _sample_bottomk,
+        "seqlen_quantiles_by_source": _seqlen_quantiles,
     }
+
+
+def _seqlen_quantiles(sf_dir: str):
+    from tokenzip.training import q_seqlen_quantiles_by_source
+
+    return q_seqlen_quantiles_by_source(sf_dir)
 
 
 def _sample_bottomk(sf_dir: str):
@@ -220,6 +227,12 @@ def _bottomk_sql(glob: str) -> str:
     return sample_bottomk_sql(glob)
 
 
+def _seqlen_sql(glob: str) -> str:
+    from tokenzip.training import seqlen_quantiles_sql
+
+    return seqlen_quantiles_sql(glob)
+
+
 def oracle_sql() -> dict[str, str]:
     from tokenzip import oracles as _O
 
@@ -261,6 +274,7 @@ FROM documents GROUP BY source ORDER BY source
         # returns zero rows -> red row count, never a silent match)
         "distinct_tokens_by_source": _distinct_sql(glob),
         "sample_bottomk_by_source": _bottomk_sql(glob),
+        "seqlen_quantiles_by_source": _seqlen_sql(glob),
         "media_features_by_source": _O.media_sql(),
         "boundary_roundtrip": _O.boundary_sql(),
         "dedup_minhash": _O.minhash_sql(),

@@ -320,3 +320,41 @@ def test_split_is_pure_row_function():
     hv = [int(hashlib.md5(i.encode()).hexdigest()[:15], 16) for i in ids]
     val = sum(1 for h in hv if h % _SPLIT_DEN == 0)
     assert abs(val / len(ids) - 1 / _SPLIT_DEN) < 0.01
+
+
+def test_seqlen_quantiles_matches_duckdb(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import (
+        q_seqlen_quantiles_by_source,
+        seqlen_quantiles_sql,
+    )
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_seqlen_quantiles_by_source(SF)
+    odf = duckdb.sql(seqlen_quantiles_sql(glob)).df()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+    assert (got["p50"] <= got["p90"]).all()
+    assert (got["p90"] <= got["p99"]).all()
+    assert (got["p99"] <= got["max_tok"]).all()
+
+
+def test_seqlen_quantile_fold_rank_parity():
+    """The histogram fold's integer-ceil rank must equal the rank-ceil
+    element of the explicitly sorted array, including float-hostile sizes
+    (n=10: float CEIL(0.9*10) would pick rank 10, integer math rank 9)."""
+    import numpy as np
+
+    from tokenzip.training import SEQLEN_QUANTILES, _seqlen_quantile_group
+
+    rng = np.random.default_rng(5)
+    for n in (1, 2, 9, 10, 100, 1000, 12345):
+        vals = rng.integers(0, 2**17, n).astype(np.int64)
+        u, c = np.unique(vals, return_counts=True)
+        df = pd.DataFrame({"source": "s", "n_tok": u, "cnt": c})
+        out = _seqlen_quantile_group(df)
+        s = np.sort(vals)
+        for name, num, den in SEQLEN_QUANTILES:
+            rank = (num * n + den - 1) // den
+            assert out[name].iloc[0] == s[rank - 1], (n, name)
+        assert out["max_tok"].iloc[0] == s[-1]
+        assert out["n_docs"].iloc[0] == n

@@ -1173,3 +1173,106 @@ SELECT source,
        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
 FROM x GROUP BY source, split ORDER BY source, split
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length quantiles: exact distributed quantiles over a bounded
+# domain via sparse histogram partials
+# ---------------------------------------------------------------------------
+
+# n_tok is a bounded non-negative int (the corpus caps sequences at 2^17
+# tokens), so EXACT quantiles need no sampling sketch: each batch emits a
+# sparse (source, n_tok, cnt) histogram, one tiny groupby sums per
+# (source, n_tok) — the shuffle is bounded by sources x distinct lengths
+# regardless of corpus size — and the per-source fold walks the cumulative
+# histogram. This is the bounded-domain analog of the reference's static
+# length-keyed lookup tables (/root/reference/src/decode/lookup.rs: index
+# by a small bounded key, fold per bucket).
+#
+# Rank parity with SQL: the q-quantile is the value at 1-based sorted rank
+# ceil(q*n), computed with INTEGER math on both sides ((9n+9)//10, not
+# float CEIL(0.9*n) — 0.9*10 rounds to 9.000000000000002 in IEEE double
+# and would ceil to rank 10).
+SEQLEN_QUANTILES: list[tuple[str, int, int]] = [
+    ("p50", 1, 2),
+    ("p90", 9, 10),
+    ("p99", 99, 100),
+]
+_SEQLEN_MAX = 1 << 32  # domain guard: composite key packs n_tok in 32 bits
+
+
+class _SeqLenHistStage:
+    """Per-batch sparse histogram rows (source, n_tok, cnt)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        nt = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(nt) and (nt.min() < 0 or nt.max() >= _SEQLEN_MAX):
+            raise ValueError("n_tok outside [0, 2^32) — histogram key packs 32 bits")
+        su, sinv = np.unique(src, return_inverse=True)
+        comb = sinv.astype(np.int64) * _SEQLEN_MAX + nt
+        u, cnt = np.unique(comb, return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(su[u // _SEQLEN_MAX].astype(str), pa.string()),
+                "n_tok": pa.array(u % _SEQLEN_MAX),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+
+def _seqlen_quantile_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Fold one source's merged histogram into quantile rows."""
+    g = df.groupby("n_tok")["cnt"].sum().sort_index()
+    vals = g.index.to_numpy(np.int64)
+    cum = np.cumsum(g.to_numpy(np.int64))
+    n = int(cum[-1])
+    out = {"source": [df["source"].iloc[0]], "n_docs": [n]}
+    for name, num, den in SEQLEN_QUANTILES:
+        rank = (num * n + den - 1) // den  # ceil(num*n/den), integer-exact
+        out[name] = [int(vals[int(np.searchsorted(cum, rank))])]
+    out["max_tok"] = [int(vals[-1])]
+    return pd.DataFrame(out)
+
+
+def q_seqlen_quantiles_by_source(sf_dir: str) -> pd.DataFrame:
+    """Exact per-source sequence-length quantiles (p50/p90/p99/max of
+    n_tok) via sparse histogram partials — no sort, no sampling."""
+    paths = _token_paths(sf_dir)
+    out = (
+        _ids_dataset(paths)
+        .map_batches(
+            _SeqLenHistStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["source", "n_tok"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("source")
+        .map_groups(_seqlen_quantile_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["source"] = out["source"].astype(str)
+    cols = ["n_docs"] + [n for n, _, _ in SEQLEN_QUANTILES] + ["max_tok"]
+    return out.astype({c: "int64" for c in cols})
+
+
+def seqlen_quantiles_sql(glob: str) -> str:
+    picks = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN rn = ({num} * n + {den - 1}) // {den} "
+        f"THEN n_tok END) AS BIGINT) AS {name}"
+        for name, num, den in SEQLEN_QUANTILES
+    )
+    return f"""
+WITH o AS (
+  SELECT source, CAST(n_tok AS BIGINT) AS n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM read_parquet('{glob}')
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       {picks},
+       CAST(MAX(n_tok) AS BIGINT) AS max_tok
+FROM o GROUP BY source ORDER BY source
+"""
