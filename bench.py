@@ -54,10 +54,16 @@ def run_bench() -> dict:
     for p in paths:  # warm the page cache: measure compute, not first disk read
         with open(p, "rb") as f:
             f.read()
-    # warm the Ray Data executor + worker pool once (untimed) so the first
-    # timed query doesn't pay cluster spin-up
-    ray.data.read_parquet(paths[:1]).map_batches(
-        lambda b: b.slice(0, 1), batch_format="pyarrow"
+    # warm the Ray Data executor + worker pool once (untimed) with the REAL
+    # encode path: each worker's first encode task pays native-lib load +
+    # malloc arena growth (~0.17 s/worker measured) — spin-up, not steady
+    # state. One 64-row batch per CPU touches (nearly) every worker.
+    import pyarrow.parquet as _pq
+    from tokenzip.pipeline import _encode_fn
+
+    _wt = _pq.read_table(paths[0]).slice(0, 64)
+    ray.data.from_arrow([_wt] * ncpu).map_batches(
+        _encode_fn, batch_format="pyarrow", zero_copy_batch=True
     ).count()
 
     out_dir = os.path.join("/tmp/tokenzip_bench", os.path.basename(os.path.normpath(sf_dir)))

@@ -143,10 +143,22 @@ def main(argv: list[str] | None = None) -> int:
             decompress_table(args.out_dir).write_parquet(args.restored_dir)
             print(json.dumps({"rows": "written", "dir": args.restored_dir}))
         elif args.cmd == "pack":
+            import shutil
+            import tempfile
+
             from tokenzip.training import pack_sequences
 
-            ds = pack_sequences(args.sf_dir, seq_len=args.seq_len)
-            ds.write_parquet(args.out_dir)
+            # own the offset-sidecar workdir so repeated CLI runs don't
+            # accumulate unbounded /tmp scratch (the returned Dataset is
+            # lazy, so pack_sequences itself can't self-clean)
+            workdir = tempfile.mkdtemp(prefix="tokenzip_pack_cli_")
+            try:
+                ds = pack_sequences(
+                    args.sf_dir, seq_len=args.seq_len, workdir=workdir
+                )
+                ds.write_parquet(args.out_dir)
+            finally:
+                shutil.rmtree(workdir, ignore_errors=True)
             print(json.dumps({"dir": args.out_dir, "seq_len": args.seq_len}))
     finally:
         ray.shutdown()

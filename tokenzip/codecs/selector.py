@@ -128,15 +128,18 @@ def estimate_int_sizes(
             cs = np.sort(counts)[::-1]
             csf = cs.astype(np.float64)
             rb = leb128_size(np.arange(k, dtype=np.uint64)).astype(np.float64)
-            rank_payload = float(csf @ rb)
+            # scale each candidate's PAYLOAD only; the Huffman header
+            # (4 B/length-histogram entry + ~12 B JSON overhead) is a
+            # per-chunk constant — folding it in before * scale extrapolates
+            # the header by the sample ratio and overprices rankdict on
+            # large chunks
+            rank_payload = float(csf @ rb) * scale
             if k >= 2:
                 from tokenzip.codecs.huffman import huff_lengths
 
                 lens = huff_lengths(cs)
-                # mirror the encoder's header cost model: packed bits +
-                # 4 B/length-histogram entry + ~12 B of JSON key overhead
                 h_est = (
-                    float(csf @ lens.astype(np.float64)) / 8.0
+                    float(csf @ lens.astype(np.float64)) / 8.0 * scale
                     + 4.0 * float(lens.max())
                     + 12.0
                 )
@@ -144,7 +147,7 @@ def estimate_int_sizes(
             dict_bytes = float(leb128_size(_zz(uniq, 64)).sum())
             cb = bit_width(k - 1) + (1 if n > m else 0) if k > 1 else 0
             growth = scale if k > m // 2 else 1.0
-            sizes[c] = rank_payload * scale + (dict_bytes + k * cb / 8.0) * growth
+            sizes[c] = rank_payload + (dict_bytes + k * cb / 8.0) * growth
         elif c == "delta":
             d = np.empty(m, dtype=np.int64)
             d[0] = s[0]

@@ -188,7 +188,10 @@ def compress_table(
     from tokenzip.pipeline import _compress_setup
 
     # 'frag'/'path' are the pipeline's provenance columns — refuse inputs
-    # that collide rather than silently dropping or shadowing user data
+    # that collide rather than silently dropping or shadowing user data.
+    # Fast driver-side fail on the first file; a LATER file smuggling the
+    # reserved column is caught distributed by _add_frag's per-batch guard
+    # ('path' collisions surface as read_parquet(include_paths=True) errors).
     sch = pq.ParquetFile(input_paths[0]).schema_arrow
     for reserved in ("frag", "path"):
         if reserved in sch.names:

@@ -203,7 +203,13 @@ def _group_offsets(g: pd.DataFrame, bases: dict):
     seg_base = np.repeat(csum[starts], ends - starts)
     off = csum[:-1] - seg_base
     for lo, hi, s in zip(starts, ends, src[starts]):
-        off[lo:hi] += bases["bases"].get((s, bkt), 0)
+        base = bases["bases"].get((s, bkt))
+        if base is None:
+            # phase A and phase B disagree (e.g. input files mutated between
+            # the two scans): fail loudly — a silent 0 base would pack every
+            # doc in the bucket at offset 0 (mirrors the sidecar KeyError)
+            raise KeyError(f"no phase-A base for (source={s!r}, bucket={bkt})")
+        off[lo:hi] += base
     return src, ids, ntok, off, starts, ends
 
 
@@ -393,6 +399,16 @@ class _PieceEmitStage:
         src = batch["source"].to_numpy(zero_copy_only=False)
         lengths, flat = _tokens_parts(batch["tokens"])
         ntok = lengths.astype(np.int64)
+        # the sidecar offsets were computed from the n_tok COLUMN; the piece
+        # geometry below uses the actual list lengths — a disagreement would
+        # emit overlapping/gapped pieces silently, so fail at the source
+        ntok_col = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not np.array_equal(ntok, ntok_col):
+            bad = int(np.flatnonzero(ntok != ntok_col)[0])
+            raise ValueError(
+                f"n_tok column disagrees with tokens list length at "
+                f"doc_id={ids[bad]!r}: {ntok_col[bad]} != {ntok[bad]}"
+            )
         bkts = _bucket_of(ids, self.bounds)
         off = np.empty(len(ids), np.int64)
         for b in np.unique(bkts):
