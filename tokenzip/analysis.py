@@ -69,7 +69,9 @@ def _hash_key_rows(batch: pa.Table) -> pa.Table:
     """(md5(text), zero-padded-doc_id|source) rows: Min over the composite
     key inside the hash groupby picks the kept row AND carries its source —
     one aggregate instead of a map_groups."""
-    h = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+    from tokenzip.hashutil import md5_hex_str
+
+    h = md5_hex_str(batch["text"])  # one C pass over the flat UTF-8 buffer
     ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     # the zero-padded composite key sorts correctly only for non-negative
     # ids (int64 max is 19 digits, so 20 digits always fit); negative ids
@@ -1450,35 +1452,80 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     )
 
 
-def simhash60(text: str, _cache: dict | None = None) -> int:
-    """60-bit SimHash over DISTINCT words; word hash = first 15 hex nibbles
-    of md5(word) (an int64-safe value DuckDB recomputes with strpos
-    arithmetic)."""
-    import hashlib as hl
+def simhash60_batch(col) -> np.ndarray:
+    """60-bit SimHash per doc over DISTINCT words for a whole Arrow string
+    column; word hash = first 15 hex nibbles of md5(word) (int64-safe, the
+    SQL oracle rebuilds the exact value with strpos arithmetic). Fully
+    vectorized: word spans over the column's flat UTF-8 buffer (split-on-' '
+    semantics — consecutive spaces yield empty words, matching
+    ``text.split(' ')``), ONE batch C md5 pass over all word occurrences
+    (hashutil.md5_spans), per-doc distinctness by the full 128-bit digest
+    (== distinct-by-word: a real md5 collision inside one doc is
+    cryptographically impossible), per-(doc, bit) counts via
+    np.add.reduceat. Replaces the per-doc/per-word hashlib loop."""
+    from tokenzip.hashutil import md5_spans, str_column_spans
 
-    words = set(text.split(" "))
-    hs = np.empty(len(words), dtype=np.uint64)
-    for i, w in enumerate(words):
-        h = None if _cache is None else _cache.get(w)
-        if h is None:
-            h = int(hl.md5(w.encode()).hexdigest()[:15], 16)
-            if _cache is not None:
-                _cache[w] = h
-        hs[i] = h
-    bits = (hs[:, None] >> np.arange(_SH_BITS, dtype=np.uint64)) & np.uint64(1)
-    score = bits.sum(axis=0, dtype=np.int64) * 2 - len(hs)
-    return int(((score > 0).astype(np.uint64) << np.arange(_SH_BITS, dtype=np.uint64)).sum())
+    flat, dstart, dend = str_column_spans(col)
+    nd = len(dstart)
+    if nd == 0:
+        return np.empty(0, dtype=np.uint64)
+    base = int(dstart[0])
+    seg = flat[base : int(dend[-1])]
+    doc_start = dstart - base  # rebased, contiguous column => dend[i]==dstart[i+1]
+    doc_end = dend - base
+    # word boundaries: a word starts at each doc start and after each space
+    sp = np.flatnonzero(seg == 32)
+    sp_doc = np.searchsorted(doc_start, sp, side="right") - 1
+    n_words = np.bincount(sp_doc, minlength=nd).astype(np.int64) + 1
+    w_off = np.zeros(nd + 1, np.int64)
+    np.cumsum(n_words, out=w_off[1:])
+    m = int(w_off[-1])
+    ws = np.empty(m, np.int64)
+    ws[w_off[:-1]] = doc_start
+    if len(sp):
+        first_sp = np.zeros(nd, np.int64)
+        np.cumsum(np.bincount(sp_doc, minlength=nd)[:-1], out=first_sp[1:])
+        rank = np.arange(len(sp), dtype=np.int64) - first_sp[sp_doc]
+        ws[w_off[sp_doc] + 1 + rank] = sp + 1
+    we = np.empty_like(ws)
+    we[:-1] = ws[1:] - 1
+    we[w_off[1:] - 1] = doc_end  # last word of each doc ends at doc end
+
+    dig = md5_spans(seg, ws, we)  # (m, 16) digests, one per word OCCURRENCE
+    d2 = dig.view(np.uint64).reshape(m, 2)  # raw 128-bit keys for dedup
+    doc_of_w = np.repeat(np.arange(nd, dtype=np.int64), n_words)
+    order = np.lexsort((d2[:, 1], d2[:, 0], doc_of_w))
+    ds_, k0, k1 = doc_of_w[order], d2[order, 0], d2[order, 1]
+    keep = np.ones(m, dtype=bool)
+    if m > 1:
+        keep[1:] = (ds_[1:] != ds_[:-1]) | (k0[1:] != k0[:-1]) | (k1[1:] != k1[:-1])
+    dd = dig[order][keep]
+    ds_ = ds_[keep]
+    from tokenzip.hashutil import digests_hi60
+
+    hs = digests_hi60(dd).view(np.uint64)
+    u_off = np.zeros(nd + 1, np.int64)
+    np.cumsum(np.bincount(ds_, minlength=nd), out=u_off[1:])
+    shifts = np.arange(_SH_BITS, dtype=np.uint64)
+    bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+    cnt = np.add.reduceat(bits, u_off[:-1], axis=0)  # (nd, 60)
+    n_distinct = np.diff(u_off)
+    score = 2 * cnt - n_distinct[:, None]
+    return ((score > 0).astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+
+
+def simhash60(text: str) -> int:
+    """Single-doc convenience wrapper over the vectorized batch hasher."""
+    return int(simhash60_batch(pa.array([text], pa.string()))[0])
 
 
 class _SimHashStage:
     """Per-doc simhash -> one row per (primary band, sub-band) bucket:
     (bkt, bkey, band_val, doc_id, simhash) — 16 tiny rows per doc, where
     bkt hash-buckets the (bkey, band_val) key space down to a bounded
-    shuffle-group count (see _lsh_n_buckets). Word-hash cache is per worker
-    (vocabulary is tiny vs corpus)."""
+    shuffle-group count (see _lsh_n_buckets)."""
 
     def __init__(self, nb: int = 256):
-        self.cache: dict = {}
         self.nb = np.uint64(nb - 1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1486,10 +1533,7 @@ class _SimHashStage:
         # a = -1 is the intra-cluster sentinel; oracle modulo needs ids >= 0
         if len(ids) and int(ids.min()) < 0:
             raise ValueError("dedup_simhash requires non-negative doc_id")
-        hs = np.array(
-            [simhash60(t, self.cache) for t in batch["text"].to_pylist()],
-            dtype=np.uint64,
-        )
+        hs = simhash60_batch(batch["text"])
         n = len(ids)
         band_w = _SH_BITS // _SH_BANDS
         chunks = np.stack(

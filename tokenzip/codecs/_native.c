@@ -642,3 +642,117 @@ int64_t tz_huff_dec_u32(const uint8_t *in, int64_t nbytes, int64_t n,
     }
     return 0;
 }
+
+/* ---------------------------------------------------------------------------
+ * Batch MD5 (RFC 1321, public spec) over variable-length spans of one flat
+ * byte buffer, each optionally prefixed by a constant salt. Replaces the
+ * per-row Python hashlib loops in the split/mixture/bottom-k partials and
+ * the simhash word hasher (the oracles pin md5, so the hash itself cannot
+ * change — only where it runs). K table = floor(abs(sin(i+1)) * 2^32)
+ * (RFC 1321 §3.4), hardcoded so the build needs no libm.
+ * ------------------------------------------------------------------------- */
+
+static const uint32_t TZ_MD5_K[64] = {
+    0xd76aa478, 0xe8c7b756, 0x242070db, 0xc1bdceee,
+    0xf57c0faf, 0x4787c62a, 0xa8304613, 0xfd469501,
+    0x698098d8, 0x8b44f7af, 0xffff5bb1, 0x895cd7be,
+    0x6b901122, 0xfd987193, 0xa679438e, 0x49b40821,
+    0xf61e2562, 0xc040b340, 0x265e5a51, 0xe9b6c7aa,
+    0xd62f105d, 0x02441453, 0xd8a1e681, 0xe7d3fbc8,
+    0x21e1cde6, 0xc33707d6, 0xf4d50d87, 0x455a14ed,
+    0xa9e3e905, 0xfcefa3f8, 0x676f02d9, 0x8d2a4c8a,
+    0xfffa3942, 0x8771f681, 0x6d9d6122, 0xfde5380c,
+    0xa4beea44, 0x4bdecfa9, 0xf6bb4b60, 0xbebfbc70,
+    0x289b7ec6, 0xeaa127fa, 0xd4ef3085, 0x04881d05,
+    0xd9d4d039, 0xe6db99e5, 0x1fa27cf8, 0xc4ac5665,
+    0xf4292244, 0x432aff97, 0xab9423a7, 0xfc93a039,
+    0x655b59c3, 0x8f0ccc92, 0xffeff47d, 0x85845dd1,
+    0x6fa87e4f, 0xfe2ce6e0, 0xa3014314, 0x4e0811a1,
+    0xf7537e82, 0xbd3af235, 0x2ad7d2bb, 0xeb86d391,
+};
+
+static const uint8_t TZ_MD5_S[64] = {
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5,  9, 14, 20, 5,  9, 14, 20, 5,  9, 14, 20, 5,  9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21,
+};
+
+typedef struct {
+    uint32_t a, b, c, d;
+    uint64_t len;       /* total message bytes so far */
+    uint8_t buf[64];
+    int buflen;
+} tz_md5_ctx;
+
+static void tz_md5_block(tz_md5_ctx *cx, const uint8_t *p) {
+    uint32_t m[16];
+    for (int i = 0; i < 16; i++)
+        m[i] = (uint32_t)p[4 * i] | ((uint32_t)p[4 * i + 1] << 8) |
+               ((uint32_t)p[4 * i + 2] << 16) | ((uint32_t)p[4 * i + 3] << 24);
+    uint32_t a = cx->a, b = cx->b, c = cx->c, d = cx->d;
+    for (int i = 0; i < 64; i++) {
+        uint32_t f, g;
+        if (i < 16)      { f = (b & c) | (~b & d);  g = (uint32_t)i; }
+        else if (i < 32) { f = (d & b) | (~d & c);  g = (5u * i + 1) & 15u; }
+        else if (i < 48) { f = b ^ c ^ d;           g = (3u * i + 5) & 15u; }
+        else             { f = c ^ (b | ~d);        g = (7u * i) & 15u; }
+        f += a + TZ_MD5_K[i] + m[g];
+        a = d; d = c; c = b;
+        b += (f << TZ_MD5_S[i]) | (f >> (32 - TZ_MD5_S[i]));
+    }
+    cx->a += a; cx->b += b; cx->c += c; cx->d += d;
+}
+
+static void tz_md5_init(tz_md5_ctx *cx) {
+    cx->a = 0x67452301u; cx->b = 0xefcdab89u;
+    cx->c = 0x98badcfeu; cx->d = 0x10325476u;
+    cx->len = 0; cx->buflen = 0;
+}
+
+static void tz_md5_update(tz_md5_ctx *cx, const uint8_t *p, int64_t n) {
+    cx->len += (uint64_t)n;
+    if (cx->buflen) {
+        int want = 64 - cx->buflen;
+        if (n < want) {
+            for (int64_t i = 0; i < n; i++) cx->buf[cx->buflen + i] = p[i];
+            cx->buflen += (int)n;
+            return;
+        }
+        for (int i = 0; i < want; i++) cx->buf[cx->buflen + i] = p[i];
+        tz_md5_block(cx, cx->buf);
+        p += want; n -= want; cx->buflen = 0;
+    }
+    while (n >= 64) { tz_md5_block(cx, p); p += 64; n -= 64; }
+    for (int64_t i = 0; i < n; i++) cx->buf[i] = p[i];
+    cx->buflen = (int)n;
+}
+
+static void tz_md5_final(tz_md5_ctx *cx, uint8_t out[16]) {
+    uint64_t bits = cx->len << 3;
+    uint8_t pad = 0x80;
+    tz_md5_update(cx, &pad, 1);
+    uint8_t z = 0;
+    while (cx->buflen != 56) tz_md5_update(cx, &z, 1);
+    uint8_t lb[8]; /* bits was captured before padding, so cx->len drift
+                      from the pad bytes is irrelevant from here on */
+    for (int i = 0; i < 8; i++) lb[i] = (uint8_t)(bits >> (8 * i));
+    tz_md5_update(cx, lb, 8);
+    uint32_t st[4] = {cx->a, cx->b, cx->c, cx->d};
+    for (int i = 0; i < 4; i++)
+        for (int j = 0; j < 4; j++) out[4 * i + j] = (uint8_t)(st[i] >> (8 * j));
+}
+
+/* n digests: span i = buf[starts[i], ends[i]), each prefixed by
+ * pfx[0..pfx_len). out = 16 bytes per span. */
+void tz_md5_spans(const uint8_t *pfx, int64_t pfx_len, const uint8_t *buf,
+                  const int64_t *starts, const int64_t *ends, int64_t n,
+                  uint8_t *out) {
+    for (int64_t i = 0; i < n; i++) {
+        tz_md5_ctx cx;
+        tz_md5_init(&cx);
+        if (pfx_len) tz_md5_update(&cx, pfx, pfx_len);
+        tz_md5_update(&cx, buf + starts[i], ends[i] - starts[i]);
+        tz_md5_final(&cx, out + 16 * i);
+    }
+}

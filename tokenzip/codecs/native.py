@@ -562,3 +562,42 @@ def native_huff_decode(
         out.ctypes.data,
     )
     return int(rc), out
+
+
+def _bind_md5() -> None:
+    if LIB is None:
+        return
+    import ctypes as ct
+
+    i64, vp = ct.c_int64, ct.c_void_p
+    LIB.tz_md5_spans.restype = None
+    LIB.tz_md5_spans.argtypes = [vp, i64, vp, vp, vp, i64, vp]
+
+
+_bind_md5()
+
+
+def native_md5_spans(
+    prefix: bytes, buf: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> np.ndarray | None:
+    """Batch MD5 (RFC 1321): digest i = md5(prefix + buf[starts[i]:ends[i]]).
+    Returns an (n, 16) uint8 digest matrix, or None when native kernels are
+    unavailable (callers fall back to hashlib)."""
+    if LIB is None or buf.dtype != np.dtype(np.uint8):
+        return None
+    n = len(starts)
+    out = np.empty((n, 16), dtype=np.uint8)
+    pfx = np.frombuffer(prefix, dtype=np.uint8) if prefix else None
+    buf_c = np.ascontiguousarray(buf)
+    starts_c = np.ascontiguousarray(starts, dtype=np.int64)
+    ends_c = np.ascontiguousarray(ends, dtype=np.int64)
+    LIB.tz_md5_spans(
+        pfx.ctypes.data if pfx is not None else None,
+        len(prefix),
+        buf_c.ctypes.data,
+        starts_c.ctypes.data,
+        ends_c.ctypes.data,
+        n,
+        out.ctypes.data,
+    )
+    return out

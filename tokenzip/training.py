@@ -801,12 +801,13 @@ class _MixturePartialStage:
     partials under the md5 mixture rule."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
+        from tokenzip.hashutil import md5_hi60_str
+
         ntok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
         src = batch["source"].to_numpy(zero_copy_only=False)
-        hv = np.fromiter(
-            (_mix_hash(i) for i in ids), dtype=np.int64, count=len(ids)
-        )
+        # one C md5 pass over the column's flat UTF-8 buffer — the md5 rule
+        # is oracle-pinned, only WHERE it runs changed (was a per-row loop)
+        hv = md5_hi60_str(batch["doc_id"], b"mix:")
         thr = np.array(
             [int(MIX_WEIGHTS.get(s, 1.0) * _MIX_DEN) for s in src], dtype=np.int64
         )
@@ -814,7 +815,7 @@ class _MixturePartialStage:
         df = pd.DataFrame(
             {
                 "source": src,
-                "n": np.ones(len(ids), np.int64),
+                "n": np.ones(len(hv), np.int64),
                 "k": keep.astype(np.int64),
                 "tok": ntok,
                 "ktok": np.where(keep, ntok, 0),
@@ -914,11 +915,12 @@ class _BottomKPartialStage:
     """Per-batch per-source local bottom-k rows (source, m, n_tok)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
+        from tokenzip.hashutil import md5_hex_str
+
         df = pd.DataFrame(
             {
                 "source": batch["source"].to_numpy(zero_copy_only=False),
-                "m": [_smp_digest(i) for i in ids],
+                "m": md5_hex_str(batch["doc_id"], b"smp:"),
                 "n_tok": batch["n_tok"]
                 .to_numpy(zero_copy_only=False)
                 .astype(np.int64),
@@ -1119,23 +1121,17 @@ class _SplitPartialStage:
     anything derived from block or row position)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
+        from tokenzip.hashutil import md5_hi60_str
+
         ntok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
         src = batch["source"].to_numpy(zero_copy_only=False)
-        hv = np.fromiter(
-            (
-                int(hashlib.md5(i.encode()).hexdigest()[:15], 16)
-                for i in ids
-            ),
-            dtype=np.int64,
-            count=len(ids),
-        )
+        hv = md5_hi60_str(batch["doc_id"])  # batch C md5, oracle-identical
         is_val = (hv % _SPLIT_DEN) == 0
         df = pd.DataFrame(
             {
                 "source": src,
                 "split": np.where(is_val, "val", "train"),
-                "n": np.ones(len(ids), np.int64),
+                "n": np.ones(len(hv), np.int64),
                 "tok": ntok,
             }
         )
