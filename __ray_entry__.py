@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_by_source": _media_features,
         "embedding_topk_ivf": a.q_embedding_topk_ivf,
         "dedup_embedding": a.q_dedup_embedding,
+        "dedup_embedding_ivf": a.q_dedup_embedding_ivf,
         "dedup_jaccard": a.q_dedup_jaccard,
         "events_window_agg": _events_window_agg,
         "events_asof_orders": _events_asof_orders,
@@ -300,6 +301,9 @@ SELECT CAST(10 AS BIGINT) AS k, CAST(3 AS BIGINT) AS n_probe,
         # embedding-cosine near-dup: pairs with cos >= 2/5 in float64 on
         # both engines (shared builder — also used by tests/test_analysis.py)
         "dedup_embedding": _O.embedding_dedup_sql(),
+        # IVF-bucketed scale path: self-auditing pin — DuckDB recomputes
+        # the exact pair set and gates the pinned found constants on it
+        "dedup_embedding_ivf": _O.embedding_dedup_ivf_sql(),
         "roundtrip_by_source": f"""
 WITH tok AS (
   SELECT doc_id, CAST(SUM(CAST(t AS BIGINT)) AS BIGINT) AS tv

@@ -354,3 +354,64 @@ def test_jaccard_exact_agrees_with_minhash_and_oracle(ray_session, tmp_path):
     assert int(ja["n_dup_pairs"].iloc[0]) > 0
     pd.testing.assert_frame_equal(ja, exp, check_dtype=False)
     pd.testing.assert_frame_equal(mh, exp, check_dtype=False)
+
+
+def test_dedup_embedding_ivf_planted(ray_session, tmp_path):
+    """IVF-bucketed near-dup on planted clusters: near-identical vectors
+    land in the same coarse bucket, so the scale path must find EVERY
+    planted pair (recall 10000 here), count each exactly once despite
+    multi-assignment (found <= exact always), and the checksum must be the
+    exact query's checksum when recall is total."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokenzip.analysis import q_dedup_embedding, q_dedup_embedding_ivf
+
+    rng = np.random.default_rng(0)
+    dim = 64  # high enough that random noise pairs stay below tau=0.4
+    vecs, ids = [], []
+    vid = 0
+    for c in range(4):  # 4 tight clusters of 5
+        base = rng.normal(size=dim) * 3
+        for _ in range(5):
+            vecs.append(base + rng.normal(scale=0.01, size=dim))
+            ids.append(vid)
+            vid += 1
+    for _ in range(40):
+        vecs.append(rng.normal(size=dim))
+        ids.append(vid)
+        vid += 1
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    exact = q_dedup_embedding(str(tmp_path), tau=(2, 5))
+    got = q_dedup_embedding_ivf(
+        str(tmp_path), tau=(2, 5), n_clusters=4, n_assign=2
+    ).reset_index(drop=True)
+    assert int(got["n_vecs"].iloc[0]) == len(ids)  # primary rows count once
+    n_exact = int(exact["n_dup_pairs"].iloc[0])
+    assert n_exact == 40  # exactly the planted C(5,2) x 4 pairs
+    assert int(got["n_dup_exact"].iloc[0]) == n_exact
+    found = int(got["n_dup_found"].iloc[0])
+    assert found <= n_exact  # primary-ownership rule: no double counting
+    # tight planted clusters co-locate: full recall, identical checksum
+    assert found == n_exact
+    assert int(got["recall_pct_x100"].iloc[0]) == 10000
+    assert int(got["pair_checksum_found"].iloc[0]) == int(
+        exact["pair_checksum"].iloc[0]
+    )
+    # deterministic under re-run (retry-safety)
+    again = q_dedup_embedding_ivf(
+        str(tmp_path), tau=(2, 5), n_clusters=4, n_assign=2
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, again)

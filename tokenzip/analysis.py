@@ -257,6 +257,32 @@ class _IVFStage:
 _IVF_TRAIN_ROWS = 65_536  # k-means training sample cap (first row groups)
 
 
+def _train_centroids(path: str, n_clusters: int) -> np.ndarray:
+    """Seeded k-means (4 Lloyd iterations) on a BOUNDED sample (first row
+    groups up to _IVF_TRAIN_ROWS rows — at 100 TB this reads a fixed number
+    of row groups, never the table). Deterministic: fixed seed + float64."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    parts, have = [], 0
+    for rg in range(f.num_row_groups):
+        parts.append(f.read_row_group(rg, columns=["embedding"]))
+        have += parts[-1].num_rows
+        if have >= _IVF_TRAIN_ROWS:
+            break
+    head = pa.concat_tables(parts).slice(0, _IVF_TRAIN_ROWS)
+    emb = _emb_matrix(head["embedding"])
+    rng = np.random.default_rng(42)
+    cent = emb[rng.choice(len(emb), size=min(n_clusters, len(emb)), replace=False)]
+    for _ in range(4):  # seeded Lloyd iterations (deterministic)
+        assign = np.argmax(emb @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = emb[m].mean(axis=0)
+    return cent
+
+
 def q_embedding_topk_ivf(sf_dir: str, k: int = 10, n_clusters: int = 8, n_probe: int = 3):
     """IVF-bucketed approximate top-k + recall vs the brute-force result.
     Seeded k-means (4 Lloyd iterations) trains centroids on a BOUNDED sample
@@ -268,25 +294,8 @@ def q_embedding_topk_ivf(sf_dir: str, k: int = 10, n_clusters: int = 8, n_probe:
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    f = pq.ParquetFile(path)
-    parts, have = [], 0
-    for rg in range(f.num_row_groups):
-        parts.append(f.read_row_group(rg, columns=["embedding"]))
-        have += parts[-1].num_rows
-        if have >= _IVF_TRAIN_ROWS:
-            break
-    head = pa.concat_tables(parts).slice(0, _IVF_TRAIN_ROWS)
-    emb = _emb_matrix(head["embedding"])
+    cent = _train_centroids(path, n_clusters)
     qv = _fetch_query_vector(path)
-
-    rng = np.random.default_rng(42)
-    cent = emb[rng.choice(len(emb), size=min(n_clusters, len(emb)), replace=False)]
-    for _ in range(4):  # seeded Lloyd iterations (deterministic)
-        assign = np.argmax(emb @ cent.T, axis=1)
-        for c in range(len(cent)):
-            m = assign == c
-            if m.any():
-                cent[c] = emb[m].mean(axis=0)
     qn = qv / np.linalg.norm(qv)
     probe_ids = np.argsort(-(cent @ qn))[:n_probe]
 
@@ -403,6 +412,161 @@ def q_dedup_embedding(sf_dir: str, tau=(2, 5)):
             }
         ]
     )
+
+
+class _IVFAssignStage:
+    """Scale-path near-dup stage 1: assign each vector to its ``n_assign``
+    nearest coarse centroids (broadcast once per actor — C x d, tiny) and
+    emit one row per (cluster, vector) replica carrying the NORMALIZED
+    embedding. The shuffle that follows moves each vector exactly
+    ``n_assign`` times — never a full-matrix broadcast; bucket sizes are
+    bounded by n/C (choose C ~ sqrt(n) at scale), the same inverted-file
+    layout as _IVFStage."""
+
+    def __init__(self, centroids_ref, n_assign: int):
+        self.cent = _bget(centroids_ref)
+        self.p = n_assign
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _emb_matrix(batch["embedding"])
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        if n and int(ids.min()) < 0:
+            raise ValueError("dedup_embedding_ivf requires non-negative vec_id")
+        if n == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int32()),
+                    "is_primary": pa.array([], pa.int8()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        norms = np.linalg.norm(emb, axis=1)
+        emb = emb / np.where(norms == 0, 1.0, norms)[:, None]
+        p = min(self.p, len(self.cent))
+        sim = emb @ self.cent.T
+        # top-p clusters per vector, deterministic ties by cluster index
+        near = np.argsort(-sim, axis=1, kind="stable")[:, :p]  # (n, p)
+        dim = emb.shape[1]
+        rep = emb[np.repeat(np.arange(n), p)]
+        flat = rep.reshape(-1)
+        offs = np.arange(n * p + 1, dtype=np.int64) * dim
+        v = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int64()).cast(pa.int32()),
+            pa.array(flat, pa.float64()),
+        )
+        return pa.table(
+            {
+                "cluster": pa.array(near.reshape(-1).astype(np.int32), pa.int32()),
+                "is_primary": pa.array(
+                    (np.tile(np.arange(p), n) == 0).astype(np.int8), pa.int8()
+                ),
+                "vec_id": pa.array(np.repeat(ids, p), pa.int64()),
+                "v": v,
+            }
+        )
+
+
+def _ivf_bucket_pairs(tau: float):
+    """Within-bucket exact all-pairs verify. A pair (a < b) is counted ONLY
+    in a's PRIMARY cluster — multi-assignment replicates vectors across
+    buckets, so without this ownership rule a pair co-located in two
+    buckets would double count. Recall = P(primary(a) is among b's
+    n_assign nearest centroids) — exact inside a bucket."""
+
+    def fn(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "n_primary": pa.array([0], pa.int64()),
+                    "n_dup": pa.array([0], pa.int64()),
+                    "chk": pa.array([0], pa.int64()),
+                }
+            )
+        prim = g["is_primary"].to_numpy(zero_copy_only=False).astype(bool)
+        M = _emb_matrix(g["v"])
+        cos = M @ M.T
+        mask = (cos >= tau) & (ids[None, :] > ids[:, None]) & prim[:, None]
+        r, c = np.nonzero(mask)
+        am = ids % _PAIR_MOD
+        chk = int(((am[r] * _PAIR_K % _PAIR_MOD + am[c]) % _PAIR_MOD).sum() % _PAIR_MOD)
+        return pa.table(
+            {
+                "n_primary": pa.array([int(prim.sum())], pa.int64()),
+                "n_dup": pa.array([len(r)], pa.int64()),
+                "chk": pa.array([chk], pa.int64()),
+            }
+        )
+
+    return fn
+
+
+# IVF near-dup pins: the FOUND side of the recall audit at the oracle scale
+# (sf0.01 embeddings table, default parameters). Deterministic (fixed corpus,
+# seeded k-means, float64); the SQL oracle recomputes the EXACT pair set
+# itself and only emits these constants when that exact count matches
+# `exact`, so corpus/codec drift turns the row red instead of silently
+# green. Regenerate with `python -m tokenzip pins`.
+EMB_DEDUP_IVF_PIN = {"exact": 59, "found": 52, "chk": 458042780}
+
+
+def q_dedup_embedding_ivf(
+    sf_dir: str,
+    tau=(2, 5),
+    n_clusters: int = 4,
+    n_assign: int = 3,
+    audit: bool = True,
+):
+    """Embedding-cosine near-dup, IVF-bucketed (the 100-TB scale path of
+    q_dedup_embedding): coarse centroids trained on a bounded sample and
+    broadcast; each vector shuffled to its ``n_assign`` nearest-centroid
+    buckets; exact all-pairs verify WITHIN buckets with primary-bucket pair
+    ownership (no double counting). Nothing broadcasts the corpus and no
+    stage is quadratic beyond a bucket (bound buckets by n/C; C ~ sqrt(n)
+    at scale).
+
+    ``audit=True`` additionally runs the exact all-pairs query and reports
+    recall — the oracle-scale audit (run audit=False, or audit a sampled
+    slice, at corpus scale). Returns one row: (n_vecs, n_dup_exact,
+    n_dup_found, pair_checksum_found, recall_pct_x100)."""
+    num, den = tau
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    cent = _train_centroids(path, n_clusters)
+    cent_ref = _bcast(cent)
+
+    parts = (
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(
+            _IVFAssignStage,
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=max(2, _default_concurrency() // 2),
+            fn_constructor_kwargs={"centroids_ref": cent_ref, "n_assign": n_assign},
+        )
+        .groupby("cluster")
+        .map_groups(_ivf_bucket_pairs(num / den), batch_format="pyarrow")
+        .sum(["n_primary", "n_dup", "chk"])
+    ) or {"sum(n_primary)": 0, "sum(n_dup)": 0, "sum(chk)": 0}
+    n_vecs = int(parts["sum(n_primary)"] or 0)
+    found = int(parts["sum(n_dup)"] or 0)
+    chk = int(parts["sum(chk)"] or 0) % _PAIR_MOD
+    row = {
+        "n_vecs": n_vecs,
+        "n_dup_found": found,
+        "pair_checksum_found": chk,
+    }
+    if audit:
+        exact = int(q_dedup_embedding(sf_dir, tau)["n_dup_pairs"].iloc[0])
+        row["n_dup_exact"] = exact
+        row["recall_pct_x100"] = (10000 * found) // exact if exact else 10000
+    return pd.DataFrame([row])[
+        ["n_vecs", "n_dup_exact", "n_dup_found", "pair_checksum_found",
+         "recall_pct_x100"]
+        if audit
+        else ["n_vecs", "n_dup_found", "pair_checksum_found"]
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -1323,9 +1487,11 @@ def q_dedup_jaccard(sf_dir: str, threshold=(7, 10)):
 
     Scale note (SURVEY §4.2): the inverted-index join is quadratic in
     document frequency (a k-clone cluster costs O(k^2) pairs per shared
-    gram — inherent to EXACT Jaccard, the oracle pays it too), and the
-    per-doc count table is broadcast (n_docs x 16 B). Use dedup_minhash at
-    corpus scale; this query is the ground truth.
+    gram — inherent to EXACT Jaccard, the oracle pays it too). Use
+    dedup_minhash at corpus scale; this query is the ground truth. Nothing
+    touches the driver at O(n_docs): per-doc set sizes flow through the
+    same hash-bucketed join as the postings (pair half-rows keyed by each
+    side's doc bucket), and the doc totals are a distributed sum.
     Returns one row: (n_docs, sum_shingles, n_dup_pairs, pair_checksum)."""
     num, den = threshold
     nb = _lsh_n_buckets(_doc_count(sf_dir) * 96)
@@ -1363,17 +1529,23 @@ def q_dedup_jaccard(sf_dir: str, threshold=(7, 10)):
         )
         .materialize()  # feeds the doc-count pull AND the postings groupby
     )
-    docs_pd = rows.map_batches(
-        lambda b: b.filter(pc.equal(b["isd"], 1)).select(["doc", "sh"]),
+    # doc totals: distributed sum over the sentinel rows (never a driver
+    # pull — the round-3 to_pandas of (doc_id, n_sh) was O(n_docs) memory)
+    doc_tot = rows.map_batches(
+        lambda b: (
+            lambda f: pa.table(
+                {
+                    "nd": pa.array([f.num_rows], pa.int64()),
+                    "ssh": pa.array(
+                        [int(pc.sum(f["sh"]).as_py() or 0)], pa.int64()
+                    ),
+                }
+            )
+        )(b.filter(pc.equal(b["isd"], 1))),
         batch_format="pyarrow",
-    ).to_pandas()  # (doc_id, n_sh) — broadcast bound documented above
-    n_docs = len(docs_pd)
-    sum_shingles = int(docs_pd["sh"].sum())
-    doc_ids_sorted = np.sort(docs_pd["doc"].to_numpy().astype(np.int64))
-    nsh_sorted = (
-        docs_pd.sort_values("doc")["sh"].to_numpy().astype(np.int64)
-    )
-    nsh_ref = ray.put((doc_ids_sorted, nsh_sorted))
+    ).sum(["nd", "ssh"]) or {"sum(nd)": 0, "sum(ssh)": 0}
+    n_docs = int(doc_tot["sum(nd)"] or 0)
+    sum_shingles = int(doc_tot["sum(ssh)"] or 0)
 
     pairs = (
         rows.map_batches(
@@ -1385,29 +1557,106 @@ def q_dedup_jaccard(sf_dir: str, threshold=(7, 10)):
         .map_groups(_pair_sum, batch_format="pandas")
     )
 
-    def _judge(b: pa.Table) -> pa.Table:
-        ids_s, nsh_s = ray.get(nsh_ref)
-        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        inter = b["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
-        na = nsh_s[np.searchsorted(ids_s, a)]
-        nb_ = nsh_s[np.searchsorted(ids_s, bb)]
-        union = na + nb_ - inter
-        dup = np.where(union > 0, den * inter >= num * union, True)
-        am = a % _PAIR_MOD
-        bm = bb % _PAIR_MOD
-        terms = (am * _PAIR_K % _PAIR_MOD + bm) % _PAIR_MOD
+    # size join, fully distributed: each unique pair row splits into TWO
+    # half-rows keyed by its side's doc hash-bucket; per-doc size sentinel
+    # rows key the same way; a bucketed pandas hash join attaches each
+    # side's n_sh (the _attach_shingles pattern), then halves recombine by
+    # pair bucket to form union = na + nb - inter.
+    nbv = np.uint64(nb - 1)
+
+    def _size_rows(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b["isd"], 1))
+        doc = f["doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        jbkt = (_splitmix64(doc.astype(np.uint64)) & nbv).astype(np.int64)
+        z = np.zeros(len(doc), np.int64)
         return pa.table(
             {
-                "n_dup": pa.array([int(dup.sum())], pa.int64()),
-                "chk": pa.array(
-                    [int(terms[dup].sum() % _PAIR_MOD)], pa.int64()
-                ),
+                "jbkt": pa.array(jbkt),
+                "jdoc": pa.array(doc),
+                "pb": pa.array(np.full(len(doc), -1, np.int64)),
+                "a": pa.array(z),
+                "b": pa.array(z),
+                "inter": pa.array(z),
+                "nsh": pa.array(f["sh"].to_numpy(zero_copy_only=False)),
             }
         )
 
-    agg = pairs.map_batches(_judge, batch_format="pyarrow").sum(
-        ["n_dup", "chk"], ignore_nulls=True
+    def _half_rows(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        inter = b["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(over="ignore"):
+            pb = (
+                _splitmix64(
+                    a.astype(np.uint64) * np.uint64(_PAIR_K)
+                    + bb.astype(np.uint64)
+                )
+                & nbv
+            ).astype(np.int64)
+        jd = np.concatenate([a, bb])
+        jbkt = (_splitmix64(jd.astype(np.uint64)) & nbv).astype(np.int64)
+        return pa.table(
+            {
+                "jbkt": pa.array(jbkt),
+                "jdoc": pa.array(jd),
+                "pb": pa.array(np.tile(pb, 2)),
+                "a": pa.array(np.tile(a, 2)),
+                "b": pa.array(np.tile(bb, 2)),
+                "inter": pa.array(np.tile(inter, 2)),
+                "nsh": pa.array(np.zeros(2 * len(a), np.int64)),
+            }
+        )
+
+    def _attach_sizes(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ("pb", "a", "b", "inter", "nsh")
+        is_sz = g["pb"] == -1
+        halves = g.loc[~is_sz, ["jdoc", "pb", "a", "b", "inter"]]
+        if not len(halves):
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+        sz = g.loc[is_sz, ["jdoc", "nsh"]]
+        out = halves.merge(sz, on="jdoc", how="left")
+        if out["nsh"].isna().any():
+            raise KeyError("doc size row missing from jaccard size join")
+        return out[list(cols)].astype("int64")
+
+    def _judge_halves(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"n_dup": pd.Series([], dtype="int64"),
+                 "chk": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(["a", "b"], kind="stable")
+        a = g["a"].to_numpy().astype(np.int64)
+        bb = g["b"].to_numpy().astype(np.int64)
+        first = np.ones(len(a), dtype=bool)
+        first[1:] = (a[1:] != a[:-1]) | (bb[1:] != bb[:-1])
+        idx = np.flatnonzero(first)
+        nsh_c = np.concatenate(([0], np.cumsum(g["nsh"].to_numpy())))
+        ends = np.r_[idx[1:], len(a)]
+        if not np.array_equal(ends - idx, np.full(len(idx), 2)):
+            raise AssertionError("each pair must contribute exactly 2 halves")
+        tot = nsh_c[ends] - nsh_c[idx]  # na + nb per pair
+        inter = g["inter"].to_numpy().astype(np.int64)[idx]
+        union = tot - inter
+        dup = np.where(union > 0, den * inter >= num * union, True)
+        am = a[idx] % _PAIR_MOD
+        bm = bb[idx] % _PAIR_MOD
+        terms = (am * _PAIR_K % _PAIR_MOD + bm) % _PAIR_MOD
+        return pd.DataFrame(
+            {
+                "n_dup": [int(dup.sum())],
+                "chk": [int(terms[dup].sum() % _PAIR_MOD)],
+            }
+        )
+
+    agg = (
+        rows.map_batches(_size_rows, batch_format="pyarrow")
+        .union(pairs.map_batches(_half_rows, batch_format="pyarrow"))
+        .groupby("jbkt")
+        .map_groups(_attach_sizes, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(_judge_halves, batch_format="pandas")
+        .sum(["n_dup", "chk"], ignore_nulls=True)
     ) or {"sum(n_dup)": 0, "sum(chk)": 0}
     return pd.DataFrame(
         [

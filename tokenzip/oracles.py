@@ -218,6 +218,34 @@ FROM p
 """
 
 
+def embedding_dedup_ivf_sql(tau=(2, 5)) -> str:
+    """Self-auditing oracle for the IVF-bucketed near-dup: DuckDB recomputes
+    the EXACT pair set itself (same self-join as embedding_dedup_sql) and
+    emits the pinned IVF-found constants (analysis.EMB_DEDUP_IVF_PIN) only
+    when that exact count matches the pin — corpus or threshold drift makes
+    the oracle return ZERO rows (red), never a silently-green stale pin.
+    The found side is deterministic on the engine (fixed corpus, seeded
+    k-means on a bounded sample, float64 matmuls), so it pins exactly.
+    Regenerate pins with `python -m tokenzip pins`."""
+    from tokenzip.analysis import EMB_DEDUP_IVF_PIN as P
+
+    num, den = tau
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+x AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {num / den}
+)
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vecs,
+       n_exact AS n_dup_exact,
+       CAST({P["found"]} AS BIGINT) AS n_dup_found,
+       CAST({P["chk"]} AS BIGINT) AS pair_checksum_found,
+       CAST((10000 * {P["found"]}) // n_exact AS BIGINT) AS recall_pct_x100
+FROM x WHERE n_exact = {P["exact"]}
+"""
+
+
 def simhash_sql() -> str:
     """Brute-force oracle recomputing the engine's 60-bit simhash exactly:
     word hash = first 15 md5 hex nibbles (strpos arithmetic, int64-safe),

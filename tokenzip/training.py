@@ -89,29 +89,67 @@ def _ids_dataset(paths: list[str]) -> "ray.data.Dataset":
     return ray.data.read_parquet(paths, columns=["doc_id", "n_tok", "source"])
 
 
+_BOUNDS_SAMPLE_FILES = 64  # bounds sample: files strided across the input
+_BOUNDS_SERIAL_MAX = 8     # below this many files a serial read is cheaper
+                           # than one Ray execution
+
+
+def _bounds_ids_of_file(p: str, per_file: int) -> np.ndarray:
+    """One file's bounds sample: row groups strided across the WHOLE file
+    (files are typically range-partitioned by id, so sampling only the
+    first row group would collapse ~all of a file's docs into one bucket),
+    rows strided within."""
+    f = pq.ParquetFile(p)
+    nrg = f.metadata.num_row_groups
+    rgs = range(nrg) if nrg <= 8 else range(0, nrg, max(1, nrg // 8))
+    cols = [
+        f.read_row_group(rg, columns=["doc_id"])["doc_id"].to_numpy(
+            zero_copy_only=False
+        )
+        for rg in rgs
+    ]
+    col = np.concatenate(cols) if cols else np.array([], dtype=object)
+    if len(col) > per_file:
+        col = col[:: max(1, len(col) // per_file)]
+    return col
+
+
 def _sample_bounds(paths: list[str], n_buckets: int) -> np.ndarray:
-    """Range-bucket boundaries from a bounded sample of doc_ids — row
-    groups STRIDED ACROSS each whole file (files are typically
-    range-partitioned by id, so sampling only the first row group would
-    collapse ~all of a file's docs into one bucket), rows strided within.
-    Returns (n_buckets - 1) sorted cut points; bucket of a doc =
+    """Range-bucket boundaries from a bounded sample of doc_ids. The sample
+    is a pure function of the sorted input (deterministic under retries):
+    up to _BOUNDS_SAMPLE_FILES files evenly STRIDED across the input, each
+    read by a Ray map task — never an O(files) serial driver loop (at 10^5
+    fragments that was 10^5 serial footer+row-group reads before packing
+    could start). Bounds only steer bucketing; offsets stay exact for ANY
+    bounds, so subsampling files cannot change results. Returns
+    (n_buckets - 1) sorted cut points; bucket of a doc =
     searchsorted(bounds, doc_id, 'right')."""
-    ids: list[str] = []
-    per_file = max(256, (n_buckets * 64) // max(1, len(paths)))
-    for p in paths:
-        f = pq.ParquetFile(p)
-        nrg = f.metadata.num_row_groups
-        rgs = range(nrg) if nrg <= 8 else range(0, nrg, max(1, nrg // 8))
-        cols = [
-            f.read_row_group(rg, columns=["doc_id"])["doc_id"].to_numpy(
-                zero_copy_only=False
-            )
-            for rg in rgs
-        ]
-        col = np.concatenate(cols) if cols else np.array([], dtype=object)
-        if len(col) > per_file:
-            col = col[:: max(1, len(col) // per_file)]
-        ids.extend(col.tolist())
+    spaths = sorted(paths)
+    if len(spaths) > _BOUNDS_SAMPLE_FILES:
+        idx = np.linspace(0, len(spaths) - 1, _BOUNDS_SAMPLE_FILES).astype(int)
+        spaths = [spaths[i] for i in sorted(set(idx.tolist()))]
+    per_file = max(256, (n_buckets * 64) // max(1, len(spaths)))
+
+    if ray.is_initialized() and len(spaths) > _BOUNDS_SERIAL_MAX:
+
+        def _one(batch: pa.Table) -> pa.Table:
+            out = [
+                _bounds_ids_of_file(p, per_file)
+                for p in batch["path"].to_pylist()
+            ]
+            flat = np.concatenate(out) if out else np.array([], dtype=object)
+            return pa.table({"doc_id": pa.array(flat.tolist(), pa.string())})
+
+        sampled = (
+            ray.data.from_arrow(pa.table({"path": pa.array(spaths, pa.string())}))
+            .map_batches(_one, batch_format="pyarrow", batch_size=1)
+            .to_pandas()  # bounded: <= _BOUNDS_SAMPLE_FILES * per_file ids
+        )
+        ids = sampled["doc_id"].tolist()
+    else:
+        ids = []
+        for p in spaths:
+            ids.extend(_bounds_ids_of_file(p, per_file).tolist())
     ids.sort()
     if n_buckets <= 1 or len(ids) < 2:
         return np.array([], dtype=object)
