@@ -432,8 +432,9 @@ def _bytes_based_blocks(paths: list[str], target: int = 16 << 20) -> int:
     return int(total / target) or 1
 
 
-def decompress(out_dir: str, concurrency: int | None = None) -> "ray.data.Dataset":
-    """Read chunk parquet -> decode -> Dataset with the original schema."""
+def _chunks_read(out_dir: str):
+    """(chunk Dataset | None, sidecar | None) for a written sink — shared
+    read-shape of decompress and the fused sink-audit path."""
     chunks_dir = os.path.join(out_dir, "chunks")
     files = [
         os.path.join(r, f)
@@ -442,18 +443,7 @@ def decompress(out_dir: str, concurrency: int | None = None) -> "ray.data.Datase
         if f.endswith(".parquet")
     ]
     if not files:
-        # zero-chunk run (every fragment produced no chunks): an empty
-        # dataset with the original schema, not override_num_blocks=0
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "doc_id": pa.array([], pa.string()),
-                    "tokens": pa.array([], pa.list_(pa.int32())),
-                    "n_tok": pa.array([], pa.int32()),
-                    "source": pa.array([], pa.string()),
-                }
-            )
-        )
+        return None, None
     # memory is bounded by the block size (~16 MB compressed -> ~50 MB
     # decoded), NOT by an explicit batch_size: a batch_size breaks
     # ReadParquet->decode operator fusion and pays a plasma hop per block.
@@ -472,10 +462,30 @@ def decompress(out_dir: str, concurrency: int | None = None) -> "ray.data.Datase
         n_blocks = max(n_blocks, int(total_bytes / (64 << 20)) or 1)
     ds = ray.data.read_parquet(chunks_dir, override_num_blocks=n_blocks)
     sidecar = os.path.join(out_dir, "symbols.json")
+    return ds, (sidecar if os.path.exists(sidecar) else None)
+
+
+_EMPTY_TOKENS_TABLE = pa.table(
+    {
+        "doc_id": pa.array([], pa.string()),
+        "tokens": pa.array([], pa.list_(pa.int32())),
+        "n_tok": pa.array([], pa.int32()),
+        "source": pa.array([], pa.string()),
+    }
+)
+
+
+def decompress(out_dir: str, concurrency: int | None = None) -> "ray.data.Dataset":
+    """Read chunk parquet -> decode -> Dataset with the original schema."""
+    ds, sidecar = _chunks_read(out_dir)
+    if ds is None:
+        # zero-chunk run (every fragment produced no chunks): an empty
+        # dataset with the original schema, not override_num_blocks=0
+        return ray.data.from_arrow(_EMPTY_TOKENS_TABLE)
     kwargs = dict(
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_kwargs={"sidecar": sidecar if os.path.exists(sidecar) else None},
+        fn_kwargs={"sidecar": sidecar},
     )
     if concurrency:
         kwargs["concurrency"] = concurrency
@@ -701,6 +711,60 @@ def _checksum_fn(batch, side="o"):
     return st(batch)
 
 
+def _decode_checksum_fn(batch: pa.Table, sidecar=None, side="d") -> pa.Table:
+    """Fused CHUNK-LEVEL decode -> checksum for the sink audit: each chunk
+    (<= ~8 MB decoded) is checksummed immediately after its own decode while
+    the decoded buffer is still cache-hot, and the full-block decoded table
+    is never assembled — the audit path's decoded tokens exist only as one
+    short-lived per-chunk buffer. (Operator fusion already kept them off
+    plasma; this also keeps them out of DRAM re-reads: the block-level path
+    concatenates every chunk before checksumming, by which point early
+    chunks are cold — measured DRAM traffic is the 2->8 scaling ceiling.)"""
+    from tokenzip.chunk import decode_chunk_row
+    from tokenzip.stages import DecodeStage
+
+    key = ("decchk", sidecar, side)
+    st = _STAGES.get(key)
+    if st is None:
+        # reuse DecodeStage only for its one-time sidecar load
+        _STAGES[key] = st = (
+            DecodeStage(sidecar=sidecar),
+            _DocChecksumStage(side=side),
+        )
+    dec, chk = st
+    if dec.sidecar and not dec._loaded:
+        if os.path.exists(dec.sidecar):
+            from tokenzip.codecs.strings import load_shared_tables
+
+            load_shared_tables(dec.sidecar)
+        dec._loaded = True
+
+    def cell(k, i):
+        v = batch[k][i]
+        if isinstance(v, (pa.LargeBinaryScalar, pa.BinaryScalar)):
+            buf = v.as_buffer()
+            return memoryview(buf) if buf is not None else b""
+        return v.as_py()
+
+    names = [c for c in batch.column_names if c != "frag"]
+    parts = [
+        chk(decode_chunk_row({k: cell(k, i) for k in names}))
+        for i in range(batch.num_rows)
+    ]
+    if not parts:
+        return chk(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "tokens": pa.array([], pa.list_(pa.int32())),
+                    "n_tok": pa.array([], pa.int32()),
+                    "source": pa.array([], pa.string()),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
 def verify_sink_roundtrip(
     input_paths: list[str], out_dir: str, concurrency: int | None = None
 ) -> "ray.data.Dataset":
@@ -720,41 +784,77 @@ def verify_sink_roundtrip(
     CONSTANT size regardless of corpus size. Matching digests prove bucket
     equality w.h.p.; only mismatched buckets pay a per-doc drill-down pass
     (filtered re-scan), which at 100 TB touches a ~1/SINK_JOIN_BUCKETS
-    sliver of the data and only when the sink is actually corrupt."""
+    sliver of the data and only when the sink is actually corrupt.
+
+    Execution shape (measured on the 1 B-token corpus at 8 cpus): the two
+    sides run as SEPARATE fully-fused pipelines driven by two driver
+    threads — read -> checksum -> digest fuse into ONE task pool per side,
+    so neither the raw token blocks nor the per-doc checksum rows ever hit
+    the object store. The round-3 union-based plan could not fuse the
+    original side past its SplitBlocks (a 4 GB plasma round-trip) and the
+    union serialized the branches: 26.9 s -> 6.9 s."""
     import pandas as pd
 
     # stateless checksum stages run as plain TASKS (fixed actor pools here
     # would deadlock: two pools each sized to the cluster over-subscribe it)
-    def per_doc_rows():
-        orig = ray.data.read_parquet(
-            input_paths,
-            override_num_blocks=max(len(input_paths), _bytes_based_blocks(input_paths)),
+    def orig_rows():
+        # one block per file so ReadParquet->checksum->digest FUSE: sub-file
+        # SplitBlocks breaks fusion and pays a full-corpus plasma hop (files
+        # are the parallelism unit at scale; a straggler file costs at most
+        # its own wall time here)
+        return ray.data.read_parquet(
+            input_paths, override_num_blocks=len(input_paths)
         ).map_batches(
             _checksum_fn,
             batch_format="pyarrow",
             zero_copy_batch=True,
             fn_kwargs={"side": "o"},
         )
-        decoded = decompress(out_dir, concurrency=concurrency).map_batches(
-            _checksum_fn,
+
+    def dec_rows():
+        chunks_ds, sidecar = _chunks_read(out_dir)
+        if chunks_ds is None:
+            return ray.data.from_arrow(_EMPTY_TOKENS_TABLE).map_batches(
+                _checksum_fn, batch_format="pyarrow", fn_kwargs={"side": "d"}
+            )
+        # fused chunk-level decode+checksum: decoded tokens never form a
+        # block table — one short-lived per-chunk buffer, checksummed
+        # while cache-hot (see _decode_checksum_fn)
+        kwargs = dict(
             batch_format="pyarrow",
             zero_copy_batch=True,
-            fn_kwargs={"side": "d"},
+            fn_kwargs={"sidecar": sidecar, "side": "d"},
         )
-        return orig, decoded
+        if concurrency:
+            kwargs["concurrency"] = concurrency
+        return chunks_ds.map_batches(_decode_checksum_fn, **kwargs)
 
-    orig, decoded = per_doc_rows()
-    # digest combine tree: per-batch digests -> no-shuffle coalesce ->
-    # in-stage fold -> tiny driver fold. ZERO all-to-all operators.
-    parts = (
-        orig.union(decoded)
-        .map_batches(
-            _cached_digest_fn, batch_format="pyarrow", zero_copy_batch=True
+    def side_digests(rows: "ray.data.Dataset") -> "ray.data.Dataset":
+        # digest combine tree per side: per-batch digests (fused into the
+        # read task) -> no-shuffle coalesce -> in-stage fold -> tiny driver
+        # fold. ZERO all-to-all operators; driver sees O(blocks) tiny rows.
+        return (
+            rows.map_batches(
+                _cached_digest_fn, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .repartition(max(8, 2 * _default_concurrency()), shuffle=False)
+            .map_batches(
+                _fold_digests, batch_format="pyarrow", zero_copy_batch=True
+            )
         )
-        .repartition(max(8, 2 * _default_concurrency()), shuffle=False)
-        .map_batches(_fold_digests, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-    )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    # build BOTH plans on the main thread (read_parquet path resolution
+    # probes optional fsspec modules; concurrent first-imports of a module
+    # whose import fails race into a plain ImportError that Ray's
+    # ModuleNotFoundError guard misses) — only EXECUTION runs in threads
+    ds_o = side_digests(orig_rows())
+    ds_d = side_digests(dec_rows())
+    with ThreadPoolExecutor(2) as ex:
+        f_o = ex.submit(ds_o.to_pandas)
+        f_d = ex.submit(ds_d.to_pandas)
+        parts = pd.concat([f_o.result(), f_d.result()], ignore_index=True)
     with np.errstate(over="ignore"):
         digests = (
             parts.assign(
@@ -782,8 +882,10 @@ def verify_sink_roundtrip(
     bad = digests.loc[~ok, ["source", "p"]]
     if len(bad):
         # drill-down: per-doc compare ONLY inside the mismatched buckets
+        # (cold path — runs only on actual corruption, so the union's
+        # serialization cost is irrelevant here)
         bad_ps = set(int(p) for p in bad["p"].unique())
-        orig, decoded = per_doc_rows()
+        orig, decoded = orig_rows(), dec_rows()
 
         def _only_bad(b: pa.Table) -> pa.Table:
             keep = np.isin(
