@@ -292,12 +292,8 @@ FROM documents GROUP BY source ORDER BY source
         # recall-pinned oracle: the IVF result is deterministic (fixed
         # corpus + seeded k-means on a bounded sample + float64 matmul), so
         # the sf0.01 recall is a constant the engine must reproduce exactly
-        "embedding_topk_ivf": """
-SELECT CAST(10 AS BIGINT) AS k, CAST(3 AS BIGINT) AS n_probe,
-       CAST(8 AS BIGINT) AS n_clusters,
-       CAST(6000 AS BIGINT) AS recall_pct_x100,
-       CAST(10 AS BIGINT) AS n_found
-""",
+        # (pin lives in analysis.EMB_TOPK_IVF_PIN; `python -m tokenzip pins`)
+        "embedding_topk_ivf": _O.embedding_topk_ivf_sql(),
         # embedding-cosine near-dup: pairs with cos >= 2/5 in float64 on
         # both engines (shared builder — also used by tests/test_analysis.py)
         "dedup_embedding": _O.embedding_dedup_sql(),

@@ -75,6 +75,16 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("sf_dir"), pk.add_argument("out_dir")
     pk.add_argument("--seq-len", type=int, default=2048)
 
+    pn = sub.add_parser(
+        "pins", help="recompute every pinned oracle constant and rewrite it in-place"
+    )
+    pn.add_argument("--tokens-sf", default="sf0.01")
+    pn.add_argument("--data-dir", default="/root/testdata/sf0.01")
+    pn.add_argument(
+        "--check", action="store_true",
+        help="recompute only; exit 1 if any pin would change (no writes)",
+    )
+
     args = ap.parse_args(argv)
 
     if args.cmd == "stats":  # no Ray needed
@@ -142,6 +152,17 @@ def main(argv: list[str] | None = None) -> int:
 
             decompress_table(args.out_dir).write_parquet(args.restored_dir)
             print(json.dumps({"rows": "written", "dir": args.restored_dir}))
+        elif args.cmd == "pins":
+            from tokenzip.pins import regenerate
+
+            res = regenerate(
+                tokens_sf=args.tokens_sf,
+                data_dir=args.data_dir,
+                write=not args.check,
+            )
+            print(json.dumps(res, sort_keys=True))
+            if args.check and any(v["changed"] for v in res.values()):
+                return 1
         elif args.cmd == "pack":
             import shutil
             import tempfile

@@ -256,6 +256,16 @@ class _IVFStage:
 
 _IVF_TRAIN_ROWS = 65_536  # k-means training sample cap (first row groups)
 
+# Pinned q_embedding_topk_ivf row at the oracle scale (sf0.01, default
+# parameters): the IVF result is deterministic (fixed corpus + seeded
+# k-means on a bounded sample + float64 matmul), so the recall is a
+# constant the engine must reproduce exactly. Regenerate with
+# `python -m tokenzip pins`.
+EMB_TOPK_IVF_PIN = {
+    "k": 10, "n_probe": 3, "n_clusters": 8,
+    "recall_pct_x100": 6000, "n_found": 10,
+}
+
 
 def _train_centroids(path: str, n_clusters: int) -> np.ndarray:
     """Seeded k-means (4 Lloyd iterations) on a BOUNDED sample (first row

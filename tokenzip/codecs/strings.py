@@ -306,11 +306,10 @@ def save_shared_tables(path: str) -> None:
             for th, v in SHARED_RANK_LENS.items()
         },
     }
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(data, f, sort_keys=True)
-    os.replace(tmp, path)
+    from tokenzip import uio
+
+    # path may be a scheme:// URI (multi-node storage contract, uio.py)
+    uio.write_bytes_atomic(path, json.dumps(data, sort_keys=True).encode())
 
 
 def load_shared_tables(path: str) -> None:
@@ -326,8 +325,9 @@ def load_shared_tables(path: str) -> None:
         SHARED_RANK_TABLES,
     )
 
-    with open(path) as f:
-        data = json.load(f)
+    from tokenzip import uio
+
+    data = json.loads(uio.read_bytes(path).decode())
     for th, symbols in data.get("fsst", {}).items():
         SHARED_STR_TABLES[th] = [base64.b64decode(s) for s in symbols]
     for th, values in data.get("dict", {}).items():

@@ -14,8 +14,9 @@ SURVEY.md §3); this layer is mandated by the north rule.
 from __future__ import annotations
 
 import json
-import os
 import time
+
+from tokenzip import uio
 
 
 class Manifest:
@@ -23,11 +24,12 @@ class Manifest:
 
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
-        self.path = os.path.join(out_dir, "manifest.json")
+        # out_dir may be a scheme:// URI (multi-node storage contract,
+        # tokenzip/uio.py) — all manifest IO goes through uio
+        self.path = uio.join(out_dir, "manifest.json")
         self.data: dict = {"version": self.VERSION, "fragments": {}, "totals": {}}
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                loaded = json.load(f)
+        if uio.exists(self.path):
+            loaded = json.loads(uio.read_bytes(self.path).decode())
             if loaded.get("version") == self.VERSION:
                 self.data = loaded
 
@@ -54,8 +56,7 @@ class Manifest:
 
     def save(self) -> None:
         self.data["totals"] = self.totals()
-        os.makedirs(self.out_dir, exist_ok=True)
-        tmp = self.path + f".tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(self.data, f, indent=1, sort_keys=True)
-        os.replace(tmp, self.path)
+        uio.write_bytes_atomic(
+            self.path,
+            json.dumps(self.data, indent=1, sort_keys=True).encode(),
+        )

@@ -218,6 +218,22 @@ FROM p
 """
 
 
+def embedding_topk_ivf_sql() -> str:
+    """Recall-pinned oracle for q_embedding_topk_ivf: the IVF result is
+    deterministic (fixed corpus + seeded k-means on a bounded sample +
+    float64 matmul), so the sf0.01 recall row is a constant the engine must
+    reproduce exactly (analysis.EMB_TOPK_IVF_PIN; regenerate with
+    `python -m tokenzip pins`)."""
+    from tokenzip.analysis import EMB_TOPK_IVF_PIN as P
+
+    return f"""
+SELECT CAST({P["k"]} AS BIGINT) AS k, CAST({P["n_probe"]} AS BIGINT) AS n_probe,
+       CAST({P["n_clusters"]} AS BIGINT) AS n_clusters,
+       CAST({P["recall_pct_x100"]} AS BIGINT) AS recall_pct_x100,
+       CAST({P["n_found"]} AS BIGINT) AS n_found
+"""
+
+
 def embedding_dedup_ivf_sql(tau=(2, 5)) -> str:
     """Self-auditing oracle for the IVF-bucketed near-dup: DuckDB recomputes
     the EXACT pair set itself (same self-join as embedding_dedup_sql) and
@@ -299,11 +315,8 @@ FROM p
 # reference's fixed-corpus fuzz oracles
 # (/root/reference/fuzz/fuzz_targets/fuzz_target_1.rs:6-15).
 COMPRESSION_BY_CODEC_PIN = [
-    # (tokens_codec, n_tokens, tokens_bytes_out, leb128_bytes)
-    # (regenerated after the selector learned Huffman-aware rankdict sizing
-    # and cardinality-growth dict sizing: web leb128->rankdict, synth
-    # dict->for, -3.3% total bytes; dict/leb128 stay covered by
-    # boundary_roundtrip and the relational tables' column mixes)
+    # (tokens_codec, n_tokens, tokens_bytes_out, leb128_bytes) —
+    # regenerated by `python -m tokenzip pins`
     ("for", 4_171_134, 8_367_420, 13_714_780),
     ("rankdict", 6_630_597, 6_148_769, 8_626_780),
     ("rle", 1_395_516, 652_351, 3_804_123),

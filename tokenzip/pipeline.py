@@ -24,6 +24,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from tokenzip import uio
 from tokenzip.manifest import Manifest
 from tokenzip.stages import (
     DecodeStage,
@@ -181,7 +182,8 @@ def _frag_of_path(path: str) -> str:
     import hashlib
 
     base = os.path.splitext(os.path.basename(path))[0]
-    return f"{base}-{hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:8]}"
+    full = path if uio.is_uri(path) else os.path.abspath(path)
+    return f"{base}-{hashlib.sha1(full.encode()).hexdigest()[:8]}"
 
 
 def _add_frag(batch: pa.Table) -> pa.Table:
@@ -206,29 +208,31 @@ def _compress_setup(
     manifest load, done-fragment skip, partial-output wipe, and byte-scaled
     block-count sizing. Returns (manifest, todo_paths, chunks_dir,
     n_blocks); empty todo => nothing left to encode."""
-    chunks_dir = os.path.join(out_dir, "chunks")
+    # out_dir (and the inputs) may be scheme:// URIs — every directory
+    # operation here goes through uio (multi-node storage contract)
+    chunks_dir = uio.join(out_dir, "chunks")
     man = Manifest(out_dir)
     done = man.done_fragments() if resume else set()
-    if not resume and os.path.isdir(chunks_dir):
-        shutil.rmtree(chunks_dir)
+    if not resume and uio.isdir(chunks_dir):
+        uio.rmtree(chunks_dir)
         man.data["fragments"] = {}
-    elif resume and not done and os.path.isdir(chunks_dir):
+    elif resume and not done and uio.isdir(chunks_dir):
         # chunk output with no manifest lineage (older manifest version or a
         # run that crashed before its first mark_done): wipe, re-encode
-        shutil.rmtree(chunks_dir)
+        uio.rmtree(chunks_dir)
     todo = [p for p in input_paths if _frag_of_path(p) not in done]
     # wipe partial output of unfinished fragments (crashed prior run)
     for p in todo:
-        d = os.path.join(chunks_dir, f"frag={_frag_of_path(p)}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+        d = uio.join(chunks_dir, f"frag={_frag_of_path(p)}")
+        if uio.isdir(d):
+            uio.rmtree(d)
     # split the read below file granularity (row-group level), sized to the
     # actual input bytes: fine-grained blocks balance the encode+write stage
     # best (measured; the fully-fused one-block-per-file layout regresses the
     # write-heavy compress path at higher parallelism, unlike verify).
     # Target block bytes scales with the input (4 MB floor for small runs,
     # 64 MB ceiling at 100 TB) instead of a constant block-count cap.
-    total_bytes = sum(os.path.getsize(p) for p in todo)
+    total_bytes = sum(uio.file_size(p) for p in todo)
     target_block_bytes = min(64 << 20, max(4 << 20, total_bytes // 256))
     n_blocks = max(len(todo), int(total_bytes / target_block_bytes) or 1)
     return man, todo, chunks_dir, n_blocks
@@ -260,8 +264,8 @@ def compress(
         # an actor pool, persist the sidecar + hashes for decode and lineage
         from tokenzip.codecs.strings import load_shared_tables, save_shared_tables
 
-        sidecar = os.path.join(out_dir, "symbols.json")
-        if os.path.exists(sidecar):
+        sidecar = uio.join(out_dir, "symbols.json")
+        if uio.exists(sidecar):
             # resume: keep every table earlier chunks reference — the sidecar
             # is append-only (tables are content-addressed, so merging is safe)
             load_shared_tables(sidecar)
@@ -298,11 +302,11 @@ def compress(
     # EVERY todo fragment gets marked done — a fragment that produced zero
     # chunk rows (hence no frag= dir) records zero stats instead of being
     # re-read on every resume.
-    frags_written = (
-        {d.split("=", 1)[1] for d in os.listdir(chunks_dir) if d.startswith("frag=")}
-        if os.path.isdir(chunks_dir)
-        else set()
-    )
+    frags_written = {
+        d.split("=", 1)[1]
+        for d in uio.listdir(chunks_dir)
+        if d.startswith("frag=")
+    }
     zero = {
         "n_chunks": 0, "n_rows": 0, "n_tokens": 0, "bytes_in": 0,
         "bytes_out": 0, "tokens_bytes_out": 0, "leb128_bytes": 0,
@@ -387,9 +391,9 @@ def _fold_chunk_meta(chunks_dir: str, frags: list[str]) -> dict[str, dict]:
             out.update(ex.map(_one, frags))
         return out
     files = [
-        os.path.join(chunks_dir, f"frag={f}", name)
+        uio.join(chunks_dir, f"frag={f}", name)
         for f in frags
-        for name in os.listdir(os.path.join(chunks_dir, f"frag={f}"))
+        for name in uio.listdir(uio.join(chunks_dir, f"frag={f}"))
         if name.endswith(".parquet")
     ]
     partials = (
@@ -428,22 +432,21 @@ def _bytes_based_blocks(paths: list[str], target: int = 16 << 20) -> int:
     balances map stages at high parallelism — one-block-per-file leaves the
     slowest shard gating the stage; one-block-per-tiny-file drowns the
     scheduler in per-task overhead."""
-    total = sum(os.path.getsize(p) for p in paths)
+    total = sum(uio.file_size(p) for p in paths)
     return int(total / target) or 1
 
 
 def _chunks_read(out_dir: str):
     """(chunk Dataset | None, sidecar | None) for a written sink — shared
     read-shape of decompress and the fused sink-audit path."""
-    chunks_dir = os.path.join(out_dir, "chunks")
-    files = [
-        os.path.join(r, f)
-        for r, _, fs in os.walk(chunks_dir)
-        for f in fs
-        if f.endswith(".parquet")
+    chunks_dir = uio.join(out_dir, "chunks")
+    sized = [
+        (p, sz) for p, sz in uio.walk_files(chunks_dir) if p.endswith(".parquet")
     ]
-    if not files:
+    if not sized:
         return None, None
+    files = [p for p, _ in sized]
+    sizes = [sz for _, sz in sized]
     # memory is bounded by the block size (~16 MB compressed -> ~50 MB
     # decoded), NOT by an explicit batch_size: a batch_size breaks
     # ReadParquet->decode operator fusion and pays a plasma hop per block.
@@ -455,14 +458,14 @@ def _chunks_read(out_dir: str):
     # single file is straggler-big (>2x the 64 MB target).
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     want = max(8, 4 * cpus)
-    total_bytes = sum(os.path.getsize(f) for f in files)
+    total_bytes = sum(sizes)
     n_blocks = min(len(files), want)
-    if max(os.path.getsize(f) for f in files) > (128 << 20):
+    if max(sizes) > (128 << 20):
         # skewed sink (one giant file): allow sub-file splits at ~64 MB
         n_blocks = max(n_blocks, int(total_bytes / (64 << 20)) or 1)
     ds = ray.data.read_parquet(chunks_dir, override_num_blocks=n_blocks)
-    sidecar = os.path.join(out_dir, "symbols.json")
-    return ds, (sidecar if os.path.exists(sidecar) else None)
+    sidecar = uio.join(out_dir, "symbols.json")
+    return ds, (sidecar if uio.exists(sidecar) else None)
 
 
 _EMPTY_TOKENS_TABLE = pa.table(
@@ -733,7 +736,7 @@ def _decode_checksum_fn(batch: pa.Table, sidecar=None, side="d") -> pa.Table:
         )
     dec, chk = st
     if dec.sidecar and not dec._loaded:
-        if os.path.exists(dec.sidecar):
+        if uio.exists(dec.sidecar):
             from tokenzip.codecs.strings import load_shared_tables
 
             load_shared_tables(dec.sidecar)

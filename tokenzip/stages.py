@@ -207,9 +207,9 @@ class DecodeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.sidecar and not self._loaded:
-            import os
+            from tokenzip import uio
 
-            if os.path.exists(self.sidecar):
+            if uio.exists(self.sidecar):
                 from tokenzip.codecs.strings import load_shared_tables
 
                 load_shared_tables(self.sidecar)

@@ -34,6 +34,7 @@ from tokenzip.codecs.core import (
     leb128_oracle_bytes,
 )
 from tokenzip.codecs.selector import choose_int_codec
+from tokenzip import uio
 from tokenzip.errors import ChunkFormatError
 from tokenzip.pipeline import _add_frag, _fold_chunk_meta, _frag_of_path
 
@@ -212,9 +213,7 @@ def compress_table(
     ds.write_parquet(chunks_dir, partition_cols=["frag"], compression="none")
 
     frags_written = (
-        {d.split("=", 1)[1] for d in os.listdir(chunks_dir) if d.startswith("frag=")}
-        if os.path.isdir(chunks_dir)
-        else set()
+        {d.split("=", 1)[1] for d in uio.listdir(chunks_dir) if d.startswith("frag=")}
     )
     zero = {
         "n_chunks": 0, "n_rows": 0, "n_tokens": 0, "bytes_in": 0,
@@ -373,10 +372,7 @@ def decompress_table(out_dir: str) -> "ray.data.Dataset":
     """Read table chunks -> Dataset with the original schema and values."""
     chunks_dir = os.path.join(out_dir, "chunks")
     files = [
-        os.path.join(r, f)
-        for r, _, fs in os.walk(chunks_dir)
-        for f in fs
-        if f.endswith(".parquet")
+        p for p, _ in uio.walk_files(chunks_dir) if p.endswith(".parquet")
     ]
     if not files:
         raise ChunkFormatError(f"no chunk parquet under {chunks_dir}")

@@ -598,8 +598,13 @@ def pack_sequences(
     # (and clean) it — callers that consume the Dataset eagerly (e.g.
     # q_pack_emit_by_source) rmtree their workdir afterwards
     if workdir:
+        # workdir may be a scheme:// URI (multi-node storage contract,
+        # tokenzip/uio.py) — the offset sidecar and its cleanup go through
+        # Arrow filesystems either way
+        from tokenzip import uio
+
         off_dir = workdir
-        shutil.rmtree(off_dir, ignore_errors=True)
+        uio.rmtree(off_dir)
     else:
         parent = "/tmp/tokenzip_pack"
         os.makedirs(parent, exist_ok=True)
