@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_stats_by_source": _pack_stats,
         "pack_emit_by_source": _pack_emit,
         "vocab_topk": _vocab_topk,
+        "vocab_topk_mg": _vocab_topk_mg,
         "split_stats_by_source": _split_stats,
         "table_roundtrip_events": _table_roundtrip,
         "mixture_sample_stats": _mixture_stats,
@@ -132,6 +133,12 @@ def _vocab_topk(sf_dir: str):
     from tokenzip.training import q_vocab_topk
 
     return q_vocab_topk(sf_dir)
+
+
+def _vocab_topk_mg(sf_dir: str):
+    from tokenzip.training import q_vocab_topk_mg
+
+    return q_vocab_topk_mg(sf_dir)
 
 
 def _split_stats(sf_dir: str):
@@ -264,6 +271,7 @@ FROM documents GROUP BY source ORDER BY source
         "pack_stats_by_source": _pack_sql(glob),
         "pack_emit_by_source": _pack_emit_sql(glob),
         "vocab_topk": _vocab_sql(glob),
+        "vocab_topk_mg": _vocab_sql(glob),
         "split_stats_by_source": _split_sql(glob),
         "table_roundtrip_events": _table_sql(),
         "mixture_sample_stats": _mixture_sql(glob),

@@ -214,6 +214,60 @@ def test_vocab_topk_bucket_boundary_ties(ray_session, tmp_path, monkeypatch):
     assert got["cnt"].tolist() == [5, 3]
 
 
+def test_vocab_topk_mg_matches_exact(ray_session):
+    """Certified-exact MG path returns the identical frame to the exact
+    vocab-sized path (same oracle SQL)."""
+    from tokenzip.training import q_vocab_topk, q_vocab_topk_mg
+
+    exact = q_vocab_topk(SF, k=25)
+    mg = q_vocab_topk_mg(SF, k=25)
+    pd.testing.assert_frame_equal(mg, exact)
+
+
+def test_vocab_topk_mg_small_cap_still_exact_or_raises(ray_session):
+    """With a cap far below the vocabulary, MG either certifies (and then
+    must be exact) or raises MGCertificationError — never a silent
+    approximate answer."""
+    from tokenzip.training import (
+        MGCertificationError,
+        q_vocab_topk,
+        q_vocab_topk_mg,
+    )
+
+    try:
+        mg = q_vocab_topk_mg(SF, k=5, cap=64)
+    except MGCertificationError:
+        return
+    pd.testing.assert_frame_equal(mg, q_vocab_topk(SF, k=5))
+
+
+def test_vocab_topk_mg_batch_compression_bounds():
+    """The per-batch MG stage emits at most cap survivors + 1 delta row,
+    and lower bounds never exceed true batch counts."""
+    import tokenzip.training as tr
+
+    rng = np.random.default_rng(7)
+    toks = rng.zipf(1.3, size=20000).astype(np.int32)
+    tbl = pa.table(
+        {
+            "tokens": pa.array([toks], pa.list_(pa.int32())),
+        }
+    )
+    out = tr._VocabMGPartialStage(cap=32)(tbl)
+    kind = out["kind"].to_numpy()
+    assert (kind == 0).sum() <= 32
+    assert (kind == 1).sum() == 1
+    delta = out["cnt"].to_numpy()[kind == 1][0]
+    assert delta > 0
+    true_uniq, true_cnt = np.unique(toks.astype(np.int64), return_counts=True)
+    surv_tok = out["token"].to_numpy()[kind == 0]
+    surv_cnt = out["cnt"].to_numpy()[kind == 0]
+    truth = dict(zip(true_uniq.tolist(), true_cnt.tolist()))
+    for t, c in zip(surv_tok.tolist(), surv_cnt.tolist()):
+        assert 0 < c <= truth[t]
+        assert truth[t] <= c + delta
+
+
 def test_split_stats_deterministic_and_matches_duckdb(ray_session):
     from tokenzip.corpus import ensure_corpus
     from tokenzip.training import q_split_stats_by_source, split_stats_sql

@@ -825,6 +825,184 @@ GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT {k}
 
 
 # ---------------------------------------------------------------------------
+# Heavy hitters via Misra-Gries partials: certified-EXACT top-k with
+# shuffle volume bounded by the sketch capacity, not the vocabulary.
+#
+# q_vocab_topk's partials are vocabulary-sized per batch (fine for token
+# vocabularies, which are bounded); this is the scale path for unbounded
+# key domains (n-grams, URLs, doc fingerprints): each batch emits at most
+# MG_CAP surviving (token, lower-bound count) rows plus its decrement
+# mass. Merged lower bounds L(t) = sum of survivors' counts and the global
+# decrement Delta = sum of per-batch decrements satisfy
+#     L(t) <= true(t) <= L(t) + Delta          (Misra-Gries 1982;
+# mergeability per Agarwal et al., "Mergeable Summaries", PODS 2012).
+# Candidates = {t : L(t) >= L_k - Delta} (L_k = k-th largest lower bound)
+# are then recounted EXACTLY in a second pass against a broadcast
+# candidate set. If Delta < L_k the result is certified identical to the
+# exact top-k (any excluded token's true count < L_k <= the k-th exact
+# candidate count); otherwise the sketch capacity was too small for the
+# skew and we raise rather than return an uncertified answer.
+# ---------------------------------------------------------------------------
+
+MG_CAP = 4096  # per-batch summary capacity (m)
+
+
+class _VocabMGPartialStage:
+    """Per-batch Misra-Gries summary: exact batch counts (one np.unique over
+    the flat token values) compressed to <= cap survivors by subtracting the
+    (cap+1)-th largest count. Emits survivor rows (kind=0) and one
+    decrement row (kind=1, cnt=delta * n_dropped-independent mass bound)."""
+
+    def __init__(self, cap: int = MG_CAP):
+        self.cap = cap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+
+        _, values = _tokens_parts(batch["tokens"])
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int64()),
+                "token": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+                "kind": pa.array([], pa.int64()),
+            }
+        )
+        if not len(values):
+            return empty
+        uniq, cnt = np.unique(values.astype(np.int64), return_counts=True)
+        cnt = cnt.astype(np.int64)
+        if len(uniq) > self.cap:
+            # delta = (cap+1)-th largest count; survivors keep cnt - delta > 0
+            delta = int(np.partition(cnt, len(cnt) - self.cap - 1)[
+                len(cnt) - self.cap - 1
+            ])
+            keep = cnt > delta
+            uniq, cnt = uniq[keep], cnt[keep] - delta
+        else:
+            delta = 0
+        tok = np.concatenate([uniq, [0]])
+        out_cnt = np.concatenate([cnt, [delta]])
+        kind = np.zeros(len(tok), dtype=np.int64)
+        kind[-1] = 1
+        return pa.table(
+            {
+                "bkt": pa.array(tok % _VOCAB_NB),
+                "token": pa.array(tok),
+                "cnt": pa.array(out_cnt),
+                "kind": pa.array(kind),
+            }
+        )
+
+
+def _mg_candidate_group(k: int, delta_total: int):
+    """groupby(bkt): per-token merged lower bounds, pruned to the bucket-safe
+    candidate superset {t : L(t) >= bucket_L_k - Delta} (the global k-th
+    largest lower bound is >= any bucket's, so this keeps a superset of the
+    global candidate set)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["kind"] == 0]
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype="int64"),
+                    "lb": pd.Series([], dtype="int64"),
+                }
+            )
+        agg = g.groupby("token", as_index=False)["cnt"].sum()
+        agg = agg.rename(columns={"cnt": "lb"})
+        lks = np.sort(agg["lb"].to_numpy())[::-1]
+        local_lk = int(lks[min(k, len(lks)) - 1])
+        return agg[agg["lb"] >= local_lk - delta_total].astype("int64")
+
+    return fn
+
+
+class _CandidateCountStage:
+    """Pass 2: exact per-batch counts restricted to the broadcast candidate
+    token set (sorted array in the object store, read once per actor)."""
+
+    def __init__(self, cand_ref):
+        self.cand = ray.get(cand_ref)  # sorted int64 array
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+
+        _, values = _tokens_parts(batch["tokens"])
+        if not len(values):
+            return pa.table(
+                {"token": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(values.astype(np.int64), return_counts=True)
+        pos = np.searchsorted(self.cand, uniq)
+        pos[pos == len(self.cand)] = 0
+        hit = self.cand[pos] == uniq
+        return pa.table(
+            {
+                "token": pa.array(uniq[hit]),
+                "cnt": pa.array(cnt[hit].astype(np.int64)),
+            }
+        )
+
+
+class MGCertificationError(RuntimeError):
+    """The sketch capacity was too small for the corpus skew: the global
+    decrement mass reached the k-th lower bound, so exactness cannot be
+    certified. Raise capacity or fall back to q_vocab_topk."""
+
+
+def q_vocab_topk_mg(sf_dir: str, k: int = 20, cap: int = MG_CAP) -> pd.DataFrame:
+    """Certified-exact global top-k token frequencies via Misra-Gries
+    partials + candidate recount. Same result (and oracle) as q_vocab_topk;
+    shuffle volume is O(cap) per batch instead of O(vocab)."""
+    paths = _token_paths(sf_dir)
+    partials = (
+        ray.data.read_parquet(paths, columns=["tokens"])
+        .map_batches(
+            _VocabMGPartialStage(cap), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .materialize()  # bounded: <= cap+1 rows per batch
+    )
+    delta_total = int(partials.filter(expr="kind == 1").sum("cnt") or 0)
+    cands = (
+        partials.groupby("bkt")
+        .map_groups(_mg_candidate_group(k, delta_total), batch_format="pandas")
+        .to_pandas()
+    )
+    lbs = np.sort(cands["lb"].to_numpy())[::-1]
+    if not len(lbs):
+        return pd.DataFrame(
+            {"token": pd.Series([], dtype="int64"), "cnt": pd.Series([], dtype="int64")}
+        )
+    l_k = int(lbs[min(k, len(lbs)) - 1])
+    if delta_total >= l_k:
+        raise MGCertificationError(
+            f"decrement mass {delta_total} >= k-th lower bound {l_k}; "
+            f"raise cap (={cap}) or use q_vocab_topk"
+        )
+    cand_tokens = np.sort(
+        cands.loc[cands["lb"] >= l_k - delta_total, "token"].to_numpy(np.int64)
+    )
+    cand_ref = ray.put(cand_tokens)
+    exact = (
+        ray.data.read_parquet(paths, columns=["tokens"])
+        .map_batches(
+            _CandidateCountStage,
+            fn_constructor_args=(cand_ref,),
+            concurrency=(1, 8),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out = exact.sort_values(["cnt", "token"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype({"token": "int64", "cnt": "int64"})
+
+
+# ---------------------------------------------------------------------------
 # Mixture sampling: down-weight sources to configured ratios
 # ---------------------------------------------------------------------------
 
