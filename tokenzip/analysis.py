@@ -466,6 +466,14 @@ class _IVFAssignStage:
             pa.array(offs, pa.int64()).cast(pa.int32()),
             pa.array(flat, pa.float64()),
         )
+        # every replica carries the vector's FULL assignment set (p small
+        # ints) so the bucket verify can apply the lowest-common-cluster
+        # ownership rule (pair counted once, in min(assign(a) & assign(b)))
+        assign_rep = np.repeat(near.astype(np.int32), p, axis=0).reshape(-1)
+        a_offs = np.arange(n * p + 1, dtype=np.int32) * p
+        assign = pa.ListArray.from_arrays(
+            pa.array(a_offs, pa.int32()), pa.array(assign_rep, pa.int32())
+        )
         return pa.table(
             {
                 "cluster": pa.array(near.reshape(-1).astype(np.int32), pa.int32()),
@@ -474,16 +482,19 @@ class _IVFAssignStage:
                 ),
                 "vec_id": pa.array(np.repeat(ids, p), pa.int64()),
                 "v": v,
+                "assign": assign,
             }
         )
 
 
 def _ivf_bucket_pairs(tau: float):
-    """Within-bucket exact all-pairs verify. A pair (a < b) is counted ONLY
-    in a's PRIMARY cluster — multi-assignment replicates vectors across
-    buckets, so without this ownership rule a pair co-located in two
-    buckets would double count. Recall = P(primary(a) is among b's
-    n_assign nearest centroids) — exact inside a bucket."""
+    """Within-bucket exact all-pairs verify with lowest-common-cluster pair
+    ownership: multi-assignment replicates vectors across buckets, so a pair
+    (a < b) co-located in several buckets is counted ONLY in the bucket
+    whose cluster id is min(assign(a) & assign(b)). Recall is therefore
+    P(assign(a) & assign(b) != {}) — a pair is found whenever the two
+    vectors share ANY of their n_assign nearest centroids (strictly better
+    than the primary-in-other's-list rule), and counted exactly once."""
 
     def fn(g: pa.Table) -> pa.Table:
         ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -496,10 +507,24 @@ def _ivf_bucket_pairs(tau: float):
                 }
             )
         prim = g["is_primary"].to_numpy(zero_copy_only=False).astype(bool)
+        cluster = int(g["cluster"][0].as_py())
+        acol = g["assign"].combine_chunks()
+        acol = acol if isinstance(acol, pa.ListArray) else acol.chunk(0)
+        p = len(acol[0])
+        A = acol.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        A = A.reshape(len(ids), p)
         M = _emb_matrix(g["v"])
         cos = M @ M.T
-        mask = (cos >= tau) & (ids[None, :] > ids[:, None]) & prim[:, None]
+        mask = (cos >= tau) & (ids[None, :] > ids[:, None])
         r, c = np.nonzero(mask)
+        if len(r):
+            # min common cluster of each candidate pair: (m, p, p) compare,
+            # non-matching slots masked to a sentinel above any cluster id
+            big = np.int64(np.iinfo(np.int64).max)
+            eq = A[r][:, :, None] == A[c][:, None, :]
+            mc = np.where(eq, A[r][:, :, None], big).min(axis=(1, 2))
+            keep = mc == cluster
+            r, c = r[keep], c[keep]
         am = ids % _PAIR_MOD
         chk = int(((am[r] * _PAIR_K % _PAIR_MOD + am[c]) % _PAIR_MOD).sum() % _PAIR_MOD)
         return pa.table(
@@ -519,7 +544,7 @@ def _ivf_bucket_pairs(tau: float):
 # itself and only emits these constants when that exact count matches
 # `exact`, so corpus/codec drift turns the row red instead of silently
 # green. Regenerate with `python -m tokenzip pins`.
-EMB_DEDUP_IVF_PIN = {"exact": 59, "found": 52, "chk": 458042780}
+EMB_DEDUP_IVF_PIN = {"exact": 59, "found": 59, "chk": 726048900}
 
 
 def q_dedup_embedding_ivf(
