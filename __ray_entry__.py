@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_emit_by_source": _pack_emit,
         "vocab_topk": _vocab_topk,
         "vocab_topk_mg": _vocab_topk_mg,
+        "bigram_topk_mg": _bigram_topk_mg,
         "split_stats_by_source": _split_stats,
         "table_roundtrip_events": _table_roundtrip,
         "mixture_sample_stats": _mixture_stats,
@@ -141,6 +142,12 @@ def _vocab_topk_mg(sf_dir: str):
     return q_vocab_topk_mg(sf_dir)
 
 
+def _bigram_topk_mg(sf_dir: str):
+    from tokenzip.training import q_bigram_topk_mg
+
+    return q_bigram_topk_mg(sf_dir)
+
+
 def _split_stats(sf_dir: str):
     from tokenzip.training import q_split_stats_by_source
 
@@ -197,6 +204,12 @@ def _vocab_sql(glob: str) -> str:
     from tokenzip.training import vocab_topk_sql
 
     return vocab_topk_sql(glob)
+
+
+def _bigram_sql(glob: str) -> str:
+    from tokenzip.training import bigram_topk_sql
+
+    return bigram_topk_sql(glob)
 
 
 def _split_sql(glob: str) -> str:
@@ -272,6 +285,7 @@ FROM documents GROUP BY source ORDER BY source
         "pack_emit_by_source": _pack_emit_sql(glob),
         "vocab_topk": _vocab_sql(glob),
         "vocab_topk_mg": _vocab_sql(glob),
+        "bigram_topk_mg": _bigram_sql(glob),
         "split_stats_by_source": _split_sql(glob),
         "table_roundtrip_events": _table_sql(),
         "mixture_sample_stats": _mixture_sql(glob),

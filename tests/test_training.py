@@ -268,6 +268,40 @@ def test_vocab_topk_mg_batch_compression_bounds():
         assert truth[t] <= c + delta
 
 
+def test_bigram_topk_mg_matches_duckdb(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import bigram_topk_sql, q_bigram_topk_mg
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_bigram_topk_mg(SF, k=15)
+    odf = duckdb.sql(bigram_topk_sql(glob, 15)).df()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_bigram_keys_respect_doc_boundaries():
+    """Pairs crossing document boundaries must not count as bigrams, and the
+    int64 packing must round-trip signed int32 tokens exactly."""
+    import tokenzip.training as tr
+
+    tbl = pa.table(
+        {
+            "tokens": pa.array(
+                [
+                    np.array([1, 2, 3], np.int32),
+                    np.array([-7], np.int32),
+                    np.array([5, -7], np.int32),
+                ],
+                pa.list_(pa.int32()),
+            )
+        }
+    )
+    keys = tr._mg_keys_bigrams(tbl)
+    t1, t2 = tr._mg_unpack_bigram(keys)
+    pairs = sorted(zip(t1.tolist(), t2.tolist()))
+    # (3,-7) and (-7,5) cross docs; only (1,2),(2,3),(5,-7) are bigrams
+    assert pairs == [(1, 2), (2, 3), (5, -7)]
+
+
 def test_split_stats_deterministic_and_matches_duckdb(ray_session):
     from tokenzip.corpus import ensure_corpus
     from tokenzip.training import q_split_stats_by_source, split_stats_sql

@@ -847,19 +847,52 @@ GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT {k}
 MG_CAP = 4096  # per-batch summary capacity (m)
 
 
-class _VocabMGPartialStage:
-    """Per-batch Misra-Gries summary: exact batch counts (one np.unique over
-    the flat token values) compressed to <= cap survivors by subtracting the
-    (cap+1)-th largest count. Emits survivor rows (kind=0) and one
-    decrement row (kind=1, cnt=delta * n_dropped-independent mass bound)."""
+def _mg_keys_tokens(batch: pa.Table) -> np.ndarray:
+    """Key extractor: the flat token values (vocabulary heavy hitters)."""
+    from tokenzip.chunk import _tokens_parts
 
-    def __init__(self, cap: int = MG_CAP):
+    _, values = _tokens_parts(batch["tokens"])
+    return values.astype(np.int64)
+
+
+def _mg_keys_bigrams(batch: pa.Table) -> np.ndarray:
+    """Key extractor: consecutive within-doc token pairs packed injectively
+    into one int64 key ((uint32(t1) << 32) | uint32(t2)) — an UNBOUNDED key
+    domain (vocab^2), the case the MG path exists for."""
+    from tokenzip.chunk import _tokens_parts
+
+    lengths, values = _tokens_parts(batch["tokens"])
+    if len(values) < 2:
+        return np.empty(0, dtype=np.int64)
+    a = values[:-1].astype(np.int64).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    b = values[1:].astype(np.int64).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+    keys = ((a << np.uint64(32)) | b).view(np.int64)
+    valid = np.ones(len(keys), dtype=bool)
+    ends = np.cumsum(lengths.astype(np.int64))[:-1] - 1  # pairs crossing docs
+    ends = ends[(ends >= 0) & (ends < len(keys))]
+    valid[ends] = False
+    return keys[valid]
+
+
+def _mg_unpack_bigram(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ku = keys.astype(np.int64).view(np.uint64)
+    t1 = (ku >> np.uint64(32)).astype(np.uint32).view(np.int32).astype(np.int64)
+    t2 = (ku & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32).astype(np.int64)
+    return t1, t2
+
+
+class _VocabMGPartialStage:
+    """Per-batch Misra-Gries summary: exact batch key counts (one np.unique
+    over the extracted keys) compressed to <= cap survivors by subtracting
+    the (cap+1)-th largest count. Emits survivor rows (kind=0) and one
+    decrement row (kind=1, cnt=the batch's decrement delta)."""
+
+    def __init__(self, cap: int = MG_CAP, keys_fn=None):
         self.cap = cap
+        self.keys_fn = keys_fn or _mg_keys_tokens
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from tokenzip.chunk import _tokens_parts
-
-        _, values = _tokens_parts(batch["tokens"])
+        values = self.keys_fn(batch)
         empty = pa.table(
             {
                 "bkt": pa.array([], pa.int64()),
@@ -870,7 +903,7 @@ class _VocabMGPartialStage:
         )
         if not len(values):
             return empty
-        uniq, cnt = np.unique(values.astype(np.int64), return_counts=True)
+        uniq, cnt = np.unique(values, return_counts=True)
         cnt = cnt.astype(np.int64)
         if len(uniq) > self.cap:
             # delta = (cap+1)-th largest count; survivors keep cnt - delta > 0
@@ -921,20 +954,19 @@ def _mg_candidate_group(k: int, delta_total: int):
 
 class _CandidateCountStage:
     """Pass 2: exact per-batch counts restricted to the broadcast candidate
-    token set (sorted array in the object store, read once per actor)."""
+    key set (sorted array in the object store, read once per actor)."""
 
-    def __init__(self, cand_ref):
+    def __init__(self, cand_ref, keys_fn=None):
         self.cand = ray.get(cand_ref)  # sorted int64 array
+        self.keys_fn = keys_fn or _mg_keys_tokens
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from tokenzip.chunk import _tokens_parts
-
-        _, values = _tokens_parts(batch["tokens"])
+        values = self.keys_fn(batch)
         if not len(values):
             return pa.table(
                 {"token": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
             )
-        uniq, cnt = np.unique(values.astype(np.int64), return_counts=True)
+        uniq, cnt = np.unique(values, return_counts=True)
         pos = np.searchsorted(self.cand, uniq)
         pos[pos == len(self.cand)] = 0
         hit = self.cand[pos] == uniq
@@ -952,15 +984,20 @@ class MGCertificationError(RuntimeError):
     certified. Raise capacity or fall back to q_vocab_topk."""
 
 
-def q_vocab_topk_mg(sf_dir: str, k: int = 20, cap: int = MG_CAP) -> pd.DataFrame:
-    """Certified-exact global top-k token frequencies via Misra-Gries
-    partials + candidate recount. Same result (and oracle) as q_vocab_topk;
-    shuffle volume is O(cap) per batch instead of O(vocab)."""
-    paths = _token_paths(sf_dir)
+def _mg_candidate_counts(
+    paths: list[str], keys_fn, k: int, cap: int
+) -> pd.DataFrame:
+    """Shared MG core: returns the EXACT counts of the certified candidate
+    superset (columns token, cnt) — guaranteed to contain every member of
+    the true top-k, with every non-candidate's true count strictly below
+    the k-th candidate count. Raises MGCertificationError when the cap was
+    too small for the skew."""
     partials = (
         ray.data.read_parquet(paths, columns=["tokens"])
         .map_batches(
-            _VocabMGPartialStage(cap), batch_format="pyarrow", zero_copy_batch=True
+            _VocabMGPartialStage(cap, keys_fn),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
         .materialize()  # bounded: <= cap+1 rows per batch
     )
@@ -979,17 +1016,17 @@ def q_vocab_topk_mg(sf_dir: str, k: int = 20, cap: int = MG_CAP) -> pd.DataFrame
     if delta_total >= l_k:
         raise MGCertificationError(
             f"decrement mass {delta_total} >= k-th lower bound {l_k}; "
-            f"raise cap (={cap}) or use q_vocab_topk"
+            f"raise cap (={cap}) or use the exact path"
         )
-    cand_tokens = np.sort(
+    cand_keys = np.sort(
         cands.loc[cands["lb"] >= l_k - delta_total, "token"].to_numpy(np.int64)
     )
-    cand_ref = ray.put(cand_tokens)
-    exact = (
+    cand_ref = ray.put(cand_keys)
+    return (
         ray.data.read_parquet(paths, columns=["tokens"])
         .map_batches(
             _CandidateCountStage,
-            fn_constructor_args=(cand_ref,),
+            fn_constructor_args=(cand_ref, keys_fn),
             concurrency=(1, 8),
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -998,8 +1035,52 @@ def q_vocab_topk_mg(sf_dir: str, k: int = 20, cap: int = MG_CAP) -> pd.DataFrame
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
+
+
+def q_vocab_topk_mg(sf_dir: str, k: int = 20, cap: int = MG_CAP) -> pd.DataFrame:
+    """Certified-exact global top-k token frequencies via Misra-Gries
+    partials + candidate recount. Same result (and oracle) as q_vocab_topk;
+    shuffle volume is O(cap) per batch instead of O(vocab)."""
+    exact = _mg_candidate_counts(_token_paths(sf_dir), _mg_keys_tokens, k, cap)
     out = exact.sort_values(["cnt", "token"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True).astype({"token": "int64", "cnt": "int64"})
+
+
+def q_bigram_topk_mg(sf_dir: str, k: int = 20, cap: int = MG_CAP) -> pd.DataFrame:
+    """Certified-exact global top-k BIGRAM frequencies (consecutive
+    within-doc token pairs) — the key domain is vocab^2, genuinely
+    unbounded, where the vocab-sized-partial design of q_vocab_topk would
+    shuffle the full bigram table; MG bounds every batch at cap rows."""
+    exact = _mg_candidate_counts(_token_paths(sf_dir), _mg_keys_bigrams, k, cap)
+    if not len(exact):
+        return pd.DataFrame(
+            {
+                "t1": pd.Series([], dtype="int64"),
+                "t2": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64"),
+            }
+        )
+    t1, t2 = _mg_unpack_bigram(exact["token"].to_numpy(np.int64))
+    out = pd.DataFrame({"t1": t1, "t2": t2, "cnt": exact["cnt"].astype("int64")})
+    out = out.sort_values(["cnt", "t1", "t2"], ascending=[False, True, True]).head(k)
+    return out.reset_index(drop=True).astype("int64")
+
+
+def bigram_topk_sql(glob: str, k: int = 20) -> str:
+    return f"""
+WITH u AS (
+  SELECT doc_id, unnest(tokens) AS ut, unnest(range(len(tokens))) AS ui
+  FROM read_parquet('{glob}')
+),
+b AS (
+  SELECT lag(ut) OVER (PARTITION BY doc_id ORDER BY ui) AS t1, ut AS t2
+  FROM u
+)
+SELECT CAST(t1 AS BIGINT) AS t1, CAST(t2 AS BIGINT) AS t2,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM b WHERE t1 IS NOT NULL
+GROUP BY 1, 2 ORDER BY cnt DESC, t1 ASC, t2 ASC LIMIT {k}
+"""
 
 
 # ---------------------------------------------------------------------------
