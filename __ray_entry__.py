@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _vocab_topk,
         "vocab_topk_mg": _vocab_topk_mg,
         "bigram_topk_mg": _bigram_topk_mg,
+        "df_topk_mg": _df_topk_mg,
         "split_stats_by_source": _split_stats,
         "table_roundtrip_events": _table_roundtrip,
         "mixture_sample_stats": _mixture_stats,
@@ -148,6 +149,12 @@ def _bigram_topk_mg(sf_dir: str):
     return q_bigram_topk_mg(sf_dir)
 
 
+def _df_topk_mg(sf_dir: str):
+    from tokenzip.training import q_df_topk_mg
+
+    return q_df_topk_mg(sf_dir)
+
+
 def _split_stats(sf_dir: str):
     from tokenzip.training import q_split_stats_by_source
 
@@ -210,6 +217,12 @@ def _bigram_sql(glob: str) -> str:
     from tokenzip.training import bigram_topk_sql
 
     return bigram_topk_sql(glob)
+
+
+def _df_sql(glob: str) -> str:
+    from tokenzip.training import df_topk_sql
+
+    return df_topk_sql(glob)
 
 
 def _split_sql(glob: str) -> str:
@@ -286,6 +299,7 @@ FROM documents GROUP BY source ORDER BY source
         "vocab_topk": _vocab_sql(glob),
         "vocab_topk_mg": _vocab_sql(glob),
         "bigram_topk_mg": _bigram_sql(glob),
+        "df_topk_mg": _df_sql(glob),
         "split_stats_by_source": _split_sql(glob),
         "table_roundtrip_events": _table_sql(),
         "mixture_sample_stats": _mixture_sql(glob),

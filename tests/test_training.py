@@ -302,6 +302,34 @@ def test_bigram_keys_respect_doc_boundaries():
     assert pairs == [(1, 2), (2, 3), (5, -7)]
 
 
+def test_df_topk_mg_matches_duckdb(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import df_topk_sql, q_df_topk_mg
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_df_topk_mg(SF, k=15)
+    odf = duckdb.sql(df_topk_sql(glob, 15)).df()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_df_keys_dedupe_within_doc_only():
+    import tokenzip.training as tr
+
+    tbl = pa.table(
+        {
+            "tokens": pa.array(
+                [
+                    np.array([4, 4, 9], np.int32),   # doc A: {4, 9}
+                    np.array([4, -1, -1], np.int32),  # doc B: {4, -1}
+                ],
+                pa.list_(pa.int32()),
+            )
+        }
+    )
+    keys = sorted(tr._mg_keys_doc_distinct(tbl).tolist())
+    assert keys == [-1, 4, 4, 9]  # 4 appears once per doc
+
+
 def test_split_stats_deterministic_and_matches_duckdb(ray_session):
     from tokenzip.corpus import ensure_corpus
     from tokenzip.training import q_split_stats_by_source, split_stats_sql

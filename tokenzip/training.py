@@ -874,6 +874,25 @@ def _mg_keys_bigrams(batch: pa.Table) -> np.ndarray:
     return keys[valid]
 
 
+def _mg_keys_doc_distinct(batch: pa.Table) -> np.ndarray:
+    """Key extractor: each doc's DISTINCT tokens (document-frequency heavy
+    hitters — the IDF building block). A row is one whole document, so
+    within-batch dedup by (row, token) is globally correct."""
+    from tokenzip.chunk import _tokens_parts
+
+    lengths, values = _tokens_parts(batch["tokens"])
+    if not len(values):
+        return np.empty(0, dtype=np.int64)
+    row = np.repeat(
+        np.arange(len(lengths), dtype=np.int64), lengths.astype(np.int64)
+    )
+    # unique (row, token) pairs; tokens are int32 so the packing is injective
+    packed = (row << np.int64(32)) | (values.astype(np.int64) & np.int64(0xFFFFFFFF))
+    uniq = np.unique(packed)
+    t = (uniq & np.int64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+    return t.astype(np.int64)
+
+
 def _mg_unpack_bigram(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     ku = keys.astype(np.int64).view(np.uint64)
     t1 = (ku >> np.uint64(32)).astype(np.uint32).view(np.int32).astype(np.int64)
@@ -1064,6 +1083,25 @@ def q_bigram_topk_mg(sf_dir: str, k: int = 20, cap: int = MG_CAP) -> pd.DataFram
     out = pd.DataFrame({"t1": t1, "t2": t2, "cnt": exact["cnt"].astype("int64")})
     out = out.sort_values(["cnt", "t1", "t2"], ascending=[False, True, True]).head(k)
     return out.reset_index(drop=True).astype("int64")
+
+
+def q_df_topk_mg(sf_dir: str, k: int = 20, cap: int = MG_CAP) -> pd.DataFrame:
+    """Certified-exact top-k tokens by DOCUMENT frequency (number of docs
+    containing the token) — the IDF/stopword audit. Rides the MG core with
+    a within-doc-distinct key stream; the count of a key is then exactly
+    its document frequency."""
+    exact = _mg_candidate_counts(_token_paths(sf_dir), _mg_keys_doc_distinct, k, cap)
+    out = exact.rename(columns={"cnt": "df"})
+    out = out.sort_values(["df", "token"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype({"token": "int64", "df": "int64"})
+
+
+def df_topk_sql(glob: str, k: int = 20) -> str:
+    return f"""
+SELECT CAST(t AS BIGINT) AS token, CAST(COUNT(*) AS BIGINT) AS df
+FROM (SELECT DISTINCT doc_id, unnest(tokens) AS t FROM read_parquet('{glob}'))
+GROUP BY 1 ORDER BY df DESC, token ASC LIMIT {k}
+"""
 
 
 def bigram_topk_sql(glob: str, k: int = 20) -> str:
