@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "roundtrip_by_source": q.q_roundtrip_by_source,
+        "filtered_decompress": _filtered_decompress,
         "sink_roundtrip_join": q.q_sink_roundtrip_join,
         "boundary_roundtrip": q.q_boundary_roundtrip,
         "token_stats_by_source": q.q_token_stats_by_source,
@@ -137,6 +138,12 @@ def _vocab_topk(sf_dir: str):
     return q_vocab_topk(sf_dir)
 
 
+def _filtered_decompress(sf_dir: str):
+    from tokenzip.queries import q_filtered_decompress
+
+    return q_filtered_decompress(sf_dir)
+
+
 def _vocab_topk_mg(sf_dir: str):
     from tokenzip.training import q_vocab_topk_mg
 
@@ -205,6 +212,12 @@ def _pack_emit_sql(glob: str) -> str:
     from tokenzip.training import pack_emit_sql
 
     return pack_emit_sql(glob)
+
+
+def _filtered_sql(glob: str) -> str:
+    from tokenzip.queries import filtered_decompress_sql
+
+    return filtered_decompress_sql(glob)
 
 
 def _vocab_sql(glob: str) -> str:
@@ -296,6 +309,7 @@ FROM documents GROUP BY source ORDER BY source
         "compression_by_codec": _O.compression_by_codec_sql(glob),
         "pack_stats_by_source": _pack_sql(glob),
         "pack_emit_by_source": _pack_emit_sql(glob),
+        "filtered_decompress": _filtered_sql(glob),
         "vocab_topk": _vocab_sql(glob),
         "vocab_topk_mg": _vocab_sql(glob),
         "bigram_topk_mg": _bigram_sql(glob),

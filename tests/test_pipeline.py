@@ -128,6 +128,61 @@ def test_shared_tables_mode(ray_session, paths, tmp_path):
         assert (a == b).all()
 
 
+def test_decompress_source_pushdown(ray_session, paths, tmp_path):
+    """decompress(sources=...) returns exactly the requested sources' rows
+    and prunes non-matching single-source chunks at the parquet read."""
+    out = str(tmp_path / "pd")
+    compress(paths, out, concurrency=2)
+    orig = _orig_df(paths)
+    want = {"web", "code"}
+    df = (
+        decompress(out, concurrency=2, sources=sorted(want))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = orig[orig["source"].isin(want)].sort_values("doc_id").reset_index(drop=True)
+    assert list(df["doc_id"]) == list(exp["doc_id"])
+    assert set(df["source"]) <= want
+    for a, b in zip(df["tokens"], exp["tokens"]):
+        assert (a == b).all()
+    # single-source sink: every chunk row carries an exclusive source_top
+    import glob as _g
+
+    files = _g.glob(os.path.join(out, "chunks", "**", "*.parquet"), recursive=True)
+    tops = set()
+    for f in files:
+        tops |= set(pq.read_table(f, columns=["source_top"])["source_top"].to_pylist())
+    assert "" not in tops and tops >= want
+
+
+def test_mixed_chunk_source_top_empty_and_row_filter():
+    """by_source=False chunks mark source_top='' (never pruned) and the
+    decode-side row filter nets the exact subset."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tokenzip.pipeline import _decode_fn
+    from tokenzip.stages import EncodeStage
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(6)]),
+            "tokens": pa.array(
+                [np.arange(i + 1, dtype=np.int32) for i in range(6)],
+                pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array([i + 1 for i in range(6)], pa.int32()),
+            "source": pa.array(["a", "b", "a", "b", "c", "a"]),
+        }
+    )
+    chunks = EncodeStage(by_source=False)(tbl)
+    assert set(chunks["source_top"].to_pylist()) == {""}
+    dec = _decode_fn(chunks, sources=["a", "c"])
+    assert set(dec["source"].to_pylist()) == {"a", "c"}
+    assert dec.num_rows == 4
+
+
 def test_verify_roundtrip_all_equal(ray_session, paths):
     v = verify_roundtrip(paths).to_pandas()
     assert (v["n_docs"] == v["n_equal"]).all()

@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
 
     d = sub.add_parser("decompress", help="restore the original table from chunks")
     d.add_argument("out_dir"), d.add_argument("restored_dir")
+    d.add_argument(
+        "--sources",
+        default=None,
+        help="comma-separated source subset; single-source chunks outside "
+             "it are pruned at the parquet read (storage-level pushdown)",
+    )
 
     v = sub.add_parser("verify", help="encode->decode->equality over an input table")
     v.add_argument("input")
@@ -121,7 +127,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "decompress":
             from tokenzip.pipeline import decompress
 
-            ds = decompress(args.out_dir)
+            srcs = args.sources.split(",") if args.sources else None
+            ds = decompress(args.out_dir, sources=srcs)
             ds.write_parquet(args.restored_dir)
             print(json.dumps({"rows": "written", "dir": args.restored_dir}))
         elif args.cmd == "verify":

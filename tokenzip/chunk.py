@@ -253,9 +253,12 @@ def encode_batch(
     bytes_out = sum(len(b) for b in blobs)
 
     if n_rows:
+        # EXCLUSIVE source of the chunk, or "" when mixed (only possible on
+        # the by_source=False encode path) — "" means "must be read" to the
+        # source-pushdown filter in pipeline.decompress, so pruning on this
+        # column is always sound
         vc = batch["source"].value_counts()
-        counts = vc.field("counts").to_numpy(zero_copy_only=False)
-        source_top = vc.field("values")[int(np.argmax(counts))].as_py()
+        source_top = vc.field("values")[0].as_py() if len(vc) == 1 else ""
     else:
         source_top = ""
 

@@ -49,12 +49,19 @@ def _encode_fn(batch, tokens_codec="auto"):
     return st(batch)
 
 
-def _decode_fn(batch, sidecar=None):
+def _decode_fn(batch, sidecar=None, sources=None):
     key = ("dec", sidecar)
     st = _STAGES.get(key)
     if st is None:
         st = _STAGES[key] = DecodeStage(sidecar=sidecar)
-    return st(batch)
+    out = st(batch)
+    if sources is not None:
+        # exact row-level net under the source_top pushdown: mixed chunks
+        # (source_top="") reach here carrying other sources' rows
+        import pyarrow.compute as pc
+
+        out = out.filter(pc.is_in(out["source"], pa.array(list(sources))))
+    return out
 
 
 _TRAIN_SAMPLE_FRAGS = 64  # row-group samples: evenly strided over fragments
@@ -436,9 +443,13 @@ def _bytes_based_blocks(paths: list[str], target: int = 16 << 20) -> int:
     return int(total / target) or 1
 
 
-def _chunks_read(out_dir: str):
+def _chunks_read(out_dir: str, sources: list[str] | None = None):
     """(chunk Dataset | None, sidecar | None) for a written sink — shared
-    read-shape of decompress and the fused sink-audit path."""
+    read-shape of decompress and the fused sink-audit path. ``sources``
+    pushes a predicate into the parquet read: single-source chunks
+    (source_top set) outside the list are pruned at the storage layer —
+    their encoded payloads never leave disk; mixed chunks (source_top="")
+    are always read and row-filtered after decode by the caller."""
     chunks_dir = uio.join(out_dir, "chunks")
     sized = [
         (p, sz) for p, sz in uio.walk_files(chunks_dir) if p.endswith(".parquet")
@@ -463,7 +474,16 @@ def _chunks_read(out_dir: str):
     if max(sizes) > (128 << 20):
         # skewed sink (one giant file): allow sub-file splits at ~64 MB
         n_blocks = max(n_blocks, int(total_bytes / (64 << 20)) or 1)
-    ds = ray.data.read_parquet(chunks_dir, override_num_blocks=n_blocks)
+    read_kwargs = {}
+    if sources is not None:
+        import pyarrow.compute as pc
+
+        read_kwargs["filter"] = pc.field("source_top").isin(
+            list(sources) + [""]
+        )
+    ds = ray.data.read_parquet(
+        chunks_dir, override_num_blocks=n_blocks, **read_kwargs
+    )
     sidecar = uio.join(out_dir, "symbols.json")
     return ds, (sidecar if uio.exists(sidecar) else None)
 
@@ -478,9 +498,19 @@ _EMPTY_TOKENS_TABLE = pa.table(
 )
 
 
-def decompress(out_dir: str, concurrency: int | None = None) -> "ray.data.Dataset":
-    """Read chunk parquet -> decode -> Dataset with the original schema."""
-    ds, sidecar = _chunks_read(out_dir)
+def decompress(
+    out_dir: str,
+    concurrency: int | None = None,
+    sources: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Read chunk parquet -> decode -> Dataset with the original schema.
+
+    ``sources`` selects a subset of sources WITH storage-level pruning:
+    single-source chunks outside the list are dropped by a parquet
+    predicate on ``source_top`` (their encoded payloads are never read or
+    decoded); mixed-source chunks are decoded and row-filtered exactly.
+    """
+    ds, sidecar = _chunks_read(out_dir, sources=sources)
     if ds is None:
         # zero-chunk run (every fragment produced no chunks): an empty
         # dataset with the original schema, not override_num_blocks=0
@@ -488,7 +518,7 @@ def decompress(out_dir: str, concurrency: int | None = None) -> "ray.data.Datase
     kwargs = dict(
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_kwargs={"sidecar": sidecar},
+        fn_kwargs={"sidecar": sidecar, "sources": sources},
     )
     if concurrency:
         kwargs["concurrency"] = concurrency

@@ -99,6 +99,77 @@ def _token_stats_fn(batch):
     return _STATS_STAGE[0](batch)
 
 
+FILTERED_SOURCES = ["code", "web"]  # the pushdown demo's source subset
+
+
+def q_filtered_decompress(sf_dir: str):
+    """Source-predicate pushdown through the sink: compress (resumable —
+    reuses the sink the other sink queries build), then decompress ONLY the
+    requested sources. Single-source chunks outside the subset are pruned
+    by a parquet predicate on source_top (their payloads never leave
+    storage); the decoded stream is then aggregated per source."""
+    import os
+
+    from tokenzip.pipeline import compress, decompress
+
+    paths = corpus_paths(sf_dir)
+    out_dir = os.path.join(
+        "/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir))
+    )
+    compress(paths, out_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas(),
+                "n_tok": batch["n_tok"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n_tok", "size"), sum_tokens=("n_tok", "sum")
+        )
+        # explicit schema so fully-filtered (zero-row) batches emit the
+        # same block schema as populated ones
+        return pa.table(
+            {
+                "source": pa.array(g["source"].astype(str), pa.string()),
+                "n_docs": pa.array(g["n_docs"].astype("int64"), pa.int64()),
+                "sum_tokens": pa.array(
+                    g["sum_tokens"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        decompress(out_dir, sources=FILTERED_SOURCES)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        )
+        .to_pandas()
+    )
+    out = out[["source", "n_docs", "sum_tokens"]].astype(
+        {"n_docs": "int64", "sum_tokens": "int64"}
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def filtered_decompress_sql(glob: str) -> str:
+    srcs = ", ".join(f"'{s}'" for s in FILTERED_SOURCES)
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_tokens
+FROM read_parquet('{glob}') WHERE source IN ({srcs})
+GROUP BY source ORDER BY source
+"""
+
+
 def q_token_stats_by_source(sf_dir: str):
     ds = ray.data.read_parquet(corpus_paths(sf_dir))
     partials = ds.map_batches(
