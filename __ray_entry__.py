@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "roundtrip_by_source": q.q_roundtrip_by_source,
         "filtered_decompress": _filtered_decompress,
+        "compacted_roundtrip": _compacted_roundtrip,
         "sink_roundtrip_join": q.q_sink_roundtrip_join,
         "boundary_roundtrip": q.q_boundary_roundtrip,
         "token_stats_by_source": q.q_token_stats_by_source,
@@ -144,6 +145,12 @@ def _filtered_decompress(sf_dir: str):
     return q_filtered_decompress(sf_dir)
 
 
+def _compacted_roundtrip(sf_dir: str):
+    from tokenzip.queries import q_compacted_roundtrip
+
+    return q_compacted_roundtrip(sf_dir)
+
+
 def _vocab_topk_mg(sf_dir: str):
     from tokenzip.training import q_vocab_topk_mg
 
@@ -218,6 +225,12 @@ def _filtered_sql(glob: str) -> str:
     from tokenzip.queries import filtered_decompress_sql
 
     return filtered_decompress_sql(glob)
+
+
+def _compacted_sql(glob: str) -> str:
+    from tokenzip.queries import compacted_roundtrip_sql
+
+    return compacted_roundtrip_sql(glob)
 
 
 def _vocab_sql(glob: str) -> str:
@@ -310,6 +323,7 @@ FROM documents GROUP BY source ORDER BY source
         "pack_stats_by_source": _pack_sql(glob),
         "pack_emit_by_source": _pack_emit_sql(glob),
         "filtered_decompress": _filtered_sql(glob),
+        "compacted_roundtrip": _compacted_sql(glob),
         "vocab_topk": _vocab_sql(glob),
         "vocab_topk_mg": _vocab_sql(glob),
         "bigram_topk_mg": _bigram_sql(glob),

@@ -156,6 +156,41 @@ def test_decompress_source_pushdown(ray_session, paths, tmp_path):
     assert "" not in tops and tops >= want
 
 
+def test_compact_bit_identical_and_audited(ray_session, paths, tmp_path):
+    """Compaction merges chunk files without re-encoding: decompress of the
+    compacted sink is bit-identical, the chunk-id multiset checksum is
+    grouping-invariant, and source pushdown still prunes."""
+    from tokenzip.pipeline import compact
+
+    src = str(tmp_path / "src")
+    compress(paths, src, concurrency=2)
+    import glob as _g
+
+    n_in = len(_g.glob(os.path.join(src, "chunks", "**", "*.parquet"), recursive=True))
+    r1 = compact(src, str(tmp_path / "d1"), target_bytes=1 << 20)
+    r2 = compact(src, str(tmp_path / "d2"), target_bytes=64 << 20)
+    assert r1["n_files_in"] == n_in and r1["n_files_out"] > r2["n_files_out"]
+    assert r1["chunk_checksum"] == r2["chunk_checksum"]
+    assert r1["n_chunks"] == r2["n_chunks"]
+    a = decompress(src).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        decompress(str(tmp_path / "d1"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    for x, y in zip(a["tokens"], b["tokens"]):
+        assert (x == y).all()
+    f = decompress(str(tmp_path / "d1"), sources=["books"]).to_pandas()
+    assert set(f["source"]) <= {"books"}
+    assert len(f) == int((a["source"] == "books").sum())
+    # manifest provenance carried over
+    man = json.load(open(os.path.join(str(tmp_path / "d1"), "manifest.json")))
+    assert man["compacted_from"] == src
+    assert man["totals"]["n_rows"] == 2000
+
+
 def test_mixed_chunk_source_top_empty_and_row_filter():
     """by_source=False chunks mark source_top='' (never pruned) and the
     decode-side row filter nets the exact subset."""

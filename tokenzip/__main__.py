@@ -54,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
              "it are pruned at the parquet read (storage-level pushdown)",
     )
 
+    cp = sub.add_parser(
+        "compact", help="merge a sink's chunk files into ~target-size files"
+    )
+    cp.add_argument("out_dir"), cp.add_argument("dst_dir")
+    cp.add_argument("--target-mb", type=int, default=256)
+
     v = sub.add_parser("verify", help="encode->decode->equality over an input table")
     v.add_argument("input")
 
@@ -131,6 +137,14 @@ def main(argv: list[str] | None = None) -> int:
             ds = decompress(args.out_dir, sources=srcs)
             ds.write_parquet(args.restored_dir)
             print(json.dumps({"rows": "written", "dir": args.restored_dir}))
+        elif args.cmd == "compact":
+            from tokenzip.pipeline import compact
+
+            res = compact(
+                args.out_dir, args.dst_dir,
+                target_bytes=args.target_mb << 20,
+            )
+            print(json.dumps(res, sort_keys=True))
         elif args.cmd == "verify":
             from tokenzip.pipeline import verify_roundtrip
 

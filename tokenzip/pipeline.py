@@ -525,6 +525,132 @@ def decompress(
     return ds.map_batches(_decode_fn, **kwargs)
 
 
+_COMPACT_MOD = (1 << 61) - 1
+
+
+def _chunkid_checksum(ids) -> int:
+    """Order-invariant chunk-id multiset checksum (sum of md5-hi60 mod a
+    Mersenne prime) — the compaction audit's equality key."""
+    from tokenzip.hashutil import md5_hi60_str
+
+    if not len(ids):
+        return 0
+    h = md5_hi60_str(ids).astype(np.uint64)
+    # exact big-int sum: a uint64 .sum() wraps mod 2^64, which is NOT
+    # congruent mod the Mersenne prime, so the checksum would depend on
+    # the grouping; object-dtype summation is chunk-METADATA-sized
+    return int(h.astype(object).sum()) % _COMPACT_MOD
+
+
+def compact(
+    out_dir: str,
+    dst_dir: str,
+    *,
+    target_bytes: int = 256 << 20,
+    concurrency: int | None = None,
+) -> dict:
+    """Merge a sink's chunk files into ~``target_bytes`` parquet files —
+    the small-file compaction a long-lived 100-TB sink needs (compress
+    writes one file per input fragment; millions of fragments mean
+    millions of small files, which tax every subsequent listing and read).
+
+    Chunk ROWS are copied verbatim (no re-encode — the payloads are
+    already engine-compressed); rows are sorted by (source_top, chunk_id)
+    inside each output file and written in small row groups so the
+    decompress source-pushdown keeps pruning at row-group granularity.
+    The manifest and shared-table sidecar are copied; totals are
+    unchanged. Audited: every group asserts rows-read == rows-written and
+    the global chunk-id multiset checksum must match the source's.
+
+    Planning reads only file METADATA (paths + sizes) on the driver; all
+    row bytes move inside Ray tasks, one per output file.
+    """
+    src_chunks = uio.join(out_dir, "chunks")
+    files = sorted(
+        (p, sz) for p, sz in uio.walk_files(src_chunks) if p.endswith(".parquet")
+    )
+    if not files:
+        raise FileNotFoundError(f"no chunk files under {src_chunks}")
+    # greedy size packing, deterministic order
+    groups: list[list[str]] = [[]]
+    acc = 0
+    for p, sz in files:
+        if groups[-1] and acc + sz > target_bytes:
+            groups.append([])
+            acc = 0
+        groups[-1].append(p)
+        acc += sz
+    dst_chunks = uio.join(dst_dir, "chunks")
+
+    def _merge(row: dict) -> dict:
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        tables = []
+        for p in row["files"]:
+            if uio.is_uri(p):
+                fs, pp = uio._fs(p)
+                t1 = _pq.read_table(pp, filesystem=fs)
+            else:
+                t1 = _pq.read_table(p)
+            # single-file reads don't infer the hive frag= partition; carry
+            # it forward as a plain string column (lineage survives
+            # compaction)
+            if "frag" not in t1.column_names and "/frag=" in p:
+                frag = p.rsplit("/frag=", 1)[1].split("/", 1)[0]
+                t1 = t1.append_column(
+                    "frag", pa.array([frag] * t1.num_rows, pa.string())
+                )
+            tables.append(t1)
+        t = pa.concat_tables(tables, promote_options="none")
+        order = _pc.sort_indices(
+            t, sort_keys=[("source_top", "ascending"), ("chunk_id", "ascending")]
+        )
+        t = t.take(order)
+        sink = pa.BufferOutputStream()
+        _pq.write_table(t, sink, compression="none", row_group_size=16)
+        out_path = uio.join(dst_chunks, f"compact-{int(row['gid']):06d}.parquet")
+        uio.write_bytes_atomic(out_path, sink.getvalue().to_pybytes())
+        return {
+            "gid": int(row["gid"]),
+            "n_chunks": t.num_rows,
+            "chk": _chunkid_checksum(t["chunk_id"]),
+            "bytes": len(sink.getvalue()),
+        }
+
+    specs = [{"gid": i, "files": g} for i, g in enumerate(groups)]
+    audit = (
+        ray.data.from_items(specs)
+        .map(_merge, concurrency=concurrency or _default_concurrency())
+        .to_pandas()
+    )
+    man = Manifest(out_dir)
+    n_manifest = int(man.totals().get("n_chunks", 0))
+    n_written = int(audit["n_chunks"].sum())
+    if n_manifest and n_written != n_manifest:
+        raise RuntimeError(
+            f"compaction audit failed: wrote {n_written} chunk rows, "
+            f"manifest records {n_manifest}"
+        )
+    # copy manifest + sidecar, stamp provenance
+    dman = Manifest(dst_dir)
+    dman.data = dict(man.data)
+    dman.data["compacted_from"] = out_dir
+    dman.save()
+    sidecar = uio.join(out_dir, "symbols.json")
+    if uio.exists(sidecar):
+        uio.write_bytes_atomic(
+            uio.join(dst_dir, "symbols.json"), uio.read_bytes(sidecar)
+        )
+    return {
+        "n_files_in": len(files),
+        "n_files_out": len(groups),
+        "n_chunks": n_written,
+        "bytes_out": int(audit["bytes"].sum()),
+        "chunk_checksum": int(audit["chk"].sum() % _COMPACT_MOD),
+    }
+
+
 class _DocChecksumStage:
     """Per-row content checksums of an original-schema batch: an
     order-sensitive polynomial hash of the zigzagged token stream (uint64

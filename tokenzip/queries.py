@@ -170,6 +170,73 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_compacted_roundtrip(sf_dir: str):
+    """Compress -> compact (merge chunk files, no re-encode) -> decompress
+    the COMPACTED sink -> per-source aggregates. Proves the small-file
+    compaction path is content-preserving end-to-end."""
+    import os
+    import shutil
+
+    from tokenzip.pipeline import compact, compress, decompress
+
+    paths = corpus_paths(sf_dir)
+    out_dir = os.path.join(
+        "/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir))
+    )
+    compress(paths, out_dir)
+    cdir = out_dir + "_compacted"
+    shutil.rmtree(cdir, ignore_errors=True)
+    compact(out_dir, cdir, target_bytes=64 << 20)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas(),
+                "n_tok": batch["n_tok"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n_tok", "size"), sum_tokens=("n_tok", "sum")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"].astype(str), pa.string()),
+                "n_docs": pa.array(g["n_docs"].astype("int64"), pa.int64()),
+                "sum_tokens": pa.array(
+                    g["sum_tokens"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        decompress(cdir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        )
+        .to_pandas()
+    )
+    out = out[["source", "n_docs", "sum_tokens"]].astype(
+        {"n_docs": "int64", "sum_tokens": "int64"}
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def compacted_roundtrip_sql(glob: str) -> str:
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_tokens
+FROM read_parquet('{glob}')
+GROUP BY source ORDER BY source
+"""
+
+
 def q_token_stats_by_source(sf_dir: str):
     ds = ray.data.read_parquet(corpus_paths(sf_dir))
     partials = ds.map_batches(
