@@ -191,6 +191,25 @@ def test_compact_bit_identical_and_audited(ray_session, paths, tmp_path):
     assert man["totals"]["n_rows"] == 2000
 
 
+def test_append_after_compact(ray_session, paths, tmp_path):
+    """A compacted sink accepts NEW fragments via the normal resumable
+    compress path (uniform hive layout + schema), and decompress reads the
+    union."""
+    from tokenzip.pipeline import compact
+
+    src = str(tmp_path / "src")
+    compress(paths[:4], src, concurrency=2)
+    cdir = str(tmp_path / "cd")
+    compact(src, cdir, target_bytes=64 << 20)
+    totals = compress(paths, cdir, concurrency=2)  # appends paths[4:]
+    assert totals["n_rows"] == 2000
+    a = decompress(cdir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = _orig_df(paths)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    for x, y in zip(a["tokens"], b["tokens"]):
+        assert (x == y).all()
+
+
 def test_mixed_chunk_source_top_empty_and_row_filter():
     """by_source=False chunks mark source_top='' (never pruned) and the
     decode-side row filter nets the exact subset."""

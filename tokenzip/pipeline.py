@@ -593,14 +593,13 @@ def compact(
                 t1 = _pq.read_table(pp, filesystem=fs)
             else:
                 t1 = _pq.read_table(p)
-            # single-file reads don't infer the hive frag= partition; carry
-            # it forward as a plain string column (lineage survives
-            # compaction)
-            if "frag" not in t1.column_names and "/frag=" in p:
-                frag = p.rsplit("/frag=", 1)[1].split("/", 1)[0]
-                t1 = t1.append_column(
-                    "frag", pa.array([frag] * t1.num_rows, pa.string())
-                )
+            # compacted rows carry EXACTLY the chunk schema — no extra
+            # lineage column, so a later compress APPEND into the compacted
+            # sink (new frag= dirs) reads with one uniform schema. Per-chunk
+            # frag provenance is dropped; chunk_id is content-derived and
+            # the manifest keeps per-fragment aggregates.
+            if "frag_src" in t1.column_names:
+                t1 = t1.drop_columns(["frag_src"])
             tables.append(t1)
         t = pa.concat_tables(tables, promote_options="none")
         order = _pc.sort_indices(
@@ -609,7 +608,15 @@ def compact(
         t = t.take(order)
         sink = pa.BufferOutputStream()
         _pq.write_table(t, sink, compression="none", row_group_size=16)
-        out_path = uio.join(dst_chunks, f"compact-{int(row['gid']):06d}.parquet")
+        # stay inside the hive frag= layout so compress can APPEND new
+        # fragments to a compacted sink (mixed flat + hive layouts break
+        # the dataset read); "__compacted__" can never collide with a real
+        # fragment key (those are basename-sha1 pairs)
+        out_path = uio.join(
+            dst_chunks,
+            f"frag=__compacted__-{int(row['gid']):06d}",
+            "part-0.parquet",
+        )
         uio.write_bytes_atomic(out_path, sink.getvalue().to_pybytes())
         return {
             "gid": int(row["gid"]),

@@ -214,7 +214,7 @@ class DecodeStage:
 
                 load_shared_tables(self.sidecar)
             self._loaded = True
-        cols = [c for c in ("frag",) if c in batch.column_names]
+        cols = [c for c in ("frag", "frag_src") if c in batch.column_names]
         if cols:
             batch = batch.drop_columns(cols)
         return decode_chunks(batch)
