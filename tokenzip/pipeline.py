@@ -301,8 +301,16 @@ def compress(
             kwargs["concurrency"] = concurrency
         ds = ds.map_batches(_encode_fn, **kwargs)
     # chunk payloads are already compressed by the engine's own codecs —
-    # parquet-level recompression would burn CPU for ~0 gain
-    ds.write_parquet(chunks_dir, partition_cols=["frag"], compression="none")
+    # parquet-level recompression would burn CPU for ~0 gain. Small row
+    # groups (chunk rows are ~MB each and already source-clustered within
+    # a fragment) give the decompress source-pushdown row-group-level I/O
+    # pruning, not just row-level decode pruning.
+    ds.write_parquet(
+        chunks_dir,
+        partition_cols=["frag"],
+        compression="none",
+        row_group_size=8,
+    )
 
     # fold chunk metadata into the per-fragment manifest (metadata columns
     # only — column-pruned read of the chunk files, no payload bytes move).
