@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_agg": _events_window_agg,
         "events_asof_orders": _events_asof_orders,
         "events_range_orders": _events_range_orders,
+        "orders_by_nation": _orders_by_nation,
         "pack_stats_by_source": _pack_stats,
         "pack_emit_by_source": _pack_emit,
         "vocab_topk": _vocab_topk,
@@ -191,6 +192,18 @@ def _events_range_orders(sf_dir: str):
     from tokenzip.relational import q_events_range_orders
 
     return q_events_range_orders(sf_dir)
+
+
+def _orders_by_nation(sf_dir: str):
+    from tokenzip.relational import q_orders_by_nation
+
+    return q_orders_by_nation(sf_dir)
+
+
+def _orders_nation_sql() -> str:
+    from tokenzip.relational import orders_by_nation_sql
+
+    return orders_by_nation_sql()
 
 
 def _media_features(sf_dir: str):
@@ -353,6 +366,7 @@ FROM documents GROUP BY source ORDER BY source
         "events_window_agg": _O.events_window_sql(),
         "events_asof_orders": _O.events_asof_sql(),
         "events_range_orders": _O.events_range_sql(),
+        "orders_by_nation": _orders_nation_sql(),
         # recall-pinned oracle: the IVF result is deterministic (fixed
         # corpus + seeded k-means on a bounded sample + float64 matmul), so
         # the sf0.01 recall is a constant the engine must reproduce exactly

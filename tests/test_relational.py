@@ -210,3 +210,39 @@ def test_relational_match_oracle_on_testdata(ray_session):
     got_r = q_events_range_orders(SF).reset_index(drop=True)
     exp_r = con.sql(events_range_sql()).df()
     pd.testing.assert_frame_equal(got_r, exp_r, check_dtype=False)
+
+
+def test_orders_by_nation_broadcast_join(ray_session):
+    """Broadcast equi-join rollup agrees with the DuckDB three-table join
+    on the real sf0.001 tables, and refuses a dangling foreign key."""
+    from tokenzip.relational import orders_by_nation_sql, q_orders_by_nation
+
+    con = duckdb.connect()
+    for t in ["orders", "customer", "nation"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_orders_by_nation(SF).reset_index(drop=True)
+    exp = con.sql(orders_by_nation_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_orders_by_nation_dangling_key_raises(ray_session, tmp_path):
+    from tokenzip.relational import q_orders_by_nation
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([0], pa.int64()),
+                  "n_name": pa.array(["X"], pa.string())}),
+        f"{d}/nation.parquet",
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1], pa.int64()),
+                  "c_nationkey": pa.array([0], pa.int64())}),
+        f"{d}/customer.parquet",
+    )
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([2], pa.int64()),  # no such customer
+                  "o_totalprice": pa.array([10.0], pa.float64())}),
+        f"{d}/orders.parquet",
+    )
+    with pytest.raises(Exception, match="o_custkey outside customer"):
+        q_orders_by_nation(d)

@@ -399,3 +399,112 @@ def q_events_asof_orders(sf_dir: str):
         }
     )
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Broadcast (map-side) equi-join: the other half of the join story. The
+# as-of/range joins above co-partition two BIG sides; when one side is
+# small (dimension tables: customer, nation), the 100-TB pattern is to
+# ray.put the lookup ONCE and join inside map_batches — zero shuffle on
+# the big side, partials pre-aggregated per batch.
+# ---------------------------------------------------------------------------
+
+
+def _dim_lookup(sf_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(sorted c_custkey, nation name per custkey row, sorted names) —
+    the broadcast payload: customer x nation folded driver-side (both are
+    dimension tables, KBs at any TPC-H scale; the fact table never moves)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nkey = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nname = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    order = np.argsort(nkey)
+    nkey, nname = nkey[order], nname[order]
+    ckey = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cnat = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    corder = np.argsort(ckey)
+    ckey, cnat = ckey[corder], cnat[corder]
+    pos = np.searchsorted(nkey, cnat)
+    if len(pos) and not np.array_equal(nkey[np.clip(pos, 0, len(nkey) - 1)], cnat):
+        raise ValueError("customer.c_nationkey outside nation table")
+    return ckey, nname[pos], np.unique(nname)
+
+
+class _OrdersNationStage:
+    """Per-batch partials of the orders->customer->nation broadcast join:
+    (n_name, n_orders, sum_price_cents) — searchsorted lookups against the
+    broadcast dimension arrays, never a shuffle of the fact side."""
+
+    def __init__(self, dim_ref):
+        from tokenzip.stages import _bget
+
+        self.ckey, self.cnation, _ = _bget(dim_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ok = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _cents(batch["o_totalprice"])
+        pos = np.searchsorted(self.ckey, ok)
+        if len(pos) and not np.array_equal(self.ckey[np.clip(pos, 0, len(self.ckey) - 1)], ok):
+            raise ValueError("orders.o_custkey outside customer table")
+        names = self.cnation[pos]
+        uniq, inv = np.unique(names, return_inverse=True)
+        return pa.table(
+            {
+                "n_name": pa.array([str(s) for s in uniq], pa.string()),
+                "n_orders": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64)),
+                "sum_price": pa.array(
+                    np.bincount(inv, weights=price, minlength=len(uniq)).astype(np.int64)
+                ),
+            }
+        )
+
+
+def q_orders_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Orders enriched through customer -> nation by broadcast lookup,
+    rolled up per nation: (n_name, n_orders, sum_price_cents). One
+    fact-table scan, partials per batch, a nation-sized final groupby."""
+    from tokenzip.stages import _bcast
+
+    dim_ref = _bcast(_dim_lookup(sf_dir))
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        )
+        .map_batches(
+            _OrdersNationStage,
+            fn_constructor_args=(dim_ref,),
+            concurrency=(1, max(2, _default_concurrency() // 2)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("n_name")
+        .aggregate(Sum("n_orders"), Sum("sum_price"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "n_name": agg["n_name"].astype(str),
+            "n_orders": agg["sum(n_orders)"].astype("int64"),
+            "sum_price_cents": agg["sum(sum_price)"].astype("int64"),
+        }
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def orders_by_nation_sql() -> str:
+    return """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
