@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": _events_asof_orders,
         "events_range_orders": _events_range_orders,
         "orders_by_nation": _orders_by_nation,
+        "pricing_summary": _pricing_summary,
         "pack_stats_by_source": _pack_stats,
         "pack_emit_by_source": _pack_emit,
         "vocab_topk": _vocab_topk,
@@ -200,10 +201,22 @@ def _orders_by_nation(sf_dir: str):
     return q_orders_by_nation(sf_dir)
 
 
+def _pricing_sql() -> str:
+    from tokenzip.relational import pricing_summary_sql
+
+    return pricing_summary_sql()
+
+
 def _orders_nation_sql() -> str:
     from tokenzip.relational import orders_by_nation_sql
 
     return orders_by_nation_sql()
+
+
+def _pricing_summary(sf_dir: str):
+    from tokenzip.relational import q_pricing_summary
+
+    return q_pricing_summary(sf_dir)
 
 
 def _media_features(sf_dir: str):
@@ -367,6 +380,7 @@ FROM documents GROUP BY source ORDER BY source
         "events_asof_orders": _O.events_asof_sql(),
         "events_range_orders": _O.events_range_sql(),
         "orders_by_nation": _orders_nation_sql(),
+        "pricing_summary": _pricing_sql(),
         # recall-pinned oracle: the IVF result is deterministic (fixed
         # corpus + seeded k-means on a bounded sample + float64 matmul), so
         # the sf0.01 recall is a constant the engine must reproduce exactly

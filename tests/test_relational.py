@@ -246,3 +246,13 @@ def test_orders_by_nation_dangling_key_raises(ray_session, tmp_path):
     )
     with pytest.raises(Exception, match="o_custkey outside customer"):
         q_orders_by_nation(d)
+
+
+def test_pricing_summary_matches_duckdb(ray_session):
+    from tokenzip.relational import pricing_summary_sql, q_pricing_summary
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')")
+    got = q_pricing_summary(SF).reset_index(drop=True)
+    exp = con.sql(pricing_summary_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

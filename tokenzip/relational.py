@@ -508,3 +508,117 @@ FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Pricing-summary aggregate over the widest fact table (the TPC-H Q1
+# shape): per (returnflag, linestatus) sums with EXACT integer arithmetic
+# — quantities and prices to cents, discount/tax to basis points, so the
+# DuckDB oracle hash-matches bit-for-bit. Partials per batch (bounded at
+# the 6-group key domain), one tiny groupby.
+# ---------------------------------------------------------------------------
+
+
+def _hund(col: pa.ChunkedArray) -> np.ndarray:
+    """DOUBLE rate -> exact int64 hundredths (floor(x*100 + 0.5)) — TPC-H
+    discount/tax rates carry two decimal digits, so hundredths are exact
+    and keep the triple product inside the float53/int64 exact range."""
+    v = col.combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+class _PricingSummaryStage:
+    """Per-batch partials: group by (l_returnflag, l_linestatus) and sum
+    quantity cents, price cents, discounted price (price * (100 - disc_h),
+    in cents*hundredths) and charge (discounted * (100 + tax_h), in
+    cents*hundredths^2, ~1e11/row) — exact integers throughout; the
+    float53 partial-sum exactness bound is asserted loudly."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rf = np.asarray(batch["l_returnflag"].to_pylist(), dtype=object)
+        ls = np.asarray(batch["l_linestatus"].to_pylist(), dtype=object)
+        qty = _cents(batch["l_quantity"])
+        price = _cents(batch["l_extendedprice"])
+        disc = _hund(batch["l_discount"])
+        tax = _hund(batch["l_tax"])
+        disc_price = price * (100 - disc)              # cents * hundredths
+        charge = disc_price * (100 + tax)              # cents * hundredths^2
+        # composite key via a separator that can't appear in the values;
+        # originals recovered by first-occurrence index (no char slicing —
+        # correct for any flag/status width)
+        key = np.char.add(np.char.add(rf.astype(str), "\x00"), ls.astype(str))
+        uniq, idx, inv = np.unique(key, return_index=True, return_inverse=True)
+        k = len(uniq)
+
+        def gsum(v):
+            return np.bincount(inv, weights=v.astype(np.float64), minlength=k)
+
+        # float64 partial sums are exact below 2^53; per-batch charge sums
+        # approach that only beyond ~10^5 rows/batch * 10^12 — assert loudly
+        mx = float(np.abs(charge).max()) if len(charge) else 0.0
+        if mx * len(charge) >= 2**53:
+            raise OverflowError("pricing partial exceeds exact float53 range")
+        return pa.table(
+            {
+                "l_returnflag": pa.array([str(x) for x in rf[idx]], pa.string()),
+                "l_linestatus": pa.array([str(x) for x in ls[idx]], pa.string()),
+                "n_rows": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+                "sum_qty_cents": pa.array(gsum(qty).astype(np.int64)),
+                "sum_price_cents": pa.array(gsum(price).astype(np.int64)),
+                "sum_disc_price": pa.array(gsum(disc_price).astype(np.int64)),
+                "sum_charge": pa.array(gsum(charge).astype(np.int64)),
+            }
+        )
+
+
+def q_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-shaped pricing summary over lineitem with exact integer
+    arithmetic (cents / basis points). Column-pruned scan, per-batch
+    partials over the 6-value key domain, one tiny groupby."""
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=[
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax",
+            ],
+        )
+        .map_batches(
+            _PricingSummaryStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n_rows"), Sum("sum_qty_cents"), Sum("sum_price_cents"),
+            Sum("sum_disc_price"), Sum("sum_charge"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "l_returnflag": agg["l_returnflag"].astype(str),
+            "l_linestatus": agg["l_linestatus"].astype(str),
+            "n_rows": agg["sum(n_rows)"].astype("int64"),
+            "sum_qty_cents": agg["sum(sum_qty_cents)"].astype("int64"),
+            "sum_price_cents": agg["sum(sum_price_cents)"].astype("int64"),
+            "sum_disc_price": agg["sum(sum_disc_price)"].astype("int64"),
+            "sum_charge": agg["sum(sum_charge)"].astype("int64"),
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def pricing_summary_sql() -> str:
+    cents = "CAST(floor({c} * 100 + 0.5) AS BIGINT)"
+    q, p = cents.format(c="l_quantity"), cents.format(c="l_extendedprice")
+    d, t = cents.format(c="l_discount"), cents.format(c="l_tax")
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({q}) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM({p}) AS BIGINT) AS sum_price_cents,
+       CAST(SUM({p} * (100 - {d})) AS BIGINT) AS sum_disc_price,
+       CAST(SUM({p} * (100 - {d}) * (100 + {t})) AS BIGINT) AS sum_charge
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
