@@ -511,7 +511,8 @@ def _ivf_bucket_pairs(tau: float):
         acol = g["assign"].combine_chunks()
         acol = acol if isinstance(acol, pa.ListArray) else acol.chunk(0)
         p = len(acol[0])
-        A = acol.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        # flatten() honors any slice offset; .values would misalign a slice
+        A = acol.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         A = A.reshape(len(ids), p)
         M = _emb_matrix(g["v"])
         cos = M @ M.T

@@ -99,6 +99,49 @@ def _token_stats_fn(batch):
     return _STATS_STAGE[0](batch)
 
 
+def _source_rollup(ds) -> "pd.DataFrame":
+    """(source, n_docs, sum_tokens) over a decoded token Dataset: per-batch
+    partials with an explicit schema (zero-row batches emit the same block
+    schema), one source-sized groupby."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas(),
+                "n_tok": batch["n_tok"].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n_tok", "size"), sum_tokens=("n_tok", "sum")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"].astype(str), pa.string()),
+                "n_docs": pa.array(g["n_docs"].astype("int64"), pa.int64()),
+                "sum_tokens": pa.array(
+                    g["sum_tokens"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        )
+        .to_pandas()
+    )
+    out = out[["source", "n_docs", "sum_tokens"]].astype(
+        {"n_docs": "int64", "sum_tokens": "int64"}
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
 FILTERED_SOURCES = ["code", "web"]  # the pushdown demo's source subset
 
 
@@ -117,47 +160,7 @@ def q_filtered_decompress(sf_dir: str):
         "/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir))
     )
     compress(paths, out_dir)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame(
-            {
-                "source": batch["source"].to_pandas(),
-                "n_tok": batch["n_tok"].to_numpy(zero_copy_only=False).astype(
-                    np.int64
-                ),
-            }
-        )
-        g = df.groupby("source", as_index=False).agg(
-            n_docs=("n_tok", "size"), sum_tokens=("n_tok", "sum")
-        )
-        # explicit schema so fully-filtered (zero-row) batches emit the
-        # same block schema as populated ones
-        return pa.table(
-            {
-                "source": pa.array(g["source"].astype(str), pa.string()),
-                "n_docs": pa.array(g["n_docs"].astype("int64"), pa.int64()),
-                "sum_tokens": pa.array(
-                    g["sum_tokens"].astype("int64"), pa.int64()
-                ),
-            }
-        )
-
-    out = (
-        decompress(out_dir, sources=FILTERED_SOURCES)
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("source")
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("sum_tokens", alias_name="sum_tokens"),
-        )
-        .to_pandas()
-    )
-    out = out[["source", "n_docs", "sum_tokens"]].astype(
-        {"n_docs": "int64", "sum_tokens": "int64"}
-    )
-    return out.sort_values("source").reset_index(drop=True)
+    return _source_rollup(decompress(out_dir, sources=FILTERED_SOURCES))
 
 
 def filtered_decompress_sql(glob: str) -> str:
@@ -187,45 +190,7 @@ def q_compacted_roundtrip(sf_dir: str):
     cdir = out_dir + "_compacted"
     shutil.rmtree(cdir, ignore_errors=True)
     compact(out_dir, cdir, target_bytes=64 << 20)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame(
-            {
-                "source": batch["source"].to_pandas(),
-                "n_tok": batch["n_tok"].to_numpy(zero_copy_only=False).astype(
-                    np.int64
-                ),
-            }
-        )
-        g = df.groupby("source", as_index=False).agg(
-            n_docs=("n_tok", "size"), sum_tokens=("n_tok", "sum")
-        )
-        return pa.table(
-            {
-                "source": pa.array(g["source"].astype(str), pa.string()),
-                "n_docs": pa.array(g["n_docs"].astype("int64"), pa.int64()),
-                "sum_tokens": pa.array(
-                    g["sum_tokens"].astype("int64"), pa.int64()
-                ),
-            }
-        )
-
-    out = (
-        decompress(cdir)
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("source")
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("sum_tokens", alias_name="sum_tokens"),
-        )
-        .to_pandas()
-    )
-    out = out[["source", "n_docs", "sum_tokens"]].astype(
-        {"n_docs": "int64", "sum_tokens": "int64"}
-    )
-    return out.sort_values("source").reset_index(drop=True)
+    return _source_rollup(decompress(cdir))
 
 
 def compacted_roundtrip_sql(glob: str) -> str:
