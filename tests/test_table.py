@@ -126,3 +126,20 @@ def test_table_events_oracle(ray_session):
     )
     odf = con.execute(table_roundtrip_events_sql()).fetchdf()
     pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_table_sink_compaction_bit_identical(ray_session, tmp_path):
+    """compact() also serves generic-table sinks (no chunk_id/source_top
+    columns: sort keys and checksum degrade gracefully, the n_chunks audit
+    still gates)."""
+    from tokenzip.pipeline import compact
+    from tokenzip.table import compress_table, decompress_table
+
+    src = str(tmp_path / "src")
+    compress_table([f"{SF}/events.parquet"], src)
+    dst = str(tmp_path / "dst")
+    res = compact(src, dst, target_bytes=1 << 20)
+    assert res["n_chunks"] >= 1
+    a = decompress_table(src).to_pandas().sort_values("event_id").reset_index(drop=True)
+    b = decompress_table(dst).to_pandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

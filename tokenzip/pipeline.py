@@ -610,10 +610,16 @@ def compact(
                 t1 = t1.drop_columns(["frag_src"])
             tables.append(t1)
         t = pa.concat_tables(tables, promote_options="none")
-        order = _pc.sort_indices(
-            t, sort_keys=[("source_top", "ascending"), ("chunk_id", "ascending")]
-        )
-        t = t.take(order)
+        # token sinks sort by (source_top, chunk_id) for pushdown locality;
+        # generic-table sinks (tokenzip.table) carry neither column — sort
+        # by whatever subset exists
+        keys = [
+            (c, "ascending")
+            for c in ("source_top", "chunk_id")
+            if c in t.column_names
+        ]
+        if keys:
+            t = t.take(_pc.sort_indices(t, sort_keys=keys))
         sink = pa.BufferOutputStream()
         _pq.write_table(t, sink, compression="none", row_group_size=16)
         # stay inside the hive frag= layout so compress can APPEND new
@@ -626,10 +632,15 @@ def compact(
             "part-0.parquet",
         )
         uio.write_bytes_atomic(out_path, sink.getvalue().to_pybytes())
+        chk = (
+            _chunkid_checksum(t["chunk_id"])
+            if "chunk_id" in t.column_names
+            else 0
+        )
         return {
             "gid": int(row["gid"]),
             "n_chunks": t.num_rows,
-            "chk": _chunkid_checksum(t["chunk_id"]),
+            "chk": chk,
             "bytes": len(sink.getvalue()),
         }
 
