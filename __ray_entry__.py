@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_orders": _events_range_orders,
         "orders_by_nation": _orders_by_nation,
         "pricing_summary": _pricing_summary,
+        "jsonl_ingest_stats": _jsonl_ingest,
         "pack_stats_by_source": _pack_stats,
         "pack_emit_by_source": _pack_emit,
         "vocab_topk": _vocab_topk,
@@ -201,6 +202,13 @@ def _orders_by_nation(sf_dir: str):
     return q_orders_by_nation(sf_dir)
 
 
+def _jsonl_sql() -> str:
+    # builds (idempotently) the same deterministic JSONL the query reads
+    from tokenzip.sources import ensure_jsonl_corpus, jsonl_ingest_sql
+
+    return jsonl_ingest_sql(ensure_jsonl_corpus(_ORACLE_SF))
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -217,6 +225,12 @@ def _pricing_summary(sf_dir: str):
     from tokenzip.relational import q_pricing_summary
 
     return q_pricing_summary(sf_dir)
+
+
+def _jsonl_ingest(sf_dir: str):
+    from tokenzip.sources import q_jsonl_ingest_stats
+
+    return q_jsonl_ingest_stats(sf_dir)
 
 
 def _media_features(sf_dir: str):
@@ -381,6 +395,7 @@ FROM documents GROUP BY source ORDER BY source
         "events_range_orders": _O.events_range_sql(),
         "orders_by_nation": _orders_nation_sql(),
         "pricing_summary": _pricing_sql(),
+        "jsonl_ingest_stats": _jsonl_sql(),
         # recall-pinned oracle: the IVF result is deterministic (fixed
         # corpus + seeded k-means on a bounded sample + float64 matmul), so
         # the sf0.01 recall is a constant the engine must reproduce exactly
