@@ -54,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
              "it are pruned at the parquet read (storage-level pushdown)",
     )
 
+    ing = sub.add_parser(
+        "ingest", help="JSONL documents -> canonical token-schema parquet shards"
+    )
+    ing.add_argument("input", help="JSONL file, directory, or glob")
+    ing.add_argument("dst_dir")
+
     cp = sub.add_parser(
         "compact", help="merge a sink's chunk files into ~target-size files"
     )
@@ -137,6 +143,25 @@ def main(argv: list[str] | None = None) -> int:
             ds = decompress(args.out_dir, sources=srcs)
             ds.write_parquet(args.restored_dir)
             print(json.dumps({"rows": "written", "dir": args.restored_dir}))
+        elif args.cmd == "ingest":
+            from tokenzip.sources import read_tokens_jsonl
+
+            if os.path.isdir(args.input):
+                paths = sorted(
+                    os.path.join(args.input, f)
+                    for f in os.listdir(args.input)
+                    if f.endswith((".jsonl", ".json"))
+                )
+            elif "*" in args.input:
+                paths = sorted(globmod.glob(args.input))
+            else:
+                paths = [args.input]
+            if not paths:
+                raise SystemExit(
+                    f"tokenzip: no jsonl files found at {args.input!r}"
+                )
+            read_tokens_jsonl(paths).write_parquet(args.dst_dir)
+            print(json.dumps({"rows": "written", "dir": args.dst_dir}))
         elif args.cmd == "compact":
             from tokenzip.pipeline import compact
 
