@@ -49,6 +49,11 @@ def write_bytes_atomic(path: str, data: bytes) -> None:
         os.replace(tmp, path)
         return
     fs, p = _fs(path)
+    parent = os.path.dirname(p)
+    if parent:
+        # object stores treat this as a no-op; file:// and hdfs:// need the
+        # parent to exist before open_output_stream
+        fs.create_dir(parent, recursive=True)
     with fs.open_output_stream(p) as f:
         f.write(data)
 
