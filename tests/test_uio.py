@@ -54,3 +54,20 @@ def test_compress_decompress_over_file_uri(ray_session, tmp_path):
     assert list(df["doc_id"]) == list(orig["doc_id"])
     for a, b in zip(df["tokens"], orig["tokens"]):
         assert (a == b).all()
+
+
+def test_compact_over_file_uri(ray_session, tmp_path):
+    from tokenzip.corpus import corpus_paths
+    from tokenzip.pipeline import compact, compress, decompress
+
+    paths = corpus_paths("/root/testdata/sf0.001")[:3]
+    src = f"file://{tmp_path}/src"
+    dst = f"file://{tmp_path}/dst"
+    compress(paths, src, concurrency=2)
+    res = compact(src, dst, target_bytes=1 << 20)
+    assert res["n_chunks"] > 0
+    a = decompress(src).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = decompress(dst).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    for x, y in zip(a["tokens"], b["tokens"]):
+        assert (x == y).all()
