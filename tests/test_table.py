@@ -143,3 +143,64 @@ def test_table_sink_compaction_bit_identical(ray_session, tmp_path):
     a = decompress_table(src).to_pandas().sort_values("event_id").reset_index(drop=True)
     b = decompress_table(dst).to_pandas().sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_float_codec_bit_exact_and_regimes():
+    """XOR-delta float family: bit-exact on every payload (NaN bits, -0.0,
+    inf), xorf wins on smooth series, xorf_bswap on few-significant-bit
+    values, raw floor on random doubles."""
+    from tokenzip.codecs.core import (
+        decode_float_column,
+        encode_float_column,
+        unpack_blob,
+    )
+
+    rng = np.random.default_rng(3)
+    cases = {
+        "random": (rng.random(4000) * 1e6, "rawf"),
+        "smooth": (np.cumsum(rng.random(4000) * 1e-9) + 1.0, "xorf"),
+        "halves": (np.round(rng.random(4000) * 100) / 2.0, "xorf_bswap"),
+    }
+    for name, (v, want) in cases.items():
+        blob = encode_float_column(v)
+        codec, _, _ = unpack_blob(blob)
+        assert codec == want, (name, codec)
+        out = decode_float_column(blob)
+        assert np.array_equal(v.view(np.uint64), out.view(np.uint64))
+        if want != "rawf":
+            assert len(blob) < v.nbytes / 2
+    special = np.array([0.0, -0.0, np.inf, -np.inf, np.nan, 1e-308, 5.0])
+    out = decode_float_column(encode_float_column(special))
+    assert np.array_equal(special.view(np.uint64), out.view(np.uint64))
+
+
+def test_table_roundtrip_double_column(ray_session, tmp_path):
+    """A generic table with a double column routes through the float codec
+    (not passthrough) and restores bit-identically."""
+    import glob as _g
+
+    from tokenzip.table import compress_table, decompress_table
+
+    n = 500
+    rng = np.random.default_rng(9)
+    tbl = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "price": pa.array(np.round(rng.random(n) * 1000) / 4.0),
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, src)
+    out = str(tmp_path / "out")
+    compress_table([src], out)
+    files = _g.glob(out + "/chunks/**/*.parquet", recursive=True)
+    ct = pq.read_table(files[0])
+    row = ct.to_pylist()[0]
+    assert "price" in row["enc_names"]
+    assert row["enc_codecs"][row["enc_names"].index("price")] == "flt"
+    assert not any(c.startswith("p_") and "price" in c for c in ct.column_names)
+    back = decompress_table(out).to_pandas().sort_values("k").reset_index(drop=True)
+    assert np.array_equal(
+        back["price"].to_numpy().view(np.uint64),
+        tbl["price"].to_numpy().view(np.uint64),
+    )

@@ -29,7 +29,9 @@ import ray
 import ray.data
 
 from tokenzip.codecs.core import (
+    decode_float_column,
     decode_int_column,
+    encode_float_column,
     encode_int_column,
     leb128_oracle_bytes,
 )
@@ -58,9 +60,10 @@ def _col_plan(
     """(int columns as (name, width, dtype-tag), string column names,
     passthrough names). Ints at their native width, naive timestamps as
     width-64 (delta usually wins on sorted time columns), strings through
-    the plain/dict/prefix_int/FSST auto-selector. Unsigned/bool/float/
-    nested: verbatim columnar passthrough."""
-    enc, strs, passthru = [], [], []
+    the plain/dict/prefix_int/FSST auto-selector, float64 through the
+    XOR-delta family (raw floor on incompressible doubles).
+    Unsigned/bool/float32/nested: verbatim columnar passthrough."""
+    enc, strs, flts, passthru = [], [], [], []
     for f in schema:
         tag = str(f.type)
         if tag in _INT_WIDTH:
@@ -69,9 +72,11 @@ def _col_plan(
             enc.append((f.name, 64, tag))
         elif pa.types.is_string(f.type):
             strs.append(f.name)
+        elif tag == "double":
+            flts.append(f.name)
         else:
             passthru.append(f.name)
-    return enc, strs, passthru
+    return enc, strs, flts, passthru
 
 
 def _one_list(arr: pa.Array) -> pa.Array:
@@ -90,7 +95,7 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
     from tokenzip.codecs.strings import encode_str_column
 
     schema = batch.schema
-    enc_plan, str_cols, passthru = _col_plan(
+    enc_plan, str_cols, flt_cols, passthru = _col_plan(
         pa.schema([f for f in schema if f.name != "frag"])
     )
     frags = batch["frag"].to_numpy(zero_copy_only=False)
@@ -120,6 +125,19 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
             bytes_in += vals.nbytes
             int_bytes_out += len(blob)
             oracle += bound
+        for name in flt_cols:
+            col = sub[name]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if col.null_count:
+                raise ChunkFormatError(f"null values in column {name!r}")
+            fvals = col.to_numpy(zero_copy_only=False)
+            blob = encode_float_column(fvals)
+            names.append(name)
+            codecs.append("flt")  # blob header names the actual codec
+            dtags.append("double")
+            blobs.append(blob)
+            bytes_in += fvals.nbytes
+            str_bytes_out += len(blob)
         for name in str_cols:
             col = sub[name]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -242,6 +260,9 @@ def _decode_table_fn(batch: pa.Table) -> pa.Table:
         for name, tag, blob in zip(names_col[i], dtags_col[i], blobs_col[i]):
             if tag == "string":
                 cols[name] = decode_str_column(blob)
+                continue
+            if tag == "double":
+                cols[name] = pa.array(decode_float_column(blob), pa.float64())
                 continue
             typ = _DTYPE_OF_TAG.get(tag)
             if typ is None:
