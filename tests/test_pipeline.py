@@ -432,3 +432,47 @@ def test_straggler_shard_splits_and_verifies(ray_session, tmp_path):
     v = verify_roundtrip(paths).to_pandas()
     assert (v["n_docs"] == v["n_equal"]).all()
     assert int(v["n_docs"].sum()) == 2600
+
+
+def test_sink_audit_over_compacted_sink(ray_session, paths, tmp_path):
+    """verify_sink_roundtrip works against a COMPACTED sink, and a flipped
+    token inside a compacted chunk file still surfaces as a non-equal doc."""
+    import glob as _g
+
+    import numpy as np
+    import pyarrow as pa
+
+    from tokenzip.chunk import decode_chunks, encode_batch
+    from tokenzip.pipeline import compact, verify_sink_roundtrip
+
+    src = str(tmp_path / "src")
+    compress(paths, src, concurrency=2)
+    dst = str(tmp_path / "dst")
+    compact(src, dst, target_bytes=64 << 20)
+    v = verify_sink_roundtrip(paths, dst, concurrency=2)
+    assert (v["n_docs"] == v["n_equal"]).all()
+    assert v["n_docs"].sum() == 2000
+
+    # corrupt one token of one doc inside the compacted file (re-encode the
+    # affected chunk row so the container stays valid)
+    f = sorted(
+        _g.glob(os.path.join(dst, "chunks", "**", "*.parquet"), recursive=True)
+    )[0]
+    t = pq.read_table(f)
+    rows = decode_chunks(t.drop_columns([c for c in ("frag",) if c in t.column_names]))
+    toks = rows["tokens"].to_pylist()
+    i = next(idx for idx, tk in enumerate(toks) if len(tk))
+    toks[i] = [toks[i][0] + 1] + list(toks[i][1:])
+    bad = pa.table(
+        {
+            "doc_id": rows["doc_id"],
+            "tokens": pa.array(
+                [np.asarray(x, np.int32) for x in toks], pa.list_(pa.int32())
+            ),
+            "n_tok": rows["n_tok"],
+            "source": rows["source"],
+        }
+    )
+    pq.write_table(encode_batch(bad), f, compression="none")
+    v2 = verify_sink_roundtrip(paths, dst, concurrency=2)
+    assert int(v2["n_docs"].sum() - v2["n_equal"].sum()) == 1
