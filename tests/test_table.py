@@ -204,3 +204,25 @@ def test_table_roundtrip_double_column(ray_session, tmp_path):
         back["price"].to_numpy().view(np.uint64),
         tbl["price"].to_numpy().view(np.uint64),
     )
+
+
+def test_float32_codec_and_table_roundtrip(ray_session, tmp_path):
+    from tokenzip.codecs.core import decode_float_column, encode_float_column
+    from tokenzip.table import compress_table, decompress_table
+
+    rng = np.random.default_rng(11)
+    v = (np.round(rng.random(1000).astype(np.float32) * 100) / 4).astype(np.float32)
+    out = decode_float_column(encode_float_column(v, 32))
+    assert out.dtype == np.float32
+    assert np.array_equal(v.view(np.uint32), out.view(np.uint32))
+
+    tbl = pa.table(
+        {"k": pa.array(np.arange(1000, dtype=np.int64)), "f": pa.array(v)}
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(tbl, src)
+    dst = str(tmp_path / "out")
+    compress_table([src], dst)
+    back = decompress_table(dst).to_pandas().sort_values("k").reset_index(drop=True)
+    assert back["f"].dtype == np.float32
+    assert np.array_equal(back["f"].to_numpy().view(np.uint32), v.view(np.uint32))

@@ -868,28 +868,37 @@ def decode_int_column(blob: bytes, dtype=np.int64) -> np.ndarray:
 FLOAT_CODECS = ("xorf", "xorf_bswap", "rawf")
 
 
-def _xor_words(values: np.ndarray) -> np.ndarray:
-    bits = np.ascontiguousarray(values, dtype=np.float64).view(np.uint64)
-    x = np.empty(len(bits), np.uint64)
+_F_BITS = {32: (np.float32, np.uint32), 64: (np.float64, np.uint64)}
+
+
+def _xor_words(values: np.ndarray, width: int) -> np.ndarray:
+    fdt, udt = _F_BITS[width]
+    bits = np.ascontiguousarray(values, dtype=fdt).view(udt)
+    x = np.empty(len(bits), udt)
     if len(bits):
         x[0] = bits[0]
         np.bitwise_xor(bits[1:], bits[:-1], out=x[1:])
     return x
 
 
-def encode_float_column(values: np.ndarray) -> bytes:
-    """float64 column -> smallest of the three float codecs (closed-form
-    size comparison before any trial encode)."""
-    values = np.ascontiguousarray(values, dtype=np.float64)
+def encode_float_column(values: np.ndarray, width: int = 64) -> bytes:
+    """float column (width 32 or 64) -> smallest of the three float codecs
+    (closed-form size comparison before any trial encode)."""
+    fdt, udt = _F_BITS[width]
+    values = np.ascontiguousarray(values, dtype=fdt)
     n = len(values)
-    best = pack_blob("rawf", {"n": n}, [values.view(np.uint64).tobytes()])
+    best = pack_blob("rawf", {"n": n, "w": width}, [values.view(udt).tobytes()])
     if n < 2:
         return best
-    x = _xor_words(values)
+    x = _xor_words(values, width)
     for name, arr in (("xorf", x), ("xorf_bswap", x.byteswap())):
-        est = int(leb128_size(arr).sum())
+        est = int(leb128_size(arr.astype(np.uint64, copy=False)).sum())
         if est < len(best):  # header overhead < raw savings check via pack
-            blob = pack_blob(name, {"n": n}, [encode_leb128(arr)])
+            blob = pack_blob(
+                name,
+                {"n": n, "w": width},
+                [encode_leb128(arr.astype(np.uint64, copy=False))],
+            )
             if len(blob) < len(best):
                 best = blob
     return best
@@ -898,20 +907,22 @@ def encode_float_column(values: np.ndarray) -> bytes:
 def decode_float_column(blob: bytes) -> np.ndarray:
     codec, meta, streams = unpack_blob(blob)
     n = int(meta["n"])
+    width = int(meta.get("w", 64))
+    fdt, udt = _F_BITS[width]
     if codec == "rawf":
         b = streams[0]
         b = b if isinstance(b, np.ndarray) else np.frombuffer(b, dtype=np.uint8)
-        return np.ascontiguousarray(b).view(np.uint64)[:n].view(np.float64)
+        return np.ascontiguousarray(b).view(udt)[:n].view(fdt)
     if codec not in ("xorf", "xorf_bswap"):
         from tokenzip.errors import ChunkFormatError
 
         raise ChunkFormatError(f"unknown float codec {codec!r}")
     from tokenzip.codecs.varint import decode_leb128
 
-    u = decode_leb128(streams[0], n, width=64)
+    u = decode_leb128(streams[0], n, width=64).astype(udt)
     if codec == "xorf_bswap":
         u = u.byteswap()
-    return np.bitwise_xor.accumulate(u).view(np.float64)
+    return np.bitwise_xor.accumulate(u).view(fdt)
 
 
 def leb128_oracle_bytes(values: np.ndarray, width: int = 32) -> int:

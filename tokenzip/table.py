@@ -61,8 +61,8 @@ def _col_plan(
     passthrough names). Ints at their native width, naive timestamps as
     width-64 (delta usually wins on sorted time columns), strings through
     the plain/dict/prefix_int/FSST auto-selector, float64 through the
-    XOR-delta family (raw floor on incompressible doubles).
-    Unsigned/bool/float32/nested: verbatim columnar passthrough."""
+    XOR-delta family (raw floor on incompressible values; float32 and
+    float64). Unsigned/bool/nested: verbatim columnar passthrough."""
     enc, strs, flts, passthru = [], [], [], []
     for f in schema:
         tag = str(f.type)
@@ -73,7 +73,9 @@ def _col_plan(
         elif pa.types.is_string(f.type):
             strs.append(f.name)
         elif tag == "double":
-            flts.append(f.name)
+            flts.append((f.name, 64, tag))
+        elif tag == "float":
+            flts.append((f.name, 32, tag))
         else:
             passthru.append(f.name)
     return enc, strs, flts, passthru
@@ -125,16 +127,16 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
             bytes_in += vals.nbytes
             int_bytes_out += len(blob)
             oracle += bound
-        for name in flt_cols:
+        for name, fwidth, ftag in flt_cols:
             col = sub[name]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             if col.null_count:
                 raise ChunkFormatError(f"null values in column {name!r}")
             fvals = col.to_numpy(zero_copy_only=False)
-            blob = encode_float_column(fvals)
+            blob = encode_float_column(fvals, fwidth)
             names.append(name)
             codecs.append("flt")  # blob header names the actual codec
-            dtags.append("double")
+            dtags.append(ftag)
             blobs.append(blob)
             bytes_in += fvals.nbytes
             str_bytes_out += len(blob)
@@ -261,8 +263,11 @@ def _decode_table_fn(batch: pa.Table) -> pa.Table:
             if tag == "string":
                 cols[name] = decode_str_column(blob)
                 continue
-            if tag == "double":
-                cols[name] = pa.array(decode_float_column(blob), pa.float64())
+            if tag in ("double", "float"):
+                cols[name] = pa.array(
+                    decode_float_column(blob),
+                    pa.float64() if tag == "double" else pa.float32(),
+                )
                 continue
             typ = _DTYPE_OF_TAG.get(tag)
             if typ is None:
