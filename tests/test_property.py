@@ -69,3 +69,22 @@ def test_fsst_any_bytes(blobs):
     arr = pa.array(vals, pa.string())
     got = decode_str_column(encode_str_column(arr, "fsst")).to_pylist()
     assert got == vals
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    bits=st.lists(st.integers(0, 2**64 - 1), max_size=200),
+    width=st.sampled_from([32, 64]),
+)
+def test_float_codec_roundtrips_any_bit_pattern(bits, width):
+    """Every uint bit pattern — including NaN payloads, denormals, ±inf,
+    -0.0 — roundtrips bit-exactly through all three float codecs' selector."""
+    from tokenzip.codecs.core import decode_float_column, encode_float_column
+
+    udt = np.uint32 if width == 32 else np.uint64
+    fdt = np.float32 if width == 32 else np.float64
+    u = np.array([b & (2**width - 1) for b in bits], dtype=udt)
+    v = u.view(fdt)
+    out = decode_float_column(encode_float_column(v, width))
+    assert out.dtype == fdt
+    assert np.array_equal(u, out.view(udt))
