@@ -256,3 +256,27 @@ def test_pricing_summary_matches_duckdb(ray_session):
     got = q_pricing_summary(SF).reset_index(drop=True)
     exp = con.sql(pricing_summary_sql()).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_hot_key_skew_stays_loglinear(ray_session, tmp_path):
+    """Planted viral key: ONE user owns 50k of 51k events (every one of
+    them lands in a single hash bucket by design). The window kernel is a
+    lexsort + two searchsorted passes, so the hot group costs O(k log k) —
+    this completes in seconds, and the answer still matches DuckDB."""
+    import time
+
+    from tokenzip.oracles import events_window_sql
+    from tokenzip.relational import q_events_window_agg
+
+    rng = np.random.default_rng(13)
+    hot = [(i, int(t), 7, "view", 1.0)
+           for i, t in enumerate(np.sort(rng.integers(0, 10**9, 50_000)))]
+    cold = [(50_000 + i, int(rng.integers(0, 10**9)), 100 + i, "click", 1.0)
+            for i in range(1_000)]
+    _write_events(tmp_path, hot + cold)
+    t0 = time.time()
+    got = q_events_window_agg(str(tmp_path)).reset_index(drop=True)
+    wall = time.time() - t0
+    exp = _oracle(tmp_path, events_window_sql())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert wall < 60, f"hot-key group took {wall:.1f}s — quadratic regression?"
