@@ -981,18 +981,22 @@ class _CandidateCountStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         values = self.keys_fn(batch)
-        if not len(values):
+        if not len(values) or not len(self.cand):
             return pa.table(
                 {"token": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
             )
-        uniq, cnt = np.unique(values, return_counts=True)
-        pos = np.searchsorted(self.cand, uniq)
+        # membership directly on the raw stream — no per-batch sort: the
+        # candidate array is already sorted, so this is O(n log |cand|)
+        # instead of np.unique's O(n log n)
+        pos = np.searchsorted(self.cand, values)
         pos[pos == len(self.cand)] = 0
-        hit = self.cand[pos] == uniq
+        hit = self.cand[pos] == values
+        counts = np.bincount(pos[hit], minlength=len(self.cand)).astype(np.int64)
+        nz = np.nonzero(counts)[0]
         return pa.table(
             {
-                "token": pa.array(uniq[hit]),
-                "cnt": pa.array(cnt[hit].astype(np.int64)),
+                "token": pa.array(self.cand[nz]),
+                "cnt": pa.array(counts[nz]),
             }
         )
 
