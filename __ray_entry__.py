@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_agg": _events_window_agg,
         "events_asof_orders": _events_asof_orders,
         "events_range_orders": _events_range_orders,
+        "events_sessions": _events_sessions,
+        "top_orders_by_nation": _top_orders_by_nation,
+        "orders_without_lineitems": _orders_without_lineitems,
         "orders_by_nation": _orders_by_nation,
         "pricing_summary": _pricing_summary,
         "jsonl_ingest_stats": _jsonl_ingest,
@@ -196,6 +199,24 @@ def _events_range_orders(sf_dir: str):
     return q_events_range_orders(sf_dir)
 
 
+def _events_sessions(sf_dir: str):
+    from tokenzip.relational import q_events_sessions
+
+    return q_events_sessions(sf_dir)
+
+
+def _top_orders_by_nation(sf_dir: str):
+    from tokenzip.relational import q_top_orders_by_nation
+
+    return q_top_orders_by_nation(sf_dir)
+
+
+def _orders_without_lineitems(sf_dir: str):
+    from tokenzip.relational import q_orders_without_lineitems
+
+    return q_orders_without_lineitems(sf_dir)
+
+
 def _orders_by_nation(sf_dir: str):
     from tokenzip.relational import q_orders_by_nation
 
@@ -219,6 +240,24 @@ def _orders_nation_sql() -> str:
     from tokenzip.relational import orders_by_nation_sql
 
     return orders_by_nation_sql()
+
+
+def _sessions_sql() -> str:
+    from tokenzip.relational import events_sessions_sql
+
+    return events_sessions_sql()
+
+
+def _top_orders_sql() -> str:
+    from tokenzip.relational import top_orders_by_nation_sql
+
+    return top_orders_by_nation_sql()
+
+
+def _anti_join_sql() -> str:
+    from tokenzip.relational import orders_without_lineitems_sql
+
+    return orders_without_lineitems_sql()
 
 
 def _pricing_summary(sf_dir: str):
@@ -393,6 +432,9 @@ FROM documents GROUP BY source ORDER BY source
         "events_window_agg": _O.events_window_sql(),
         "events_asof_orders": _O.events_asof_sql(),
         "events_range_orders": _O.events_range_sql(),
+        "events_sessions": _sessions_sql(),
+        "top_orders_by_nation": _top_orders_sql(),
+        "orders_without_lineitems": _anti_join_sql(),
         "orders_by_nation": _orders_nation_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),

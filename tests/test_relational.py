@@ -280,3 +280,131 @@ def test_hot_key_skew_stays_loglinear(ray_session, tmp_path):
     exp = _oracle(tmp_path, events_window_sql())
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert wall < 60, f"hot-key group took {wall:.1f}s — quadratic regression?"
+
+
+def test_sessions_gap_ties_and_boundary(ray_session, tmp_path):
+    """Gap EXACTLY gap_ms stays in-session (break requires > gap); time
+    peers never break; a single-event user is one session of duration 0 —
+    hand-checked and differentially vs the LAG/SUM-OVER oracle."""
+    from tokenzip.relational import events_sessions_sql, q_events_sessions
+
+    base = 1_700_000_000_000
+    gap = 10_000
+    rows = [
+        # user 1: tie, then exactly-gap step (same session of 3), then
+        # gap+1 -> a second session of 1
+        (0, base, 1, "click", 1.0),
+        (1, base, 1, "click", 1.0),
+        (2, base + gap, 1, "click", 1.0),
+        (3, base + gap + gap + 1, 1, "click", 1.0),
+        # user 2: lone event -> session_len 1, duration 0
+        (4, base, 2, "view", 1.0),
+    ]
+    _write_events(tmp_path, rows)
+    got = q_events_sessions(str(tmp_path), gap_ms=gap).reset_index(drop=True)
+    by = got.set_index("session_len")
+    assert by.loc[3, "n_sessions"] == 1 and by.loc[3, "sum_duration_ms"] == gap
+    assert by.loc[1, "n_sessions"] == 2 and by.loc[1, "sum_duration_ms"] == 0
+    exp = _oracle(tmp_path, events_sessions_sql(gap_ms=gap))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_topn_partial_merge_is_exact():
+    """Top-N is merge-monotone: per-batch top-n partials re-selected by the
+    final kernel equal the direct top-n over the full array — including
+    (price DESC, orderkey ASC) tie-breaks split across batches."""
+    from tokenzip.relational import _topn_final, _topn_per_group
+
+    rng = np.random.default_rng(7)
+    nat = rng.integers(0, 3, 200)
+    okey = rng.permutation(200).astype(np.int64)
+    price = rng.integers(0, 20, 200).astype(np.int64)  # many ties
+    n = 4
+    # direct selection over everything
+    keep, rank = _topn_per_group(nat, okey, price, n)
+    direct = {(int(nat[i]), int(r)): int(okey[i]) for i, r in zip(keep, rank)}
+    # two batch partials -> union -> per-group final merge
+    parts = []
+    for sl in (slice(0, 83), slice(83, 200)):
+        k, _ = _topn_per_group(nat[sl], okey[sl], price[sl], n)
+        parts.append(
+            pd.DataFrame(
+                {
+                    "n_name": nat[sl][k].astype(str),
+                    "o_orderkey": okey[sl][k],
+                    "price_c": price[sl][k],
+                }
+            )
+        )
+    merged = pd.concat(parts, ignore_index=True)
+    fin = _topn_final(n)
+    out = pd.concat(
+        [fin(g) for _, g in merged.groupby("n_name")], ignore_index=True
+    )
+    got = {
+        (int(r["n_name"]), int(r["rnk"])): int(r["o_orderkey"])
+        for _, r in out.iterrows()
+    }
+    assert got == direct
+
+
+def test_top_orders_by_nation_matches_oracle(ray_session):
+    """Top-3 per nation on the real sf0.001 tables — ROW_NUMBER oracle."""
+    from tokenzip.relational import q_top_orders_by_nation, top_orders_by_nation_sql
+
+    con = duckdb.connect()
+    for t in ["orders", "customer", "nation"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_top_orders_by_nation(SF).reset_index(drop=True)
+    exp = con.sql(top_orders_by_nation_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_sessions_match_oracle_on_testdata(ray_session):
+    from tokenzip.relational import events_sessions_sql, q_events_sessions
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    got = q_events_sessions(SF).reset_index(drop=True)
+    exp = con.sql(events_sessions_sql()).df()
+    assert len(got) > 5  # the day-gap default yields a real histogram
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _write_lineitem_keys(d, orderkeys):
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(orderkeys, pa.int64())}),
+        str(d / "lineitem.parquet"),
+    )
+
+
+def test_anti_join_planted(ray_session, tmp_path):
+    """Orders 2 and 4 have no lineitems -> exactly those survive the anti
+    join; order 1 (three lineitems) and 3 (one) are dropped."""
+    from tokenzip.relational import q_orders_without_lineitems
+
+    base = 1_700_000_000_000
+    _write_orders(
+        tmp_path, [(1, 10, 5.0, base), (2, 10, 7.0, base), (3, 11, 9.0, base), (4, 11, 11.0, base)]
+    )
+    _write_lineitem_keys(tmp_path, [1, 1, 1, 3])
+    got = q_orders_without_lineitems(str(tmp_path))
+    assert len(got) == 1  # single priority in the helper's schema
+    assert int(got.loc[0, "n_orders"]) == 2
+    assert int(got.loc[0, "sum_price_cents"]) == 700 + 1100
+    assert int(got.loc[0, "order_checksum"]) == (2 + 4)
+
+
+def test_anti_join_matches_oracle_on_testdata(ray_session):
+    from tokenzip.relational import (
+        orders_without_lineitems_sql,
+        q_orders_without_lineitems,
+    )
+
+    con = duckdb.connect()
+    for t in ["orders", "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_orders_without_lineitems(SF).reset_index(drop=True)
+    exp = con.sql(orders_without_lineitems_sql()).df()
+    assert int(got["n_orders"].sum()) > 0  # the testdata has childless orders
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -622,3 +622,404 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization over events: the canonical clickstream operator.
+# A user's events split into sessions wherever the gap to the previous
+# event exceeds ``gap_ms``; sessions aggregate into a bounded
+# session-length histogram. Same co-partitioning layout as the window
+# aggregate (all of a user's events land in one hash bucket), so a session
+# can never span two groups; the group kernel is one lexsort + vectorized
+# segment reductions (np.add.reduceat over session boundaries).
+# ---------------------------------------------------------------------------
+
+
+_SESS_EMPTY = {
+    "session_len": pd.Series([], dtype="int64"),
+    "n_sessions": pd.Series([], dtype="int64"),
+    "sum_duration_ms": pd.Series([], dtype="int64"),
+    "chk": pd.Series([], dtype="int64"),
+}
+
+
+def _sessions_group(gap_ms: int):
+    """groupby(bkt): split each user's time-sorted events at gaps > gap_ms,
+    then fold per-session (length, duration, start) into per-session-length
+    partials. Tie-safe: events tied on (user, tms) have zero gap, so the
+    session assignment is invariant to tie permutation — the exact property
+    that makes the SQL LAG/SUM-OVER oracle deterministic too."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(_SESS_EMPTY)
+        uid = g["uid"].to_numpy().astype(np.int64)
+        tms = g["tms"].to_numpy().astype(np.int64)
+        order = np.lexsort((tms, uid))
+        uid, tms = uid[order], tms[order]
+        starts = np.ones(len(uid), dtype=bool)
+        starts[1:] = (uid[1:] != uid[:-1]) | (tms[1:] - tms[:-1] > gap_ms)
+        sidx = np.flatnonzero(starts)                      # session start rows
+        ends = np.concatenate((sidx[1:], [len(uid)]))      # exclusive ends
+        slen = (ends - sidx).astype(np.int64)
+        dur = tms[ends - 1] - tms[sidx]
+        # per-term modular session checksum, congruent to the oracle's
+        # HUGEINT SUM((uid % M) * K + smin % M) % M
+        term = ((uid[sidx] % _PAIR_MOD) * _PAIR_K % _PAIR_MOD + tms[sidx] % _PAIR_MOD) % _PAIR_MOD
+        lens, inv = np.unique(slen, return_inverse=True)
+        k = len(lens)
+        return pd.DataFrame(
+            {
+                "session_len": lens,
+                "n_sessions": np.bincount(inv, minlength=k).astype(np.int64),
+                "sum_duration_ms": _int_group_sums(dur, inv, k),
+                "chk": _int_group_sums(term, inv, k) % _PAIR_MOD,
+            }
+        )
+
+    return fn
+
+
+def q_events_sessions(sf_dir: str, gap_ms: int = 86_400_000) -> pd.DataFrame:
+    """Sessionization: per-user gap-based sessions (gap > ``gap_ms`` starts
+    a new session; default 1 day — the testdata event stream spans ~29
+    days/user, so a day-scale gap yields a rich session-length histogram
+    that actually discriminates the cut logic), rolled up into a session-length
+    histogram — (session_len, n_sessions, sum_duration_ms, modular
+    checksum over (user_id, session_start_ms)). Plan: column-pruned read
+    -> hash-bucket user_id -> groupby(bucket) -> vectorized session cut
+    per group -> tiny per-length aggregate. The shuffle moves two int64
+    columns per event; output is bounded by the distinct session lengths."""
+    path = os.path.join(sf_dir, "events.parquet")
+    nb = _lsh_n_buckets(_row_count(path))
+
+    def rows(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(uid, nb)),
+                "uid": pa.array(uid),
+                "tms": pa.array(_ts_ms(b["ts"])),
+            }
+        )
+
+    partials = (
+        ray.data.read_parquet(path, columns=["user_id", "ts"])
+        .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(_sessions_group(gap_ms), batch_format="pandas")
+    )
+    agg = (
+        partials.groupby("session_len")
+        .aggregate(Sum("n_sessions"), Sum("sum_duration_ms"), Sum("chk"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "session_len": agg["session_len"].astype("int64"),
+            "n_sessions": agg["sum(n_sessions)"].astype("int64"),
+            "sum_duration_ms": agg["sum(sum_duration_ms)"].astype("int64"),
+            "session_checksum": agg["sum(chk)"].astype("int64") % _PAIR_MOD,
+        }
+    )
+    return out.sort_values("session_len").reset_index(drop=True)
+
+
+def events_sessions_sql(gap_ms: int = 86_400_000) -> str:
+    """Sessionization oracle: LAG gap flags + running SUM OVER assign the
+    same tie-invariant session ids the Ray kernel computes (ties have zero
+    gap on both engines); DuckDB SUM(BIGINT) -> HUGEINT keeps the checksum
+    fold exact before the end-mod."""
+    from tokenzip.analysis import _PAIR_K, _PAIR_MOD
+
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) // 1000 AS tms FROM events),
+d AS (SELECT user_id, tms,
+             CASE WHEN tms - LAG(tms) OVER (PARTITION BY user_id ORDER BY tms)
+                       > {gap_ms} THEN 1 ELSE 0 END AS brk
+      FROM e),
+s AS (SELECT user_id, tms,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY tms
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d),
+g AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n,
+             MAX(tms) - MIN(tms) AS dur, MIN(tms) AS smin
+      FROM s GROUP BY user_id, sid)
+SELECT n AS session_len,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(dur) AS BIGINT) AS sum_duration_ms,
+       CAST(SUM((user_id % {_PAIR_MOD}) * {_PAIR_K} + (smin % {_PAIR_MOD}))
+            % {_PAIR_MOD} AS BIGINT) AS session_checksum
+FROM g GROUP BY n ORDER BY n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group: the other selection the engine was missing next to the
+# global top-k (training.q_vocab_topk) — per-GROUP extrema. Top-N is a
+# merge-monotone selection, so each batch keeps at most N rows per group
+# (partials), and the final per-group merge sees #batches * N rows, never
+# the fact table. The group key arrives by broadcast dimension lookup
+# (orders -> customer -> nation), so the fact side is never shuffled —
+# only the tiny partials move.
+# ---------------------------------------------------------------------------
+
+
+def _topn_per_group(nat: np.ndarray, okey: np.ndarray, price: np.ndarray, n: int):
+    """Vectorized per-group top-n by (price DESC, orderkey ASC): one
+    lexsort, then keep rows whose within-group rank < n. Returns
+    (keep_index_into_sorted_order, rank_1based) with groups contiguous."""
+    order = np.lexsort((okey, -price, nat))
+    g = nat[order]
+    starts = np.ones(len(g), dtype=bool)
+    starts[1:] = g[1:] != g[:-1]
+    sidx = np.flatnonzero(starts)
+    rank = np.arange(len(g), dtype=np.int64) - np.repeat(sidx, np.diff(np.concatenate((sidx, [len(g)]))))
+    keep = rank < n
+    return order[keep], rank[keep] + 1
+
+
+class _TopOrdersStage:
+    """Per-batch partials: nation name via broadcast customer->nation
+    lookup, then at most N (n_name, o_orderkey, price_c) rows per nation
+    survive the batch — the selection is merge-monotone, so re-selecting
+    top-N over unioned partials is exact."""
+
+    def __init__(self, dim_ref, n: int):
+        from tokenzip.stages import _bget
+
+        self.ckey, self.cnation, _ = _bget(dim_ref)
+        self.n = n
+        uniq = np.unique(self.cnation)
+        self.nat_names = uniq  # sorted nation names
+        # per-custkey nation ordinal (int sort keys beat object-dtype sorts)
+        self.cnat_ord = np.searchsorted(uniq, self.cnation)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = batch["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _cents(batch["o_totalprice"])
+        pos = np.searchsorted(self.ckey, ck)
+        if len(pos) and not np.array_equal(self.ckey[np.clip(pos, 0, len(self.ckey) - 1)], ck):
+            raise ValueError("orders.o_custkey outside customer table")
+        nat = self.cnat_ord[pos]
+        keep, _ = _topn_per_group(nat, ok, price, self.n)
+        return pa.table(
+            {
+                "n_name": pa.array([str(s) for s in self.nat_names[nat[keep]]], pa.string()),
+                "o_orderkey": pa.array(ok[keep]),
+                "price_c": pa.array(price[keep]),
+            }
+        )
+
+
+def _topn_final(n: int):
+    """groupby(n_name): merge partials — re-select top-n and emit 1-based
+    ranks. Each group holds at most #batches * n tiny rows."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "n_name": pd.Series([], dtype="object"),
+                    "rnk": pd.Series([], dtype="int64"),
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "price_cents": pd.Series([], dtype="int64"),
+                }
+            )
+        okey = g["o_orderkey"].to_numpy().astype(np.int64)
+        price = g["price_c"].to_numpy().astype(np.int64)
+        order = np.lexsort((okey, -price))[:n]
+        return pd.DataFrame(
+            {
+                "n_name": g["n_name"].to_numpy()[order],
+                "rnk": np.arange(1, len(order) + 1, dtype=np.int64),
+                "o_orderkey": okey[order],
+                "price_cents": price[order],
+            }
+        )
+
+    return fn
+
+
+def q_top_orders_by_nation(sf_dir: str, n: int = 3) -> pd.DataFrame:
+    """Top-N per group: the N most expensive orders of each nation
+    (price DESC, ties to the smaller orderkey), emitted as
+    (n_name, rnk, o_orderkey, price_cents) rows. Plan: broadcast
+    customer->nation lookup into a per-batch partial top-N stage (fact
+    table never shuffles; <= N rows per nation leave each batch) -> a
+    nations-sized groupby re-selects the global top-N per group."""
+    from tokenzip.stages import _bcast
+
+    dim_ref = _bcast(_dim_lookup(sf_dir))
+    out = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+        .map_batches(
+            _TopOrdersStage,
+            fn_constructor_args=(dim_ref, n),
+            concurrency=(1, max(2, _default_concurrency() // 2)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("n_name")
+        .map_groups(_topn_final(n), batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype(
+        {"n_name": str, "rnk": "int64", "o_orderkey": "int64", "price_cents": "int64"}
+    )
+    return out.sort_values(["n_name", "rnk"]).reset_index(drop=True)
+
+
+def top_orders_by_nation_sql(n: int = 3) -> str:
+    """Top-N-per-group oracle: ROW_NUMBER over (price DESC, orderkey) —
+    the identical deterministic tie-break the Ray lexsort applies."""
+    return f"""
+WITH o AS (SELECT o_orderkey, o_custkey,
+                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+           FROM orders),
+j AS (SELECT n_name, o_orderkey, price_c
+      FROM o JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey),
+r AS (SELECT n_name, o_orderkey, price_c,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY price_c DESC, o_orderkey) AS rnk
+      FROM j)
+SELECT n_name, CAST(rnk AS BIGINT) AS rnk, o_orderkey, price_c AS price_cents
+FROM r WHERE rnk <= {n} ORDER BY n_name, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Co-partitioned ANTI join over two fact tables: orders with no lineitem.
+# Both sides are big (neither fits a broadcast at 100 TB), so this is the
+# shuffle-side complement of the broadcast equi-join above: both tables
+# hash-bucket the equality key into ONE union shuffle (the as-of join's
+# layout), and the group kernel is a sorted-membership test. The lineitem
+# side is pruned to a single int64 column before the shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _anti_empty() -> pa.Table:
+    # Arrow, not pandas: Ray's pandas-block size estimator warns on every
+    # empty object column, and the all-matched (empty) outcome is the COMMON
+    # case for an anti-join group.
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([], pa.string()),
+            "n_orders": pa.array([], pa.int64()),
+            "sum_price": pa.array([], pa.int64()),
+            "chk": pa.array([], pa.int64()),
+        }
+    )
+
+
+def _anti_group(g: pd.DataFrame) -> pa.Table:
+    """groupby(bkt): keep order rows whose key never appears on the probe
+    (lineitem) side — sorted-unique probe keys + searchsorted membership,
+    vectorized over the whole group."""
+    side = g["side"].to_numpy().astype(np.int64)
+    key = g["key"].to_numpy().astype(np.int64)
+    om = side == 0
+    okey = key[om]
+    if not len(okey):
+        return _anti_empty()
+    probe = np.unique(key[~om])
+    pos = np.searchsorted(probe, okey)
+    pos_c = np.clip(pos, 0, max(len(probe) - 1, 0))
+    miss = ~(probe[pos_c] == okey) if len(probe) else np.ones(len(okey), bool)
+    if not miss.any():
+        return _anti_empty()
+    pri = g["pri"].to_numpy()[om][miss]
+    price = g["price_c"].to_numpy().astype(np.int64)[om][miss]
+    kmod = okey[miss] % _PAIR_MOD
+    uniq, inv = np.unique(pri, return_inverse=True)
+    k = len(uniq)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([str(s) for s in uniq], pa.string()),
+            "n_orders": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+            "sum_price": pa.array(_int_group_sums(price, inv, k)),
+            "chk": pa.array(_int_group_sums(kmod, inv, k) % _PAIR_MOD),
+        }
+    )
+
+
+def q_orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
+    """ANTI join of two fact tables: orders that have no lineitem rows,
+    aggregated per o_orderpriority as (n_orders, sum_price_cents, modular
+    orderkey checksum). Plan: both tables hash-bucket the orderkey into
+    ONE union shuffle (lineitem pruned to its single key column, orders to
+    key + priority + price) -> groupby(bucket) -> sorted-membership anti
+    test per group -> tiny per-priority aggregate."""
+    opath = os.path.join(sf_dir, "orders.parquet")
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    nb = _lsh_n_buckets(_row_count(opath) + _row_count(lpath))
+
+    def orows(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ok, nb)),
+                "side": pa.array(np.zeros(len(ok), np.int64)),
+                "key": pa.array(ok),
+                "pri": b["o_orderpriority"].combine_chunks(),
+                "price_c": pa.array(_cents(b["o_totalprice"])),
+            }
+        )
+
+    def lrows(b: pa.Table) -> pa.Table:
+        lk = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(lk)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(lk, nb)),
+                "side": pa.array(np.ones(n, np.int64)),
+                "key": pa.array(lk),
+                "pri": pa.array([""] * n, pa.string()),
+                "price_c": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    od = ray.data.read_parquet(
+        opath, columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
+    li = ray.data.read_parquet(lpath, columns=["l_orderkey"]).map_batches(
+        lrows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = od.union(li).groupby("bkt").map_groups(_anti_group, batch_format="pandas")
+    agg = (
+        partials.groupby("o_orderpriority")
+        .aggregate(Sum("n_orders"), Sum("sum_price"), Sum("chk"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "o_orderpriority": agg["o_orderpriority"].astype(str),
+            "n_orders": agg["sum(n_orders)"].astype("int64"),
+            "sum_price_cents": agg["sum(sum_price)"].astype("int64"),
+            "order_checksum": agg["sum(chk)"].astype("int64") % _PAIR_MOD,
+        }
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def orders_without_lineitems_sql() -> str:
+    """Anti-join oracle: NOT EXISTS against lineitem, identical cents and
+    modular-checksum arithmetic."""
+    from tokenzip.analysis import _PAIR_MOD
+
+    return f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents,
+       CAST(SUM(o_orderkey % {_PAIR_MOD}) % {_PAIR_MOD} AS BIGINT)
+           AS order_checksum
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
