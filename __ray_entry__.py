@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "df_topk_mg": _df_topk_mg,
         "split_stats_by_source": _split_stats,
         "table_roundtrip_events": _table_roundtrip,
+        "table_where_events": _table_where,
         "mixture_sample_stats": _mixture_stats,
         "decontamination_by_source": _decontam,
         "distinct_tokens_by_source": _distinct_tokens,
@@ -125,6 +126,12 @@ def _table_roundtrip(sf_dir: str):
     from tokenzip.table import q_table_roundtrip_events
 
     return q_table_roundtrip_events(sf_dir)
+
+
+def _table_where(sf_dir: str):
+    from tokenzip.table import q_table_where_events
+
+    return q_table_where_events(sf_dir)
 
 
 def _pack_stats(sf_dir: str):
@@ -342,6 +349,12 @@ def _table_sql() -> str:
     return table_roundtrip_events_sql()
 
 
+def _table_where_sql() -> str:
+    from tokenzip.table import table_where_events_sql
+
+    return table_where_events_sql()
+
+
 def _mixture_sql(glob: str) -> str:
     from tokenzip.training import mixture_sample_sql
 
@@ -409,6 +422,7 @@ FROM documents GROUP BY source ORDER BY source
         "df_topk_mg": _df_sql(glob),
         "split_stats_by_source": _split_sql(glob),
         "table_roundtrip_events": _table_sql(),
+        "table_where_events": _table_where_sql(),
         "mixture_sample_stats": _mixture_sql(glob),
         "decontamination_by_source": _decontam_sql(),
         "lang_id_confusion": _O.lang_id_sql(),

@@ -226,3 +226,148 @@ def test_float32_codec_and_table_roundtrip(ray_session, tmp_path):
     back = decompress_table(dst).to_pandas().sort_values("k").reset_index(drop=True)
     assert back["f"].dtype == np.float32
     assert np.array_equal(back["f"].to_numpy().view(np.uint32), v.view(np.uint32))
+
+
+def _zone_surviving(out, col, lo, hi):
+    """Chunk rows surviving the zone-map predicate vs total (direct
+    parquet-level evidence the pushdown prunes before payload reads)."""
+    import glob as _g
+
+    files = _g.glob(out + "/chunks/**/*.parquet", recursive=True)
+    total = kept = 0
+    for f in files:
+        t = pq.read_table(f, columns=[f"zmin_{col}", f"zmax_{col}"])
+        zmin = t[f"zmin_{col}"].to_numpy()
+        zmax = t[f"zmax_{col}"].to_numpy()
+        total += len(zmin)
+        kept += int(((zmin <= hi) & (zmax >= lo)).sum())
+    return kept, total
+
+
+def test_table_where_pushdown_exact_and_prunes(ray_session, tmp_path):
+    """Zone-map pushdown: disjoint per-file key ranges -> most chunks are
+    pruned by the parquet predicate; surviving rows match an exact
+    row-level filter of the original table, all columns intact."""
+    from tokenzip.table import compress_table, decompress_table
+
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(4):
+        n = 400
+        t = pa.table(
+            {
+                "k": pa.array(np.arange(i * n, (i + 1) * n, dtype=np.int64)),
+                "v": pa.array(rng.integers(0, 1000, n, dtype=np.int32)),
+                "s": pa.array([f"x{j % 13}" for j in range(n)]),
+            }
+        )
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    out = str(tmp_path / "sink")
+    compress_table(paths, out)
+
+    lo, hi = 600, 900  # inside file 1 + start of file 2
+    kept, total = _zone_surviving(out, "k", lo, hi)
+    assert kept < total and kept >= 1  # pruning is real, not vacuous
+
+    got = (
+        decompress_table(out, where=("k", lo, hi))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    orig = pd.concat([pq.read_table(p).to_pandas() for p in paths])
+    want = (
+        orig[(orig["k"] >= lo) & (orig["k"] <= hi)]
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_table_where_timestamp_units(ray_session, tmp_path):
+    """where on a timestamp column filters in the column's storage unit
+    (epoch in its own resolution), exact at the boundaries."""
+    from tokenzip.table import compress_table, decompress_table
+
+    n = 1000
+    ts = np.sort(np.random.default_rng(2).integers(10**6, 10**9, n))
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("ms")),
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "sink")
+    compress_table([src], out)
+    lo, hi = int(ts[200]), int(ts[700])
+    got = (
+        decompress_table(out, where=("ts", lo, hi))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    mask = (ts >= lo) & (ts <= hi)
+    want = t.to_pandas()[mask].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_table_where_unzoned_column_raises(ray_session, tmp_path):
+    """where on a column without a zone map (strings aren't zone-mapped)
+    fails loudly and names the zoned columns."""
+    from tokenzip.errors import ChunkFormatError
+    from tokenzip.table import compress_table, decompress_table
+
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(50, dtype=np.int64)),
+            "s": pa.array([f"v{i}" for i in range(50)]),
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "sink")
+    compress_table([src], out)
+    with pytest.raises(ChunkFormatError, match="zone map.*'k'"):
+        decompress_table(out, where=("s", 0, 1))
+
+
+def test_table_where_events_oracle(ray_session):
+    from tokenzip.table import q_table_where_events, table_where_events_sql
+
+    got = q_table_where_events(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    odf = con.execute(table_where_events_sql()).fetchdf()
+    assert len(odf) > 0 and got["n_rows"].sum() > 0
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_cli_table_decompress_where(ray_session, tmp_path, capsys):
+    """CLI: table-compress then table-decompress --where COL:LO:HI restores
+    exactly the in-range rows."""
+    from tokenzip.__main__ import main
+
+    n = 300
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array((np.arange(n) * 7 % 101).astype(np.int32)),
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    sink = str(tmp_path / "sink")
+    restored = str(tmp_path / "restored")
+    assert main(["table-compress", src, sink]) == 0
+    assert main(["table-decompress", sink, restored, "--where", "k:50:99"]) == 0
+    got = (
+        pq.read_table(restored).to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = t.to_pandas().iloc[50:100].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)

@@ -86,6 +86,13 @@ def main(argv: list[str] | None = None) -> int:
 
     td = sub.add_parser("table-decompress", help="restore a generic table")
     td.add_argument("out_dir"), td.add_argument("restored_dir")
+    td.add_argument(
+        "--where",
+        default=None,
+        metavar="COL:LO:HI",
+        help="zone-map-pruned range restore: only rows with LO <= COL <= HI "
+        "(int64 storage units); chunks outside the range never leave storage",
+    )
 
     pk = sub.add_parser(
         "pack", help="pack token docs into fixed-length training sequences"
@@ -196,7 +203,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "table-decompress":
             from tokenzip.table import decompress_table
 
-            decompress_table(args.out_dir).write_parquet(args.restored_dir)
+            where = None
+            if args.where:
+                col, lo, hi = args.where.rsplit(":", 2)
+                where = (col, int(lo), int(hi))
+            decompress_table(args.out_dir, where=where).write_parquet(
+                args.restored_dir
+            )
             print(json.dumps({"rows": "written", "dir": args.restored_dir}))
         elif args.cmd == "pins":
             from tokenzip.pins import regenerate

@@ -42,6 +42,9 @@ from tokenzip.pipeline import _add_frag, _fold_chunk_meta, _frag_of_path
 
 _INT_WIDTH = {"int8": 8, "int16": 16, "int32": 32, "int64": 64}
 
+# bump when the chunk-row schema changes (v2: scalar zone-map columns)
+_CHUNK_VER = 2
+
 _DTYPE_OF_TAG = {
     "int8": pa.int8(),
     "int16": pa.int16(),
@@ -107,6 +110,7 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
         sub = batch.filter(pa.array(frags == frag)) if len(uniq) > 1 else batch
         names, codecs, dtags, blobs = [], [], [], []
         bytes_in = int_bytes_out = str_bytes_out = oracle = 0
+        zmaps: dict[str, tuple[int, int]] = {}
         for name, width, tag in enc_plan:
             col = sub[name]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -127,6 +131,11 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
             bytes_in += vals.nbytes
             int_bytes_out += len(blob)
             oracle += bound
+            # zone map (min/max in int64 storage units): an empty chunk
+            # gets the inverted range (1, 0) so every predicate prunes it
+            zmaps[name] = (
+                (int(vals.min()), int(vals.max())) if len(vals) else (1, 0)
+            )
         for name, fwidth, ftag in flt_cols:
             col = sub[name]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -191,6 +200,13 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
         }
         for name in passthru:
             arrays[f"p_{name}"] = _one_list(sub[name])
+        # scalar zone-map columns (one zmin_/zmax_ pair per encoded
+        # int/timestamp column — value-range analog of the token sink's
+        # source_top pushdown): scalars, not lists, because parquet
+        # predicate pushdown can only see scalar columns
+        for name, (lo, hi) in zmaps.items():
+            arrays[f"zmin_{name}"] = pa.array([lo], pa.int64())
+            arrays[f"zmax_{name}"] = pa.array([hi], pa.int64())
         rows.append(pa.table(arrays))
     return pa.concat_tables(rows)
 
@@ -327,34 +343,48 @@ class _EventsChkStage:
         return pa.Table.from_pandas(agg, preserve_index=False)
 
 
-def q_table_roundtrip_events(sf_dir: str):
-    """Persisted generic-table differential: compress events.parquet with
-    the auto-selector (delta wins the sorted ts column), decompress the
-    WRITTEN chunks, and checksum every column per event_type against the
-    original table recomputed by DuckDB."""
-    import pandas as pd
-    from ray.data.aggregate import Sum
-
-    from tokenzip.analysis import _PAIR_MOD
-
+def _events_sink(sf_dir: str) -> tuple[str, str]:
+    """(source parquet path, scratch sink dir) for the events-table chunk
+    sink, keyed by input CONTENT identity (path+size+mtime), not just the
+    sf name: regenerated testdata at the same path must never resume
+    against stale chunks. compress_table's resume contract makes repeat
+    calls over the same content free."""
     import hashlib
 
     src = os.path.join(sf_dir, "events.parquet")
-    # key the scratch sink by input CONTENT identity (path+size+mtime), not
-    # just the sf name: regenerated testdata at the same path must never
-    # resume against stale chunks
     st = os.stat(src)
+    # _CHUNK_VER in the key: a sink written by an older chunk format (e.g.
+    # pre-zone-map) must not be resumed against by newer readers
     fp = hashlib.sha1(
-        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{_CHUNK_VER}".encode()
     ).hexdigest()[:12]
     out_dir = os.path.join(
         "/tmp/tokenzip_table",
         f"{os.path.basename(os.path.normpath(sf_dir))}_events_{fp}",
     )
     compress_table([src], out_dir)
+    return src, out_dir
+
+
+def q_table_roundtrip_events(sf_dir: str):
+    """Persisted generic-table differential: compress events.parquet with
+    the auto-selector (delta wins the sorted ts column), decompress the
+    WRITTEN chunks, and checksum every column per event_type against the
+    original table recomputed by DuckDB."""
+    _, out_dir = _events_sink(sf_dir)
+    return _events_checksum_rollup(decompress_table(out_dir))
+
+
+def _events_checksum_rollup(ds: "ray.data.Dataset"):
+    """Decoded events Dataset -> per-event_type checksum frame (the shared
+    tail of the table differentials: per-batch partials, one groupby)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from tokenzip.analysis import _PAIR_MOD
+
     agg = (
-        decompress_table(out_dir)
-        .map_batches(
+        ds.map_batches(
             _EventsChkStage(), batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("event_type")
@@ -394,17 +424,118 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-def decompress_table(out_dir: str) -> "ray.data.Dataset":
-    """Read table chunks -> Dataset with the original schema and values."""
+def _int_col_bounds(src: str, col: str) -> tuple[int, int]:
+    """(min, max) of an int column from the parquet FOOTER statistics —
+    no data pages read. Falls back to a single-column read only when a
+    writer omitted stats."""
+    md = pq.ParquetFile(src).metadata
+    j = pq.ParquetFile(src).schema_arrow.names.index(col)
+    los, his = [], []
+    for i in range(md.num_row_groups):
+        st = md.row_group(i).column(j).statistics
+        if st is None or not st.has_min_max:
+            t = pq.read_table(src, columns=[col])[col]
+            import pyarrow.compute as pc
+
+            return int(pc.min(t).as_py()), int(pc.max(t).as_py())
+        los.append(int(st.min))
+        his.append(int(st.max))
+    return min(los), max(his)
+
+
+def q_table_where_events(sf_dir: str):
+    """Zone-map pushdown differential: decompress the events sink with
+    ``where=("event_id", lo, hi)`` over the middle half of the id domain —
+    chunks whose [zmin, zmax] misses the range are pruned by a parquet
+    predicate before their payload blobs are read — and checksum every
+    surviving column per event_type against DuckDB's row-level WHERE over
+    the original table. Bounds come from footer stats (integer arithmetic,
+    mirrored exactly in the SQL) so the query is scale-invariant."""
+    src, out_dir = _events_sink(sf_dir)
+    emin, emax = _int_col_bounds(src, "event_id")
+    lo = emin + (emax - emin) * 25 // 100
+    hi = emin + (emax - emin) * 75 // 100
+    return _events_checksum_rollup(
+        decompress_table(out_dir, where=("event_id", lo, hi))
+    )
+
+
+def table_where_events_sql() -> str:
+    from tokenzip.analysis import _PAIR_MOD
+
+    return f"""
+WITH b AS (
+  SELECT MIN(event_id) + (MAX(event_id) - MIN(event_id)) * 25 // 100 AS lo,
+         MIN(event_id) + (MAX(event_id) - MIN(event_id)) * 75 // 100 AS hi
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+       CAST(SUM(epoch_us(ts) % {_PAIR_MOD}) % {_PAIR_MOD} AS BIGINT) AS sum_ts_mod,
+       CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_props_len
+FROM events, b WHERE event_id BETWEEN b.lo AND b.hi
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _where_row_filter(where: tuple[str, int, int]):
+    """Exact row-level net under the zone-map pushdown: chunks that
+    INTERSECT the range still carry out-of-range rows."""
+    import pyarrow.compute as pc
+
+    col, lo, hi = where
+
+    def fn(b: pa.Table) -> pa.Table:
+        v = b[col].cast(pa.int64())
+        return b.filter(pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi)))
+
+    return fn
+
+
+def decompress_table(
+    out_dir: str, where: tuple[str, int, int] | None = None
+) -> "ray.data.Dataset":
+    """Read table chunks -> Dataset with the original schema and values.
+
+    ``where=(col, lo, hi)`` selects rows with ``lo <= col <= hi`` (int64
+    storage units — epoch in the column's unit for timestamps) WITH
+    storage-level pruning: a parquet predicate on the chunk's scalar
+    zone-map columns (``zmin_<col>``/``zmax_<col>``) drops every chunk
+    whose value range misses [lo, hi] before its payload blobs are read;
+    intersecting chunks are decoded and row-filtered exactly."""
     chunks_dir = os.path.join(out_dir, "chunks")
     files = [
         p for p, _ in uio.walk_files(chunks_dir) if p.endswith(".parquet")
     ]
     if not files:
         raise ChunkFormatError(f"no chunk parquet under {chunks_dir}")
+    read_kwargs = {}
+    if where is not None:
+        import pyarrow.compute as pc
+
+        col, lo, hi = where
+        names = pq.ParquetFile(files[0]).schema_arrow.names
+        if f"zmin_{col}" not in names:
+            zoned = sorted(n[5:] for n in names if n.startswith("zmin_"))
+            raise ChunkFormatError(
+                f"column {col!r} has no zone map in this sink "
+                f"(zone-mapped columns: {zoned}); re-compress or filter "
+                "after decompress_table()"
+            )
+        # chunk survives iff [zmin, zmax] intersects [lo, hi]
+        read_kwargs["filter"] = (pc.field(f"zmin_{col}") <= int(hi)) & (
+            pc.field(f"zmax_{col}") >= int(lo)
+        )
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     n_blocks = min(len(files), max(8, 4 * cpus))
-    ds = ray.data.read_parquet(chunks_dir, override_num_blocks=n_blocks)
-    return ds.map_batches(
+    ds = ray.data.read_parquet(chunks_dir, override_num_blocks=n_blocks, **read_kwargs)
+    out = ds.map_batches(
         _decode_table_fn, batch_format="pyarrow", zero_copy_batch=True
     )
+    if where is not None:
+        out = out.map_batches(
+            _where_row_filter(where), batch_format="pyarrow", zero_copy_batch=True
+        )
+    return out
