@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_stats_by_source": _split_stats,
         "table_roundtrip_events": _table_roundtrip,
         "table_where_events": _table_where,
+        "table_nulls_roundtrip": _table_nulls,
         "mixture_sample_stats": _mixture_stats,
         "decontamination_by_source": _decontam,
         "distinct_tokens_by_source": _distinct_tokens,
@@ -132,6 +133,12 @@ def _table_where(sf_dir: str):
     from tokenzip.table import q_table_where_events
 
     return q_table_where_events(sf_dir)
+
+
+def _table_nulls(sf_dir: str):
+    from tokenzip.table import q_table_nulls_roundtrip
+
+    return q_table_nulls_roundtrip(sf_dir)
 
 
 def _pack_stats(sf_dir: str):
@@ -355,6 +362,12 @@ def _table_where_sql() -> str:
     return table_where_events_sql()
 
 
+def _table_nulls_sql() -> str:
+    from tokenzip.table import table_nulls_roundtrip_sql
+
+    return table_nulls_roundtrip_sql()
+
+
 def _mixture_sql(glob: str) -> str:
     from tokenzip.training import mixture_sample_sql
 
@@ -423,6 +436,7 @@ FROM documents GROUP BY source ORDER BY source
         "split_stats_by_source": _split_sql(glob),
         "table_roundtrip_events": _table_sql(),
         "table_where_events": _table_where_sql(),
+        "table_nulls_roundtrip": _table_nulls_sql(),
         "mixture_sample_stats": _mixture_sql(glob),
         "decontamination_by_source": _decontam_sql(),
         "lang_id_confusion": _O.lang_id_sql(),

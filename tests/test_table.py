@@ -1,6 +1,6 @@
 """Generic-table compression (tokenzip.table): bit-identical roundtrip on
 real testdata tables, width coverage (int8..64 + timestamp), resume
-semantics, the LEB128 size bound, and the null rejection contract."""
+semantics, the LEB128 size bound, and nullable-column bitmaps."""
 
 import os
 import shutil
@@ -104,16 +104,79 @@ def test_table_reserved_columns_rejected(ray_session, tmp_path):
             compress_table([str(src)], str(tmp_path / f"out_{reserved}"))
 
 
-def test_table_null_int_rejected(ray_session, tmp_path):
-    from tokenzip.errors import ChunkFormatError
-    from tokenzip.table import compress_table
+def test_table_nullable_columns_roundtrip(ray_session, tmp_path):
+    """Nulls in every encodable family (int, timestamp, float, string) ride
+    a validity bitmap beside the dense codec stream and restore exactly —
+    including an all-null column and a null-free control."""
+    rng = np.random.default_rng(13)
+    n = 2_000
+    null_at = rng.random(n) < 0.3
 
-    t = pa.table({"x": pa.array([1, None, 3], pa.int64())})
-    src = tmp_path / "nulls.parquet"
+    def _mask(arr):
+        return pa.array(
+            np.asarray(arr), mask=null_at
+        )
+
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),  # null-free control
+            "xi": _mask(rng.integers(-(2**40), 2**40, n)),
+            "xs": pa.array(
+                [None if m else f"s{i % 43}" for i, m in enumerate(null_at)]
+            ),
+            "xf": _mask(np.round(rng.random(n) * 100) / 2.0),
+            "xt": pa.array(
+                np.sort(rng.integers(0, 2**40, n)), pa.timestamp("us")
+            ),
+            "all_null": pa.array([None] * n, pa.int64()),
+        }
+    )
+    # null timestamps too (replace column with masked variant)
+    ts_vals = t["xt"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    t = t.set_column(
+        4, "xt", pa.array(ts_vals, pa.timestamp("us"), mask=null_at)
+    )
+    src = str(tmp_path / "nulls.parquet")
     pq.write_table(t, src)
-    with pytest.raises(Exception) as ei:
-        compress_table([str(src)], str(tmp_path / "out"))
-    assert "null" in str(ei.value).lower()
+    out = str(tmp_path / "out")
+    from tokenzip.table import compress_table, decompress_table
+
+    compress_table([src], out)
+    back = (
+        decompress_table(out).to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back, t.to_pandas())
+
+
+def test_table_where_over_nullable_column(ray_session, tmp_path):
+    """where on a nullable column: NULL never matches the range (SQL
+    BETWEEN semantics) and the zone map is computed over non-null values."""
+    from tokenzip.table import compress_table, decompress_table
+
+    n = 500
+    vals = np.arange(n, dtype=np.int64)
+    mask = (vals % 5) == 0
+    t = pa.table(
+        {
+            "k": pa.array(vals),
+            "x": pa.array(vals * 10, mask=mask),
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "sink")
+    compress_table([src], out)
+    got = (
+        decompress_table(out, where=("x", 1000, 2000))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    want = df[(df["x"] >= 1000) & (df["x"] <= 2000)].reset_index(drop=True)
+    assert want["x"].notna().all() and len(want) > 0
+    # pandas floats the nullable source column; survivors are null-free ints
+    pd.testing.assert_frame_equal(got, want.astype({"x": "int64"}))
 
 
 def test_table_events_oracle(ray_session):
@@ -371,3 +434,16 @@ def test_cli_table_decompress_where(ray_session, tmp_path, capsys):
     )
     want = t.to_pandas().iloc[50:100].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_table_nulls_oracle(ray_session):
+    from tokenzip.table import q_table_nulls_roundtrip, table_nulls_roundtrip_sql
+
+    got = q_table_nulls_roundtrip(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    odf = con.execute(table_nulls_roundtrip_sql()).fetchdf()
+    assert got["n_null_props"].sum() > 0 and got["n_null_uid"].sum() > 0
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))

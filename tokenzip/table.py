@@ -5,11 +5,13 @@ The reference is a general-purpose integer codec library (varints over any
 `u8..u64` stream, /root/reference/src/lib.rs); the flagship `pipeline`
 module specializes its Ray shape to the tokens schema. This module is the
 general case: `compress_table(paths, out_dir)` auto-selects a codec per
-(integer or timestamp) column per chunk, stores every other column
-verbatim (columnar passthrough — floats/strings round-trip bit-identical
-by construction), and writes frag-partitioned chunk parquet plus the same
-resumable lineage manifest `compress()` uses. `decompress_table(out_dir)`
-streams the original schema back, bit-identical.
+(integer or timestamp) column per chunk, routes floats through the
+XOR-delta family and strings through the string selector, stores every
+other column verbatim (columnar passthrough), and writes frag-partitioned
+chunk parquet plus the same resumable lineage manifest `compress()` uses.
+Nullable columns carry a 1-bit/row validity bitmap beside the dense
+non-null value stream. `decompress_table(out_dir)` streams the original
+schema back, bit-identical (nulls included).
 
 Ray shape mirrors pipeline.compress: fused ReadParquet -> encode map
 (zero-copy Arrow, one chunk row per block), partitioned write, chunk-meta
@@ -42,8 +44,9 @@ from tokenzip.pipeline import _add_frag, _fold_chunk_meta, _frag_of_path
 
 _INT_WIDTH = {"int8": 8, "int16": 16, "int32": 32, "int64": 64}
 
-# bump when the chunk-row schema changes (v2: scalar zone-map columns)
-_CHUNK_VER = 2
+# bump when the chunk-row schema changes (v2: scalar zone-map columns;
+# v3: enc_nulls validity bitmaps)
+_CHUNK_VER = 3
 
 _DTYPE_OF_TAG = {
     "int8": pa.int8(),
@@ -93,10 +96,22 @@ def _one_list(arr: pa.Array) -> pa.Array:
     )
 
 
+def _null_split(col: pa.Array) -> tuple[pa.Array, bytes]:
+    """(non-null values, packed validity bitmap). The bitmap is b"" for a
+    null-free column — the common case costs zero bytes and zero work;
+    otherwise 1 bit/row (np.packbits big-endian), values dense."""
+    if not col.null_count:
+        return col, b""
+    valid = col.is_valid().to_numpy(zero_copy_only=False)
+    return col.drop_null(), np.packbits(valid).tobytes()
+
+
 def _encode_table_fn(batch: pa.Table) -> pa.Table:
     """One chunk row per (batch, frag): every plannable column packed with
     the auto-selected codec (LEB128 fallback keeps the size bound — sampling
-    can mispredict, the floor cannot), the rest wrapped verbatim."""
+    can mispredict, the floor cannot), the rest wrapped verbatim. Nullable
+    columns carry a validity bitmap in enc_nulls; only the non-null values
+    enter the codec stream."""
     from tokenzip.codecs.strings import encode_str_column
 
     schema = batch.schema
@@ -108,14 +123,13 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
     rows = []
     for frag in uniq:
         sub = batch.filter(pa.array(frags == frag)) if len(uniq) > 1 else batch
-        names, codecs, dtags, blobs = [], [], [], []
+        names, codecs, dtags, blobs, nmaps = [], [], [], [], []
         bytes_in = int_bytes_out = str_bytes_out = oracle = 0
         zmaps: dict[str, tuple[int, int]] = {}
         for name, width, tag in enc_plan:
             col = sub[name]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            if col.null_count:
-                raise ChunkFormatError(f"null values in column {name!r}")
+            col, nmap = _null_split(col)
             vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
             codec = choose_int_codec(vals, width)
             blob = encode_int_column(vals, codec, width)
@@ -128,8 +142,12 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
             codecs.append(codec)
             dtags.append(tag)
             blobs.append(blob)
+            nmaps.append(nmap)
             bytes_in += vals.nbytes
             int_bytes_out += len(blob)
+            # bitmap bytes count outside the LEB128 bound (the oracle
+            # covers the integer value stream only)
+            str_bytes_out += len(nmap)
             oracle += bound
             # zone map (min/max in int64 storage units): an empty chunk
             # gets the inverted range (1, 0) so every predicate prunes it
@@ -139,28 +157,28 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
         for name, fwidth, ftag in flt_cols:
             col = sub[name]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            if col.null_count:
-                raise ChunkFormatError(f"null values in column {name!r}")
+            col, nmap = _null_split(col)
             fvals = col.to_numpy(zero_copy_only=False)
             blob = encode_float_column(fvals, fwidth)
             names.append(name)
             codecs.append("flt")  # blob header names the actual codec
             dtags.append(ftag)
             blobs.append(blob)
+            nmaps.append(nmap)
             bytes_in += fvals.nbytes
-            str_bytes_out += len(blob)
+            str_bytes_out += len(blob) + len(nmap)
         for name in str_cols:
             col = sub[name]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            if col.null_count:
-                raise ChunkFormatError(f"null values in column {name!r}")
+            col, nmap = _null_split(col)
             blob = encode_str_column(col, "auto")
             names.append(name)
             codecs.append("str")  # blob header names the actual codec
             dtags.append("string")
             blobs.append(blob)
+            nmaps.append(nmap)
             bytes_in += sum(b.size for b in col.buffers() if b is not None)
-            str_bytes_out += len(blob)
+            str_bytes_out += len(blob) + len(nmap)
         row = {
             "frag": str(frag),
             "n_rows": sub.num_rows,
@@ -196,6 +214,8 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
             "enc_codecs": pa.array([codecs], pa.list_(pa.string())),
             "enc_dtypes": pa.array([dtags], pa.list_(pa.string())),
             "enc_blobs": pa.array([blobs], pa.list_(pa.binary())),
+            # per-column packed validity bitmaps, b"" when null-free
+            "enc_nulls": pa.array([nmaps], pa.list_(pa.binary())),
             "col_order": pa.array([row["col_order"]], pa.list_(pa.string())),
         }
         for name in passthru:
@@ -263,33 +283,70 @@ def compress_table(
     return man.totals()
 
 
+def _null_expand_np(vals: np.ndarray, nmap: bytes, n: int, typ) -> pa.Array:
+    """Scatter dense non-null values back to n rows under the packed
+    validity bitmap (vectorized: one unpackbits + one fancy-index)."""
+    valid = np.unpackbits(np.frombuffer(nmap, np.uint8), count=n).astype(bool)
+    full = np.zeros(n, vals.dtype)
+    full[valid] = vals
+    return pa.array(full, typ, mask=~valid)
+
+
 def _decode_table_fn(batch: pa.Table) -> pa.Table:
-    """Chunk rows -> original-schema rows (bit-identical)."""
+    """Chunk rows -> original-schema rows (bit-identical, nulls restored
+    from the enc_nulls bitmaps)."""
     out = []
     names_col = batch["enc_names"].to_pylist()
     codecs_col = batch["enc_codecs"].to_pylist()  # lineage; blob embeds codec
     dtags_col = batch["enc_dtypes"].to_pylist()
     blobs_col = batch["enc_blobs"].to_pylist()
+    nulls_col = (
+        batch["enc_nulls"].to_pylist()
+        if "enc_nulls" in batch.column_names
+        else [[b""] * len(n) for n in names_col]  # pre-v3 chunks: null-free
+    )
     order_col = batch["col_order"].to_pylist()
+    n_rows_col = batch["n_rows"].to_pylist()
     from tokenzip.codecs.strings import decode_str_column
 
     for i in range(batch.num_rows):
         cols: dict[str, pa.Array] = {}
-        for name, tag, blob in zip(names_col[i], dtags_col[i], blobs_col[i]):
+        n = int(n_rows_col[i])
+        for name, tag, blob, nmap in zip(
+            names_col[i], dtags_col[i], blobs_col[i], nulls_col[i]
+        ):
             if tag == "string":
-                cols[name] = decode_str_column(blob)
+                dec = decode_str_column(blob)
+                if nmap:
+                    valid = np.unpackbits(
+                        np.frombuffer(nmap, np.uint8), count=n
+                    ).astype(bool)
+                    idx = np.zeros(n, np.int64)
+                    idx[valid] = np.arange(len(dec), dtype=np.int64)
+                    dec = pa.compute.take(
+                        dec, pa.array(idx, pa.int64(), mask=~valid)
+                    )
+                cols[name] = dec
                 continue
             if tag in ("double", "float"):
-                cols[name] = pa.array(
-                    decode_float_column(blob),
-                    pa.float64() if tag == "double" else pa.float32(),
+                fvals = decode_float_column(blob)
+                ftyp = pa.float64() if tag == "double" else pa.float32()
+                cols[name] = (
+                    _null_expand_np(fvals, nmap, n, ftyp)
+                    if nmap
+                    else pa.array(fvals, ftyp)
                 )
                 continue
             typ = _DTYPE_OF_TAG.get(tag)
             if typ is None:
                 raise ChunkFormatError(f"unknown dtype tag {tag!r}")
             vals = decode_int_column(blob)
-            cols[name] = pa.array(vals, pa.int64()).cast(typ)
+            arr = (
+                _null_expand_np(vals, nmap, n, pa.int64())
+                if nmap
+                else pa.array(vals, pa.int64())
+            )
+            cols[name] = arr.cast(typ)
         for f in batch.schema:
             if f.name.startswith("p_"):
                 lst = batch[f.name]
@@ -421,6 +478,152 @@ SELECT event_type,
        CAST(SUM(epoch_us(ts) % {_PAIR_MOD}) % {_PAIR_MOD} AS BIGINT) AS sum_ts_mod,
        CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_props_len
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+class _NullsChkStage:
+    """Partials over the decoded NULL-planted events table: per event_type,
+    row/null counts and non-null sums — any bitmap drift (wrong position,
+    lost null, value scattered to the wrong row) flips a count or a sum."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        uid = batch["user_id"]
+        props = batch["props"]
+        plen = pc.utf8_length(props)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(
+                    zero_copy_only=False
+                ),
+                "null_props": props.is_null().to_numpy(zero_copy_only=False),
+                "null_uid": uid.is_null().to_numpy(zero_copy_only=False),
+                # integer-exact non-null sums (no float detour)
+                "uid": pc.fill_null(uid, 0)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False),
+                "plen": pc.fill_null(plen, 0)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = df.groupby("event_type", as_index=False).agg(
+            n_rows=("uid", "size"),
+            n_null_props=("null_props", "sum"),
+            n_null_uid=("null_uid", "sum"),
+            sum_user_id=("uid", "sum"),
+            sum_props_len=("plen", "sum"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def _plant_nulls_fn(batch: pa.Table) -> pa.Table:
+    """props NULL where event_id % 7 == 0, user_id NULL where % 11 == 0 —
+    the deterministic rule the SQL oracle mirrors with CASE."""
+    import pyarrow.compute as pc
+
+    eid = batch["event_id"].to_numpy(zero_copy_only=False)
+    batch = batch.set_column(
+        batch.column_names.index("props"),
+        "props",
+        pc.if_else(
+            pa.array(eid % 7 == 0),
+            pa.nulls(batch.num_rows, pa.string()),
+            batch["props"].combine_chunks()
+            if isinstance(batch["props"], pa.ChunkedArray)
+            else batch["props"],
+        ),
+    )
+    uid = batch["user_id"]
+    uid = uid.combine_chunks() if isinstance(uid, pa.ChunkedArray) else uid
+    return batch.set_column(
+        batch.column_names.index("user_id"),
+        "user_id",
+        pc.if_else(
+            pa.array(eid % 11 == 0), pa.nulls(batch.num_rows, uid.type), uid
+        ),
+    )
+
+
+def q_table_nulls_roundtrip(sf_dir: str):
+    """Nullable-column differential: plant NULLs into events with a
+    deterministic rule (Ray map), compress the nulled table through the
+    bitmap path, decompress the WRITTEN chunks, and roll up per-event_type
+    row/null counts + non-null sums against DuckDB applying the same rule
+    to the original table."""
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha1(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{_CHUNK_VER}".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(
+        "/tmp/tokenzip_table",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_nulls_{fp}",
+    )
+    nulled_dir = os.path.join(base, "input")
+    out_dir = os.path.join(base, "sink")
+    if not os.path.isdir(nulled_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(nulled_dir)
+    ):
+        ray.data.read_parquet(src).map_batches(
+            _plant_nulls_fn, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(nulled_dir)
+    paths = [
+        os.path.join(nulled_dir, f)
+        for f in sorted(os.listdir(nulled_dir))
+        if f.endswith(".parquet")
+    ]
+    compress_table(paths, out_dir)
+    agg = (
+        decompress_table(out_dir)
+        .map_batches(
+            _NullsChkStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_null_props", alias_name="n_null_props"),
+            Sum("n_null_uid", alias_name="n_null_uid"),
+            Sum("sum_user_id", alias_name="sum_user_id"),
+            Sum("sum_props_len", alias_name="sum_props_len"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"].astype(str),
+            "n_rows": agg["n_rows"].astype("int64"),
+            "n_null_props": agg["n_null_props"].astype("int64"),
+            "n_null_uid": agg["n_null_uid"].astype("int64"),
+            "sum_user_id": agg["sum_user_id"].astype("int64"),
+            "sum_props_len": agg["sum_props_len"].astype("int64"),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def table_nulls_roundtrip_sql() -> str:
+    return """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS props,
+         CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END AS user_id
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_uid,
+       CAST(COALESCE(SUM(user_id), 0) AS BIGINT) AS sum_user_id,
+       CAST(COALESCE(SUM(LENGTH(props)), 0) AS BIGINT) AS sum_props_len
+FROM e GROUP BY event_type ORDER BY event_type
 """
 
 
