@@ -447,3 +447,51 @@ def test_table_nulls_oracle(ray_session):
     odf = con.execute(table_nulls_roundtrip_sql()).fetchdf()
     assert got["n_null_props"].sum() > 0 and got["n_null_uid"].sum() > 0
     pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_table_uint_columns_roundtrip(ray_session, tmp_path):
+    """Unsigned columns go through the codec path (not passthrough):
+    u8/u16/u32 widened losslessly, u64 via int64 bitcast — exact even for
+    values >= 2^63 and with nulls."""
+    import glob as _g
+
+    from tokenzip.table import compress_table, decompress_table
+
+    rng = np.random.default_rng(17)
+    n = 3_000
+    m = rng.random(n) < 0.2
+    big = rng.integers(0, 2**64, n, dtype=np.uint64)
+    big[: n // 2] = big[: n // 2] | np.uint64(1 << 63)  # force >= 2^63
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "u8": pa.array(rng.integers(0, 256, n, dtype=np.uint8)),
+            "u16": pa.array(rng.integers(0, 2**16, n, dtype=np.uint16)),
+            "u32": pa.array(
+                rng.integers(0, 2**32, n, dtype=np.uint32), mask=m
+            ),
+            "u64": pa.array(big),
+        }
+    )
+    src = str(tmp_path / "in.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "sink")
+    compress_table([src], out)
+    files = _g.glob(out + "/chunks/**/*.parquet", recursive=True)
+    row = pq.read_table(files[0]).to_pylist()[0]
+    for c in ("u8", "u16", "u32", "u64"):
+        assert c in row["enc_names"], c  # codec path, not passthrough
+    back = (
+        decompress_table(out).to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back, t.to_pandas())
+    # where on a uint32 column (natural ordering below 2^63)
+    got = (
+        decompress_table(out, where=("u32", 0, 2**31))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    want = df[(df["u32"] >= 0) & (df["u32"] <= 2**31)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype({"u32": "uint32"}))

@@ -44,6 +44,13 @@ from tokenzip.pipeline import _add_frag, _fold_chunk_meta, _frag_of_path
 
 _INT_WIDTH = {"int8": 8, "int16": 16, "int32": 32, "int64": 64}
 
+# unsigned columns ride the same int64-value codec path (the reference is
+# a u8..u64 varint library — /root/reference/src/lib.rs): u8/u16/u32 widen
+# losslessly into the next signed width's domain; u64 is stored as its
+# two's-complement int64 BITCAST (modular int64 arithmetic in the codecs
+# keeps the roundtrip exact for values >= 2^63)
+_UINT_WIDTH = {"uint8": 16, "uint16": 32, "uint32": 64, "uint64": 64}
+
 # bump when the chunk-row schema changes (v2: scalar zone-map columns;
 # v3: enc_nulls validity bitmaps)
 _CHUNK_VER = 3
@@ -57,6 +64,10 @@ _DTYPE_OF_TAG = {
     "timestamp[ms]": pa.timestamp("ms"),
     "timestamp[us]": pa.timestamp("us"),
     "timestamp[ns]": pa.timestamp("ns"),
+    "uint8": pa.uint8(),
+    "uint16": pa.uint16(),
+    "uint32": pa.uint32(),
+    "uint64": pa.uint64(),
 }
 
 
@@ -64,16 +75,19 @@ def _col_plan(
     schema: pa.Schema,
 ) -> tuple[list[tuple[str, int, str]], list[str], list[str]]:
     """(int columns as (name, width, dtype-tag), string column names,
-    passthrough names). Ints at their native width, naive timestamps as
-    width-64 (delta usually wins on sorted time columns), strings through
-    the plain/dict/prefix_int/FSST auto-selector, float64 through the
-    XOR-delta family (raw floor on incompressible values; float32 and
-    float64). Unsigned/bool/nested: verbatim columnar passthrough."""
+    passthrough names). Ints at their native width, unsigned ints widened
+    (u64 bitcast), naive timestamps as width-64 (delta usually wins on
+    sorted time columns), strings through the plain/dict/prefix_int/FSST
+    auto-selector, float64 through the XOR-delta family (raw floor on
+    incompressible values; float32 and float64). Bool/nested/decimal:
+    verbatim columnar passthrough."""
     enc, strs, flts, passthru = [], [], [], []
     for f in schema:
         tag = str(f.type)
         if tag in _INT_WIDTH:
             enc.append((f.name, _INT_WIDTH[tag], tag))
+        elif tag in _UINT_WIDTH:
+            enc.append((f.name, _UINT_WIDTH[tag], tag))
         elif pa.types.is_timestamp(f.type) and f.type.tz is None:
             enc.append((f.name, 64, tag))
         elif pa.types.is_string(f.type):
@@ -130,7 +144,11 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
             col = sub[name]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
             col, nmap = _null_split(col)
-            vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if tag == "uint64":
+                # bitcast, not cast: values >= 2^63 don't fit int64's domain
+                vals = col.to_numpy(zero_copy_only=False).view(np.int64)
+            else:
+                vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
             codec = choose_int_codec(vals, width)
             blob = encode_int_column(vals, codec, width)
             bound = leb128_oracle_bytes(vals, width)
@@ -341,6 +359,15 @@ def _decode_table_fn(batch: pa.Table) -> pa.Table:
             if typ is None:
                 raise ChunkFormatError(f"unknown dtype tag {tag!r}")
             vals = decode_int_column(blob)
+            if tag == "uint64":
+                # inverse bitcast (see _encode_table_fn)
+                if nmap:
+                    cols[name] = _null_expand_np(
+                        vals.view(np.uint64), nmap, n, pa.uint64()
+                    )
+                else:
+                    cols[name] = pa.array(vals.view(np.uint64), pa.uint64())
+                continue
             arr = (
                 _null_expand_np(vals, nmap, n, pa.int64())
                 if nmap
@@ -691,7 +718,11 @@ def _where_row_filter(where: tuple[str, int, int]):
     col, lo, hi = where
 
     def fn(b: pa.Table) -> pa.Table:
-        v = b[col].cast(pa.int64())
+        v = b[col]
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        # uint64 compares in its int64 BITCAST (the zone maps' storage
+        # unit); a checked cast would raise on values >= 2^63
+        v = v.view(pa.int64()) if v.type == pa.uint64() else v.cast(pa.int64())
         return b.filter(pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi)))
 
     return fn
