@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "roundtrip_by_source": q.q_roundtrip_by_source,
         "filtered_decompress": _filtered_decompress,
+        "doc_range_decompress": q.q_doc_range_decompress,
         "compacted_roundtrip": _compacted_roundtrip,
         "sink_roundtrip_join": q.q_sink_roundtrip_join,
         "boundary_roundtrip": q.q_boundary_roundtrip,
@@ -320,6 +321,12 @@ def _filtered_sql(glob: str) -> str:
     return filtered_decompress_sql(glob)
 
 
+def _doc_range_sql(glob: str) -> str:
+    from tokenzip.queries import doc_range_decompress_sql
+
+    return doc_range_decompress_sql(glob)
+
+
 def _compacted_sql(glob: str) -> str:
     from tokenzip.queries import compacted_roundtrip_sql
 
@@ -428,6 +435,7 @@ FROM documents GROUP BY source ORDER BY source
         "pack_stats_by_source": _pack_sql(glob),
         "pack_emit_by_source": _pack_emit_sql(glob),
         "filtered_decompress": _filtered_sql(glob),
+        "doc_range_decompress": _doc_range_sql(glob),
         "compacted_roundtrip": _compacted_sql(glob),
         "vocab_topk": _vocab_sql(glob),
         "vocab_topk_mg": _vocab_sql(glob),

@@ -476,3 +476,70 @@ def test_sink_audit_over_compacted_sink(ray_session, paths, tmp_path):
     pq.write_table(encode_batch(bad), f, compression="none")
     v2 = verify_sink_roundtrip(paths, dst, concurrency=2)
     assert int(v2["n_docs"].sum() - v2["n_equal"].sum()) == 1
+
+
+def test_decompress_doc_id_pushdown(ray_session, paths, tmp_path):
+    """doc_id_range / doc_ids prune chunks on the did_min/did_max zone maps
+    and return exactly the requested rows; an old-format sink (no recorded
+    chunk_format) is refused loudly instead of silently returning empty."""
+    import glob as _g
+
+    from tokenzip.errors import ChunkFormatError
+
+    out = str(tmp_path / "dz")
+    compress(paths, out, concurrency=2)
+    orig = _orig_df(paths)
+    ids = sorted(orig["doc_id"])
+    lo, hi = ids[len(ids) // 4], ids[len(ids) // 2]
+
+    # range lookup, exact
+    df = (
+        decompress(out, doc_id_range=(lo, hi))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        orig[(orig["doc_id"] >= lo) & (orig["doc_id"] <= hi)]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(df["doc_id"]) == list(exp["doc_id"])
+    for a, b in zip(df["tokens"], exp["tokens"]):
+        assert (a == b).all()
+
+    # point lookups, exact
+    pick = [ids[0], ids[len(ids) // 3], ids[-1]]
+    df2 = (
+        decompress(out, doc_ids=pick)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(df2["doc_id"]) == sorted(pick)
+
+    # the parquet-level predicate really prunes chunk rows
+    files = _g.glob(os.path.join(out, "chunks", "**", "*.parquet"), recursive=True)
+    total = kept = 0
+    for f in files:
+        t = pq.read_table(f, columns=["did_min", "did_max"])
+        for dmin, dmax in zip(
+            t["did_min"].to_pylist(), t["did_max"].to_pylist()
+        ):
+            total += 1
+            kept += int(dmin <= hi and dmax >= lo)
+    assert 1 <= kept < total
+
+    # mutually exclusive filters
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decompress(out, doc_id_range=(lo, hi), doc_ids=pick)
+
+    # old-format sink: strip the format marker -> loud refusal
+    man_path = os.path.join(out, "manifest.json")
+    man = json.load(open(man_path))
+    del man["chunk_format"]
+    json.dump(man, open(man_path, "w"))
+    with _pytest.raises(ChunkFormatError, match="chunk format"):
+        decompress(out, doc_id_range=(lo, hi)).to_pandas()

@@ -53,6 +53,18 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated source subset; single-source chunks outside "
              "it are pruned at the parquet read (storage-level pushdown)",
     )
+    d.add_argument(
+        "--doc-range",
+        default=None,
+        metavar="LO:HI",
+        help="inclusive lexicographic doc_id range; chunks whose "
+             "did_min/did_max zone map misses it never leave storage",
+    )
+    d.add_argument(
+        "--doc-ids",
+        default=None,
+        help="comma-separated doc_id point lookups (zone-map pruned)",
+    )
 
     ing = sub.add_parser(
         "ingest", help="JSONL documents -> canonical token-schema parquet shards"
@@ -147,7 +159,11 @@ def main(argv: list[str] | None = None) -> int:
             from tokenzip.pipeline import decompress
 
             srcs = args.sources.split(",") if args.sources else None
-            ds = decompress(args.out_dir, sources=srcs)
+            rng = tuple(args.doc_range.split(":", 1)) if args.doc_range else None
+            ids = args.doc_ids.split(",") if args.doc_ids else None
+            ds = decompress(
+                args.out_dir, sources=srcs, doc_id_range=rng, doc_ids=ids
+            )
             ds.write_parquet(args.restored_dir)
             print(json.dumps({"rows": "written", "dir": args.restored_dir}))
         elif args.cmd == "ingest":

@@ -33,6 +33,10 @@ from tokenzip.codecs.selector import choose_int_codec
 from tokenzip.codecs.strings import decode_str_column, encode_str_column
 from tokenzip.errors import ChunkFormatError
 
+# sink format: 2 = chunk rows carry did_min/did_max doc-id zone maps
+# (decompress doc-id pushdown requires a sink written entirely at >= 2)
+CHUNK_FORMAT = 2
+
 CHUNK_SCHEMA = pa.schema(
     [
         ("chunk_id", pa.string()),
@@ -49,6 +53,11 @@ CHUNK_SCHEMA = pa.schema(
         ("tokens_bytes_out", pa.int64()),
         ("leb128_bytes", pa.int64()),
         ("source_top", pa.string()),
+        # doc-id zone map: lexicographic [min, max] of the chunk's doc_id
+        # column — the value-range analog of source_top for range/point
+        # pushdown (scalar columns so parquet predicates see them)
+        ("did_min", pa.string()),
+        ("did_max", pa.string()),
     ]
 )
 
@@ -239,6 +248,11 @@ def encode_batch(
     first = did[0].as_py() if n_rows else ""
     last = did[-1].as_py() if n_rows else ""
     chunk_id = hashlib.sha1(f"{first}|{last}|{n_rows}|{n_tokens}".encode()).hexdigest()[:16]
+    if n_rows:
+        mm = pa.compute.min_max(did)
+        did_min, did_max = mm["min"].as_py(), mm["max"].as_py()
+    else:
+        did_min = did_max = ""
 
     # uncompressed Arrow payload bytes of the four columns
     str_bytes = 0
@@ -278,6 +292,8 @@ def encode_batch(
             "tokens_bytes_out": [len(tokens_blob)],
             "leb128_bytes": [oracle],
             "source_top": [source_top],
+            "did_min": [did_min],
+            "did_max": [did_max],
         },
         schema=CHUNK_SCHEMA,
     )

@@ -49,18 +49,28 @@ def _encode_fn(batch, tokens_codec="auto"):
     return st(batch)
 
 
-def _decode_fn(batch, sidecar=None, sources=None):
+def _decode_fn(batch, sidecar=None, sources=None, doc_id_range=None, doc_ids=None):
     key = ("dec", sidecar)
     st = _STAGES.get(key)
     if st is None:
         st = _STAGES[key] = DecodeStage(sidecar=sidecar)
     out = st(batch)
+    import pyarrow.compute as pc
+
     if sources is not None:
         # exact row-level net under the source_top pushdown: mixed chunks
         # (source_top="") reach here carrying other sources' rows
-        import pyarrow.compute as pc
-
         out = out.filter(pc.is_in(out["source"], pa.array(list(sources))))
+    if doc_id_range is not None:
+        # exact row-level net under the did_min/did_max zone-map pushdown:
+        # chunks INTERSECTING the range still carry out-of-range rows
+        lo, hi = doc_id_range
+        d = out["doc_id"]
+        out = out.filter(
+            pc.and_(pc.greater_equal(d, lo), pc.less_equal(d, hi))
+        )
+    if doc_ids is not None:
+        out = out.filter(pc.is_in(out["doc_id"], pa.array(list(doc_ids))))
     return out
 
 
@@ -208,6 +218,21 @@ def _add_frag(batch: pa.Table) -> pa.Table:
     return batch.drop_columns(["path"]).append_column("frag", pa.array(frags))
 
 
+def _require_chunk_format(out_dir: str, want: int, feature: str) -> None:
+    """Refuse features that need chunk columns an older sink lacks — a
+    parquet predicate over a missing column silently prunes EVERY chunk,
+    so this must fail loudly, never return empty."""
+    from tokenzip.errors import ChunkFormatError
+
+    have = int(Manifest(out_dir).data.get("chunk_format", 1))
+    if have < want:
+        raise ChunkFormatError(
+            f"{feature} needs sink chunk format >= {want}, but {out_dir!r} "
+            f"records format {have} (written or appended by an older "
+            "engine); re-compress with resume=False"
+        )
+
+
 def _compress_setup(
     input_paths: list[str], out_dir: str, resume: bool
 ) -> tuple["Manifest", list[str], str, int]:
@@ -227,6 +252,14 @@ def _compress_setup(
         # chunk output with no manifest lineage (older manifest version or a
         # run that crashed before its first mark_done): wipe, re-encode
         uio.rmtree(chunks_dir)
+    if not done:
+        # fresh sink: every chunk will be written at the current format.
+        # A resumed sink keeps its recorded format (absent = 1) — appended
+        # new-format fragments must NOT upgrade the marker, since pushdown
+        # predicates need the columns in EVERY file.
+        from tokenzip.chunk import CHUNK_FORMAT
+
+        man.data["chunk_format"] = CHUNK_FORMAT
     todo = [p for p in input_paths if _frag_of_path(p) not in done]
     # wipe partial output of unfinished fragments (crashed prior run)
     for p in todo:
@@ -451,13 +484,21 @@ def _bytes_based_blocks(paths: list[str], target: int = 16 << 20) -> int:
     return int(total / target) or 1
 
 
-def _chunks_read(out_dir: str, sources: list[str] | None = None):
+def _chunks_read(
+    out_dir: str,
+    sources: list[str] | None = None,
+    doc_id_range: tuple[str, str] | None = None,
+    doc_ids: list[str] | None = None,
+):
     """(chunk Dataset | None, sidecar | None) for a written sink — shared
     read-shape of decompress and the fused sink-audit path. ``sources``
     pushes a predicate into the parquet read: single-source chunks
     (source_top set) outside the list are pruned at the storage layer —
     their encoded payloads never leave disk; mixed chunks (source_top="")
-    are always read and row-filtered after decode by the caller."""
+    are always read and row-filtered after decode by the caller.
+    ``doc_id_range``/``doc_ids`` push did_min/did_max zone-map predicates
+    the same way (chunks whose doc-id range can't contain the request are
+    pruned before their payloads are read)."""
     chunks_dir = uio.join(out_dir, "chunks")
     sized = [
         (p, sz) for p, sz in uio.walk_files(chunks_dir) if p.endswith(".parquet")
@@ -483,12 +524,33 @@ def _chunks_read(out_dir: str, sources: list[str] | None = None):
         # skewed sink (one giant file): allow sub-file splits at ~64 MB
         n_blocks = max(n_blocks, int(total_bytes / (64 << 20)) or 1)
     read_kwargs = {}
+    expr = None
     if sources is not None:
         import pyarrow.compute as pc
 
-        read_kwargs["filter"] = pc.field("source_top").isin(
-            list(sources) + [""]
-        )
+        expr = pc.field("source_top").isin(list(sources) + [""])
+    if doc_id_range is not None or doc_ids is not None:
+        import pyarrow.compute as pc
+
+        _require_chunk_format(out_dir, 2, "doc-id pushdown")
+        if doc_id_range is not None:
+            lo, hi = doc_id_range
+            # chunk survives iff [did_min, did_max] intersects [lo, hi]
+            dexpr = (pc.field("did_min") <= hi) & (pc.field("did_max") >= lo)
+        else:
+            # point lookups: one interval-containment term per id (a
+            # driver-built expression over scalar columns, evaluated at the
+            # parquet layer — precise per-chunk pruning, no payload reads)
+            terms = [
+                (pc.field("did_min") <= d) & (pc.field("did_max") >= d)
+                for d in doc_ids
+            ]
+            dexpr = terms[0]
+            for t in terms[1:]:
+                dexpr = dexpr | t
+        expr = dexpr if expr is None else (expr & dexpr)
+    if expr is not None:
+        read_kwargs["filter"] = expr
     ds = ray.data.read_parquet(
         chunks_dir, override_num_blocks=n_blocks, **read_kwargs
     )
@@ -510,6 +572,8 @@ def decompress(
     out_dir: str,
     concurrency: int | None = None,
     sources: list[str] | None = None,
+    doc_id_range: tuple[str, str] | None = None,
+    doc_ids: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Read chunk parquet -> decode -> Dataset with the original schema.
 
@@ -517,8 +581,19 @@ def decompress(
     single-source chunks outside the list are dropped by a parquet
     predicate on ``source_top`` (their encoded payloads are never read or
     decoded); mixed-source chunks are decoded and row-filtered exactly.
+
+    ``doc_id_range=(lo, hi)`` (lexicographic, inclusive) and
+    ``doc_ids=[...]`` (point lookups) prune the same way on the chunks'
+    did_min/did_max doc-id zone maps — random access into a 100-TB sink
+    touches only the chunks whose id range can contain the request.
+    Requires a sink written entirely at chunk format >= 2 (fails loudly
+    otherwise). The two doc filters are mutually exclusive.
     """
-    ds, sidecar = _chunks_read(out_dir, sources=sources)
+    if doc_id_range is not None and doc_ids is not None:
+        raise ValueError("pass doc_id_range OR doc_ids, not both")
+    ds, sidecar = _chunks_read(
+        out_dir, sources=sources, doc_id_range=doc_id_range, doc_ids=doc_ids
+    )
     if ds is None:
         # zero-chunk run (every fragment produced no chunks): an empty
         # dataset with the original schema, not override_num_blocks=0
@@ -526,7 +601,12 @@ def decompress(
     kwargs = dict(
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_kwargs={"sidecar": sidecar, "sources": sources},
+        fn_kwargs={
+            "sidecar": sidecar,
+            "sources": sources,
+            "doc_id_range": doc_id_range,
+            "doc_ids": doc_ids,
+        },
     )
     if concurrency:
         kwargs["concurrency"] = concurrency

@@ -163,6 +163,56 @@ def q_filtered_decompress(sf_dir: str):
     return _source_rollup(decompress(out_dir, sources=FILTERED_SOURCES))
 
 
+# the doc-id pushdown demo's range: zero-padded ids make lexicographic ==
+# numeric order, and this window exists at every scale factor
+DOC_RANGE = ("doc-00000100", "doc-00000299")
+
+
+def _v2_sink(sf_dir: str) -> str:
+    """The shared corpus sink, guaranteed at chunk format >= 2: a sink left
+    by an older engine (no did_min/did_max columns) is wiped and rebuilt —
+    resume alone would keep the old chunks and doc-id pushdown refuses
+    mixed-format sinks loudly."""
+    import os
+    import shutil
+
+    from tokenzip.manifest import Manifest
+    from tokenzip.pipeline import compress
+
+    paths = corpus_paths(sf_dir)
+    out_dir = os.path.join(
+        "/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir))
+    )
+    if int(Manifest(out_dir).data.get("chunk_format", 1)) < 2 and os.path.isdir(
+        out_dir
+    ):
+        shutil.rmtree(out_dir)
+    compress(paths, out_dir)
+    return out_dir
+
+
+def q_doc_range_decompress(sf_dir: str):
+    """Doc-id range pushdown through the sink (random access into the
+    compressed corpus): decompress ONLY doc ids in DOC_RANGE. Chunks whose
+    [did_min, did_max] zone map misses the range are pruned by a parquet
+    predicate before their payloads leave storage; intersecting chunks are
+    decoded and row-filtered exactly, then aggregated per source."""
+    from tokenzip.pipeline import decompress
+
+    out_dir = _v2_sink(sf_dir)
+    return _source_rollup(decompress(out_dir, doc_id_range=DOC_RANGE))
+
+
+def doc_range_decompress_sql(glob: str) -> str:
+    lo, hi = DOC_RANGE
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_tokens
+FROM read_parquet('{glob}') WHERE doc_id BETWEEN '{lo}' AND '{hi}'
+GROUP BY source ORDER BY source
+"""
+
+
 def filtered_decompress_sql(glob: str) -> str:
     srcs = ", ".join(f"'{s}'" for s in FILTERED_SOURCES)
     return f"""
