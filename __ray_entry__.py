@@ -91,7 +91,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_by_source": _distinct_tokens,
         "sample_bottomk_by_source": _sample_bottomk,
         "seqlen_quantiles_by_source": _seqlen_quantiles,
+        "lineitem_semijoin_bloom": _semijoin_bloom,
     }
+
+
+def _semijoin_bloom(sf_dir: str):
+    from tokenzip.bloomjoin import q_lineitem_semijoin_bloom
+
+    return q_lineitem_semijoin_bloom(sf_dir)
 
 
 def _seqlen_quantiles(sf_dir: str):
@@ -273,6 +280,12 @@ def _anti_join_sql() -> str:
     from tokenzip.relational import orders_without_lineitems_sql
 
     return orders_without_lineitems_sql()
+
+
+def _semijoin_bloom_sql() -> str:
+    from tokenzip.bloomjoin import lineitem_semijoin_bloom_sql
+
+    return lineitem_semijoin_bloom_sql()
 
 
 def _pricing_summary(sf_dir: str):
@@ -471,6 +484,9 @@ FROM documents GROUP BY source ORDER BY source
         "events_sessions": _sessions_sql(),
         "top_orders_by_nation": _top_orders_sql(),
         "orders_without_lineitems": _anti_join_sql(),
+        # bloom-filter semi-join: the SQL is the exact semi join; the Ray
+        # side self-audits the bloom (zero false negatives, fpr < 5%)
+        "lineitem_semijoin_bloom": _semijoin_bloom_sql(),
         "orders_by_nation": _orders_nation_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
