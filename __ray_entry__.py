@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_bottomk_by_source": _sample_bottomk,
         "seqlen_quantiles_by_source": _seqlen_quantiles,
         "lineitem_semijoin_bloom": _semijoin_bloom,
+        "events_tumbling_agg": _events_tumbling,
     }
 
 
@@ -99,6 +100,12 @@ def _semijoin_bloom(sf_dir: str):
     from tokenzip.bloomjoin import q_lineitem_semijoin_bloom
 
     return q_lineitem_semijoin_bloom(sf_dir)
+
+
+def _events_tumbling(sf_dir: str):
+    from tokenzip.relational import q_events_tumbling_agg
+
+    return q_events_tumbling_agg(sf_dir)
 
 
 def _seqlen_quantiles(sf_dir: str):
@@ -286,6 +293,12 @@ def _semijoin_bloom_sql() -> str:
     from tokenzip.bloomjoin import lineitem_semijoin_bloom_sql
 
     return lineitem_semijoin_bloom_sql()
+
+
+def _events_tumbling_sql() -> str:
+    from tokenzip.relational import events_tumbling_sql
+
+    return events_tumbling_sql()
 
 
 def _pricing_summary(sf_dir: str):
@@ -487,6 +500,7 @@ FROM documents GROUP BY source ORDER BY source
         # bloom-filter semi-join: the SQL is the exact semi join; the Ray
         # side self-audits the bloom (zero false negatives, fpr < 5%)
         "lineitem_semijoin_bloom": _semijoin_bloom_sql(),
+        "events_tumbling_agg": _events_tumbling_sql(),
         "orders_by_nation": _orders_nation_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),

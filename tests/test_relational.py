@@ -408,3 +408,37 @@ def test_anti_join_matches_oracle_on_testdata(ray_session):
     exp = con.sql(orders_without_lineitems_sql()).df()
     assert int(got["n_orders"].sum()) > 0  # the testdata has childless orders
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_tumbling_agg_boundaries_planted(ray_session, tmp_path):
+    """Events exactly on a bucket boundary open the NEXT bucket (floor
+    semantics); cents are exact; multiple types split within one bucket."""
+    from tokenzip.relational import q_events_tumbling_agg
+
+    W = _HOUR_MS
+    _write_events(
+        tmp_path,
+        [
+            (1, 0, 1, "click", 1.25),         # bucket 0 (exact cents: 125)
+            (2, W - 1, 1, "click", 2.0),      # last ms of bucket 0
+            (3, W, 2, "click", 3.0),          # exactly on boundary -> bucket 1
+            (4, W + 1, 2, "view", 4.5),       # bucket 1, other type
+        ],
+    )
+    got = q_events_tumbling_agg(str(tmp_path), window_ms=W)
+    assert got.values.tolist() == [
+        [0, "click", 2, 125 + 200],
+        [W, "click", 1, 300],
+        [W, "view", 1, 450],
+    ]
+
+
+def test_tumbling_agg_matches_oracle_on_testdata(ray_session):
+    from tokenzip.relational import events_tumbling_sql, q_events_tumbling_agg
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    got = q_events_tumbling_agg(SF).reset_index(drop=True)
+    exp = con.sql(events_tumbling_sql()).df()
+    assert len(got) > 1
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

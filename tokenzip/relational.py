@@ -1023,3 +1023,81 @@ FROM orders
 WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregate: fixed, non-overlapping time buckets — the
+# GROUP BY floor(ts/window) complement of the sliding RANGE-frame window
+# above. No key shuffle at all: each batch pre-aggregates to its distinct
+# (bucket, event_type) pairs, and the final groupby domain is
+# (#windows x #types) — independent of the event count, so the exchange
+# stays tiny at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+def q_events_tumbling_agg(sf_dir: str, window_ms: int = 3_600_000) -> pd.DataFrame:
+    """Per (tumbling hour, event_type): event count and exact value cents.
+    Column-pruned read -> per-batch composite-key bincount partials -> one
+    bounded groupby. Timestamps are epoch-ms floor-divided into buckets,
+    identical to the oracle's integer arithmetic."""
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def rows(b: pa.Table) -> pa.Table:
+        tms = _ts_ms(b["ts"])
+        cents = _cents(b["value"])
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        if len(et) == 0:
+            return pa.table(
+                {
+                    "bucket_start_ms": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value_cents": pa.array([], pa.int64()),
+                }
+            )
+        bkt = tms // window_ms
+        uet, einv = np.unique(et, return_inverse=True)
+        ubk, binv = np.unique(bkt, return_inverse=True)
+        code = binv.astype(np.int64) * len(uet) + einv
+        uc, cinv = np.unique(code, return_inverse=True)
+        return pa.table(
+            {
+                "bucket_start_ms": pa.array(ubk[uc // len(uet)] * window_ms),
+                "event_type": pa.array(
+                    [str(s) for s in uet[uc % len(uet)]], pa.string()
+                ),
+                "n_events": pa.array(np.bincount(cinv).astype(np.int64)),
+                "sum_value_cents": pa.array(
+                    np.bincount(cinv, weights=cents).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(path, columns=["ts", "event_type", "value"])
+        .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["bucket_start_ms", "event_type"])
+        .aggregate(Sum("n_events"), Sum("sum_value_cents"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "bucket_start_ms": agg["bucket_start_ms"].astype("int64"),
+            "event_type": agg["event_type"].astype(str),
+            "n_events": agg["sum(n_events)"].astype("int64"),
+            "sum_value_cents": agg["sum(sum_value_cents)"].astype("int64"),
+        }
+    )
+    return out.sort_values(["bucket_start_ms", "event_type"]).reset_index(drop=True)
+
+
+def events_tumbling_sql(window_ms: int = 3_600_000) -> str:
+    return f"""
+SELECT (epoch_ms(ts) // {window_ms}) * {window_ms} AS bucket_start_ms,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
