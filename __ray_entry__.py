@@ -93,7 +93,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seqlen_quantiles_by_source": _seqlen_quantiles,
         "lineitem_semijoin_bloom": _semijoin_bloom,
         "events_tumbling_agg": _events_tumbling,
+        "price_quantiles_sampled": _price_quantiles,
     }
+
+
+def _price_quantiles(sf_dir: str):
+    from tokenzip.sketch import q_price_quantiles_sampled
+
+    return q_price_quantiles_sampled(sf_dir)
 
 
 def _semijoin_bloom(sf_dir: str):
@@ -301,6 +308,12 @@ def _events_tumbling_sql() -> str:
     return events_tumbling_sql()
 
 
+def _price_quantiles_sql() -> str:
+    from tokenzip.sketch import price_quantiles_sql
+
+    return price_quantiles_sql()
+
+
 def _pricing_summary(sf_dir: str):
     from tokenzip.relational import q_pricing_summary
 
@@ -501,6 +514,10 @@ FROM documents GROUP BY source ORDER BY source
         # side self-audits the bloom (zero false negatives, fpr < 5%)
         "lineitem_semijoin_bloom": _semijoin_bloom_sql(),
         "events_tumbling_agg": _events_tumbling_sql(),
+        # sampled quantiles: oracle draws the IDENTICAL md5 bottom-k
+        # sample; the Ray side additionally rank-certifies vs the full
+        # table (DKW bound) before returning
+        "price_quantiles_sampled": _price_quantiles_sql(),
         "orders_by_nation": _orders_nation_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),

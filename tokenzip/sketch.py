@@ -229,3 +229,147 @@ FROM exact e JOIN pin p USING (source)
 WHERE ABS(CAST(p.n_hll AS DOUBLE) / e.n_exact - 1.0) <= 0.05
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Certified sampled quantiles over an UNBOUNDED value domain.
+#
+# The exact-quantile op (training.q_seqlen_quantiles_by_source) relies on a
+# bounded integer domain (histogram partials). Continuous domains (prices,
+# latencies) need the other classical tool: a deterministic uniform sample
+# of fixed size k, quantiles read off the sorted sample, with the DKW
+# inequality (Dvoretzky-Kiefer-Wolfowitz 1956; Massart 1990 tight constant)
+# bounding the rank error: P(sup|F_k - F| > eps) <= 2 exp(-2 k eps^2) —
+# k = 4096, eps = 0.05 puts the failure mass at ~2.5e-9.
+#
+# The sample rule is the repo's salted-md5 bottom-k (stable under
+# re-sharding / retries / resume, independent salt from the split/mixture/
+# sample hashes), so the DuckDB oracle draws the IDENTICAL sample and the
+# quantile values hash-match exactly. The Ray side then CERTIFIES the DKW
+# bound against the real data: one extra counting pass measures the exact
+# rank of each sampled quantile and raises loudly if any rank error
+# exceeds PQ_RANK_EPS — a broken sampler or a skew-corrupted fold can
+# never return silently-green quantiles.
+# ---------------------------------------------------------------------------
+
+PQ_SAMPLE_K = 4096
+PQ_QS = (10, 50, 90, 99)  # percent
+PQ_RANK_EPS = 0.05
+_PQ_SALT = b"pq:"
+
+
+class _PricePartialStage:
+    """Per-batch bottom-k partial: (hash, cents) rows, at most k per batch.
+    The md5 is one C pass over the rendered key column (hashutil), never a
+    per-row Python loop."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from tokenzip.hashutil import md5_hi60_str
+        from tokenzip.relational import _cents
+
+        keys = pc.cast(batch["o_orderkey"].combine_chunks(), pa.string())
+        hv = md5_hi60_str(keys, _PQ_SALT)
+        cents = _cents(batch["o_totalprice"])
+        if len(hv) > PQ_SAMPLE_K:
+            keep = np.argpartition(hv, PQ_SAMPLE_K - 1)[:PQ_SAMPLE_K]
+            hv, cents = hv[keep], cents[keep]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(hv), dtype=np.int64)),
+                "hv": pa.array(hv),
+                "c": pa.array(cents),
+            }
+        )
+
+
+def _pq_final_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Keep the global bottom-k by hash, then read quantiles off the sorted
+    sample at integer-exact ranks ceil(q*n/100) — the identical (q*n+99)//100
+    arithmetic the SQL uses (float CEIL drifts; see seqlen_quantiles)."""
+    order = np.argsort(g["hv"].to_numpy(), kind="stable")[:PQ_SAMPLE_K]
+    cents = np.sort(g["c"].to_numpy()[order])
+    ns = len(cents)
+    ranks = [(q * ns + 99) // 100 for q in PQ_QS]
+    return pd.DataFrame(
+        {
+            "q_pct": np.asarray(PQ_QS, dtype=np.int64),
+            "price_cents": np.asarray(
+                [int(cents[r - 1]) for r in ranks], dtype=np.int64
+            ),
+        }
+    )
+
+
+def q_price_quantiles_sampled(sf_dir: str) -> pd.DataFrame:
+    """Quantiles of o_totalprice (cents) from a deterministic k=4096 hash
+    sample, rank-certified against the full table. Two bounded passes:
+    (1) per-batch bottom-k partials -> one single-group fold (#batches x k
+    rows, corpus-size-independent since k is constant) -> 4 quantile rows;
+    (2) a counting pass (4 int counters + n per batch) that proves each
+    returned value's true rank is within PQ_RANK_EPS of its target."""
+    import os
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    out = (
+        ray.data.read_parquet(path, columns=["o_orderkey", "o_totalprice"])
+        .map_batches(
+            _PricePartialStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("g")
+        .map_groups(_pq_final_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values("q_pct")
+        .reset_index(drop=True)
+    )
+    vals = out["price_cents"].to_numpy()
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        from tokenzip.relational import _cents
+
+        cents = _cents(batch["o_totalprice"])
+        cols = {"n": pa.array([len(cents)], pa.int64())}
+        for q, v in zip(PQ_QS, vals):
+            cols[f"le_{q}"] = pa.array([int((cents <= v).sum())], pa.int64())
+        return pa.table(cols)
+
+    tot = (
+        ray.data.read_parquet(path, columns=["o_totalprice"])
+        .map_batches(count_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sum()
+    )
+    n = int(tot["n"])
+    for q in PQ_QS:
+        err = abs(int(tot[f"le_{q}"]) / n - q / 100.0)
+        if err > PQ_RANK_EPS:
+            raise ValueError(
+                f"sampled quantile q={q} rank error {err:.4f} exceeds "
+                f"{PQ_RANK_EPS} (n={n}, k={PQ_SAMPLE_K}) — sampler corrupt "
+                f"or DKW bound violated"
+            )
+    return out.astype({"q_pct": "int64", "price_cents": "int64"})
+
+
+def price_quantiles_sql() -> str:
+    """The oracle draws the IDENTICAL md5 bottom-k sample and reads the
+    same integer-exact ranks. Hex-string ORDER BY m equals the Ray side's
+    hi-60-bit integer order (15-nibble prefix collisions ~2^-60/pair)."""
+    qvals = ",".join(f"({q})" for q in PQ_QS)
+    return f"""
+WITH h AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+         md5('pq:' || CAST(o_orderkey AS VARCHAR)) AS m
+  FROM orders
+),
+k AS (SELECT c FROM h ORDER BY m LIMIT {PQ_SAMPLE_K}),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+             COUNT(*) OVER () AS ns
+      FROM k)
+SELECT CAST(q_pct AS BIGINT) AS q_pct,
+       CAST(MAX(CASE WHEN rn = (q_pct * ns + 99) // 100 THEN c END)
+            AS BIGINT) AS price_cents
+FROM r CROSS JOIN (VALUES {qvals}) AS qv(q_pct)
+GROUP BY q_pct ORDER BY q_pct
+"""
