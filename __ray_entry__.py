@@ -94,7 +94,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_semijoin_bloom": _semijoin_bloom,
         "events_tumbling_agg": _events_tumbling,
         "price_quantiles_sampled": _price_quantiles,
+        "repetition_by_source": _repetition,
     }
+
+
+def _repetition(sf_dir: str):
+    from tokenzip.analysis import q_repetition_by_source
+
+    return q_repetition_by_source(sf_dir)
 
 
 def _price_quantiles(sf_dir: str):
@@ -314,6 +321,12 @@ def _price_quantiles_sql() -> str:
     return price_quantiles_sql()
 
 
+def _repetition_sql() -> str:
+    from tokenzip.analysis import repetition_sql
+
+    return repetition_sql()
+
+
 def _pricing_summary(sf_dir: str):
     from tokenzip.relational import q_pricing_summary
 
@@ -518,6 +531,7 @@ FROM documents GROUP BY source ORDER BY source
         # sample; the Ray side additionally rank-certifies vs the full
         # table (DKW bound) before returning
         "price_quantiles_sampled": _price_quantiles_sql(),
+        "repetition_by_source": _repetition_sql(),
         "orders_by_nation": _orders_nation_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),

@@ -415,3 +415,39 @@ def test_dedup_embedding_ivf_planted(ray_session, tmp_path):
         str(tmp_path), tau=(2, 5), n_clusters=4, n_assign=2
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_repetition_planted_and_oracle(ray_session, tmp_path):
+    """Hand-checked duplicate-word fractions: 'a a a b' is 2/4 duplicated
+    (repetitive at the 30% bar), 'a b c d' is 0/4, 'a a b c d e f g h j'
+    is 1/10 (below the bar); the SQL oracle agrees on the same file."""
+    import pyarrow.parquet as pq
+
+    from tokenzip.analysis import q_repetition_by_source, repetition_sql
+
+    texts = ["a a a b", "a b c d", "a a b c d e f g h j"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(["s1", "s1", "s2"]),
+        }
+    )
+    d = str(tmp_path / "documents.parquet")
+    pq.write_table(docs, d)
+    got = q_repetition_by_source(str(tmp_path)).reset_index(drop=True)
+    assert got.values.tolist() == [
+        ["s1", 2, 8, 6, 1],   # 4+4 words, 2+4 distinct, one repetitive
+        ["s2", 1, 10, 9, 0],
+    ]
+    exp = _ddb_on_docs(repetition_sql(), d)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_repetition_matches_oracle_on_testdata(ray_session):
+    from tokenzip.analysis import q_repetition_by_source, repetition_sql
+
+    got = q_repetition_by_source(SF).reset_index(drop=True)
+    exp = _ddb_on_docs(repetition_sql(), f"{SF}/documents.parquet")
+    assert int(got["n_docs"].sum()) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -2095,3 +2095,97 @@ def q_lang_id_confusion(sf_dir: str):
     )
     out["n_docs"] = out["n_docs"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition-ratio quality signal (the "duplicate word fraction" family of
+# within-document repetition filters popularized by published LLM-corpus
+# quality pipelines, e.g. Rae et al. 2021 "Scaling Language Models" Gopher
+# appendix A: fraction-of-duplicate-n-grams thresholds). Per doc:
+# duplicate-word fraction = 1 - distinct_words/total_words; a doc is
+# "repetitive" when (total - distinct) * 10 > 3 * total (i.e. > 30%
+# duplicated, pure integer arithmetic on BOTH sides). Fully vectorized:
+# distinct counts come from the shared flat-buffer word hasher
+# (_shingle_hash_batch at n=1 — a word IS a 1-gram), totals from one
+# Arrow count_substring kernel; partials pre-aggregate per source, the
+# final groupby is sources-sized. Hash-vs-string distinct divergence is
+# the usual ~2^-64/pair argument.
+# ---------------------------------------------------------------------------
+
+
+class _RepetitionStage:
+    """Per-batch per-source partials: (n_docs, sum_words,
+    sum_distinct_words, n_repetitive)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["text"].combine_chunks()
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        nw = pc.count_substring(col, " ").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        ) + 1
+        off, _hs = _shingle_hash_batch(col, n=1)
+        ndw = np.diff(off)
+        rep = (nw - ndw) * 10 > 3 * nw
+        uniq, inv = np.unique(src, return_inverse=True)
+        m = len(uniq)
+        return pa.table(
+            {
+                "source": pa.array([str(s) for s in uniq], pa.string()),
+                "n_docs": pa.array(np.bincount(inv, minlength=m).astype(np.int64)),
+                "sum_words": pa.array(
+                    np.bincount(inv, weights=nw, minlength=m).astype(np.int64)
+                ),
+                "sum_distinct_words": pa.array(
+                    np.bincount(inv, weights=ndw, minlength=m).astype(np.int64)
+                ),
+                "n_repetitive": pa.array(
+                    np.bincount(inv, weights=rep, minlength=m).astype(np.int64)
+                ),
+            }
+        )
+
+
+def q_repetition_by_source(sf_dir: str) -> pd.DataFrame:
+    """Within-document repetition audit per source — the quality gate a
+    training pipeline applies before near-dup passes (repetitive docs skew
+    both the dedup signatures and the token statistics)."""
+    agg = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(_RepetitionStage(), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs"),
+            Sum("sum_words"),
+            Sum("sum_distinct_words"),
+            Sum("n_repetitive"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "source": agg["source"].astype(str),
+            "n_docs": agg["sum(n_docs)"].astype("int64"),
+            "sum_words": agg["sum(sum_words)"].astype("int64"),
+            "sum_distinct_words": agg["sum(sum_distinct_words)"].astype("int64"),
+            "n_repetitive": agg["sum(n_repetitive)"].astype("int64"),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def repetition_sql() -> str:
+    return """
+WITH w AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS ndw
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS sum_words,
+       CAST(SUM(ndw) AS BIGINT) AS sum_distinct_words,
+       CAST(SUM(CASE WHEN (nw - ndw) * 10 > 3 * nw THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repetitive
+FROM w GROUP BY source ORDER BY source
+"""
