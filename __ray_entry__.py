@@ -95,7 +95,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_agg": _events_tumbling,
         "price_quantiles_sampled": _price_quantiles,
         "repetition_by_source": _repetition,
+        "order_revenue_by_priority": _order_revenue,
     }
+
+
+def _order_revenue(sf_dir: str):
+    from tokenzip.relational import q_order_revenue_by_priority
+
+    return q_order_revenue_by_priority(sf_dir)
 
 
 def _repetition(sf_dir: str):
@@ -327,6 +334,12 @@ def _repetition_sql() -> str:
     return repetition_sql()
 
 
+def _order_revenue_sql() -> str:
+    from tokenzip.relational import order_revenue_sql
+
+    return order_revenue_sql()
+
+
 def _pricing_summary(sf_dir: str):
     from tokenzip.relational import q_pricing_summary
 
@@ -532,6 +545,8 @@ FROM documents GROUP BY source ORDER BY source
         # table (DKW bound) before returning
         "price_quantiles_sampled": _price_quantiles_sql(),
         "repetition_by_source": _repetition_sql(),
+        # large-x-large co-partitioned inner join (neither side broadcast)
+        "order_revenue_by_priority": _order_revenue_sql(),
         "orders_by_nation": _orders_nation_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),

@@ -442,3 +442,73 @@ def test_tumbling_agg_matches_oracle_on_testdata(ray_session):
     exp = con.sql(events_tumbling_sql()).df()
     assert len(got) > 1
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _write_join_tables(d, orders_rows, line_rows):
+    """orders_rows: (okey, priority); line_rows: (okey, price, disc)."""
+    ok, pri = zip(*orders_rows)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "o_custkey": pa.array([1] * len(ok), pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(ok), pa.string()),
+                "o_totalprice": pa.array([1.0] * len(ok), pa.float64()),
+                "o_orderdate": pa.array([0] * len(ok), pa.timestamp("us")),
+                "o_orderpriority": pa.array(pri, pa.string()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    lk, pr, dc = zip(*line_rows)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(lk, pa.int64()),
+                "l_extendedprice": pa.array(pr, pa.float64()),
+                "l_discount": pa.array(dc, pa.float64()),
+            }
+        ),
+        str(d / "lineitem.parquet"),
+    )
+
+
+def test_order_revenue_planted(ray_session, tmp_path):
+    """Orphan lineitem (key 9) drops out (inner join); revenue is exact
+    cents x (100 - hundredths)."""
+    from tokenzip.relational import q_order_revenue_by_priority
+
+    _write_join_tables(
+        tmp_path,
+        [(1, "1-URGENT"), (2, "5-LOW")],
+        [(1, 10.0, 0.25), (1, 20.0, 0.0), (2, 5.0, 0.5), (9, 99.0, 0.0)],
+    )
+    got = q_order_revenue_by_priority(str(tmp_path))
+    assert got.values.tolist() == [
+        ["1-URGENT", 2, 1000 * 75 + 2000 * 100],
+        ["5-LOW", 1, 500 * 50],
+    ]
+
+
+def test_order_revenue_duplicate_pk_raises(ray_session, tmp_path):
+    from tokenzip.relational import q_order_revenue_by_priority
+
+    _write_join_tables(
+        tmp_path,
+        [(1, "1-URGENT"), (1, "5-LOW")],
+        [(1, 10.0, 0.0)],
+    )
+    with pytest.raises(Exception, match="PK violated"):
+        q_order_revenue_by_priority(str(tmp_path))
+
+
+def test_order_revenue_matches_oracle_on_testdata(ray_session):
+    from tokenzip.relational import order_revenue_sql, q_order_revenue_by_priority
+
+    con = duckdb.connect()
+    for t in ["orders", "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_order_revenue_by_priority(SF).reset_index(drop=True)
+    exp = con.sql(order_revenue_sql()).df()
+    assert len(got) == 5
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -1101,3 +1101,136 @@ SELECT (epoch_ms(ts) // {window_ms}) * {window_ms} AS bucket_start_ms,
 FROM events
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Co-partitioned INNER equi-join of two FACT tables (lineitem x orders) —
+# the large-x-large complement of the broadcast equi-join above: neither
+# side fits a broadcast at 100 TB, so BOTH sides hash-bucket the join key
+# into one union shuffle (the same bounded-group layout as the as-of /
+# range / anti joins) and each group resolves the join with one sort +
+# searchsorted. The shuffle moves four narrow columns per row — never the
+# wide payloads; revenue is pre-reduced to one int64 before the exchange.
+# ---------------------------------------------------------------------------
+
+_REV_EMPTY = {
+    "o_orderpriority": pd.Series([], dtype="object"),
+    "n_items": pd.Series([], dtype="int64"),
+    "sum_revenue": pd.Series([], dtype="int64"),
+}
+
+
+def _revenue_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One join bucket: sort the order keys, locate every lineitem by
+    searchsorted, roll up matched revenue per priority. o_orderkey is the
+    primary key — a duplicate within the bucket means corrupt input and
+    raises loudly (silently joining twice would double revenue)."""
+    if not len(g):
+        return pd.DataFrame(_REV_EMPTY)
+    side = g["side"].to_numpy().astype(np.int64)
+    key = g["key"].to_numpy().astype(np.int64)
+    om = side == 0
+    okey = key[om]
+    oo = np.argsort(okey, kind="stable")
+    okey = okey[oo]
+    if len(okey) > 1 and bool((okey[1:] == okey[:-1]).any()):
+        raise ValueError("duplicate o_orderkey: orders PK violated")
+    pri = np.asarray(g["pri"].to_numpy())[om][oo]
+    lkey = key[~om]
+    rev = g["rev"].to_numpy().astype(np.int64)[~om]
+    pos = np.searchsorted(okey, lkey)
+    hit = (pos < len(okey)) & (
+        okey[np.clip(pos, 0, max(len(okey) - 1, 0))] == lkey
+        if len(okey)
+        else np.zeros(len(lkey), dtype=bool)
+    )
+    if not hit.any():
+        return pd.DataFrame(_REV_EMPTY)
+    ppri = pri[pos[hit]]
+    uniq, inv = np.unique(ppri, return_inverse=True)
+    return pd.DataFrame(
+        {
+            "o_orderpriority": [str(s) for s in uniq],
+            "n_items": np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+            "sum_revenue": np.bincount(
+                inv, weights=rev[hit], minlength=len(uniq)
+            ).astype(np.int64),
+        }
+    )
+
+
+def q_order_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Revenue per order priority through the lineitem JOIN orders inner
+    equi-join: revenue = price_cents * (100 - discount_hundredths), exact
+    int64 (the pricing_summary arithmetic). Plan: both fact tables project
+    onto one shared narrow schema, union, hash-bucket groupby on the join
+    key, per-group sort-merge, priority-sized final aggregate."""
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    opath = os.path.join(sf_dir, "orders.parquet")
+    nb = _lsh_n_buckets(_row_count(lpath))
+
+    def lrows(b: pa.Table) -> pa.Table:
+        lk = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _cents(b["l_extendedprice"])
+        disc = np.floor(
+            b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        n = len(lk)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(lk, nb)),
+                "side": pa.array(np.ones(n, np.int64)),
+                "key": pa.array(lk),
+                "rev": pa.array(price * (100 - disc)),
+                "pri": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def orows(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ok)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ok, nb)),
+                "side": pa.array(np.zeros(n, np.int64)),
+                "key": pa.array(ok),
+                "rev": pa.array(np.zeros(n, np.int64)),
+                "pri": b["o_orderpriority"].combine_chunks(),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        lpath, columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(lrows, batch_format="pyarrow", zero_copy_batch=True)
+    od = ray.data.read_parquet(
+        opath, columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (
+        li.union(od)
+        .groupby("bkt")
+        .map_groups(_revenue_group, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_items"), Sum("sum_revenue"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "o_orderpriority": agg["o_orderpriority"].astype(str),
+            "n_items": agg["sum(n_items)"].astype("int64"),
+            "sum_revenue": agg["sum(sum_revenue)"].astype("int64"),
+        }
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def order_revenue_sql() -> str:
+    return """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS sum_revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
