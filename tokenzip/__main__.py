@@ -63,7 +63,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument(
         "--doc-ids",
         default=None,
-        help="comma-separated doc_id point lookups (zone-map pruned)",
+        help="comma-separated doc_id point lookups (zone-map pruned; "
+             "format-3 sinks also prune on per-chunk doc-id blooms)",
     )
 
     ing = sub.add_parser(

@@ -34,8 +34,15 @@ from tokenzip.codecs.strings import decode_str_column, encode_str_column
 from tokenzip.errors import ChunkFormatError
 
 # sink format: 2 = chunk rows carry did_min/did_max doc-id zone maps
-# (decompress doc-id pushdown requires a sink written entirely at >= 2)
-CHUNK_FORMAT = 2
+# (decompress doc-id pushdown requires a sink written entirely at >= 2);
+# 3 = rows also carry a did_bloom membership bitset (point lookups prune
+# chunks whose id RANGE matches but which don't actually hold the id —
+# the scattered-id case where range zone maps stop pruning)
+CHUNK_FORMAT = 3
+
+# salt for the doc-id bloom hash — shared by encode (build) and
+# pipeline._bloom_survivors (probe); changing it invalidates format 3
+_DID_BLOOM_SALT = b"db:"
 
 CHUNK_SCHEMA = pa.schema(
     [
@@ -58,6 +65,10 @@ CHUNK_SCHEMA = pa.schema(
         # pushdown (scalar columns so parquet predicates see them)
         ("did_min", pa.string()),
         ("did_max", pa.string()),
+        # doc-id bloom zone filter (format 3): ~BITS_PER_KEY bits/doc
+        # little-endian uint64 bitset over md5-hashed doc ids; b"" means
+        # "no filter — must read" (soundness under any reader)
+        ("did_bloom", pa.large_binary()),
     ]
 )
 
@@ -251,8 +262,17 @@ def encode_batch(
     if n_rows:
         mm = pa.compute.min_max(did)
         did_min, did_max = mm["min"].as_py(), mm["max"].as_py()
+        # membership bitset beside the range zone map: one C md5 pass over
+        # the id column (the hashutil kernel), ~2 bytes/doc in the chunk row
+        from tokenzip.bloom import bloom_build
+        from tokenzip.hashutil import md5_hi60_str
+
+        did_bloom = bloom_build(
+            md5_hi60_str(did, _DID_BLOOM_SALT)
+        ).tobytes()
     else:
         did_min = did_max = ""
+        did_bloom = b""
 
     # uncompressed Arrow payload bytes of the four columns
     str_bytes = 0
@@ -294,6 +314,7 @@ def encode_batch(
             "source_top": [source_top],
             "did_min": [did_min],
             "did_max": [did_max],
+            "did_bloom": [did_bloom],
         },
         schema=CHUNK_SCHEMA,
     )

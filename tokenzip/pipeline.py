@@ -484,6 +484,38 @@ def _bytes_based_blocks(paths: list[str], target: int = 16 << 20) -> int:
     return int(total / target) or 1
 
 
+def _bloom_survivors(chunks_dir: str, zone_expr, doc_ids: list[str]) -> list[str]:
+    """chunk_ids (within the zone-surviving set) whose did_bloom bitset
+    hits at least one requested doc id. Distributed: the probe pass reads
+    ONLY (chunk_id, did_bloom) of zone-surviving chunks — payload blobs
+    stay on disk — and returns a list bounded by ~#requested ids plus the
+    bloom's fpr share. An empty/absent bitset means "must read" (sound
+    under compaction mixes and future formats)."""
+    from tokenzip.bloom import bloom_probe
+    from tokenzip.chunk import _DID_BLOOM_SALT
+    from tokenzip.hashutil import md5_hi60_str
+
+    want = md5_hi60_str(pa.array(list(doc_ids), pa.string()), _DID_BLOOM_SALT)
+
+    def probe(b: pa.Table) -> pa.Table:
+        keep = []
+        cids = b["chunk_id"].to_pylist()
+        blobs = b["did_bloom"].to_pylist()  # per CHUNK row, not per doc
+        for cid, blob in zip(cids, blobs):
+            if not blob:
+                keep.append(cid)
+                continue
+            words = np.frombuffer(blob, dtype=np.uint64)
+            if bool(bloom_probe(words, want).any()):
+                keep.append(cid)
+        return pa.table({"chunk_id": pa.array(keep, pa.string())})
+
+    ds = ray.data.read_parquet(
+        chunks_dir, columns=["chunk_id", "did_bloom"], filter=zone_expr
+    ).map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    return [r["chunk_id"] for r in ds.take_all()]
+
+
 def _chunks_read(
     out_dir: str,
     sources: list[str] | None = None,
@@ -548,9 +580,31 @@ def _chunks_read(
             dexpr = terms[0]
             for t in terms[1:]:
                 dexpr = dexpr | t
+            # format-3 sinks also carry per-chunk doc-id bloom bitsets:
+            # a distributed probe pass over (chunk_id, did_bloom) of the
+            # zone-surviving chunks drops the ones whose id RANGE matches
+            # but which provably don't hold any requested id (scattered
+            # ids make range maps overlap everything; blooms still prune)
+            have_fmt = int(Manifest(out_dir).data.get("chunk_format", 1))
+            if have_fmt >= 3:
+                keep = _bloom_survivors(chunks_dir, dexpr, list(doc_ids))
+                # typed empty set: isin([]) binds as null-typed and fails
+                dexpr = dexpr & pc.field("chunk_id").isin(
+                    pa.array(keep, pa.string())
+                )
         expr = dexpr if expr is None else (expr & dexpr)
     if expr is not None:
         read_kwargs["filter"] = expr
+    # the payload read never needs the bloom bitsets (the probe phase
+    # reads them separately) — prune the column so ~2 B/doc stays on disk.
+    # Only for sinks recorded at format >= 3: older sinks lack the column
+    # and an explicit list naming it would fail their reads.
+    if int(Manifest(out_dir).data.get("chunk_format", 1)) >= 3:
+        from tokenzip.chunk import CHUNK_SCHEMA
+
+        read_kwargs["columns"] = [
+            f.name for f in CHUNK_SCHEMA if f.name != "did_bloom"
+        ]
     ds = ray.data.read_parquet(
         chunks_dir, override_num_blocks=n_blocks, **read_kwargs
     )

@@ -169,13 +169,14 @@ DOC_RANGE = ("doc-00000100", "doc-00000299")
 
 
 def _v2_sink(sf_dir: str) -> str:
-    """The shared corpus sink, guaranteed at chunk format >= 2: a sink left
-    by an older engine (no did_min/did_max columns) is wiped and rebuilt —
-    resume alone would keep the old chunks and doc-id pushdown refuses
-    mixed-format sinks loudly."""
+    """The shared corpus sink, guaranteed at the CURRENT chunk format: a
+    sink left by an older engine (missing zone-map or bloom columns) is
+    wiped and rebuilt — resume alone would keep the old chunks and doc-id
+    pushdown refuses mixed-format sinks loudly."""
     import os
     import shutil
 
+    from tokenzip.chunk import CHUNK_FORMAT
     from tokenzip.manifest import Manifest
     from tokenzip.pipeline import compress
 
@@ -183,9 +184,9 @@ def _v2_sink(sf_dir: str) -> str:
     out_dir = os.path.join(
         "/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir))
     )
-    if int(Manifest(out_dir).data.get("chunk_format", 1)) < 2 and os.path.isdir(
-        out_dir
-    ):
+    if int(
+        Manifest(out_dir).data.get("chunk_format", 1)
+    ) < CHUNK_FORMAT and os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     compress(paths, out_dir)
     return out_dir
