@@ -204,6 +204,42 @@ def q_doc_range_decompress(sf_dir: str):
     return _source_rollup(decompress(out_dir, doc_id_range=DOC_RANGE))
 
 
+# scattered point lookups (ids exist at every scale factor; the last is a
+# deliberate miss) — scattered ids are the case the per-chunk doc-id
+# BLOOM zone filters exist for: every chunk's [did_min, did_max] range may
+# contain them, but only the chunks that actually hold one are decoded
+DOC_POINTS = (
+    "doc-00000007",
+    "doc-00000123",
+    "doc-00000456",
+    "doc-00001003",
+    "doc-00001777",
+    "doc-99999999",
+)
+
+
+def q_doc_point_decompress(sf_dir: str):
+    """Doc-id point-lookup pushdown (random access into the compressed
+    corpus): decompress ONLY the DOC_POINTS ids. Zone maps prune on the
+    id ranges first; the format-3 did_bloom bitsets then drop every chunk
+    that provably holds none of the ids; survivors decode + row-filter
+    exactly, then aggregate per source."""
+    from tokenzip.pipeline import decompress
+
+    out_dir = _v2_sink(sf_dir)
+    return _source_rollup(decompress(out_dir, doc_ids=list(DOC_POINTS)))
+
+
+def doc_point_decompress_sql(glob: str) -> str:
+    ids = ", ".join(f"'{d}'" for d in DOC_POINTS)
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_tokens
+FROM read_parquet('{glob}') WHERE doc_id IN ({ids})
+GROUP BY source ORDER BY source
+"""
+
+
 def doc_range_decompress_sql(glob: str) -> str:
     lo, hi = DOC_RANGE
     return f"""
