@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_stats_by_source": _split_stats,
         "table_roundtrip_events": _table_roundtrip,
         "table_where_events": _table_where,
+        "table_where_strings": _table_where_str,
         "table_nulls_roundtrip": _table_nulls,
         "mixture_sample_stats": _mixture_stats,
         "decontamination_by_source": _decontam,
@@ -170,6 +171,18 @@ def _table_where(sf_dir: str):
     from tokenzip.table import q_table_where_events
 
     return q_table_where_events(sf_dir)
+
+
+def _table_where_str(sf_dir: str):
+    from tokenzip.table import q_table_where_strings
+
+    return q_table_where_strings(sf_dir)
+
+
+def _table_where_str_sql() -> str:
+    from tokenzip.table import table_where_strings_sql
+
+    return table_where_strings_sql()
 
 
 def _table_nulls(sf_dir: str):
@@ -517,6 +530,7 @@ FROM documents GROUP BY source ORDER BY source
         "split_stats_by_source": _split_sql(glob),
         "table_roundtrip_events": _table_sql(),
         "table_where_events": _table_where_sql(),
+        "table_where_strings": _table_where_str_sql(),
         "table_nulls_roundtrip": _table_nulls_sql(),
         "mixture_sample_stats": _mixture_sql(glob),
         "decontamination_by_source": _decontam_sql(),

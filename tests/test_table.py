@@ -495,3 +495,78 @@ def test_table_uint_columns_roundtrip(ray_session, tmp_path):
     df = t.to_pandas()
     want = df[(df["u32"] >= 0) & (df["u32"] <= 2**31)].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want.astype({"u32": "uint32"}))
+
+
+def test_string_zone_map_pushdown(ray_session, tmp_path):
+    """String where= prunes chunks on smin_/smax_ (value-clustered sink),
+    row-filters exactly, and NULL never matches."""
+    from tokenzip.table import compress_table, decompress_table
+
+    # two fragments value-clustered by category: chunk ranges don't overlap
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 3], pa.int64()),
+                "cat": pa.array(["apple", "apple", None], pa.string()),
+            }
+        ),
+        p1,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([4, 5], pa.int64()),
+                "cat": pa.array(["zebra", "zebra"], pa.string()),
+            }
+        ),
+        p2,
+    )
+    out = str(tmp_path / "sink")
+    compress_table([p1, p2], out, concurrency=2)
+
+    # equality: lo == hi
+    df = (
+        decompress_table(out, where=("cat", "apple", "apple"))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(df["k"]) == [1, 2]  # NULL row (k=3) never matches
+    assert set(df["cat"]) == {"apple"}
+
+    # the parquet predicate really prunes the zebra chunk
+    import glob as _g
+
+    total = kept = 0
+    for f in _g.glob(os.path.join(out, "chunks", "**", "*.parquet"), recursive=True):
+        t = pq.read_table(f, columns=["smin_cat", "smax_cat"])
+        for lo, hi in zip(t["smin_cat"].to_pylist(), t["smax_cat"].to_pylist()):
+            total += 1
+            kept += int(lo <= "apple" <= hi)
+    assert total >= 2 and kept < total
+
+    # range across both
+    df2 = decompress_table(out, where=("cat", "apple", "zebra")).to_pandas()
+    assert sorted(df2["k"]) == [1, 2, 4, 5]
+
+    # mixed bound types refused
+    with pytest.raises(ValueError, match="ints or both strings"):
+        decompress_table(out, where=("cat", "apple", 5)).to_pandas()
+
+    # unknown column names the available zone maps
+    from tokenzip.errors import ChunkFormatError
+
+    with pytest.raises(ChunkFormatError, match="zone map"):
+        decompress_table(out, where=("nope", "a", "b")).to_pandas()
+
+
+def test_table_where_strings_oracle(ray_session):
+    from tokenzip.table import q_table_where_strings, table_where_strings_sql
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    got = q_table_where_strings(SF).reset_index(drop=True)
+    exp = con.sql(table_where_strings_sql()).df()
+    assert len(got) >= 2  # error + purchase exist at every sf
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -104,7 +104,9 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         metavar="COL:LO:HI",
         help="zone-map-pruned range restore: only rows with LO <= COL <= HI "
-        "(int64 storage units); chunks outside the range never leave storage",
+        "(int64 storage units for int/timestamp columns; lexicographic for "
+        "string columns — non-integer bounds are passed as strings, use "
+        "LO == HI for equality); chunks outside never leave storage",
     )
 
     pk = sub.add_parser(
@@ -223,7 +225,10 @@ def main(argv: list[str] | None = None) -> int:
             where = None
             if args.where:
                 col, lo, hi = args.where.rsplit(":", 2)
-                where = (col, int(lo), int(hi))
+                try:
+                    where = (col, int(lo), int(hi))
+                except ValueError:
+                    where = (col, lo, hi)  # string zone maps
             decompress_table(args.out_dir, where=where).write_parquet(
                 args.restored_dir
             )

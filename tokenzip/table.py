@@ -53,7 +53,7 @@ _UINT_WIDTH = {"uint8": 16, "uint16": 32, "uint32": 64, "uint64": 64}
 
 # bump when the chunk-row schema changes (v2: scalar zone-map columns;
 # v3: enc_nulls validity bitmaps)
-_CHUNK_VER = 3
+_CHUNK_VER = 4  # 4: string columns carry smin_/smax_ zone maps
 
 _DTYPE_OF_TAG = {
     "int8": pa.int8(),
@@ -185,6 +185,7 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
             nmaps.append(nmap)
             bytes_in += fvals.nbytes
             str_bytes_out += len(blob) + len(nmap)
+        szmaps: dict[str, tuple[str, str]] = {}
         for name in str_cols:
             col = sub[name]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -197,6 +198,14 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
             nmaps.append(nmap)
             bytes_in += sum(b.size for b in col.buffers() if b is not None)
             str_bytes_out += len(blob) + len(nmap)
+            # lexicographic zone map over the NON-NULL values; an empty /
+            # all-null chunk gets the inverted range (max-codepoint, "") so
+            # every predicate prunes it (NULL never matches a BETWEEN)
+            if len(col):
+                mm = pa.compute.min_max(col)
+                szmaps[name] = (mm["min"].as_py(), mm["max"].as_py())
+            else:
+                szmaps[name] = ("\U0010ffff", "")
         row = {
             "frag": str(frag),
             "n_rows": sub.num_rows,
@@ -245,6 +254,10 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
         for name, (lo, hi) in zmaps.items():
             arrays[f"zmin_{name}"] = pa.array([lo], pa.int64())
             arrays[f"zmax_{name}"] = pa.array([hi], pa.int64())
+        # string zone maps (same contract, lexicographic): smin_/smax_
+        for name, (slo, shi) in szmaps.items():
+            arrays[f"smin_{name}"] = pa.array([slo], pa.string())
+            arrays[f"smax_{name}"] = pa.array([shi], pa.string())
         rows.append(pa.table(arrays))
     return pa.concat_tables(rows)
 
@@ -710,9 +723,11 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
-def _where_row_filter(where: tuple[str, int, int]):
+def _where_row_filter(where: tuple[str, int, int] | tuple[str, str, str]):
     """Exact row-level net under the zone-map pushdown: chunks that
-    INTERSECT the range still carry out-of-range rows."""
+    INTERSECT the range still carry out-of-range rows. String bounds
+    compare lexicographically on the string column; NULL never matches
+    (BETWEEN semantics on both paths)."""
     import pyarrow.compute as pc
 
     col, lo, hi = where
@@ -720,9 +735,10 @@ def _where_row_filter(where: tuple[str, int, int]):
     def fn(b: pa.Table) -> pa.Table:
         v = b[col]
         v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
-        # uint64 compares in its int64 BITCAST (the zone maps' storage
-        # unit); a checked cast would raise on values >= 2^63
-        v = v.view(pa.int64()) if v.type == pa.uint64() else v.cast(pa.int64())
+        if not isinstance(lo, str):
+            # uint64 compares in its int64 BITCAST (the zone maps' storage
+            # unit); a checked cast would raise on values >= 2^63
+            v = v.view(pa.int64()) if v.type == pa.uint64() else v.cast(pa.int64())
         return b.filter(pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi)))
 
     return fn
@@ -733,12 +749,16 @@ def decompress_table(
 ) -> "ray.data.Dataset":
     """Read table chunks -> Dataset with the original schema and values.
 
-    ``where=(col, lo, hi)`` selects rows with ``lo <= col <= hi`` (int64
-    storage units — epoch in the column's unit for timestamps) WITH
+    ``where=(col, lo, hi)`` selects rows with ``lo <= col <= hi`` WITH
     storage-level pruning: a parquet predicate on the chunk's scalar
-    zone-map columns (``zmin_<col>``/``zmax_<col>``) drops every chunk
-    whose value range misses [lo, hi] before its payload blobs are read;
-    intersecting chunks are decoded and row-filtered exactly."""
+    zone-map columns (int64 ``zmin_``/``zmax_`` for int/timestamp
+    columns — epoch in the column's unit; lexicographic string
+    ``smin_``/``smax_`` for string columns, pass lo == hi for equality)
+    drops every chunk whose value range misses [lo, hi] before its
+    payload blobs are read; intersecting chunks are decoded and
+    row-filtered exactly. String pruning bites when the sink is value-
+    clustered on the column (input sorted/partitioned by it) — the same
+    contract as the token sink's source_top."""
     chunks_dir = os.path.join(out_dir, "chunks")
     files = [
         p for p, _ in uio.walk_files(chunks_dir) if p.endswith(".parquet")
@@ -750,18 +770,28 @@ def decompress_table(
         import pyarrow.compute as pc
 
         col, lo, hi = where
+        if isinstance(lo, str) != isinstance(hi, str):
+            raise ValueError("where bounds must both be ints or both strings")
         names = pq.ParquetFile(files[0]).schema_arrow.names
-        if f"zmin_{col}" not in names:
-            zoned = sorted(n[5:] for n in names if n.startswith("zmin_"))
-            raise ChunkFormatError(
-                f"column {col!r} has no zone map in this sink "
-                f"(zone-mapped columns: {zoned}); re-compress or filter "
-                "after decompress_table()"
+        pre = "smin_" if isinstance(lo, str) else "zmin_"
+        if f"{pre}{col}" not in names:
+            zoned = sorted(
+                n[5:] for n in names if n.startswith(("zmin_", "smin_"))
             )
-        # chunk survives iff [zmin, zmax] intersects [lo, hi]
-        read_kwargs["filter"] = (pc.field(f"zmin_{col}") <= int(hi)) & (
-            pc.field(f"zmax_{col}") >= int(lo)
-        )
+            raise ChunkFormatError(
+                f"column {col!r} has no {'string ' if pre == 'smin_' else ''}"
+                f"zone map in this sink (zone-mapped columns: {zoned}); "
+                "re-compress or filter after decompress_table()"
+            )
+        # chunk survives iff [min, max] intersects [lo, hi]
+        if pre == "smin_":
+            read_kwargs["filter"] = (pc.field(f"smin_{col}") <= hi) & (
+                pc.field(f"smax_{col}") >= lo
+            )
+        else:
+            read_kwargs["filter"] = (pc.field(f"zmin_{col}") <= int(hi)) & (
+                pc.field(f"zmax_{col}") >= int(lo)
+            )
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     n_blocks = min(len(files), max(8, 4 * cpus))
     ds = ray.data.read_parquet(chunks_dir, override_num_blocks=n_blocks, **read_kwargs)
@@ -773,3 +803,67 @@ def decompress_table(
             _where_row_filter(where), batch_format="pyarrow", zero_copy_batch=True
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# String zone-map pushdown demo: a sink value-CLUSTERED on event_type
+# serves string range/equality predicates from storage — chunks whose
+# lexicographic [smin, smax] misses the bounds never leave disk. The
+# clustering step is the generic-table analog of the token sink's
+# by-source layout (source_top): at 100 TB you partition-by-column once at
+# ingest, then every value predicate prunes forever.
+# ---------------------------------------------------------------------------
+
+STR_WHERE = ("event_type", "error", "purchase")  # lexicographic range
+
+
+def _events_sink_clustered(sf_dir: str) -> str:
+    """Scratch sink of events CLUSTERED by (event_type, event_id) in small
+    row groups — each Ray block covers few types, so smin_/smax_ actually
+    discriminate. Content-keyed like _events_sink."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha1(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{_CHUNK_VER}:cl".encode()
+    ).hexdigest()[:12]
+    base = os.path.join(
+        "/tmp/tokenzip_table",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_events_cl_{fp}",
+    )
+    clustered = os.path.join(base, "clustered.parquet")
+    out_dir = os.path.join(base, "sink")
+    if not os.path.exists(clustered):
+        os.makedirs(base, exist_ok=True)
+        t = pq.read_table(src)
+        order = pa.compute.sort_indices(
+            t, sort_keys=[("event_type", "ascending"), ("event_id", "ascending")]
+        )
+        pq.write_table(t.take(order), clustered, row_group_size=2048)
+    compress_table([clustered], out_dir)
+    return out_dir
+
+
+def q_table_where_strings(sf_dir: str):
+    """String zone-map pushdown differential: decompress the CLUSTERED
+    events sink with a lexicographic event_type range and checksum every
+    surviving column per type against DuckDB's row-level BETWEEN."""
+    out_dir = _events_sink_clustered(sf_dir)
+    return _events_checksum_rollup(decompress_table(out_dir, where=STR_WHERE))
+
+
+def table_where_strings_sql() -> str:
+    from tokenzip.analysis import _PAIR_MOD
+
+    col, lo, hi = STR_WHERE
+    return f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+       CAST(SUM(epoch_us(ts) % {_PAIR_MOD}) % {_PAIR_MOD} AS BIGINT) AS sum_ts_mod,
+       CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_props_len
+FROM events WHERE {col} BETWEEN '{lo}' AND '{hi}'
+GROUP BY event_type ORDER BY event_type
+"""
