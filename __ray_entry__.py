@@ -98,7 +98,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_sampled": _price_quantiles,
         "repetition_by_source": _repetition,
         "order_revenue_by_priority": _order_revenue,
+        "fk_integrity": _fk_integrity,
     }
+
+
+def _fk_integrity(sf_dir: str):
+    from tokenzip.relational import q_fk_integrity
+
+    return q_fk_integrity(sf_dir)
 
 
 def _order_revenue(sf_dir: str):
@@ -354,6 +361,12 @@ def _order_revenue_sql() -> str:
     return order_revenue_sql()
 
 
+def _fk_integrity_sql() -> str:
+    from tokenzip.relational import fk_integrity_sql
+
+    return fk_integrity_sql()
+
+
 def _pricing_summary(sf_dir: str):
     from tokenzip.relational import q_pricing_summary
 
@@ -569,6 +582,7 @@ FROM documents GROUP BY source ORDER BY source
         "repetition_by_source": _repetition_sql(),
         # large-x-large co-partitioned inner join (neither side broadcast)
         "order_revenue_by_priority": _order_revenue_sql(),
+        "fk_integrity": _fk_integrity_sql(),
         "orders_by_nation": _orders_nation_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),

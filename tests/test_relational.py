@@ -512,3 +512,58 @@ def test_order_revenue_matches_oracle_on_testdata(ray_session):
     exp = con.sql(order_revenue_sql()).df()
     assert len(got) == 5
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_fk_integrity_planted_dangling(ray_session, tmp_path):
+    """Lineitems 9 and 10 reference no order; order custkey 99 references
+    no customer — both dangling counts exact."""
+    from tokenzip.relational import q_fk_integrity
+
+    _write_join_tables(
+        tmp_path,
+        [(1, "1-URGENT"), (2, "5-LOW")],
+        [(1, 1.0, 0.0), (9, 1.0, 0.0), (10, 1.0, 0.0)],
+    )
+    # orders written by _write_join_tables have o_custkey=1; rewrite with a
+    # dangling custkey on order 2
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([7, 99], pa.int64()),
+                "o_orderstatus": pa.array(["O", "O"], pa.string()),
+                "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+                "o_orderdate": pa.array([0, 0], pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT", "5-LOW"], pa.string()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([7], pa.int64()),
+                "c_name": pa.array(["c"], pa.string()),
+                "c_nationkey": pa.array([0], pa.int32()),
+                "c_acctbal": pa.array([0.0], pa.float64()),
+                "c_mktsegment": pa.array(["m"], pa.string()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    got = q_fk_integrity(str(tmp_path))
+    assert got.values.tolist() == [
+        ["lineitem->orders", 3, 2],
+        ["orders->customer", 2, 1],
+    ]
+
+
+def test_fk_integrity_matches_oracle_on_testdata(ray_session):
+    from tokenzip.relational import fk_integrity_sql, q_fk_integrity
+
+    con = duckdb.connect()
+    for t in ["orders", "lineitem", "customer"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_fk_integrity(SF).reset_index(drop=True)
+    exp = con.sql(fk_integrity_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

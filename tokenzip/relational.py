@@ -1234,3 +1234,135 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: dangling-FK counts per relation — the data-
+# quality gate a pipeline runs before joins assume their keys resolve.
+# Two relations, two join shapes: the fact->fact edge (lineitem->orders)
+# goes through the co-partitioned key shuffle (narrow key rows only), the
+# fact->dimension edge (orders->customer) probes a broadcast sorted key
+# array. Output is a 2-row frame, exchange volume is O(rows) narrow ints.
+# ---------------------------------------------------------------------------
+
+
+def _fk_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One key bucket: child keys (side=1) not present among parent keys
+    (side=0), counted via one sort + searchsorted."""
+    side = g["side"].to_numpy().astype(np.int64)
+    key = g["key"].to_numpy().astype(np.int64)
+    parents = np.sort(key[side == 0])
+    childs = key[side == 1]
+    if len(parents):
+        pos = np.searchsorted(parents, childs)
+        hit = (pos < len(parents)) & (
+            parents[np.clip(pos, 0, len(parents) - 1)] == childs
+        )
+    else:
+        hit = np.zeros(len(childs), dtype=bool)
+    return pd.DataFrame(
+        {
+            "n_rows": [int(len(childs))],
+            "n_dangling": [int((~hit).sum())],
+        }
+    )
+
+
+def q_fk_integrity(sf_dir: str) -> pd.DataFrame:
+    """(relation, n_rows, n_dangling) for lineitem->orders and
+    orders->customer."""
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    opath = os.path.join(sf_dir, "orders.parquet")
+    cpath = os.path.join(sf_dir, "customer.parquet")
+    nb = _lsh_n_buckets(_row_count(lpath))
+
+    def krows(col: str, side_val: int):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b[col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(k)
+            return pa.table(
+                {
+                    "bkt": pa.array(_jbkt_of(k, nb)),
+                    "side": pa.array(np.full(n, side_val, np.int64)),
+                    "key": pa.array(k),
+                }
+            )
+
+        return fn
+
+    li = ray.data.read_parquet(lpath, columns=["l_orderkey"]).map_batches(
+        krows("l_orderkey", 1), batch_format="pyarrow", zero_copy_batch=True
+    )
+    od = ray.data.read_parquet(opath, columns=["o_orderkey"]).map_batches(
+        krows("o_orderkey", 0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    lo_audit = (
+        li.union(od)
+        .groupby("bkt")
+        .map_groups(_fk_group, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+
+    # orders->customer: the parent is a dimension table — broadcast once
+    import pyarrow.parquet as pq
+
+    from tokenzip.stages import _bcast, _bget
+
+    ckeys = np.unique(
+        pq.read_table(cpath, columns=["c_custkey"])["c_custkey"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    ref = _bcast(ckeys)
+
+    def probe(b: pa.Table) -> pa.Table:
+        keys = _bget(ref)
+        ok = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(keys):
+            pos = np.searchsorted(keys, ok)
+            hit = (pos < len(keys)) & (keys[np.clip(pos, 0, len(keys) - 1)] == ok)
+        else:
+            hit = np.zeros(len(ok), dtype=bool)
+        return pa.table(
+            {
+                "n_rows": pa.array([len(ok)], pa.int64()),
+                "n_dangling": pa.array([int((~hit).sum())], pa.int64()),
+            }
+        )
+
+    oc_audit = (
+        ray.data.read_parquet(opath, columns=["o_custkey"])
+        .map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sum()
+    )
+    return pd.DataFrame(
+        {
+            "relation": ["lineitem->orders", "orders->customer"],
+            "n_rows": np.array(
+                [int(lo_audit["n_rows"]), int(oc_audit["n_rows"])], dtype=np.int64
+            ),
+            "n_dangling": np.array(
+                [int(lo_audit["n_dangling"]), int(oc_audit["n_dangling"])],
+                dtype=np.int64,
+            ),
+        }
+    )
+
+
+def fk_integrity_sql() -> str:
+    return """
+SELECT * FROM (
+  SELECT 'lineitem->orders' AS relation,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dangling
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'orders->customer',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders LEFT JOIN customer c ON o_custkey = c_custkey
+) ORDER BY relation
+"""
