@@ -222,7 +222,11 @@ def test_float_codec_bit_exact_and_regimes():
     cases = {
         "random": (rng.random(4000) * 1e6, "rawf"),
         "smooth": (np.cumsum(rng.random(4000) * 1e-9) + 1.0, "xorf"),
-        "halves": (np.round(rng.random(4000) * 100) / 2.0, "xorf_bswap"),
+        # 1/512 granularity: few significant bits but NOT a short decimal
+        # (needs e=9 > _DECF_MAX_E), so the byteswapped xor regime wins
+        "b512": (np.round(rng.random(4000) * 5120) / 512.0, "xorf_bswap"),
+        # two-decimal prices promote exactly: ALP-style decf
+        "prices": (np.round(rng.random(4000) * 500, 2), "decf"),
     }
     for name, (v, want) in cases.items():
         blob = encode_float_column(v)
@@ -570,3 +574,30 @@ def test_table_where_strings_oracle(ray_session):
     exp = con.sql(table_where_strings_sql()).df()
     assert len(got) >= 2  # error + purchase exist at every sf
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_decf_promotion_rules():
+    """decf edge contract: -0.0 in a decimal column rejects the promotion
+    (int 0 can't reproduce the sign bit); values past 2^53 reject; NaN/inf
+    reject; the stored e is the SMALLEST exact one."""
+    from tokenzip.codecs.core import (
+        _try_decimal,
+        decode_float_column,
+        encode_float_column,
+        unpack_blob,
+    )
+
+    assert _try_decimal(np.array([1.25, -0.0]), 64) is None
+    assert _try_decimal(np.array([2.0**53, 1.0]), 64) is None
+    assert _try_decimal(np.array([np.nan, 1.0]), 64) is None
+    e, ints = _try_decimal(np.array([1.0, 2.0, 3.0]), 64)
+    assert e == 0 and list(ints) == [1, 2, 3]
+    e, ints = _try_decimal(np.array([0.07, 1.23]), 64)
+    assert e == 2 and list(ints) == [7, 123]
+    # full roundtrip through the packed blob keeps bit equality (tiny
+    # columns correctly stay rawf: two blob headers outweigh the savings)
+    v = np.tile(np.array([0.01, 490.02, 0.0, 123.45]), 250)
+    blob = encode_float_column(v)
+    assert unpack_blob(blob)[0] == "decf"
+    assert np.array_equal(decode_float_column(blob).view(np.uint64), v.view(np.uint64))
+    assert len(blob) < v.nbytes / 2

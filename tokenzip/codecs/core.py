@@ -865,10 +865,59 @@ def decode_int_column(blob: bytes, dtype=np.int64) -> np.ndarray:
 # operate on the uint64 views, never on float arithmetic.
 # ---------------------------------------------------------------------------
 
-FLOAT_CODECS = ("xorf", "xorf_bswap", "rawf")
+#   decf        — decimal promotion (the published ALP insight, Afroozeh &
+#                 Boncz SIGMOD 2023: most real-world doubles are decimals):
+#                 find the smallest e with round(v*10^e)/10^e bit-identical
+#                 to v for EVERY value, then run the resulting int64s
+#                 through the full integer auto-selector. Prices/rates
+#                 collapse from 8 B to ~2 B/value; the bit-exact roundtrip
+#                 is VERIFIED at encode (uint-view compare, so -0.0 and
+#                 NaN payloads reject the promotion instead of corrupting)
+
+FLOAT_CODECS = ("decf", "xorf", "xorf_bswap", "rawf")
 
 
 _F_BITS = {32: (np.float32, np.uint32), 64: (np.float64, np.uint64)}
+
+_DECF_MAX_E = 6  # 10^6: past micro-units the int stream stops winning
+
+
+def _try_decimal(values: np.ndarray, width: int):
+    """(e, int64 array) for the smallest exact decimal promotion, or None.
+    Exactness is bitwise: the DECODED floats (ints / 10^e, in the column's
+    width) must equal the original bit pattern for every value."""
+    fdt, udt = _F_BITS[width]
+    n = len(values)
+    if n == 0 or not np.isfinite(values).all():
+        return None
+    bits = values.view(udt)
+    v64 = values.astype(np.float64)
+    for e in range(_DECF_MAX_E + 1):
+        scale = float(10**e)  # exactly representable
+        scaled = v64 * scale
+        if len(scaled) and float(np.abs(scaled).max()) >= 2**53:
+            return None  # int53 exactness ceiling; larger e only grows it
+        # verify from the STORED int64s, not the float round result —
+        # np.round keeps -0.0 while int64 cannot, and the decoder divides
+        # the int64 stream
+        cand = np.round(scaled).astype(np.int64)
+        back = (cand / scale).astype(fdt, copy=False)
+        if np.array_equal(back.view(udt), bits):
+            return e, cand
+    return None
+
+
+def _decf_blob(values: np.ndarray, width: int) -> bytes | None:
+    from tokenzip.codecs.selector import choose_int_codec
+
+    dec = _try_decimal(values, width)
+    if dec is None:
+        return None
+    e, ints = dec
+    inner = encode_int_column(ints, choose_int_codec(ints, 64), 64)
+    return pack_blob(
+        "decf", {"n": len(values), "w": width, "e": e}, [inner]
+    )
 
 
 def _xor_words(values: np.ndarray, width: int) -> np.ndarray:
@@ -888,6 +937,9 @@ def encode_float_column(values: np.ndarray, width: int = 64) -> bytes:
     values = np.ascontiguousarray(values, dtype=fdt)
     n = len(values)
     best = pack_blob("rawf", {"n": n, "w": width}, [values.view(udt).tobytes()])
+    dec = _decf_blob(values, width)
+    if dec is not None and len(dec) < len(best):
+        best = dec
     if n < 2:
         return best
     x = _xor_words(values, width)
@@ -913,6 +965,12 @@ def decode_float_column(blob: bytes) -> np.ndarray:
         b = streams[0]
         b = b if isinstance(b, np.ndarray) else np.frombuffer(b, dtype=np.uint8)
         return np.ascontiguousarray(b).view(udt)[:n].view(fdt)
+    if codec == "decf":
+        inner = streams[0]
+        inner = inner.tobytes() if isinstance(inner, np.ndarray) else bytes(inner)
+        ints = decode_int_column(inner)
+        # bit-exact by the encode-time verified contract
+        return (ints / float(10 ** int(meta["e"]))).astype(fdt, copy=False)
     if codec not in ("xorf", "xorf_bswap"):
         from tokenzip.errors import ChunkFormatError
 
