@@ -590,10 +590,10 @@ def test_decf_promotion_rules():
     assert _try_decimal(np.array([1.25, -0.0]), 64) is None
     assert _try_decimal(np.array([2.0**53, 1.0]), 64) is None
     assert _try_decimal(np.array([np.nan, 1.0]), 64) is None
-    e, ints = _try_decimal(np.array([1.0, 2.0, 3.0]), 64)
-    assert e == 0 and list(ints) == [1, 2, 3]
-    e, ints = _try_decimal(np.array([0.07, 1.23]), 64)
-    assert e == 2 and list(ints) == [7, 123]
+    e, ints, idx, bits = _try_decimal(np.array([1.0, 2.0, 3.0]), 64)
+    assert e == 0 and list(ints) == [1, 2, 3] and idx is None
+    e, ints, idx, bits = _try_decimal(np.array([0.07, 1.23]), 64)
+    assert e == 2 and list(ints) == [7, 123] and idx is None
     # full roundtrip through the packed blob keeps bit equality (tiny
     # columns correctly stay rawf: two blob headers outweigh the savings)
     v = np.tile(np.array([0.01, 490.02, 0.0, 123.45]), 250)
@@ -601,3 +601,34 @@ def test_decf_promotion_rules():
     assert unpack_blob(blob)[0] == "decf"
     assert np.array_equal(decode_float_column(blob).view(np.uint64), v.view(np.uint64))
     assert len(blob) < v.nbytes / 2
+
+
+def test_decf_exceptions_patch_raw_bits():
+    """ALP-style exceptions: a price column with <=5% stragglers (NaN,
+    -0.0, long-fraction noise) still promotes; straggler bit patterns
+    restore exactly; >5% contamination rejects the promotion."""
+    from tokenzip.codecs.core import (
+        _try_decimal,
+        decode_float_column,
+        encode_float_column,
+        unpack_blob,
+    )
+
+    rng = np.random.default_rng(5)
+    v = np.round(rng.uniform(0, 500, 5000), 2)
+    v[::97] = np.nan
+    v[1::211] = -0.0
+    v[2::307] = 0.1234567890123
+    blob = encode_float_column(v, 64)
+    assert unpack_blob(blob)[0] == "decf"
+    back = decode_float_column(blob)
+    assert np.array_equal(back.view(np.uint64), v.view(np.uint64))
+    assert len(blob) < v.nbytes / 2
+
+    w = np.round(rng.uniform(0, 500, 1000), 2)
+    w[: int(0.2 * len(w))] = np.nan
+    assert _try_decimal(w, 64) is None
+
+    # clean columns keep the single-stream layout (no exception cost)
+    e, ints, idx, bits = _try_decimal(np.round(rng.uniform(0, 9, 1000), 1), 64)
+    assert idx is None and e == 1

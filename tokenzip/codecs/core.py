@@ -882,28 +882,46 @@ _F_BITS = {32: (np.float32, np.uint32), 64: (np.float64, np.uint64)}
 _DECF_MAX_E = 6  # 10^6: past micro-units the int stream stops winning
 
 
+_DECF_EXC_FRAC = 0.05  # promote when >= 95% of values are exact decimals
+
+
 def _try_decimal(values: np.ndarray, width: int):
-    """(e, int64 array) for the smallest exact decimal promotion, or None.
-    Exactness is bitwise: the DECODED floats (ints / 10^e, in the column's
-    width) must equal the original bit pattern for every value."""
+    """(e, int64 array, exc_idx, exc_bits) for the smallest decimal
+    promotion with at most _DECF_EXC_FRAC per-value exceptions (ALP's
+    exception mechanism: non-decimal stragglers — NaN, -0.0, noise —
+    store their raw bit patterns beside the int stream), or None.
+    Exactness is bitwise: the DECODED floats (ints / 10^e patched with the
+    exception bits, in the column's width) equal the original pattern for
+    every value by construction."""
     fdt, udt = _F_BITS[width]
     n = len(values)
-    if n == 0 or not np.isfinite(values).all():
+    if n == 0:
         return None
     bits = values.view(udt)
     v64 = values.astype(np.float64)
+    finite = np.isfinite(v64)
+    budget = int(n * _DECF_EXC_FRAC)
     for e in range(_DECF_MAX_E + 1):
         scale = float(10**e)  # exactly representable
         scaled = v64 * scale
-        if len(scaled) and float(np.abs(scaled).max()) >= 2**53:
-            return None  # int53 exactness ceiling; larger e only grows it
+        # int53 exactness ceiling; NaN/inf can never promote — both become
+        # exceptions (their slots hold 0 in the int stream)
+        ok = finite & (np.abs(scaled) < 2**53)
+        cand = np.zeros(n, dtype=np.int64)
+        if ok.any():
+            cand[ok] = np.round(scaled[ok]).astype(np.int64)
         # verify from the STORED int64s, not the float round result —
         # np.round keeps -0.0 while int64 cannot, and the decoder divides
         # the int64 stream
-        cand = np.round(scaled).astype(np.int64)
         back = (cand / scale).astype(fdt, copy=False)
-        if np.array_equal(back.view(udt), bits):
-            return e, cand
+        exc = back.view(udt) != bits
+        n_exc = int(exc.sum())
+        if n_exc <= budget:
+            if n_exc:
+                idx = np.flatnonzero(exc).astype(np.int64)
+                cand[idx] = 0  # keep exception slots out of the int stats
+                return e, cand, idx, bits[exc].copy()
+            return e, cand, None, None
     return None
 
 
@@ -913,10 +931,17 @@ def _decf_blob(values: np.ndarray, width: int) -> bytes | None:
     dec = _try_decimal(values, width)
     if dec is None:
         return None
-    e, ints = dec
+    e, ints, exc_idx, exc_bits = dec
     inner = encode_int_column(ints, choose_int_codec(ints, 64), 64)
+    streams = [inner]
+    if exc_idx is not None:
+        # ascending positions: the delta-friendly int selector applies
+        streams.append(
+            encode_int_column(exc_idx, choose_int_codec(exc_idx, 64), 64)
+        )
+        streams.append(exc_bits.tobytes())
     return pack_blob(
-        "decf", {"n": len(values), "w": width, "e": e}, [inner]
+        "decf", {"n": len(values), "w": width, "e": e}, streams
     )
 
 
@@ -966,11 +991,18 @@ def decode_float_column(blob: bytes) -> np.ndarray:
         b = b if isinstance(b, np.ndarray) else np.frombuffer(b, dtype=np.uint8)
         return np.ascontiguousarray(b).view(udt)[:n].view(fdt)
     if codec == "decf":
-        inner = streams[0]
-        inner = inner.tobytes() if isinstance(inner, np.ndarray) else bytes(inner)
-        ints = decode_int_column(inner)
+        def _b(s):
+            return s.tobytes() if isinstance(s, np.ndarray) else bytes(s)
+
+        ints = decode_int_column(_b(streams[0]))
         # bit-exact by the encode-time verified contract
-        return (ints / float(10 ** int(meta["e"]))).astype(fdt, copy=False)
+        out = np.ascontiguousarray(
+            (ints / float(10 ** int(meta["e"]))).astype(fdt, copy=False)
+        )
+        if len(streams) == 3:  # ALP-style exceptions: patch raw bits back
+            idx = decode_int_column(_b(streams[1]))
+            out.view(udt)[idx] = np.frombuffer(_b(streams[2]), dtype=udt)
+        return out
     if codec not in ("xorf", "xorf_bswap"):
         from tokenzip.errors import ChunkFormatError
 
