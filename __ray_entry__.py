@@ -99,7 +99,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_by_source": _repetition,
         "order_revenue_by_priority": _order_revenue,
         "fk_integrity": _fk_integrity,
+        "tfidf_topk": _tfidf_topk,
     }
+
+
+def _tfidf_topk(sf_dir: str):
+    from tokenzip.retrieval import q_tfidf_topk
+
+    return q_tfidf_topk(sf_dir)
 
 
 def _fk_integrity(sf_dir: str):
@@ -367,6 +374,12 @@ def _fk_integrity_sql() -> str:
     return fk_integrity_sql()
 
 
+def _tfidf_sql() -> str:
+    from tokenzip.retrieval import tfidf_topk_sql
+
+    return tfidf_topk_sql()
+
+
 def _pricing_summary(sf_dir: str):
     from tokenzip.relational import q_pricing_summary
 
@@ -584,6 +597,8 @@ FROM documents GROUP BY source ORDER BY source
         "order_revenue_by_priority": _order_revenue_sql(),
         "fk_integrity": _fk_integrity_sql(),
         "orders_by_nation": _orders_nation_sql(),
+        # integer TF-IDF retrieval (idf cleared of halves; pure int on both)
+        "tfidf_topk": _tfidf_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         # recall-pinned oracle: the IVF result is deterministic (fixed
