@@ -100,7 +100,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_by_priority": _order_revenue,
         "fk_integrity": _fk_integrity,
         "tfidf_topk": _tfidf_topk,
+        "cross_source_dups": _cross_source_dups,
     }
+
+
+def _cross_source_dups(sf_dir: str):
+    from tokenzip.analysis import q_cross_source_dups
+
+    return q_cross_source_dups(sf_dir)
 
 
 def _tfidf_topk(sf_dir: str):
@@ -380,6 +387,12 @@ def _tfidf_sql() -> str:
     return tfidf_topk_sql()
 
 
+def _cross_dups_sql() -> str:
+    from tokenzip.analysis import cross_source_dups_sql
+
+    return cross_source_dups_sql()
+
+
 def _pricing_summary(sf_dir: str):
     from tokenzip.relational import q_pricing_summary
 
@@ -599,6 +612,8 @@ FROM documents GROUP BY source ORDER BY source
         "orders_by_nation": _orders_nation_sql(),
         # integer TF-IDF retrieval (idf cleared of halves; pure int on both)
         "tfidf_topk": _tfidf_sql(),
+        # cross-source exact-content contamination (shared fingerprints)
+        "cross_source_dups": _cross_dups_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         # recall-pinned oracle: the IVF result is deterministic (fixed

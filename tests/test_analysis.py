@@ -451,3 +451,44 @@ def test_repetition_matches_oracle_on_testdata(ray_session):
     exp = _ddb_on_docs(repetition_sql(), f"{SF}/documents.parquet")
     assert int(got["n_docs"].sum()) > 0
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_cross_source_dups_planted(ray_session, tmp_path):
+    """Planted cross-source duplicates: s1/s2 share one bag (word order and
+    multiplicity must NOT matter), s3's internal duplicate must not count."""
+    import pyarrow.parquet as pq
+
+    from tokenzip.analysis import cross_source_dups_sql, q_cross_source_dups
+
+    texts = [
+        "x y z",        # s1 — shared bag with doc 1/2 (reordered / repeated)
+        "z y x",        # s2 — same bag, different order
+        "x x y z",      # s2 — same bag via multiplicity
+        "only here",    # s3 — unique
+        "only here",    # s3 — duplicate WITHIN one source only: excluded
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(["s1", "s2", "s2", "s3", "s3"]),
+        }
+    )
+    d = str(tmp_path / "documents.parquet")
+    pq.write_table(docs, d)
+    got = q_cross_source_dups(str(tmp_path)).reset_index(drop=True)
+    assert got.values.tolist() == [
+        ["s1", 1, 1],
+        ["s2", 2, 1],
+    ]
+    exp = _ddb_on_docs(cross_source_dups_sql(), d)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_cross_source_dups_matches_oracle_on_testdata(ray_session):
+    from tokenzip.analysis import cross_source_dups_sql, q_cross_source_dups
+
+    got = q_cross_source_dups(SF).reset_index(drop=True)
+    exp = _ddb_on_docs(cross_source_dups_sql(), f"{SF}/documents.parquet")
+    assert int(got["n_shared_docs"].sum()) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -1999,6 +1999,14 @@ _LANG_MARKERS = {
 }
 
 
+# SQL twin of doc_fingerprint — the DuckDB oracle computes the identical
+# 64-bit hex value from the same sorted-distinct-words bag
+FP_SQL_EXPR = (
+    "substr(md5(array_to_string(list_sort(list_distinct("
+    "string_split(text, ' '))), ' ')), 1, 16)"
+)
+
+
 def doc_fingerprint(text: str) -> str:
     """Bag-of-words content fingerprint: md5 of the sorted distinct words
     (order-insensitive near-dup fingerprint, SQL-expressible so the DuckDB
@@ -2075,6 +2083,83 @@ def q_fingerprint_by_source(sf_dir: str):
     out["n_docs"] = out["n_docs"].astype("int64")
     out["n_distinct"] = out["n_distinct"].astype("int64")
     return out
+
+
+def q_cross_source_dups(sf_dir: str) -> pd.DataFrame:
+    """Cross-source exact-content contamination: per source, how many of its
+    bag-of-words fingerprints (and docs) also occur in at least one OTHER
+    source. The "did a benchmark/source leak into another crawl slice"
+    audit that runs next to within-corpus dedup.
+
+    Scale shape: per-batch (fingerprint, source) count partials -> ONE
+    hash-bucketed shuffle (bucket count scales with corpus size via
+    ``_lsh_n_buckets`` so group sizes stay bounded and map_groups never sees
+    one tiny Ray group per fingerprint) -> vectorized within-bucket
+    distinct-source detection -> a final groupby over the #sources domain.
+    """
+    from ray.data.aggregate import Count
+
+    nb = _lsh_n_buckets(_doc_count(sf_dir), target=8192)
+
+    def partial(b: pa.Table) -> pa.Table:
+        fps = [doc_fingerprint(t) for t in b["text"].to_pylist()]
+        df = pd.DataFrame({"fingerprint": fps, "source": b["source"].to_pylist()})
+        agg = df.groupby(["fingerprint", "source"], as_index=False).size()
+        bkt = (
+            np.array([int(f[:8], 16) for f in agg["fingerprint"]], dtype=np.int64)
+            % nb
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(bkt, pa.int64()),
+                "fingerprint": pa.array(agg["fingerprint"], pa.string()),
+                "source": pa.array(agg["source"], pa.string()),
+                "n": pa.array(agg["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_shared(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["fingerprint", "source"], as_index=False)["n"].sum()
+        n_sources = per.groupby("fingerprint")["source"].transform("size")
+        shared = per[n_sources > 1]
+        return shared[["source", "n"]]
+
+    out = (
+        _docs(sf_dir, ["text", "source"])
+        .map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024
+        )
+        .groupby("bkt")
+        .map_groups(bucket_shared, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("n", alias_name="n_shared_docs"),
+            Count(alias_name="n_shared_fps"),
+        )
+        .sort("source")
+        .to_pandas()
+    )
+    out["n_shared_docs"] = out["n_shared_docs"].astype("int64")
+    out["n_shared_fps"] = out["n_shared_fps"].astype("int64")
+    return out
+
+
+def cross_source_dups_sql(fp_expr: str = FP_SQL_EXPR) -> str:
+    """DuckDB oracle: identical fingerprint expression, shared-fp semantics
+    via HAVING COUNT(*) > 1 over the (fp, source)-distinct rows."""
+    return f"""
+WITH f AS (SELECT source, {fp_expr} AS fp FROM documents),
+per AS (
+  SELECT fp, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM f GROUP BY fp, source
+),
+shared AS (SELECT fp FROM per GROUP BY fp HAVING COUNT(*) > 1)
+SELECT per.source AS source,
+       CAST(SUM(per.n_docs) AS BIGINT) AS n_shared_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+FROM per JOIN shared USING (fp)
+GROUP BY per.source ORDER BY source
+"""
 
 
 def q_lang_id_confusion(sf_dir: str):
