@@ -101,7 +101,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity": _fk_integrity,
         "tfidf_topk": _tfidf_topk,
         "cross_source_dups": _cross_source_dups,
+        "revenue_rollup": _revenue_rollup,
     }
+
+
+def _revenue_rollup(sf_dir: str):
+    from tokenzip.relational import q_revenue_rollup
+
+    return q_revenue_rollup(sf_dir)
 
 
 def _cross_source_dups(sf_dir: str):
@@ -393,6 +400,12 @@ def _cross_dups_sql() -> str:
     return cross_source_dups_sql()
 
 
+def _rollup_sql() -> str:
+    from tokenzip.relational import revenue_rollup_sql
+
+    return revenue_rollup_sql()
+
+
 def _pricing_summary(sf_dir: str):
     from tokenzip.relational import q_pricing_summary
 
@@ -614,6 +627,8 @@ FROM documents GROUP BY source ORDER BY source
         "tfidf_topk": _tfidf_sql(),
         # cross-source exact-content contamination (shared fingerprints)
         "cross_source_dups": _cross_dups_sql(),
+        # GROUP BY ROLLUP from one scan: coarser levels fold from finest
+        "revenue_rollup": _rollup_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         # recall-pinned oracle: the IVF result is deterministic (fixed

@@ -567,3 +567,21 @@ def test_fk_integrity_matches_oracle_on_testdata(ray_session):
     got = q_fk_integrity(SF).reset_index(drop=True)
     exp = con.sql(fk_integrity_sql()).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_revenue_rollup_matches_oracle_on_testdata(ray_session):
+    import duckdb
+
+    from tokenzip.relational import q_revenue_rollup, revenue_rollup_sql
+
+    con = duckdb.connect()
+    for t in ["orders", "customer", "nation"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_revenue_rollup(SF).reset_index(drop=True)
+    exp = con.sql(revenue_rollup_sql()).df()
+    # the three levels must be internally consistent: grand total row equals
+    # the sum of the finest level
+    fine = got[(got["n_name"] != "ALL") & (got["o_orderpriority"] != "ALL")]
+    total = got[(got["n_name"] == "ALL")]
+    assert int(total["n_orders"].iloc[0]) == int(fine["n_orders"].sum())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -510,6 +510,105 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+class _OrdersRollupStage(_OrdersNationStage):
+    """Finest-level (n_name, o_orderpriority) partials for the rollup —
+    same broadcast dim lookup, composite key encoded per batch."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ok = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _cents(batch["o_totalprice"])
+        pos = np.searchsorted(self.ckey, ok)
+        if len(pos) and not np.array_equal(
+            self.ckey[np.clip(pos, 0, len(self.ckey) - 1)], ok
+        ):
+            raise ValueError("orders.o_custkey outside customer table")
+        names = self.cnation[pos]
+        prio = np.asarray(batch["o_orderpriority"].to_pylist(), dtype=object)
+        un, ninv = np.unique(names, return_inverse=True)
+        up, pinv = np.unique(prio, return_inverse=True)
+        code = ninv.astype(np.int64) * len(up) + pinv
+        uc, cinv = np.unique(code, return_inverse=True)
+        return pa.table(
+            {
+                "n_name": pa.array([str(s) for s in un[uc // len(up)]], pa.string()),
+                "o_orderpriority": pa.array(
+                    [str(s) for s in up[uc % len(up)]], pa.string()
+                ),
+                "n_orders": pa.array(np.bincount(cinv).astype(np.int64)),
+                "sum_price": pa.array(
+                    np.bincount(cinv, weights=price).astype(np.int64)
+                ),
+            }
+        )
+
+
+def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(n_name, o_orderpriority) over order revenue — three
+    grouping levels from ONE fact-table scan. The finest level is a Ray
+    groupby over the bounded (#nations × #priorities) domain; the two
+    coarser levels fold from it driver-side (≤125 rows at any scale —
+    rolling up from the finest partials is the distributed-rollup identity,
+    no second scan). Subtotal rows carry 'ALL' labels, matching the
+    oracle's COALESCE."""
+    from tokenzip.stages import _bcast
+
+    dim_ref = _bcast(_dim_lookup(sf_dir))
+    fine = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice", "o_orderpriority"],
+        )
+        .map_batches(
+            _OrdersRollupStage,
+            fn_constructor_args=(dim_ref,),
+            concurrency=(1, max(2, _default_concurrency() // 2)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(["n_name", "o_orderpriority"])
+        .aggregate(Sum("n_orders"), Sum("sum_price"))
+        .to_pandas()
+    )
+    fine = pd.DataFrame(
+        {
+            "n_name": fine["n_name"].astype(str),
+            "o_orderpriority": fine["o_orderpriority"].astype(str),
+            "n_orders": fine["sum(n_orders)"].astype("int64"),
+            "sum_price_cents": fine["sum(sum_price)"].astype("int64"),
+        }
+    )
+    nat = fine.groupby("n_name", as_index=False)[["n_orders", "sum_price_cents"]].sum()
+    nat["o_orderpriority"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "n_name": ["ALL"],
+            "o_orderpriority": ["ALL"],
+            "n_orders": [fine["n_orders"].sum()],
+            "sum_price_cents": [fine["sum_price_cents"].sum()],
+        }
+    )
+    out = pd.concat([fine, nat, total], ignore_index=True)[
+        ["n_name", "o_orderpriority", "n_orders", "sum_price_cents"]
+    ]
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_price_cents"] = out["sum_price_cents"].astype("int64")
+    return out.sort_values(["n_name", "o_orderpriority"]).reset_index(drop=True)
+
+
+def revenue_rollup_sql() -> str:
+    return """
+SELECT COALESCE(n_name, 'ALL') AS n_name,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(n_name, o_orderpriority)
+ORDER BY COALESCE(n_name, 'ALL'), COALESCE(o_orderpriority, 'ALL')
+"""
+
+
 # ---------------------------------------------------------------------------
 # Pricing-summary aggregate over the widest fact table (the TPC-H Q1
 # shape): per (returnflag, linestatus) sums with EXACT integer arithmetic
