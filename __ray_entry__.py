@@ -102,7 +102,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _tfidf_topk,
         "cross_source_dups": _cross_source_dups,
         "revenue_rollup": _revenue_rollup,
+        "top_token_by_source": _top_token_by_source,
     }
+
+
+def _top_token_by_source(sf_dir: str):
+    from tokenzip.training import q_top_token_by_source
+
+    return q_top_token_by_source(sf_dir)
 
 
 def _revenue_rollup(sf_dir: str):
@@ -406,6 +413,12 @@ def _rollup_sql() -> str:
     return revenue_rollup_sql()
 
 
+def _top_token_sql(glob: str) -> str:
+    from tokenzip.training import top_token_by_source_sql
+
+    return top_token_by_source_sql(glob)
+
+
 def _pricing_summary(sf_dir: str):
     from tokenzip.relational import q_pricing_summary
 
@@ -576,6 +589,8 @@ FROM documents GROUP BY source ORDER BY source
         "doc_point_decompress": _doc_point_sql(glob),
         "compacted_roundtrip": _compacted_sql(glob),
         "vocab_topk": _vocab_sql(glob),
+        # grouped mode: most frequent token per source, ties to smaller id
+        "top_token_by_source": _top_token_sql(glob),
         "vocab_topk_mg": _vocab_sql(glob),
         "bigram_topk_mg": _bigram_sql(glob),
         "df_topk_mg": _df_sql(glob),

@@ -474,3 +474,38 @@ def test_seqlen_quantile_fold_rank_parity():
             assert out[name].iloc[0] == s[rank - 1], (n, name)
         assert out["max_tok"].iloc[0] == s[-1]
         assert out["n_docs"].iloc[0] == n
+
+
+def test_top_token_by_source_matches_duckdb(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import q_top_token_by_source, top_token_by_source_sql
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_top_token_by_source(SF).reset_index(drop=True)
+    odf = duckdb.sql(top_token_by_source_sql(glob)).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_top_token_by_source_signed_and_cross_bucket_ties(ray_session, tmp_path):
+    """Signed token ids must survive the composite packing, and a tie
+    between tokens in DIFFERENT hash buckets must resolve to the smaller
+    token id."""
+    import pyarrow.parquet as pq_
+
+    # token -513 and 511 land in different (_VOCAB_NB=512) buckets; equal
+    # counts -> winner must be -513 (the smaller id)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"], pa.string()),
+            "tokens": pa.array([[-513, -513, 511], [511, 7]], pa.list_(pa.int32())),
+            "n_tok": pa.array([3, 2], pa.int32()),
+            "source": pa.array(["s1", "s1"], pa.string()),
+        }
+    )
+    p = str(tmp_path / "toks.parquet")
+    pq_.write_table(tbl, p)
+    from tokenzip.training import q_top_token_by_source
+
+    got = q_top_token_by_source(str(tmp_path))
+    assert got.values.tolist() == [["s1", -513, 2]]

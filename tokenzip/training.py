@@ -824,6 +824,108 @@ GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT {k}
 """
 
 
+class _SourceTokenPartialStage:
+    """Per-batch (bkt, source, token, cnt) partials — one composite
+    np.unique over (source index × token), output bounded by the batch's
+    (sources × distinct tokens), never token-sized."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+
+        lengths, values = _tokens_parts(batch["tokens"])
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "token": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if not len(values):
+            return empty
+        srcs = np.asarray(batch["source"].to_pylist(), dtype=object)
+        us, sinv = np.unique(srcs, return_inverse=True)
+        per_tok_src = np.repeat(sinv.astype(np.int64), lengths)
+        # bias to non-negative before packing: token ids are SIGNED (the
+        # corpus exercises the zigzag codecs), modulo decode needs >= 0
+        vals = values.astype(np.int64)
+        vmin = int(vals.min())
+        m = int(vals.max()) - vmin + 1
+        code = per_tok_src * m + (vals - vmin)
+        uc, cnt = np.unique(code, return_counts=True)
+        tok = uc % m + vmin
+        si = uc // m
+        return pa.table(
+            {
+                "bkt": pa.array(tok % _VOCAB_NB),
+                "source": pa.array([str(s) for s in us[si]], pa.string()),
+                "token": pa.array(tok),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+
+def _mode_group(g: pd.DataFrame) -> pd.DataFrame:
+    """groupby(bkt): exact per-(source, token) totals inside the bucket
+    (token determines bucket, so totals are globally exact), then the
+    bucket-local per-source winner (max cnt, ties to the smaller token)."""
+    if not len(g):
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "token": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64"),
+            }
+        )
+    agg = g.groupby(["source", "token"], as_index=False)["cnt"].sum()
+    agg = agg.sort_values(["cnt", "token"], ascending=[False, True], kind="stable")
+    win = agg.groupby("source", as_index=False).head(1)
+    return win[["source", "token", "cnt"]]
+
+
+def q_top_token_by_source(sf_dir: str) -> pd.DataFrame:
+    """Grouped mode: the most frequent token per source (ties to the
+    smaller token id) with its exact count. Per-batch composite partials,
+    one token-hash-bucketed shuffle, bucket-local winners (one row per
+    (source, bucket)), final argmax over that bounded set driver-side."""
+    paths = _token_paths(sf_dir)
+    parts = (
+        ray.data.read_parquet(paths, columns=["tokens", "source"])
+        .map_batches(
+            _SourceTokenPartialStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bkt")
+        .map_groups(_mode_group, batch_format="pandas")
+        .to_pandas()
+    )
+    parts = parts.sort_values(["cnt", "token"], ascending=[False, True], kind="stable")
+    win = parts.groupby("source", as_index=False).head(1)
+    out = win.sort_values("source").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "source": out["source"].astype(str),
+            "token": out["token"].astype("int64"),
+            "cnt": out["cnt"].astype("int64"),
+        }
+    )
+
+
+def top_token_by_source_sql(glob: str) -> str:
+    return f"""
+WITH c AS (
+  SELECT source, CAST(t AS BIGINT) AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT source, unnest(tokens) AS t FROM read_parquet('{glob}'))
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT source, token, cnt,
+         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token ASC) AS rn
+  FROM c
+)
+SELECT source, token, cnt FROM r WHERE rn = 1 ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Heavy hitters via Misra-Gries partials: certified-EXACT top-k with
 # shuffle volume bounded by the sketch capacity, not the vocabulary.
