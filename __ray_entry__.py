@@ -103,7 +103,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_dups": _cross_source_dups,
         "revenue_rollup": _revenue_rollup,
         "top_token_by_source": _top_token_by_source,
+        "token_freq_histogram": _token_freq_histogram,
     }
+
+
+def _token_freq_histogram(sf_dir: str):
+    from tokenzip.training import q_token_freq_histogram
+
+    return q_token_freq_histogram(sf_dir)
 
 
 def _top_token_by_source(sf_dir: str):
@@ -419,6 +426,12 @@ def _top_token_sql(glob: str) -> str:
     return top_token_by_source_sql(glob)
 
 
+def _freq_hist_sql(glob: str) -> str:
+    from tokenzip.training import token_freq_histogram_sql
+
+    return token_freq_histogram_sql(glob)
+
+
 def _pricing_summary(sf_dir: str):
     from tokenzip.relational import q_pricing_summary
 
@@ -591,6 +604,8 @@ FROM documents GROUP BY source ORDER BY source
         "vocab_topk": _vocab_sql(glob),
         # grouped mode: most frequent token per source, ties to smaller id
         "top_token_by_source": _top_token_sql(glob),
+        # Zipf audit: decimal-digit frequency-of-frequencies, integer-only
+        "token_freq_histogram": _freq_hist_sql(glob),
         "vocab_topk_mg": _vocab_sql(glob),
         "bigram_topk_mg": _bigram_sql(glob),
         "df_topk_mg": _df_sql(glob),

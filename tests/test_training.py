@@ -509,3 +509,36 @@ def test_top_token_by_source_signed_and_cross_bucket_ties(ray_session, tmp_path)
 
     got = q_top_token_by_source(str(tmp_path))
     assert got.values.tolist() == [["s1", -513, 2]]
+
+
+def test_token_freq_histogram_matches_duckdb(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import q_token_freq_histogram, token_freq_histogram_sql
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_token_freq_histogram(SF).reset_index(drop=True)
+    odf = duckdb.sql(token_freq_histogram_sql(glob)).df()
+    # digit-class boundaries are exact: class d holds counts in [10^(d-1), 10^d)
+    assert (got["n_tokens"] > 0).all()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_freq_hist_digit_boundaries():
+    import pandas as _pd
+
+    from tokenzip.training import _freq_hist_group
+
+    g = _pd.DataFrame(
+        {
+            "token": list(range(6)),
+            "cnt": [1, 9, 10, 99, 100, 1000],
+            "bkt": [0] * 6,
+        }
+    )
+    out = _freq_hist_group(g)
+    assert out.values.tolist() == [
+        [1, 2, 10],
+        [2, 2, 109],
+        [3, 1, 100],
+        [4, 1, 1000],
+    ]

@@ -824,6 +824,75 @@ GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT {k}
 """
 
 
+_DIGIT_BOUNDS = np.array([10**d for d in range(1, 19)], dtype=np.int64)
+
+
+def _freq_hist_group(g: pd.DataFrame) -> pd.DataFrame:
+    """groupby(bkt): exact per-token totals inside the bucket, folded into
+    decimal-digit frequency classes (integer comparisons only — never a
+    float log on either engine)."""
+    if not len(g):
+        return pd.DataFrame(
+            {
+                "n_digits": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "n_occurrences": pd.Series([], dtype="int64"),
+            }
+        )
+    agg = g.groupby("token", as_index=False)["cnt"].sum()
+    cnt = agg["cnt"].to_numpy(np.int64)
+    digits = np.searchsorted(_DIGIT_BOUNDS, cnt, side="right") + 1
+    ud, dinv = np.unique(digits, return_inverse=True)
+    return pd.DataFrame(
+        {
+            "n_digits": ud.astype("int64"),
+            "n_tokens": np.bincount(dinv).astype("int64"),
+            "n_occurrences": np.bincount(dinv, weights=cnt).astype("int64"),
+        }
+    )
+
+
+def q_token_freq_histogram(sf_dir: str) -> pd.DataFrame:
+    """Frequency-of-frequencies: how many distinct tokens occur with a
+    1-digit / 2-digit / ... total count (the Zipf-shape audit behind vocab
+    sizing and rank-codec dictionary budgets). Vocabulary-sized partials,
+    one bounded bucket shuffle, then an ~18-row groupby."""
+    paths = _token_paths(sf_dir)
+    out = (
+        ray.data.read_parquet(paths, columns=["tokens"])
+        .map_batches(
+            _VocabPartialStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bkt")
+        .map_groups(_freq_hist_group, batch_format="pandas")
+        .groupby("n_digits")
+        .sum(["n_tokens", "n_occurrences"])
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "n_digits": out["n_digits"].astype("int64"),
+            "n_tokens": out["sum(n_tokens)"].astype("int64"),
+            "n_occurrences": out["sum(n_occurrences)"].astype("int64"),
+        }
+    )
+    return out.sort_values("n_digits").reset_index(drop=True)
+
+
+def token_freq_histogram_sql(glob: str) -> str:
+    return f"""
+WITH c AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(tokens) AS t FROM read_parquet('{glob}'))
+  GROUP BY t
+)
+SELECT CAST(length(CAST(cnt AS VARCHAR)) AS BIGINT) AS n_digits,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 class _SourceTokenPartialStage:
     """Per-batch (bkt, source, token, cnt) partials — one composite
     np.unique over (source index × token), output bounded by the batch's
