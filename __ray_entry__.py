@@ -104,7 +104,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": _revenue_rollup,
         "top_token_by_source": _top_token_by_source,
         "token_freq_histogram": _token_freq_histogram,
+        "csv_ingest_stats": _csv_ingest,
     }
+
+
+def _csv_ingest(sf_dir: str):
+    from tokenzip.sources import q_csv_ingest_stats
+
+    return q_csv_ingest_stats(sf_dir)
 
 
 def _token_freq_histogram(sf_dir: str):
@@ -334,6 +341,13 @@ def _jsonl_sql() -> str:
     from tokenzip.sources import ensure_jsonl_corpus, jsonl_ingest_sql
 
     return jsonl_ingest_sql(ensure_jsonl_corpus(_ORACLE_SF))
+
+
+def _csv_sql() -> str:
+    # builds (idempotently) the same deterministic CSV the query reads
+    from tokenzip.sources import csv_ingest_sql, ensure_csv_corpus
+
+    return csv_ingest_sql(ensure_csv_corpus(_ORACLE_SF))
 
 
 def _pricing_sql() -> str:
@@ -661,6 +675,7 @@ FROM documents GROUP BY source ORDER BY source
         "revenue_rollup": _rollup_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
+        "csv_ingest_stats": _csv_sql(),
         # recall-pinned oracle: the IVF result is deterministic (fixed
         # corpus + seeded k-means on a bounded sample + float64 matmul), so
         # the sf0.01 recall is a constant the engine must reproduce exactly

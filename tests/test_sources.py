@@ -56,3 +56,47 @@ def test_jsonl_int32_overflow_refused(ray_session, tmp_path):
     )
     with pytest.raises(Exception, match="int32"):
         read_tokens_jsonl(str(p)).materialize()
+
+
+def test_csv_ingest_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from tokenzip.sources import csv_ingest_sql, ensure_csv_corpus, q_csv_ingest_stats
+
+    p = ensure_csv_corpus("sf0.001")
+    got = q_csv_ingest_stats("sf0.001").reset_index(drop=True)
+    exp = duckdb.sql(csv_ingest_sql(p)).df()
+    assert int(got["n_docs"].sum()) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_csv_empty_tokens_and_negatives(ray_session, tmp_path):
+    """'' must parse to an EMPTY token list (not ['']), negatives survive,
+    and the canonical schema comes out."""
+    from tokenzip.sources import read_tokens_csv
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        "doc_id,tokens,n_tok,source\n"
+        "a,1 -2 3,3,web\n"
+        "b,,0,web\n"
+        "c,-2147483648 2147483647,2,wiki\n"
+    )
+    ds = read_tokens_csv(str(p))
+    got = {r["doc_id"]: r["tokens"] for r in ds.take_all()}
+    assert list(got["a"]) == [1, -2, 3]
+    assert list(got["b"]) == []
+    assert list(got["c"]) == [-(2**31), 2**31 - 1]
+    sch = ds.schema()
+    assert sch.base_schema.field("tokens").type == pa.list_(pa.int32())
+    assert sch.base_schema.field("n_tok").type == pa.int32()
+
+
+def test_csv_non_numeric_token_refused(ray_session, tmp_path):
+    from tokenzip.sources import read_tokens_csv
+
+    p = tmp_path / "bad.csv"
+    p.write_text("doc_id,tokens,n_tok,source\nx,1 oops 3,3,web\n")
+    with pytest.raises(Exception):
+        read_tokens_csv(str(p)).materialize()

@@ -68,9 +68,11 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     ing = sub.add_parser(
-        "ingest", help="JSONL documents -> canonical token-schema parquet shards"
+        "ingest",
+        help="JSONL or CSV documents -> canonical token-schema parquet "
+             "shards (CSV carries tokens space-joined in one column)",
     )
-    ing.add_argument("input", help="JSONL file, directory, or glob")
+    ing.add_argument("input", help="JSONL/CSV file, directory, or glob")
     ing.add_argument("dst_dir")
 
     cp = sub.add_parser(
@@ -170,13 +172,13 @@ def main(argv: list[str] | None = None) -> int:
             ds.write_parquet(args.restored_dir)
             print(json.dumps({"rows": "written", "dir": args.restored_dir}))
         elif args.cmd == "ingest":
-            from tokenzip.sources import read_tokens_jsonl
+            from tokenzip.sources import read_tokens_csv, read_tokens_jsonl
 
             if os.path.isdir(args.input):
                 paths = sorted(
                     os.path.join(args.input, f)
                     for f in os.listdir(args.input)
-                    if f.endswith((".jsonl", ".json"))
+                    if f.endswith((".jsonl", ".json", ".csv"))
                 )
             elif "*" in args.input:
                 paths = sorted(globmod.glob(args.input))
@@ -184,9 +186,13 @@ def main(argv: list[str] | None = None) -> int:
                 paths = [args.input]
             if not paths:
                 raise SystemExit(
-                    f"tokenzip: no jsonl files found at {args.input!r}"
+                    f"tokenzip: no jsonl/csv files found at {args.input!r}"
                 )
-            read_tokens_jsonl(paths).write_parquet(args.dst_dir)
+            csvs = [p for p in paths if p.endswith(".csv")]
+            if csvs and len(csvs) != len(paths):
+                raise SystemExit("tokenzip: mixed csv and jsonl inputs")
+            reader = read_tokens_csv if csvs else read_tokens_jsonl
+            reader(paths).write_parquet(args.dst_dir)
             print(json.dumps({"rows": "written", "dir": args.dst_dir}))
         elif args.cmd == "compact":
             from tokenzip.pipeline import compact

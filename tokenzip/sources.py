@@ -90,44 +90,41 @@ def ensure_jsonl_corpus(sf_dir: str) -> str:
     return dst
 
 
-def q_jsonl_ingest_stats(sf_dir: str):
-    """Ingest the JSONL rendering of shard 0 and aggregate per source:
-    (n_docs, sum_tokens, sum_zigzag) — value-level proof that the JSONL
-    path yields the same data the parquet path carries."""
+def _ingest_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch per-source (n_docs, sum_tokens, sum_zigzag) partials —
+    the shared value-level proof that an ingestion path carries the same
+    data the parquet path does."""
+    from tokenzip.chunk import _tokens_parts
+    from tokenzip.codecs.varint import zigzag_encode
+
+    lengths, values = _tokens_parts(batch["tokens"])
+    src = np.asarray(batch["source"].to_pylist(), dtype=object)
+    uniq, inv = np.unique(src, return_inverse=True)
+    k = len(uniq)
+    tok_src = np.repeat(inv, lengths)
+    zz = zigzag_encode(values.astype(np.int32), 32).astype(np.uint64)
+    sum_zz = np.zeros(k, np.uint64)
+    np.add.at(sum_zz, tok_src, zz)
+    ntok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "source": pa.array([str(s) for s in uniq], pa.string()),
+            "n_docs": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+            "sum_tokens": pa.array(
+                np.bincount(inv, weights=ntok.astype(np.float64), minlength=k)
+                .astype(np.int64)
+            ),
+            "sum_zigzag": pa.array(sum_zz.astype(np.int64)),
+        }
+    )
+
+
+def _ingest_stats(ds: "ray.data.Dataset"):
     import pandas as pd
     from ray.data.aggregate import Sum
 
-    from tokenzip.codecs.varint import zigzag_encode
-
-    path = ensure_jsonl_corpus(sf_dir)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        from tokenzip.chunk import _tokens_parts
-
-        lengths, values = _tokens_parts(batch["tokens"])
-        src = np.asarray(batch["source"].to_pylist(), dtype=object)
-        uniq, inv = np.unique(src, return_inverse=True)
-        k = len(uniq)
-        tok_src = np.repeat(inv, lengths)
-        zz = zigzag_encode(values.astype(np.int32), 32).astype(np.uint64)
-        sum_zz = np.zeros(k, np.uint64)
-        np.add.at(sum_zz, tok_src, zz)
-        ntok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "source": pa.array([str(s) for s in uniq], pa.string()),
-                "n_docs": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
-                "sum_tokens": pa.array(
-                    np.bincount(inv, weights=ntok.astype(np.float64), minlength=k)
-                    .astype(np.int64)
-                ),
-                "sum_zigzag": pa.array(sum_zz.astype(np.int64)),
-            }
-        )
-
     agg = (
-        read_tokens_jsonl(path)
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(_ingest_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("source")
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),
@@ -142,6 +139,13 @@ def q_jsonl_ingest_stats(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_jsonl_ingest_stats(sf_dir: str):
+    """Ingest the JSONL rendering of shard 0 and aggregate per source:
+    (n_docs, sum_tokens, sum_zigzag) — value-level proof that the JSONL
+    path yields the same data the parquet path carries."""
+    return _ingest_stats(read_tokens_jsonl(ensure_jsonl_corpus(sf_dir)))
+
+
 def jsonl_ingest_sql(jsonl_path: str) -> str:
     zz = "CASE WHEN t >= 0 THEN 2*CAST(t AS BIGINT) ELSE -2*CAST(t AS BIGINT)-1 END"
     return f"""
@@ -151,6 +155,104 @@ z AS (SELECT source, {zz} AS zt
 SELECT d.source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_tokens,
+       (SELECT CAST(SUM(zt) AS BIGINT) FROM z WHERE z.source = d.source)
+           AS sum_zigzag
+FROM d GROUP BY d.source ORDER BY d.source
+"""
+
+def _parse_csv_tokens(batch: pa.Table) -> pa.Table:
+    """CSV-carried columns -> the canonical token schema: the space-joined
+    token string splits with one Arrow kernel and casts list<string> ->
+    list<int32> (Arrow applies the child cast; a non-numeric or
+    out-of-range value raises instead of truncating). Format contract:
+    a zero-token document renders as the EMPTY string, so '' parses to an
+    empty list (split alone would yield ['']) — the oracle SQL applies the
+    identical CASE."""
+    import pyarrow.compute as pc
+
+    s = batch["tokens"].combine_chunks().cast(pa.string())
+    arr = pc.split_pattern(s, pattern=" ")
+    is_empty = pc.equal(s, "").to_numpy(zero_copy_only=False)
+    if is_empty.any():
+        offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lengths = np.diff(offsets)
+        keep = np.repeat(~is_empty, lengths)
+        flat = arr.flatten().filter(pa.array(keep))
+        new_off = np.concatenate(
+            [[0], np.cumsum(np.where(is_empty, 0, lengths))]
+        ).astype(np.int32)
+        arr = pa.ListArray.from_arrays(pa.array(new_off, pa.int32()), flat)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.string()),
+            "tokens": arr.cast(pa.list_(pa.int32())),
+            "n_tok": batch["n_tok"].cast(pa.int32()),
+            "source": batch["source"].cast(pa.string()),
+        }
+    )
+
+
+def read_tokens_csv(paths: list[str] | str) -> "ray.data.Dataset":
+    """CSV documents (tokens space-joined in one column) -> canonical
+    token-schema Dataset; one read task per file, vectorized parse."""
+    return ray.data.read_csv(paths).map_batches(
+        _parse_csv_tokens, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def ensure_csv_corpus(sf_dir: str) -> str:
+    """Deterministic CSV rendering of the synthetic corpus's FIRST shard
+    (tokens space-joined; same derivation for Ray and the SQL oracle).
+    Idempotent per scale under /tmp/tokenzip_corpus."""
+    import csv
+
+    from tokenzip.corpus import corpus_paths
+
+    shard = sorted(corpus_paths(sf_dir))[0]
+    dst = os.path.join(os.path.dirname(shard), os.path.basename(shard) + ".csv")
+    if os.path.exists(dst):
+        return dst
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(shard)
+    tmp = dst + f".tmp.{os.getpid()}"
+    with open(tmp, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["doc_id", "tokens", "n_tok", "source"])
+        for d, tk, n, s in zip(
+            t["doc_id"].to_pylist(),
+            t["tokens"].to_pylist(),
+            t["n_tok"].to_pylist(),
+            t["source"].to_pylist(),
+        ):
+            w.writerow([d, " ".join(str(v) for v in tk), int(n), s])
+    os.replace(tmp, dst)
+    return dst
+
+
+def q_csv_ingest_stats(sf_dir: str):
+    """Ingest the CSV rendering of shard 0 — same per-source value-level
+    stats as the JSONL path, proving parse equivalence."""
+    return _ingest_stats(read_tokens_csv(ensure_csv_corpus(sf_dir)))
+
+
+def csv_ingest_sql(csv_path: str) -> str:
+    zz = "CASE WHEN t >= 0 THEN 2*CAST(t AS BIGINT) ELSE -2*CAST(t AS BIGINT)-1 END"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN tokens = '' THEN [] ELSE string_split(tokens, ' ') END
+             AS toklist,
+         CAST(n_tok AS BIGINT) AS n_tok, source
+  FROM read_csv('{csv_path}', header=true,
+                columns={{'doc_id':'VARCHAR','tokens':'VARCHAR',
+                          'n_tok':'BIGINT','source':'VARCHAR'}})
+),
+z AS (SELECT source, {zz} AS zt
+      FROM (SELECT source, CAST(unnest(toklist) AS BIGINT) AS t FROM d))
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
        (SELECT CAST(SUM(zt) AS BIGINT) FROM z WHERE z.source = d.source)
            AS sum_zigzag
 FROM d GROUP BY d.source ORDER BY d.source
