@@ -105,7 +105,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_token_by_source": _top_token_by_source,
         "token_freq_histogram": _token_freq_histogram,
         "csv_ingest_stats": _csv_ingest,
+        "sink_stats_pushdown": _sink_stats,
     }
+
+
+def _sink_stats(sf_dir: str):
+    from tokenzip.queries import q_sink_stats_pushdown
+
+    return q_sink_stats_pushdown(sf_dir)
 
 
 def _csv_ingest(sf_dir: str):
@@ -348,6 +355,12 @@ def _csv_sql() -> str:
     from tokenzip.sources import csv_ingest_sql, ensure_csv_corpus
 
     return csv_ingest_sql(ensure_csv_corpus(_ORACLE_SF))
+
+
+def _sink_stats_sql(glob: str) -> str:
+    from tokenzip.queries import sink_stats_pushdown_sql
+
+    return sink_stats_pushdown_sql(glob)
 
 
 def _pricing_sql() -> str:
@@ -676,6 +689,8 @@ FROM documents GROUP BY source ORDER BY source
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),
+        # metadata-only sink aggregate: pure chunks never decode
+        "sink_stats_pushdown": _sink_stats_sql(glob),
         # recall-pinned oracle: the IVF result is deterministic (fixed
         # corpus + seeded k-means on a bounded sample + float64 matmul), so
         # the sf0.01 recall is a constant the engine must reproduce exactly

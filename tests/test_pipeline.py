@@ -543,3 +543,33 @@ def test_decompress_doc_id_pushdown(ray_session, paths, tmp_path):
     json.dump(man, open(man_path, "w"))
     with _pytest.raises(ChunkFormatError, match="chunk format"):
         decompress(out, doc_id_range=(lo, hi)).to_pandas()
+
+
+def test_sink_stats_pushdown_pure_and_mixed(ray_session, paths, tmp_path):
+    """Per-source stats from chunk METADATA must equal the decoded truth;
+    and after forcing one chunk's source_top to '' (the mixed marker), the
+    decode fallback must still produce identical stats — '' means 'must
+    read', so blanking a pure chunk is always sound."""
+    import glob as g
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from tokenzip.queries import sink_stats_pushdown, _source_rollup
+
+    out = str(tmp_path / "out")
+    compress(paths[:4], out, concurrency=2)
+    truth = _source_rollup(decompress(out, concurrency=2))
+    got = sink_stats_pushdown(out)
+    pd.testing.assert_frame_equal(got, truth)
+
+    # blank source_top in one chunk file -> those rows take the decode path
+    f = sorted(g.glob(os.path.join(out, "chunks", "**", "*.parquet"), recursive=True))[0]
+    t = pq.read_table(f)
+    n = t.num_rows
+    idx = t.schema.get_field_index("source_top")
+    assert any(v != "" for v in t["source_top"].to_pylist())
+    t = t.set_column(idx, "source_top", pa.array([""] * n, pa.string()))
+    pq.write_table(t, f)
+    got2 = sink_stats_pushdown(out)
+    pd.testing.assert_frame_equal(got2, truth)

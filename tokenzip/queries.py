@@ -136,6 +136,16 @@ def _source_rollup(ds) -> "pd.DataFrame":
         )
         .to_pandas()
     )
+    if out.empty:
+        # a fully-pruned read yields a zero-block dataset whose groupby
+        # carries no columns at all — normalize to the rollup schema
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=str),
+                "n_docs": pd.Series([], dtype="int64"),
+                "sum_tokens": pd.Series([], dtype="int64"),
+            }
+        )
     out = out[["source", "n_docs", "sum_tokens"]].astype(
         {"n_docs": "int64", "sum_tokens": "int64"}
     )
@@ -281,6 +291,92 @@ def q_compacted_roundtrip(sf_dir: str):
 
 
 def compacted_roundtrip_sql(glob: str) -> str:
+    return f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_tokens
+FROM read_parquet('{glob}')
+GROUP BY source ORDER BY source
+"""
+
+
+def sink_stats_pushdown(out_dir: str):
+    """Metadata-only sink aggregate: per-source (n_docs, sum_tokens) over
+    the compressed sink where single-source chunks are answered from their
+    METADATA row alone (n_rows/n_tokens — the encoded payload never leaves
+    storage) and only mixed chunks (source_top='') pay a decode. At 100 TB
+    this answers "how big is each source in the sink" reading megabytes of
+    metadata instead of re-decoding the corpus. The decoded remainder
+    reuses the exact decompress read shape (payload-column-pruned where
+    the format allows)."""
+    import os
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from tokenzip.manifest import Manifest
+    from tokenzip.pipeline import _decode_fn
+    from tokenzip import uio
+
+    chunks_dir = os.path.join(out_dir, "chunks")
+
+    # pure chunks: 3 scalar columns, zero payload bytes
+    meta = (
+        ray.data.read_parquet(
+            chunks_dir,
+            columns=["source_top", "n_rows", "n_tokens"],
+            filter=pc.field("source_top") != "",
+        )
+        .groupby("source_top")
+        .aggregate(
+            Sum("n_rows", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="sum_tokens"),
+        )
+        .to_pandas()
+        .rename(columns={"source_top": "source"})
+    )
+    if meta.empty:  # all-mixed sink: zero-block aggregate has no columns
+        meta = pd.DataFrame(columns=["source", "n_docs", "sum_tokens"])
+
+    # mixed chunks: decode only these
+    read_kwargs = {"filter": pc.field("source_top") == ""}
+    if int(Manifest(out_dir).data.get("chunk_format", 1)) >= 3:
+        from tokenzip.chunk import CHUNK_SCHEMA
+
+        read_kwargs["columns"] = [
+            f.name for f in CHUNK_SCHEMA if f.name != "did_bloom"
+        ]
+    sidecar = uio.join(out_dir, "symbols.json")
+    mixed_rows = ray.data.read_parquet(chunks_dir, **read_kwargs).map_batches(
+        _decode_fn,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={
+            "sidecar": sidecar if uio.exists(sidecar) else None,
+            "sources": None,
+            "doc_id_range": None,
+            "doc_ids": None,
+        },
+    )
+    mixed = _source_rollup(mixed_rows)
+
+    out = (
+        pd.concat([meta, mixed], ignore_index=True)
+        .groupby("source", as_index=False)[["n_docs", "sum_tokens"]]
+        .sum()
+    )
+    out = out[["source", "n_docs", "sum_tokens"]].astype(
+        {"n_docs": "int64", "sum_tokens": "int64"}
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_sink_stats_pushdown(sf_dir: str):
+    """Driver-contract wrapper: build (resume) the shared corpus sink,
+    then answer the per-source stats from its metadata + mixed remainder."""
+    return sink_stats_pushdown(_v2_sink(sf_dir))
+
+
+def sink_stats_pushdown_sql(glob: str) -> str:
     return f"""
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_tokens
