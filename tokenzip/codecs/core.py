@@ -526,6 +526,42 @@ def _enc_delta(values, width):
     return [encode_leb128(zigzag_encode(seq, 64).astype(np.uint64))], {"w": width}
 
 
+def _enc_dod(values, width):
+    """Delta-of-delta + ZigZag + LEB128: value0, first delta, then
+    SECOND-order differences (the Gorilla timestamp trick — Pelkonen et
+    al., "Gorilla: A Fast, Scalable, In-Memory Time Series Database",
+    VLDB 2015 §4.1 — re-expressed byte-aligned). Near-arithmetic streams
+    (regular-cadence timestamps, auto-increment ids) collapse to
+    ~1 B/value even when the first-order delta itself is large. Same
+    mod-2^64 wraparound contract as `delta`: the decoder's double
+    cumulative sum wraps identically, so the roundtrip is exact on the
+    full int64 domain."""
+    n = len(values)
+    if n == 0:
+        return [b""], {"w": width}
+    seq = np.empty(n, dtype=np.int64)
+    seq[0] = values[0]
+    if n > 1:
+        with np.errstate(over="ignore"):
+            d = np.diff(values)
+            seq[1] = d[0]
+            seq[2:] = np.diff(d)
+    return [encode_leb128(zigzag_encode(seq, 64).astype(np.uint64))], {"w": width}
+
+
+def _dec_dod(streams, meta, n):
+    narrow = meta["w"] <= 32
+    if n == 0:
+        return np.empty(0, dtype=np.int32 if narrow else np.int64)
+    seq = zigzag_decode(decode_leb128(streams[0], n, width=64), 64).astype(np.int64)
+    with np.errstate(over="ignore"):
+        deltas = np.cumsum(seq[1:])  # first-order deltas d_1..d_{n-1}
+        out = np.empty(n, dtype=np.int64)
+        out[0] = seq[0]
+        out[1:] = seq[0] + np.cumsum(deltas)
+    return out.astype(np.int32, copy=False) if narrow else out
+
+
 def _dec_delta(streams, meta, n):
     narrow = meta["w"] <= 32
     if n == 0:
@@ -811,6 +847,7 @@ INT_CODECS: dict[str, tuple] = {
     "dict": (_enc_dict, _dec_dict),
     "rankdict": (_enc_rankdict, _dec_rankdict),
     "delta": (_enc_delta, _dec_delta),
+    "dod": (_enc_dod, _dec_dod),
 }
 
 

@@ -31,7 +31,9 @@ from tokenzip.codecs.varint import leb128_size, zigzag_encode
 DEFAULT_SAMPLE = 65_536
 
 # Candidate order is the tie-break preference (decode speed at equal size).
-INT_CANDIDATES = ("rle", "dict", "for", "bitpack", "svb", "delta", "rankdict", "leb128")
+INT_CANDIDATES = (
+    "rle", "dict", "for", "bitpack", "svb", "delta", "dod", "rankdict", "leb128"
+)
 
 
 def estimate_int_sizes(
@@ -154,6 +156,17 @@ def estimate_int_sizes(
             with np.errstate(over="ignore"):
                 d[1:] = np.diff(s)
             sizes[c] = float(leb128_size(zigzag_encode(d, 64).astype(np.uint64)).sum()) * scale
+        elif c == "dod":
+            dd = np.empty(m, dtype=np.int64)
+            dd[0] = s[0]
+            if m > 1:
+                with np.errstate(over="ignore"):
+                    d1 = np.diff(s)
+                    dd[1] = d1[0]
+                    dd[2:] = np.diff(d1)
+            sizes[c] = float(
+                leb128_size(zigzag_encode(dd, 64).astype(np.uint64)).sum()
+            ) * scale
     return sizes
 
 
