@@ -106,7 +106,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq_histogram": _token_freq_histogram,
         "csv_ingest_stats": _csv_ingest,
         "sink_stats_pushdown": _sink_stats,
+        "order_price_deciles": _price_deciles,
     }
+
+
+def _price_deciles(sf_dir: str):
+    from tokenzip.relational import q_order_price_deciles
+
+    return q_order_price_deciles(sf_dir)
 
 
 def _sink_stats(sf_dir: str):
@@ -361,6 +368,12 @@ def _sink_stats_sql(glob: str) -> str:
     from tokenzip.queries import sink_stats_pushdown_sql
 
     return sink_stats_pushdown_sql(glob)
+
+
+def _deciles_sql() -> str:
+    from tokenzip.relational import order_price_deciles_sql
+
+    return order_price_deciles_sql()
 
 
 def _pricing_sql() -> str:
@@ -686,6 +699,8 @@ FROM documents GROUP BY source ORDER BY source
         "cross_source_dups": _cross_dups_sql(),
         # GROUP BY ROLLUP from one scan: coarser levels fold from finest
         "revenue_rollup": _rollup_sql(),
+        # exact NTILE deciles from a sparse histogram — no global sort
+        "order_price_deciles": _deciles_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

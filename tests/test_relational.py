@@ -585,3 +585,49 @@ def test_revenue_rollup_matches_oracle_on_testdata(ray_session):
     total = got[(got["n_name"] == "ALL")]
     assert int(total["n_orders"].iloc[0]) == int(fine["n_orders"].sum())
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_order_price_deciles_matches_ntile_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import order_price_deciles_sql, q_order_price_deciles
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')")
+    got = q_order_price_deciles(SF).reset_index(drop=True)
+    exp = con.sql(order_price_deciles_sql()).df()
+    assert len(got) == 10
+    # NTILE size law: first (n % 10) deciles hold one extra row
+    n = int(got["n_orders"].sum())
+    assert sorted(got["n_orders"], reverse=True) == sorted(
+        [n // 10 + (1 if d <= n % 10 else 0) for d in range(1, 11)], reverse=True
+    )
+    assert got["min_cents"].is_monotonic_increasing
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_order_price_deciles_tie_heavy(ray_session, tmp_path):
+    """All-equal prices: every decile sees the same value; counts follow the
+    NTILE size law exactly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokenzip.relational import order_price_deciles_sql, q_order_price_deciles
+
+    n = 23
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_totalprice": pa.array([7.77] * n, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    got = q_order_price_deciles(str(tmp_path)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet')"
+    )
+    exp = con.sql(order_price_deciles_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert set(got["min_cents"]) == {777} and set(got["max_cents"]) == {777}

@@ -595,6 +595,83 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["n_name", "o_orderpriority"]).reset_index(drop=True)
 
 
+def q_order_price_deciles(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Exact NTILE(k) decile stats over order prices WITHOUT a global sort:
+    per-batch sparse (cents, n) histogram partials, one value-domain-bounded
+    groupby, then closed-form decile slicing on the cumulative histogram
+    driver-side. NTILE row identity is irrelevant to the aggregates — tied
+    rows carry the same value, so each decile's (count, sum, min, max) is
+    determined by the histogram alone and matches any tie ordering the
+    oracle picks. Histogram size is bounded by the price DOMAIN, not the
+    row count — corpus-size-independent shuffle, like the seq-len
+    quantiles."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b["o_totalprice"])
+        uniq, cnt = np.unique(cents, return_counts=True)
+        return pa.table(
+            {
+                "cents": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cents")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("cents")
+        .reset_index(drop=True)
+    )
+    vals = hist["cents"].to_numpy(np.int64)
+    cnts = hist["n"].to_numpy(np.int64)
+    n = int(cnts.sum())
+    ends = np.cumsum(cnts)  # rank of each value's LAST row (1-based)
+    starts = ends - cnts
+    base, extra = divmod(n, k)
+    bounds = np.array(
+        [d * base + min(d, extra) for d in range(k + 1)], dtype=np.int64
+    )
+    rows = []
+    for d in range(1, k + 1):
+        lo, hi = bounds[d - 1], bounds[d]
+        if hi == lo:
+            continue
+        ov = np.minimum(ends, hi) - np.maximum(starts, lo)
+        m = ov > 0
+        rows.append(
+            {
+                "decile": d,
+                "n_orders": int(hi - lo),
+                "sum_cents": int((ov[m] * vals[m]).sum()),
+                "min_cents": int(vals[m].min()),
+                "max_cents": int(vals[m].max()),
+            }
+        )
+    return pd.DataFrame(
+        rows, columns=["decile", "n_orders", "sum_cents", "min_cents", "max_cents"]
+    ).astype("int64")
+
+
+def order_price_deciles_sql(k: int = 10) -> str:
+    return f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+),
+t AS (SELECT cents, NTILE({k}) OVER (ORDER BY cents) AS decile FROM c)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM t GROUP BY decile ORDER BY decile
+"""
+
+
 def revenue_rollup_sql() -> str:
     return """
 SELECT COALESCE(n_name, 'ALL') AS n_name,
