@@ -107,7 +107,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_ingest_stats": _csv_ingest,
         "sink_stats_pushdown": _sink_stats,
         "order_price_deciles": _price_deciles,
+        "user_gap_stats": _user_gaps,
     }
+
+
+def _user_gaps(sf_dir: str):
+    from tokenzip.relational import q_user_gap_stats
+
+    return q_user_gap_stats(sf_dir)
 
 
 def _price_deciles(sf_dir: str):
@@ -374,6 +381,12 @@ def _deciles_sql() -> str:
     from tokenzip.relational import order_price_deciles_sql
 
     return order_price_deciles_sql()
+
+
+def _user_gaps_sql() -> str:
+    from tokenzip.relational import user_gap_stats_sql
+
+    return user_gap_stats_sql()
 
 
 def _pricing_sql() -> str:
@@ -701,6 +714,8 @@ FROM documents GROUP BY source ORDER BY source
         "revenue_rollup": _rollup_sql(),
         # exact NTILE deciles from a sparse histogram — no global sort
         "order_price_deciles": _deciles_sql(),
+        # LAG window: per-user inter-arrival gaps, deterministic tie-break
+        "user_gap_stats": _user_gaps_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

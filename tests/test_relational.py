@@ -631,3 +631,47 @@ def test_order_price_deciles_tie_heavy(ray_session, tmp_path):
     exp = con.sql(order_price_deciles_sql()).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert set(got["min_cents"]) == {777} and set(got["max_cents"]) == {777}
+
+
+def test_user_gap_stats_matches_lag_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import q_user_gap_stats, user_gap_stats_sql
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    got = q_user_gap_stats(SF).reset_index(drop=True)
+    exp = con.sql(user_gap_stats_sql()).df()
+    assert int(got["n_gaps"].sum()) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_user_gap_stats_tie_attribution(ray_session, tmp_path):
+    """Two same-user events at the SAME timestamp: the event_id tie-break
+    decides which type the zero gap attributes to — must match LAG."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokenzip.relational import q_user_gap_stats, user_gap_stats_sql
+
+    ts = pa.array([1000, 1000, 5000, 9000], pa.timestamp("ms"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([2, 1, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+            "event_type": pa.array(["b", "a", "c", "d"]),
+            "ts": ts,
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = q_user_gap_stats(str(tmp_path)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    exp = con.sql(user_gap_stats_sql()).df()
+    # gap 0 goes to 'b' (eid 2 follows eid 1 at equal ts), 4000 to 'c';
+    # user 8 has no predecessor
+    assert got.values.tolist() == [["b", 1, 0, 0], ["c", 1, 4000, 4000]]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -595,6 +595,116 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["n_name", "o_orderpriority"]).reset_index(drop=True)
 
 
+def _gap_group(g: pd.DataFrame) -> pd.DataFrame:
+    """groupby(bucket): lexsort by (uid, tms, event_id), per-user LAG gaps
+    attributed to the LATER event's type, pre-aggregated per event_type —
+    vectorized, zero per-row Python."""
+    if not len(g):
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=object),
+                "n_gaps": pd.Series([], dtype="int64"),
+                "sum_gap_ms": pd.Series([], dtype="int64"),
+                "max_gap_ms": pd.Series([], dtype="int64"),
+            }
+        )
+    uid = g["uid"].to_numpy(np.int64)
+    tms = g["tms"].to_numpy(np.int64)
+    eid = g["eid"].to_numpy(np.int64)
+    et = g["event_type"].to_numpy()
+    order = np.lexsort((eid, tms, uid))
+    uid, tms, et = uid[order], tms[order], et[order]
+    same = uid[1:] == uid[:-1]
+    gaps = (tms[1:] - tms[:-1])[same]
+    types = et[1:][same]
+    if not len(gaps):
+        return _gap_group(pd.DataFrame())
+    ut, inv = np.unique(types, return_inverse=True)
+    counts = np.bincount(inv)
+    by_type = np.argsort(inv, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return pd.DataFrame(
+        {
+            "event_type": [str(s) for s in ut],
+            "n_gaps": counts.astype("int64"),
+            "sum_gap_ms": np.bincount(inv, weights=gaps).astype("int64"),
+            "max_gap_ms": np.maximum.reduceat(gaps[by_type], starts).astype(
+                "int64"
+            ),
+        }
+    )
+
+
+def q_user_gap_stats(sf_dir: str) -> pd.DataFrame:
+    """Explicit LAG window operator: per-user inter-arrival gaps (ordered
+    by ts with event_id tie-break, so attribution is deterministic on both
+    engines), attributed to the later event's type and rolled up per
+    event_type. Same co-partitioned single-shuffle plan as sessionization:
+    hash-bucket user_id, vectorized within-bucket lexsort + LAG, tiny
+    final groupby over the event-type domain."""
+    path = os.path.join(sf_dir, "events.parquet")
+    nb = _lsh_n_buckets(_row_count(path))
+
+    def rows(b: pa.Table) -> pa.Table:
+        uid = (
+            b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(uid, nb)),
+                "uid": pa.array(uid),
+                "tms": pa.array(_ts_ms(b["ts"])),
+                "eid": pa.array(
+                    b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                "event_type": b["event_type"].combine_chunks(),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            path, columns=["user_id", "ts", "event_id", "event_type"]
+        )
+        .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(_gap_group, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_gaps", alias_name="n_gaps"),
+            Sum("sum_gap_ms", alias_name="sum_gap_ms"),
+            Max("max_gap_ms", alias_name="max_gap_ms"),
+        )
+        .to_pandas()
+    )
+    out = agg[["event_type", "n_gaps", "sum_gap_ms", "max_gap_ms"]].astype(
+        {"n_gaps": "int64", "sum_gap_ms": "int64", "max_gap_ms": "int64"}
+    )
+    out["event_type"] = out["event_type"].astype(str)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def user_gap_stats_sql() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) // 1000 AS tms FROM events
+),
+d AS (
+  SELECT event_type,
+         tms - LAG(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id)
+             AS gap
+  FROM e
+)
+SELECT event_type,
+       CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_ms,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_ms
+FROM d WHERE gap IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_order_price_deciles(sf_dir: str, k: int = 10) -> pd.DataFrame:
     """Exact NTILE(k) decile stats over order prices WITHOUT a global sort:
     per-batch sparse (cents, n) histogram partials, one value-domain-bounded
