@@ -108,7 +108,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_stats_pushdown": _sink_stats,
         "order_price_deciles": _price_deciles,
         "user_gap_stats": _user_gaps,
+        "top_customer_by_nation": _top_customer,
     }
+
+
+def _top_customer(sf_dir: str):
+    from tokenzip.relational import q_top_customer_by_nation
+
+    return q_top_customer_by_nation(sf_dir)
 
 
 def _user_gaps(sf_dir: str):
@@ -387,6 +394,12 @@ def _user_gaps_sql() -> str:
     from tokenzip.relational import user_gap_stats_sql
 
     return user_gap_stats_sql()
+
+
+def _top_customer_sql() -> str:
+    from tokenzip.relational import top_customer_by_nation_sql
+
+    return top_customer_by_nation_sql()
 
 
 def _pricing_sql() -> str:
@@ -716,6 +729,8 @@ FROM documents GROUP BY source ORDER BY source
         "order_price_deciles": _deciles_sql(),
         # LAG window: per-user inter-arrival gaps, deterministic tie-break
         "user_gap_stats": _user_gaps_sql(),
+        # argmax over a computed aggregate: each nation's top customer
+        "top_customer_by_nation": _top_customer_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

@@ -675,3 +675,22 @@ def test_user_gap_stats_tie_attribution(ray_session, tmp_path):
     # user 8 has no predecessor
     assert got.values.tolist() == [["b", 1, 0, 0], ["c", 1, 4000, 4000]]
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_top_customer_by_nation_matches_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import (
+        q_top_customer_by_nation,
+        top_customer_by_nation_sql,
+    )
+
+    con = duckdb.connect()
+    for t in ["orders", "customer", "nation"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_top_customer_by_nation(SF).reset_index(drop=True)
+    exp = con.sql(top_customer_by_nation_sql()).df()
+    assert len(got) > 0
+    # one winner per nation, revenue positive
+    assert got["n_name"].is_unique and (got["revenue_cents"] > 0).all()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

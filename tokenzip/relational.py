@@ -595,6 +595,111 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["n_name", "o_orderpriority"]).reset_index(drop=True)
 
 
+def q_top_customer_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Argmax over a computed aggregate (the correlated-subquery shape):
+    each nation's highest-revenue customer. Plan: one orders scan ->
+    per-batch (custkey, revenue-cents) partials -> ONE customer-keyed
+    groupby (the only shuffle; domain = |customer|, ~rows/10 at TPC-H
+    shape) -> broadcast dim lookup custkey->nation INSIDE the fold batches
+    -> per-nation argmax over bounded partials driver-side. Ties break to
+    the smaller custkey on both engines."""
+    from tokenzip.stages import _bcast, _bget
+
+    dim_ref = _bcast(_dim_lookup(sf_dir))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(b["o_totalprice"])
+        uc, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "custkey": pa.array(uc, pa.int64()),
+                "rev": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    class _NationArgmax:
+        """Post-aggregate map: custkey -> nation via the broadcast dim,
+        then a per-batch per-nation argmax partial (ties to smaller
+        custkey) — output rows bounded by #nations per batch."""
+
+        def __init__(self, ref):
+            self.ckey, self.cnation, _ = _bget(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            rev = b["sum(rev)"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.ckey, ck)
+            if len(pos) and not np.array_equal(
+                self.ckey[np.clip(pos, 0, len(self.ckey) - 1)], ck
+            ):
+                raise ValueError("orders.o_custkey outside customer table")
+            names = self.cnation[pos]
+            # per-nation argmax: sort by (nation, -rev, custkey), keep firsts
+            order = np.lexsort((ck, -rev, names))
+            nn, ck, rev = names[order], ck[order], rev[order]
+            first = np.concatenate([[True], nn[1:] != nn[:-1]])
+            return pa.table(
+                {
+                    "n_name": pa.array([str(s) for s in nn[first]], pa.string()),
+                    "custkey": pa.array(ck[first], pa.int64()),
+                    "rev": pa.array(rev[first], pa.int64()),
+                }
+            )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("custkey")
+        .aggregate(Sum("rev"))
+        .map_batches(
+            _NationArgmax,
+            fn_constructor_args=(dim_ref,),
+            concurrency=(1, 4),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    parts = parts.sort_values(
+        ["n_name", "rev", "custkey"], ascending=[True, False, True], kind="stable"
+    )
+    win = parts.groupby("n_name", as_index=False).head(1)
+    out = pd.DataFrame(
+        {
+            "n_name": win["n_name"].astype(str),
+            "c_custkey": win["custkey"].astype("int64"),
+            "revenue_cents": win["rev"].astype("int64"),
+        }
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def top_customer_by_nation_sql() -> str:
+    return """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT n_name, c_custkey, revenue_cents,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY revenue_cents DESC, c_custkey ASC) AS rn
+  FROM rev JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, CAST(c_custkey AS BIGINT) AS c_custkey, revenue_cents
+FROM r WHERE rn = 1 ORDER BY n_name
+"""
+
+
 def _gap_group(g: pd.DataFrame) -> pd.DataFrame:
     """groupby(bucket): lexsort by (uid, tms, event_id), per-user LAG gaps
     attributed to the LATER event's type, pre-aggregated per event_type —
