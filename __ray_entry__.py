@@ -109,7 +109,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_deciles": _price_deciles,
         "user_gap_stats": _user_gaps,
         "top_customer_by_nation": _top_customer,
+        "events_hourly_pivot": _hourly_pivot,
+        "nation_revenue_share": _revenue_share,
     }
+
+
+def _hourly_pivot(sf_dir: str):
+    from tokenzip.relational import q_events_hourly_pivot
+
+    return q_events_hourly_pivot(sf_dir)
+
+
+def _revenue_share(sf_dir: str):
+    from tokenzip.relational import q_nation_revenue_share
+
+    return q_nation_revenue_share(sf_dir)
 
 
 def _top_customer(sf_dir: str):
@@ -400,6 +414,18 @@ def _top_customer_sql() -> str:
     from tokenzip.relational import top_customer_by_nation_sql
 
     return top_customer_by_nation_sql()
+
+
+def _hourly_pivot_sql() -> str:
+    from tokenzip.relational import events_hourly_pivot_sql
+
+    return events_hourly_pivot_sql()
+
+
+def _revenue_share_sql() -> str:
+    from tokenzip.relational import nation_revenue_share_sql
+
+    return nation_revenue_share_sql()
 
 
 def _pricing_sql() -> str:
@@ -731,6 +757,10 @@ FROM documents GROUP BY source ORDER BY source
         "user_gap_stats": _user_gaps_sql(),
         # argmax over a computed aggregate: each nation's top customer
         "top_customer_by_nation": _top_customer_sql(),
+        # PIVOT: hour-of-day x event_type count matrix as wide columns
+        "events_hourly_pivot": _hourly_pivot_sql(),
+        # percent-of-total (SUM() OVER ()): integer basis points
+        "nation_revenue_share": _revenue_share_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

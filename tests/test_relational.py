@@ -694,3 +694,32 @@ def test_top_customer_by_nation_matches_oracle(ray_session):
     # one winner per nation, revenue positive
     assert got["n_name"].is_unique and (got["revenue_cents"] > 0).all()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_hourly_pivot_matches_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import events_hourly_pivot_sql, q_events_hourly_pivot
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    got = q_events_hourly_pivot(SF).reset_index(drop=True)
+    exp = con.sql(events_hourly_pivot_sql()).df()
+    assert list(got["hour"]) == list(range(24))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_nation_revenue_share_matches_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import nation_revenue_share_sql, q_nation_revenue_share
+
+    con = duckdb.connect()
+    for t in ["orders", "customer", "nation"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_nation_revenue_share(SF).reset_index(drop=True)
+    exp = con.sql(nation_revenue_share_sql()).df()
+    # floor division: shares sum to <= 10000 and within #nations of it
+    s = int(got["share_bp"].sum())
+    assert 10_000 - len(got) <= s <= 10_000
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -595,6 +595,93 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["n_name", "o_orderpriority"]).reset_index(drop=True)
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_hourly_pivot(sf_dir: str) -> pd.DataFrame:
+    """PIVOT: hour-of-day (UTC) × event_type count matrix as wide columns
+    (n_click ... n_view). Per-batch composite bincount over the fixed
+    24 × |types| domain — partials are 24-row tables regardless of event
+    count; one tiny groupby. Unknown event types fail loudly rather than
+    silently dropping a column the reader expects."""
+    path = os.path.join(sf_dir, "events.parquet")
+    tmap = {t: i for i, t in enumerate(EVENT_TYPES)}
+    k = len(EVENT_TYPES)
+
+    def partial(b: pa.Table) -> pa.Table:
+        hours = (_ts_ms(b["ts"]) // 3_600_000) % 24
+        et = b["event_type"].to_pylist()
+        try:
+            ti = np.array([tmap[t] for t in et], dtype=np.int64)
+        except KeyError as e:  # pragma: no cover - guarded domain
+            raise ValueError(f"unknown event_type {e}") from None
+        counts = np.bincount(hours * k + ti, minlength=24 * k).reshape(24, k)
+        cols = {"hour": pa.array(np.arange(24, dtype=np.int64))}
+        for j, t in enumerate(EVENT_TYPES):
+            cols[f"n_{t}"] = pa.array(counts[:, j].astype(np.int64))
+        return pa.table(cols)
+
+    agg = (
+        ray.data.read_parquet(path, columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES])
+        .to_pandas()
+    )
+    out = agg[["hour"] + [f"n_{t}" for t in EVENT_TYPES]].astype("int64")
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+def events_hourly_pivot_sql() -> str:
+    picks = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT CAST((epoch_us(ts) // 1000 // 3600000) % 24 AS BIGINT) AS hour,
+       {picks}
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_nation_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Percent-of-total (the SUM() OVER () window-over-aggregate shape):
+    each nation's order-revenue share in integer basis points
+    (rev * 10000 // total). Rides the orders_by_nation broadcast-join
+    partials; the share divides the nation-sized final table driver-side."""
+    base = q_orders_by_nation(sf_dir)
+    total = int(base["sum_price_cents"].sum())
+    out = pd.DataFrame(
+        {
+            "n_name": base["n_name"],
+            "revenue_cents": base["sum_price_cents"].astype("int64"),
+            "share_bp": (
+                base["sum_price_cents"].astype(object) * 10_000 // total
+            ).astype("int64"),
+        }
+    )
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def nation_revenue_share_sql() -> str:
+    return """
+WITH rev AS (
+  SELECT n_name,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, revenue_cents,
+       CAST(CAST(revenue_cents AS HUGEINT) * 10000
+            // SUM(CAST(revenue_cents AS HUGEINT)) OVER () AS BIGINT)
+           AS share_bp
+FROM rev ORDER BY n_name
+"""
+
+
 def q_top_customer_by_nation(sf_dir: str) -> pd.DataFrame:
     """Argmax over a computed aggregate (the correlated-subquery shape):
     each nation's highest-revenue customer. Plan: one orders scan ->
