@@ -111,7 +111,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customer_by_nation": _top_customer,
         "events_hourly_pivot": _hourly_pivot,
         "nation_revenue_share": _revenue_share,
+        "funnel_view_purchase": _funnel,
     }
+
+
+def _funnel(sf_dir: str):
+    from tokenzip.relational import q_funnel_view_purchase
+
+    return q_funnel_view_purchase(sf_dir)
 
 
 def _hourly_pivot(sf_dir: str):
@@ -426,6 +433,12 @@ def _revenue_share_sql() -> str:
     from tokenzip.relational import nation_revenue_share_sql
 
     return nation_revenue_share_sql()
+
+
+def _funnel_sql() -> str:
+    from tokenzip.relational import funnel_view_purchase_sql
+
+    return funnel_view_purchase_sql()
 
 
 def _pricing_sql() -> str:
@@ -761,6 +774,8 @@ FROM documents GROUP BY source ORDER BY source
         "events_hourly_pivot": _hourly_pivot_sql(),
         # percent-of-total (SUM() OVER ()): integer basis points
         "nation_revenue_share": _revenue_share_sql(),
+        # funnel self-join: window-bounded view->purchase conversion
+        "funnel_view_purchase": _funnel_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

@@ -723,3 +723,56 @@ def test_nation_revenue_share_matches_oracle(ray_session):
     s = int(got["share_bp"].sum())
     assert 10_000 - len(got) <= s <= 10_000
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_funnel_matches_oracle_on_testdata(ray_session):
+    import duckdb
+
+    from tokenzip.relational import funnel_view_purchase_sql, q_funnel_view_purchase
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    got = q_funnel_view_purchase(SF).reset_index(drop=True)
+    exp = con.sql(funnel_view_purchase_sql()).df()
+    n_p, n_c, n_v = got.values.tolist()[0]
+    assert 0 < n_c < n_p and n_v >= n_c  # boundary actually discriminates
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_funnel_window_boundaries(ray_session, tmp_path):
+    """Inclusive-both-ends window: a view exactly at ts-window and one at
+    ts count; one at ts-window-1 does not; other users never match."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokenzip.relational import funnel_view_purchase_sql, q_funnel_view_purchase
+
+    W = 1000
+    base = 1_700_000_000_000
+    rows = [
+        # (event_id, user, type, tms)
+        (1, 1, "view", base - W),       # exactly at window edge: counts
+        (2, 1, "view", base),           # same instant: counts
+        (3, 1, "view", base - W - 1),   # one ms too early: excluded
+        (4, 2, "view", base),           # different user: excluded
+        (5, 1, "purchase", base),
+        (6, 3, "purchase", base),       # no views: not converted
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("ms")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = q_funnel_view_purchase(str(tmp_path), window_ms=W)
+    assert got.values.tolist() == [[2, 1, 2]]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    exp = con.sql(funnel_view_purchase_sql(window_ms=W)).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -597,6 +597,111 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
+_FUNNEL_SHIFT = 42  # epoch-ms < 2^42 (< year 2109): (uid << 42) | tms packs
+
+
+def _funnel_group(window_ms: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "n_purchases": pd.Series([], dtype="int64"),
+                "n_converted": pd.Series([], dtype="int64"),
+                "n_view_pairs": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        uid = g["uid"].to_numpy(np.int64)
+        tms = g["tms"].to_numpy(np.int64)
+        isp = g["isp"].to_numpy(np.bool_)
+        code = (uid << _FUNNEL_SHIFT) + tms
+        views = np.sort(code[~isp])
+        pc = code[isp]
+        if not len(pc):
+            return empty
+        nv = np.searchsorted(views, pc, side="right") - np.searchsorted(
+            views, pc - window_ms, side="left"
+        )
+        return pd.DataFrame(
+            {
+                "n_purchases": [int(len(pc))],
+                "n_converted": [int((nv > 0).sum())],
+                "n_view_pairs": [int(nv.sum())],
+            }
+        )
+
+    return fn
+
+
+def q_funnel_view_purchase(sf_dir: str, window_ms: int = 86_400_000) -> pd.DataFrame:
+    """Funnel self-join: purchases preceded by >= 1 'view' of the SAME user
+    within the trailing window (inclusive both ends; default 1 day — the
+    testdata stream spans ~29 days/user, so the boundary discriminates).
+    One column-pruned scan keeps only view/purchase rows, ONE user-bucketed
+    shuffle of three narrow columns, and the within-bucket kernel counts
+    window hits by two searchsorteds over a (uid << 42 | ts) packed key —
+    pairs are never materialized. Returns one row:
+    (n_purchases, n_converted, n_view_pairs)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    nb = _lsh_n_buckets(_row_count(path))
+
+    def rows(b: pa.Table) -> pa.Table:
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        keep = (et == "view") | (et == "purchase")
+        uid = (
+            b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64)[keep]
+        )
+        tms = _ts_ms(b["ts"])[keep]
+        if len(tms) and (tms.min() < 0 or tms.max() >= 1 << _FUNNEL_SHIFT):
+            raise ValueError("event timestamp outside the packable ms range")
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(uid, nb)),
+                "uid": pa.array(uid),
+                "tms": pa.array(tms),
+                "isp": pa.array(et[keep] == "purchase"),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(path, columns=["user_id", "ts", "event_type"])
+        .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(_funnel_group(window_ms), batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_purchases": [int(parts["n_purchases"].sum())],
+            "n_converted": [int(parts["n_converted"].sum())],
+            "n_view_pairs": [int(parts["n_view_pairs"].sum())],
+        }
+    ).astype("int64")
+
+
+def funnel_view_purchase_sql(window_ms: int = 86_400_000) -> str:
+    return f"""
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 1000 AS tms, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, epoch_us(ts) // 1000 AS tms
+  FROM events WHERE event_type = 'view'
+),
+j AS (
+  SELECT p.event_id, COUNT(v.tms) AS nv
+  FROM p LEFT JOIN v
+    ON v.user_id = p.user_id AND v.tms BETWEEN p.tms - {window_ms} AND p.tms
+  GROUP BY p.event_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(SUM(nv) AS BIGINT) AS n_view_pairs
+FROM j
+"""
+
 
 def q_events_hourly_pivot(sf_dir: str) -> pd.DataFrame:
     """PIVOT: hour-of-day (UTC) × event_type count matrix as wide columns
