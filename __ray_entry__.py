@@ -112,7 +112,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_pivot": _hourly_pivot,
         "nation_revenue_share": _revenue_share,
         "funnel_view_purchase": _funnel,
+        "lineitem_qty_salted": _qty_salted,
     }
+
+
+def _qty_salted(sf_dir: str):
+    from tokenzip.relational import q_lineitem_qty_salted
+
+    return q_lineitem_qty_salted(sf_dir)
 
 
 def _funnel(sf_dir: str):
@@ -439,6 +446,12 @@ def _funnel_sql() -> str:
     from tokenzip.relational import funnel_view_purchase_sql
 
     return funnel_view_purchase_sql()
+
+
+def _qty_salted_sql() -> str:
+    from tokenzip.relational import lineitem_qty_salted_sql
+
+    return lineitem_qty_salted_sql()
 
 
 def _pricing_sql() -> str:
@@ -776,6 +789,8 @@ FROM documents GROUP BY source ORDER BY source
         "nation_revenue_share": _revenue_share_sql(),
         # funnel self-join: window-bounded view->purchase conversion
         "funnel_view_purchase": _funnel_sql(),
+        # salted two-phase aggregate == plain groupby (skew primitive)
+        "lineitem_qty_salted": _qty_salted_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

@@ -54,3 +54,19 @@ def test_salted_sum_reserved_column_guard(ray_session):
     t = pa.table({"k": pa.array([1]), "__tz_salt__": pa.array([1])})
     with pytest.raises(ValueError, match="reserved"):
         salted_sum(ray.data.from_arrow(t), ["k"], ["__tz_salt__"])
+
+
+def test_lineitem_qty_salted_matches_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import lineitem_qty_salted_sql, q_lineitem_qty_salted
+
+    SF = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    got = q_lineitem_qty_salted(SF).reset_index(drop=True)
+    exp = con.sql(lineitem_qty_salted_sql()).df()
+    assert int(got["n_items"].sum()) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -787,6 +787,49 @@ FROM rev ORDER BY n_name
 """
 
 
+def q_lineitem_qty_salted(sf_dir: str) -> pd.DataFrame:
+    """The salted hot-key aggregate as a driver-contract query: per
+    returnflag quantity/row sums through ``tokenzip.shuffle.salted_sum``
+    (two-phase (key, salt) -> key fold). The l_returnflag domain is tiny
+    and Zipf-ish (one flag dominates) — exactly the shape where a direct
+    groupby funnels most rows into one reducer; the result must be
+    IDENTICAL to the plain SQL groupby."""
+    from tokenzip.shuffle import salted_sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "sum_qty": pa.array(
+                    b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "n_items": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity"],
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = (
+        salted_sum(ds, ["l_returnflag"], ["sum_qty", "n_items"], n_salts=16)
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    out["l_returnflag"] = out["l_returnflag"].astype(str)
+    return out.astype({"sum_qty": "int64", "n_items": "int64"})
+
+
+def lineitem_qty_salted_sql() -> str:
+    return """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_top_customer_by_nation(sf_dir: str) -> pd.DataFrame:
     """Argmax over a computed aggregate (the correlated-subquery shape):
     each nation's highest-revenue customer. Plan: one orders scan ->
