@@ -113,7 +113,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_share": _revenue_share,
         "funnel_view_purchase": _funnel,
         "lineitem_qty_salted": _qty_salted,
+        "sink_projection_stats": _sink_projection,
     }
+
+
+def _sink_projection(sf_dir: str):
+    from tokenzip.queries import q_sink_projection_stats
+
+    return q_sink_projection_stats(sf_dir)
 
 
 def _qty_salted(sf_dir: str):
@@ -452,6 +459,12 @@ def _qty_salted_sql() -> str:
     from tokenzip.relational import lineitem_qty_salted_sql
 
     return lineitem_qty_salted_sql()
+
+
+def _sink_projection_sql(glob: str) -> str:
+    from tokenzip.queries import sink_projection_stats_sql
+
+    return sink_projection_stats_sql(glob)
 
 
 def _pricing_sql() -> str:
@@ -796,6 +809,8 @@ FROM documents GROUP BY source ORDER BY source
         "csv_ingest_stats": _csv_sql(),
         # metadata-only sink aggregate: pure chunks never decode
         "sink_stats_pushdown": _sink_stats_sql(glob),
+        # projection pushdown: token payload neither read nor decoded
+        "sink_projection_stats": _sink_projection_sql(glob),
         # recall-pinned oracle: the IVF result is deterministic (fixed
         # corpus + seeded k-means on a bounded sample + float64 matmul), so
         # the sf0.01 recall is a constant the engine must reproduce exactly

@@ -573,3 +573,48 @@ def test_sink_stats_pushdown_pure_and_mixed(ray_session, paths, tmp_path):
     pq.write_table(t, f)
     got2 = sink_stats_pushdown(out)
     pd.testing.assert_frame_equal(got2, truth)
+
+
+def test_projection_pushdown_never_touches_token_payload(ray_session, paths, tmp_path):
+    """decompress(columns=...) must (a) equal the projected full decode,
+    (b) keep working after the token payload blobs are CORRUPTED — proof
+    the projection never reads or decodes them — while the full decode
+    fails loudly on the same sink."""
+    import glob as g
+
+    import pandas as pd
+    import pyarrow as pa
+
+    out = str(tmp_path / "out")
+    compress(paths[:2], out, concurrency=2)
+    full = decompress(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    proj = (
+        decompress(out, columns=["doc_id", "n_tok"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(proj, full[["doc_id", "n_tok"]])
+
+    for f in g.glob(os.path.join(out, "chunks", "**", "*.parquet"), recursive=True):
+        t = pq.read_table(f)
+        idx = t.schema.get_field_index("tokens_enc")
+        garbage = pa.array([b"\xde\xad\xbe\xef"] * t.num_rows, pa.large_binary())
+        pq.write_table(t.set_column(idx, "tokens_enc", garbage), f)
+
+    proj2 = (
+        decompress(out, columns=["doc_id", "n_tok"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(proj2, full[["doc_id", "n_tok"]])
+    with pytest.raises(Exception):
+        decompress(out).materialize()
+
+
+def test_projection_rejects_unknown_columns(ray_session, paths, tmp_path):
+    out = str(tmp_path / "out")
+    compress(paths[:1], out, concurrency=2)
+    with pytest.raises(ValueError, match="unknown sink columns"):
+        decompress(out, columns=["doc_id", "nope"])

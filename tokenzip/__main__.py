@@ -66,6 +66,12 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated doc_id point lookups (zone-map pruned; "
              "format-3 sinks also prune on per-chunk doc-id blooms)",
     )
+    d.add_argument(
+        "--columns",
+        default=None,
+        help="comma-separated output columns (doc_id,tokens,n_tok,source); "
+             "unrequested streams are neither read from storage nor decoded",
+    )
 
     ing = sub.add_parser(
         "ingest",
@@ -166,8 +172,10 @@ def main(argv: list[str] | None = None) -> int:
             srcs = args.sources.split(",") if args.sources else None
             rng = tuple(args.doc_range.split(":", 1)) if args.doc_range else None
             ids = args.doc_ids.split(",") if args.doc_ids else None
+            cols = args.columns.split(",") if args.columns else None
             ds = decompress(
-                args.out_dir, sources=srcs, doc_id_range=rng, doc_ids=ids
+                args.out_dir, sources=srcs, doc_id_range=rng, doc_ids=ids,
+                columns=cols,
             )
             ds.write_parquet(args.restored_dir)
             print(json.dumps({"rows": "written", "dir": args.restored_dir}))

@@ -320,59 +320,82 @@ def encode_batch(
     )
 
 
-def decode_chunk_row(row: dict) -> pa.Table:
-    """Inverse of :func:`encode_batch` for one chunk row -> original batch."""
+TOKEN_OUT_COLS = ("doc_id", "tokens", "n_tok", "source")
+
+
+def decode_chunk_row(row: dict, columns: list[str] | None = None) -> pa.Table:
+    """Inverse of :func:`encode_batch` for one chunk row -> original batch.
+
+    ``columns`` is the PROJECTION pushdown: only the named output columns'
+    streams are decoded — an id/length-only query over a 100-TB sink never
+    spends a cycle (or a byte of DRAM) on the token payload. Column order
+    of the result is canonical (TOKEN_OUT_COLS order) regardless of the
+    request order."""
+    if columns is None:
+        want = set(TOKEN_OUT_COLS)
+    else:
+        want = set(columns)
+        unknown = want - set(TOKEN_OUT_COLS)
+        if unknown:
+            raise ValueError(f"unknown sink columns: {sorted(unknown)}")
     n_rows = int(row["n_rows"])
     n_tokens = int(row["n_tokens"])
 
-    codec, meta, streams = unpack_blob(row["offsets_enc"])
-    cum = int_decoder(codec)(streams, meta, n_rows).astype(np.int64, copy=False)
-    offsets = np.zeros(n_rows + 1, dtype=np.int64)
-    offsets[1:] = cum
-    lengths = np.diff(offsets)
-    if n_rows and int(offsets[-1]) != n_tokens:
-        raise ChunkFormatError(
-            f"offsets end {offsets[-1]} != n_tokens {n_tokens}"
+    # offsets decode when tokens are wanted, or when n_tok is wanted and
+    # was derived from offsets at encode time (empty n_tok_enc)
+    need_ntok_from_offsets = "n_tok" in want and len(row["n_tok_enc"]) == 0
+    offsets = lengths = None
+    if "tokens" in want or need_ntok_from_offsets:
+        codec, meta, streams = unpack_blob(row["offsets_enc"])
+        cum = int_decoder(codec)(streams, meta, n_rows).astype(np.int64, copy=False)
+        offsets = np.zeros(n_rows + 1, dtype=np.int64)
+        offsets[1:] = cum
+        lengths = np.diff(offsets)
+        if n_rows and int(offsets[-1]) != n_tokens:
+            raise ChunkFormatError(
+                f"offsets end {offsets[-1]} != n_tokens {n_tokens}"
+            )
+
+    cols: dict[str, pa.Array] = {}
+    if "doc_id" in want:
+        cols["doc_id"] = decode_str_column(row["doc_id_enc"])
+    if "tokens" in want:
+        codec, meta, streams = unpack_blob(row["tokens_enc"])
+        values = int_decoder(codec)(streams, meta, n_tokens).astype(
+            np.int32, copy=False
         )
+        # zero-copy arrow view over the decoded NumPy buffer (pa.array would
+        # copy the whole token payload a second time — measurable DRAM
+        # traffic at decode rates); py_buffer keeps the ndarray alive via
+        # buf protocol
+        values = np.ascontiguousarray(values)
+        val_arr = pa.Array.from_buffers(
+            pa.int32(), len(values), [None, pa.py_buffer(values)]
+        )
+        cols["tokens"] = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()).cast(pa.int32())
+            if n_tokens < 2**31
+            else pa.array(offsets, type=pa.int64()),
+            val_arr,
+        )
+    if "n_tok" in want:
+        if need_ntok_from_offsets:
+            n_tok = lengths.astype(np.int32)
+        else:
+            codec, meta, streams = unpack_blob(row["n_tok_enc"])
+            n_tok = int_decoder(codec)(streams, meta, n_rows).astype(
+                np.int32, copy=False
+            )
+        cols["n_tok"] = pa.array(n_tok)
+    if "source" in want:
+        cols["source"] = decode_str_column(row["source_enc"])
 
-    codec, meta, streams = unpack_blob(row["tokens_enc"])
-    values = int_decoder(codec)(streams, meta, n_tokens).astype(np.int32, copy=False)
-
-    # zero-copy arrow view over the decoded NumPy buffer (pa.array would
-    # copy the whole token payload a second time — measurable DRAM traffic
-    # at decode rates); py_buffer keeps the ndarray alive via buf protocol
-    values = np.ascontiguousarray(values)
-    val_arr = pa.Array.from_buffers(
-        pa.int32(), len(values), [None, pa.py_buffer(values)]
-    )
-    tokens = pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int64()).cast(pa.int32())
-        if n_tokens < 2**31
-        else pa.array(offsets, type=pa.int64()),
-        val_arr,
-    )
-
-    doc_id = decode_str_column(row["doc_id_enc"])
-    source = decode_str_column(row["source_enc"])
-
-    if len(row["n_tok_enc"]) == 0:  # derived from offsets
-        n_tok = lengths.astype(np.int32)
-    else:
-        codec, meta, streams = unpack_blob(row["n_tok_enc"])
-        n_tok = int_decoder(codec)(streams, meta, n_rows).astype(np.int32, copy=False)
-
-    return pa.table(
-        {
-            "doc_id": doc_id,
-            "tokens": tokens,
-            "n_tok": pa.array(n_tok),
-            "source": source,
-        }
-    )
+    return pa.table({k: cols[k] for k in TOKEN_OUT_COLS if k in cols})
 
 
-def decode_chunks(chunks: pa.Table) -> pa.Table:
-    """Decode a table of chunk rows back to original rows (concatenated)."""
+def decode_chunks(chunks: pa.Table, columns: list[str] | None = None) -> pa.Table:
+    """Decode a table of chunk rows back to original rows (concatenated).
+    ``columns`` projects at the STREAM level (see decode_chunk_row)."""
     def cell(k, i):
         v = chunks[k][i]
         # zero-copy buffers for the binary payload columns; python scalars
@@ -383,16 +406,16 @@ def decode_chunks(chunks: pa.Table) -> pa.Table:
         return v.as_py()
 
     parts = [
-        decode_chunk_row({k: cell(k, i) for k in chunks.column_names})
+        decode_chunk_row({k: cell(k, i) for k in chunks.column_names}, columns)
         for i in range(chunks.num_rows)
     ]
     if not parts:
-        return pa.table(
-            {
-                "doc_id": pa.array([], pa.string()),
-                "tokens": pa.array([], pa.list_(pa.int32())),
-                "n_tok": pa.array([], pa.int32()),
-                "source": pa.array([], pa.string()),
-            }
-        )
+        empty = {
+            "doc_id": pa.array([], pa.string()),
+            "tokens": pa.array([], pa.list_(pa.int32())),
+            "n_tok": pa.array([], pa.int32()),
+            "source": pa.array([], pa.string()),
+        }
+        keep = set(columns) if columns is not None else set(empty)
+        return pa.table({k: v for k, v in empty.items() if k in keep})
     return pa.concat_tables(parts)

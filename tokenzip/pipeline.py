@@ -49,11 +49,24 @@ def _encode_fn(batch, tokens_codec="auto"):
     return st(batch)
 
 
-def _decode_fn(batch, sidecar=None, sources=None, doc_id_range=None, doc_ids=None):
-    key = ("dec", sidecar)
+def _decode_fn(
+    batch, sidecar=None, sources=None, doc_id_range=None, doc_ids=None,
+    columns=None,
+):
+    # row-level filters need their columns decoded even when the caller's
+    # projection drops them; decode the union, filter, then project
+    decode_cols = None
+    if columns is not None:
+        need = set(columns)
+        if sources is not None:
+            need.add("source")
+        if doc_id_range is not None or doc_ids is not None:
+            need.add("doc_id")
+        decode_cols = sorted(need)
+    key = ("dec", sidecar, tuple(decode_cols) if decode_cols else None)
     st = _STAGES.get(key)
     if st is None:
-        st = _STAGES[key] = DecodeStage(sidecar=sidecar)
+        st = _STAGES[key] = DecodeStage(sidecar=sidecar, columns=decode_cols)
     out = st(batch)
     import pyarrow.compute as pc
 
@@ -71,6 +84,10 @@ def _decode_fn(batch, sidecar=None, sources=None, doc_id_range=None, doc_ids=Non
         )
     if doc_ids is not None:
         out = out.filter(pc.is_in(out["doc_id"], pa.array(list(doc_ids))))
+    if columns is not None:
+        drop = [c for c in out.column_names if c not in set(columns)]
+        if drop:
+            out = out.drop_columns(drop)
     return out
 
 
@@ -516,11 +533,20 @@ def _bloom_survivors(chunks_dir: str, zone_expr, doc_ids: list[str]) -> list[str
     return [r["chunk_id"] for r in ds.take_all()]
 
 
+_BLOBS_FOR_COL = {
+    "tokens": ("tokens_enc", "offsets_enc"),
+    "n_tok": ("n_tok_enc", "offsets_enc"),  # may be derived from offsets
+    "doc_id": ("doc_id_enc",),
+    "source": ("source_enc",),
+}
+
+
 def _chunks_read(
     out_dir: str,
     sources: list[str] | None = None,
     doc_id_range: tuple[str, str] | None = None,
     doc_ids: list[str] | None = None,
+    columns: list[str] | None = None,
 ):
     """(chunk Dataset | None, sidecar | None) for a written sink — shared
     read-shape of decompress and the fused sink-audit path. ``sources``
@@ -599,7 +625,18 @@ def _chunks_read(
     # reads them separately) — prune the column so ~2 B/doc stays on disk.
     # Only for sinks recorded at format >= 3: older sinks lack the column
     # and an explicit list naming it would fail their reads.
-    if int(Manifest(out_dir).data.get("chunk_format", 1)) >= 3:
+    if columns is not None:
+        # PROJECTION pushdown: only the blobs the requested output columns
+        # decode from leave storage — an id-only query over a 100-TB sink
+        # never reads the token payload bytes at all. The scalar meta the
+        # decoder needs rides along (n_rows/n_tokens); filter columns
+        # (source_top/did_*) need not be projected for the parquet
+        # predicate to apply.
+        blobs: set[str] = set()
+        for c in columns:
+            blobs.update(_BLOBS_FOR_COL[c])
+        read_kwargs["columns"] = ["chunk_id", "n_rows", "n_tokens"] + sorted(blobs)
+    elif int(Manifest(out_dir).data.get("chunk_format", 1)) >= 3:
         from tokenzip.chunk import CHUNK_SCHEMA
 
         read_kwargs["columns"] = [
@@ -628,6 +665,7 @@ def decompress(
     sources: list[str] | None = None,
     doc_id_range: tuple[str, str] | None = None,
     doc_ids: list[str] | None = None,
+    columns: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Read chunk parquet -> decode -> Dataset with the original schema.
 
@@ -645,13 +683,32 @@ def decompress(
     """
     if doc_id_range is not None and doc_ids is not None:
         raise ValueError("pass doc_id_range OR doc_ids, not both")
+    decode_cols = None
+    if columns is not None:
+        from tokenzip.chunk import TOKEN_OUT_COLS
+
+        unknown = set(columns) - set(TOKEN_OUT_COLS)
+        if unknown:
+            raise ValueError(f"unknown sink columns: {sorted(unknown)}")
+        # the parquet read must carry the blobs the row-level filters
+        # decode from, even when the caller's projection drops them
+        need = set(columns)
+        if sources is not None:
+            need.add("source")
+        if doc_id_range is not None or doc_ids is not None:
+            need.add("doc_id")
+        decode_cols = sorted(need)
     ds, sidecar = _chunks_read(
-        out_dir, sources=sources, doc_id_range=doc_id_range, doc_ids=doc_ids
+        out_dir, sources=sources, doc_id_range=doc_id_range, doc_ids=doc_ids,
+        columns=decode_cols,
     )
     if ds is None:
         # zero-chunk run (every fragment produced no chunks): an empty
         # dataset with the original schema, not override_num_blocks=0
-        return ray.data.from_arrow(_EMPTY_TOKENS_TABLE)
+        empty = ray.data.from_arrow(_EMPTY_TOKENS_TABLE)
+        if columns is not None:
+            empty = empty.select_columns(list(columns))
+        return empty
     kwargs = dict(
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -660,6 +717,7 @@ def decompress(
             "sources": sources,
             "doc_id_range": doc_id_range,
             "doc_ids": doc_ids,
+            "columns": columns,
         },
     )
     if concurrency:

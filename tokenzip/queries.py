@@ -385,6 +385,56 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_sink_projection_stats(sf_dir: str):
+    """Projection pushdown through the sink: id/length stats computed via
+    ``decompress(columns=["doc_id", "n_tok"])`` — the token payload blobs
+    are neither read from storage nor decoded (the parquet read lists only
+    the id/length streams; tests prove it by corrupting tokens_enc). The
+    column-store dividend applied to the engine's OWN format."""
+    import pandas as pd
+
+    from tokenzip.pipeline import decompress
+
+    out_dir = _v2_sink(sf_dir)
+    ds = decompress(out_dir, columns=["doc_id", "n_tok"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        nt = b["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_docs": pa.array([len(ids)], pa.int64()),
+                "sum_n_tok": pa.array([int(nt.sum())], pa.int64()),
+                "min_doc_id": pa.array([min(ids) if ids else None], pa.string()),
+                "max_doc_id": pa.array([max(ids) if ids else None], pa.string()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .dropna()
+    )
+    return pd.DataFrame(
+        {
+            "n_docs": [int(parts["n_docs"].sum())],
+            "sum_n_tok": [int(parts["sum_n_tok"].sum())],
+            "min_doc_id": [str(parts["min_doc_id"].min())],
+            "max_doc_id": [str(parts["max_doc_id"].max())],
+        }
+    )
+
+
+def sink_projection_stats_sql(glob: str) -> str:
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_n_tok,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM read_parquet('{glob}')
+"""
+
+
 def q_token_stats_by_source(sf_dir: str):
     ds = ray.data.read_parquet(corpus_paths(sf_dir))
     partials = ds.map_batches(

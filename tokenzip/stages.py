@@ -199,10 +199,13 @@ class SharedTableEncodeStage(EncodeStage):
 
 class DecodeStage:
     """Decode chunk rows back to the original table schema. ``sidecar`` is
-    the run's symbols.json (shared-table mode); loaded once per worker."""
+    the run's symbols.json (shared-table mode); loaded once per worker.
+    ``columns`` projects at the stream level — unrequested payloads are
+    never decoded (see chunk.decode_chunk_row)."""
 
-    def __init__(self, sidecar: str | None = None):
+    def __init__(self, sidecar: str | None = None, columns: list[str] | None = None):
         self.sidecar = sidecar
+        self.columns = columns
         self._loaded = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -217,7 +220,7 @@ class DecodeStage:
         cols = [c for c in ("frag", "frag_src") if c in batch.column_names]
         if cols:
             batch = batch.drop_columns(cols)
-        return decode_chunks(batch)
+        return decode_chunks(batch, self.columns)
 
 
 class VerifyStage:
