@@ -632,3 +632,31 @@ def test_decf_exceptions_patch_raw_bits():
     # clean columns keep the single-stream layout (no exception cost)
     e, ints, idx, bits = _try_decimal(np.round(rng.uniform(0, 9, 1000), 1), 64)
     assert idx is None and e == 1
+
+
+def test_table_projection_decode_skip(ray_session, tmp_path):
+    """decompress_table(columns=...) equals the projected full decode;
+    where-filter columns decode for the filter and drop from the output;
+    unknown names fail loudly."""
+    import pandas as pd
+
+    from tokenzip.table import compress_table, decompress_table
+
+    out = str(tmp_path / "sink")
+    compress_table(["/root/testdata/sf0.001/events.parquet"], out)
+    full = decompress_table(out).to_pandas().sort_values("event_id").reset_index(drop=True)
+    proj = (
+        decompress_table(out, columns=["event_id", "value"])
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert list(proj.columns) == ["event_id", "value"]
+    pd.testing.assert_frame_equal(proj, full[["event_id", "value"]])
+    w = decompress_table(out, where=("event_id", 10, 50), columns=["value"]).to_pandas()
+    exp = full[(full.event_id >= 10) & (full.event_id <= 50)][["value"]].reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(w.reset_index(drop=True), exp)
+    with pytest.raises(Exception, match="unknown table columns"):
+        decompress_table(out, columns=["nope"]).materialize()

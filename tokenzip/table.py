@@ -323,9 +323,12 @@ def _null_expand_np(vals: np.ndarray, nmap: bytes, n: int, typ) -> pa.Array:
     return pa.array(full, typ, mask=~valid)
 
 
-def _decode_table_fn(batch: pa.Table) -> pa.Table:
+def _decode_table_fn(batch: pa.Table, columns: list[str] | None = None) -> pa.Table:
     """Chunk rows -> original-schema rows (bit-identical, nulls restored
-    from the enc_nulls bitmaps)."""
+    from the enc_nulls bitmaps). ``columns`` projects at DECODE time:
+    unrequested columns' blobs are skipped entirely (CPU saving; the I/O
+    is list-column-bound in this format, unlike the token sink's
+    per-stream parquet columns — see pipeline.decompress(columns=...))."""
     out = []
     names_col = batch["enc_names"].to_pylist()
     codecs_col = batch["enc_codecs"].to_pylist()  # lineage; blob embeds codec
@@ -343,9 +346,18 @@ def _decode_table_fn(batch: pa.Table) -> pa.Table:
     for i in range(batch.num_rows):
         cols: dict[str, pa.Array] = {}
         n = int(n_rows_col[i])
+        if columns is not None:
+            unknown = set(columns) - set(order_col[i])
+            if unknown:
+                raise ValueError(
+                    f"unknown table columns {sorted(unknown)}; "
+                    f"sink carries {sorted(order_col[i])}"
+                )
         for name, tag, blob, nmap in zip(
             names_col[i], dtags_col[i], blobs_col[i], nulls_col[i]
         ):
+            if columns is not None and name not in columns:
+                continue
             if tag == "string":
                 dec = decode_str_column(blob)
                 if nmap:
@@ -389,6 +401,8 @@ def _decode_table_fn(batch: pa.Table) -> pa.Table:
             cols[name] = arr.cast(typ)
         for f in batch.schema:
             if f.name.startswith("p_"):
+                if columns is not None and f.name[2:] not in columns:
+                    continue
                 lst = batch[f.name]
                 lst = (
                     lst.combine_chunks()
@@ -396,7 +410,8 @@ def _decode_table_fn(batch: pa.Table) -> pa.Table:
                     else lst
                 )
                 cols[f.name[2:]] = lst.slice(i, 1).flatten()
-        out.append(pa.table({n: cols[n] for n in order_col[i]}))
+        keep = [c for c in order_col[i] if c in cols]
+        out.append(pa.table({n: cols[n] for n in keep}))
     return pa.concat_tables(out)
 
 
@@ -745,7 +760,9 @@ def _where_row_filter(where: tuple[str, int, int] | tuple[str, str, str]):
 
 
 def decompress_table(
-    out_dir: str, where: tuple[str, int, int] | None = None
+    out_dir: str,
+    where: tuple[str, int, int] | None = None,
+    columns: list[str] | None = None,
 ) -> "ray.data.Dataset":
     """Read table chunks -> Dataset with the original schema and values.
 
@@ -795,12 +812,28 @@ def decompress_table(
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     n_blocks = min(len(files), max(8, 4 * cpus))
     ds = ray.data.read_parquet(chunks_dir, override_num_blocks=n_blocks, **read_kwargs)
+    decode_cols = None
+    if columns is not None:
+        # the where filter's column must be decoded even if projected away
+        need = set(columns)
+        if where is not None:
+            need.add(where[0])
+        decode_cols = sorted(need)
     out = ds.map_batches(
-        _decode_table_fn, batch_format="pyarrow", zero_copy_batch=True
+        _decode_table_fn,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"columns": decode_cols},
     )
     if where is not None:
         out = out.map_batches(
             _where_row_filter(where), batch_format="pyarrow", zero_copy_batch=True
+        )
+    if columns is not None:
+        out = out.map_batches(
+            lambda b: b.select([c for c in b.column_names if c in set(columns)]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
     return out
 
