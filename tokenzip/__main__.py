@@ -116,6 +116,12 @@ def main(argv: list[str] | None = None) -> int:
         "string columns — non-integer bounds are passed as strings, use "
         "LO == HI for equality); chunks outside never leave storage",
     )
+    td.add_argument(
+        "--columns",
+        default=None,
+        help="comma-separated output columns; unrequested columns' blobs "
+             "are never decoded",
+    )
 
     pk = sub.add_parser(
         "pack", help="pack token docs into fixed-length training sequences"
@@ -243,7 +249,8 @@ def main(argv: list[str] | None = None) -> int:
                     where = (col, int(lo), int(hi))
                 except ValueError:
                     where = (col, lo, hi)  # string zone maps
-            decompress_table(args.out_dir, where=where).write_parquet(
+            cols = args.columns.split(",") if args.columns else None
+            decompress_table(args.out_dir, where=where, columns=cols).write_parquet(
                 args.restored_dir
             )
             print(json.dumps({"rows": "written", "dir": args.restored_dir}))
