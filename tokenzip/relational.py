@@ -653,7 +653,12 @@ def q_funnel_view_purchase(sf_dir: str, window_ms: int = 86_400_000) -> pd.DataF
             .astype(np.int64)[keep]
         )
         tms = _ts_ms(b["ts"])[keep]
-        if len(tms) and (tms.min() < 0 or tms.max() >= 1 << _FUNNEL_SHIFT):
+        # the window arithmetic stays inside one uid's code range only when
+        # ts - window >= 0 — epoch-ms data always satisfies this; reject
+        # exotic inputs loudly instead of miscounting across uid boundaries
+        if len(tms) and (
+            tms.min() < window_ms or tms.max() >= 1 << _FUNNEL_SHIFT
+        ):
             raise ValueError("event timestamp outside the packable ms range")
         return pa.table(
             {
