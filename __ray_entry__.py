@@ -114,7 +114,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_view_purchase": _funnel,
         "lineitem_qty_salted": _qty_salted,
         "sink_projection_stats": _sink_projection,
+        "dup_clusters": _dup_clusters,
     }
+
+
+def _dup_clusters(sf_dir: str):
+    from tokenzip.analysis import q_dup_clusters
+
+    return q_dup_clusters(sf_dir)
 
 
 def _sink_projection(sf_dir: str):
@@ -467,6 +474,12 @@ def _sink_projection_sql(glob: str) -> str:
     return sink_projection_stats_sql(glob)
 
 
+def _dup_clusters_sql() -> str:
+    from tokenzip.analysis import dup_clusters_sql
+
+    return dup_clusters_sql()
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -763,6 +776,8 @@ FROM documents GROUP BY source ORDER BY source
         # distributed strategies (LSH-approximate-with-exact-verify vs
         # exact postings join), a built-in cross-check
         "dedup_jaccard": _O.minhash_sql(),
+        # connected components over the same dup pairs: recursive closure
+        "dup_clusters": _dup_clusters_sql(),
         "dedup_simhash": _O.simhash_sql(),
         # time-keyed relational operators over the events/orders views
         "events_window_agg": _O.events_window_sql(),

@@ -492,3 +492,47 @@ def test_cross_source_dups_matches_oracle_on_testdata(ray_session):
     exp = _ddb_on_docs(cross_source_dups_sql(), f"{SF}/documents.parquet")
     assert int(got["n_shared_docs"].sum()) > 0
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_dup_clusters_matches_recursive_oracle(ray_session):
+    from tokenzip.analysis import dup_clusters_sql, q_dup_clusters
+
+    got = q_dup_clusters(SF).reset_index(drop=True)
+    exp = _ddb_on_docs(dup_clusters_sql(), f"{SF}/documents.parquet")
+    assert int(got["n_clusters"].sum()) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_dup_clusters_planted_chain(ray_session, tmp_path):
+    """Transitivity: A~B and B~C but A!~C must still land in ONE cluster of
+    size 3 (pairwise dedup alone would under-merge) — plus an isolated
+    near-dup pair and a singleton that must not appear."""
+    import pyarrow.parquet as pq
+
+    from tokenzip.analysis import dup_clusters_sql, q_dup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    words = base.split()
+    # A and C share little; both overlap B heavily (chain via B)
+    texts = [
+        " ".join(words[:8]),                     # A: w0..w7
+        " ".join(words[1:9]),                    # B: w1..w8 (near A and C)
+        " ".join(words[2:10]),                   # C: w2..w9
+        "totally different text one",            # D
+        "totally different text one",            # E: exact dup of D
+        "lonely document about nothing at all",  # F singleton
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(["s"] * len(texts)),
+        }
+    )
+    d = str(tmp_path / "documents.parquet")
+    pq.write_table(docs, d)
+    got = q_dup_clusters(str(tmp_path)).reset_index(drop=True)
+    exp = _ddb_on_docs(dup_clusters_sql(), d)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    by_size = dict(zip(got["cluster_size"], got["n_clusters"]))
+    assert by_size.get(3) == 1 and by_size.get(2) == 1  # chain + exact pair

@@ -1511,24 +1511,11 @@ def _pair_sum(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def q_dedup_jaccard(sf_dir: str, threshold=(7, 10)):
-    """EXACT word-3-gram Jaccard near-dup via a distributed inverted
-    index — the exactness baseline dedup_minhash approximates (both share
-    the same SQL oracle and must produce the same row). One vectorized
-    shingle pass emits hash-bucketed postings (plus per-doc shingle counts
-    as sentinel rows in the same pass); co-occurrence pairs are generated
-    inside buckets, intersection counts summed by bucketed map_groups, and
-    the Jaccard verdict is an integer cross-multiplication against
-    broadcast per-doc set sizes.
-
-    Scale note (SURVEY §4.2): the inverted-index join is quadratic in
-    document frequency (a k-clone cluster costs O(k^2) pairs per shared
-    gram — inherent to EXACT Jaccard, the oracle pays it too). Use
-    dedup_minhash at corpus scale; this query is the ground truth. Nothing
-    touches the driver at O(n_docs): per-doc set sizes flow through the
-    same hash-bucketed join as the postings (pair half-rows keyed by each
-    side's doc bucket), and the doc totals are a distributed sum.
-    Returns one row: (n_docs, sum_shingles, n_dup_pairs, pair_checksum)."""
+def _jaccard_judged_pairs(sf_dir: str, threshold=(7, 10)):
+    """Shared core of q_dedup_jaccard and q_dup_clusters: the distributed
+    inverted-index EXACT word-3-gram Jaccard join, returning
+    (judged-pairs Dataset with columns (a, b, dup int8), n_docs,
+    sum_shingles). Pair rows are tiny (candidate pairs only)."""
     num, den = threshold
     nb = _lsh_n_buckets(_doc_count(sf_dir) * 96)
 
@@ -1658,8 +1645,11 @@ def q_dedup_jaccard(sf_dir: str, threshold=(7, 10)):
     def _judge_halves(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
             return pd.DataFrame(
-                {"n_dup": pd.Series([], dtype="int64"),
-                 "chk": pd.Series([], dtype="int64")}
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "dup": pd.Series([], dtype="int8"),
+                }
             )
         g = g.sort_values(["a", "b"], kind="stable")
         a = g["a"].to_numpy().astype(np.int64)
@@ -1675,24 +1665,59 @@ def q_dedup_jaccard(sf_dir: str, threshold=(7, 10)):
         inter = g["inter"].to_numpy().astype(np.int64)[idx]
         union = tot - inter
         dup = np.where(union > 0, den * inter >= num * union, True)
-        am = a[idx] % _PAIR_MOD
-        bm = bb[idx] % _PAIR_MOD
-        terms = (am * _PAIR_K % _PAIR_MOD + bm) % _PAIR_MOD
         return pd.DataFrame(
             {
-                "n_dup": [int(dup.sum())],
-                "chk": [int(terms[dup].sum() % _PAIR_MOD)],
+                "a": a[idx],
+                "b": bb[idx],
+                "dup": dup.astype(np.int8),
             }
         )
 
-    agg = (
+    judged = (
         rows.map_batches(_size_rows, batch_format="pyarrow")
         .union(pairs.map_batches(_half_rows, batch_format="pyarrow"))
         .groupby("jbkt")
         .map_groups(_attach_sizes, batch_format="pandas")
         .groupby("pb")
         .map_groups(_judge_halves, batch_format="pandas")
-        .sum(["n_dup", "chk"], ignore_nulls=True)
+    )
+    return judged, n_docs, sum_shingles
+
+
+def q_dedup_jaccard(sf_dir: str, threshold=(7, 10)):
+    """EXACT word-3-gram Jaccard near-dup via a distributed inverted
+    index — the exactness baseline dedup_minhash approximates (both share
+    the same SQL oracle and must produce the same row). One vectorized
+    shingle pass emits hash-bucketed postings (plus per-doc shingle counts
+    as sentinel rows in the same pass); co-occurrence pairs are generated
+    inside buckets, intersection counts summed by bucketed map_groups, and
+    the Jaccard verdict is an integer cross-multiplication against
+    broadcast per-doc set sizes.
+
+    Scale note (SURVEY §4.2): the inverted-index join is quadratic in
+    document frequency (a k-clone cluster costs O(k^2) pairs per shared
+    gram — inherent to EXACT Jaccard, the oracle pays it too). Use
+    dedup_minhash at corpus scale; this query is the ground truth. Nothing
+    touches the driver at O(n_docs): per-doc set sizes flow through the
+    same hash-bucketed join as the postings (pair half-rows keyed by each
+    side's doc bucket), and the doc totals are a distributed sum.
+    Returns one row: (n_docs, sum_shingles, n_dup_pairs, pair_checksum)."""
+    judged, n_docs, sum_shingles = _jaccard_judged_pairs(sf_dir, threshold)
+
+    def _pair_agg(b: pa.Table) -> pa.Table:
+        dup = b["dup"].to_numpy(zero_copy_only=False) == 1
+        am = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)[dup] % _PAIR_MOD
+        bm = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)[dup] % _PAIR_MOD
+        terms = (am * _PAIR_K % _PAIR_MOD + bm) % _PAIR_MOD
+        return pa.table(
+            {
+                "n_dup": pa.array([int(dup.sum())], pa.int64()),
+                "chk": pa.array([int(terms.sum() % _PAIR_MOD)], pa.int64()),
+            }
+        )
+
+    agg = judged.map_batches(_pair_agg, batch_format="pyarrow").sum(
+        ["n_dup", "chk"], ignore_nulls=True
     ) or {"sum(n_dup)": 0, "sum(chk)": 0}
     return pd.DataFrame(
         [
@@ -1704,6 +1729,233 @@ def q_dedup_jaccard(sf_dir: str, threshold=(7, 10)):
             }
         ]
     )
+
+
+def _cc_min_group(g: pd.DataFrame) -> pd.DataFrame:
+    """groupby(bucket): per-node min label (node determines bucket, so the
+    min is global for the node)."""
+    if not len(g):
+        return pd.DataFrame(
+            {"node": pd.Series([], dtype="int64"), "lbl": pd.Series([], dtype="int64")}
+        )
+    agg = g.groupby("node", as_index=False)["lbl"].min()
+    return agg[["node", "lbl"]].astype("int64")
+
+
+def q_dup_clusters(sf_dir: str, threshold=(7, 10), max_rounds: int = 16):
+    """Connected components over the EXACT near-dup pair graph — the step a
+    real dedup pipeline runs after pair finding (keep one doc per CLUSTER,
+    not per pair; transitive duplicates collapse). Distributed min-label
+    propagation: labels start as own ids; each round, every edge forwards
+    its endpoint's label to the other side through ONE hash-bucketed
+    shuffle and a per-node min folds in a second; convergence is detected
+    by a modular checksum (rounds needed = graph diameter — near-dup
+    components are cliques/short chains, so 2-3 rounds in practice;
+    hash-to-min (Rastogi et al., ICDE 2013) is the published O(log n)
+    upgrade if diameters ever grow). Returns the cluster-size histogram
+    (cluster_size >= 2, n_clusters, modular checksum of cluster roots) —
+    oracle = DuckDB recursive-CTE transitive closure over the same pairs."""
+    judged, _, _ = _jaccard_judged_pairs(sf_dir, threshold)
+    edges = judged.map_batches(
+        lambda b: b.filter(pc.equal(b["dup"], 1)).select(["a", "b"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    empty = pd.DataFrame(
+        {
+            "cluster_size": pd.Series([], dtype="int64"),
+            "n_clusters": pd.Series([], dtype="int64"),
+            "root_checksum": pd.Series([], dtype="int64"),
+        }
+    )
+    if edges.count() == 0:
+        return empty
+    nb = _lsh_n_buckets(_doc_count(sf_dir))
+    nbv = np.uint64(nb - 1)
+
+    def _bkt(x: np.ndarray) -> np.ndarray:
+        return (_splitmix64(x.astype(np.uint64)) & nbv).astype(np.int64)
+
+    def _edge_rows(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, bb])
+        dst = np.concatenate([bb, a])
+        return pa.table(
+            {
+                "bkt": pa.array(_bkt(src)),
+                "node": pa.array(src),
+                "lbl": pa.array(dst),  # dst rides in the lbl slot
+                "is_edge": pa.array(np.ones(len(src), np.int8)),
+            }
+        )
+
+    e_sym = edges.map_batches(_edge_rows, batch_format="pyarrow").materialize()
+
+    def _label_rows(b: pa.Table) -> pa.Table:
+        n = np.unique(
+            np.concatenate(
+                [
+                    b["a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    b["b"].to_numpy(zero_copy_only=False).astype(np.int64),
+                ]
+            )
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(_bkt(n)),
+                "node": pa.array(n),
+                "lbl": pa.array(n),
+            }
+        )
+
+    labels = (
+        edges.map_batches(_label_rows, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(_cc_min_group, batch_format="pandas")
+        .materialize()
+    )
+
+    def _chk(lds) -> int:
+        def part(b: pa.Table) -> pa.Table:
+            n = b["node"].to_numpy(zero_copy_only=False).astype(np.int64) % _PAIR_MOD
+            l = b["lbl"].to_numpy(zero_copy_only=False).astype(np.int64) % _PAIR_MOD
+            return pa.table(
+                {"c": pa.array([int(((n * _PAIR_K + l) % _PAIR_MOD).sum() % _PAIR_MOD)])}
+            )
+
+        r = lds.map_batches(part, batch_format="pyarrow").sum("c")
+        return int(r or 0) % _PAIR_MOD
+
+    def _merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        """Within a bucket: edges (node=src) pick up src's current label and
+        forward it to dst; label rows pass through. Output keyed by the
+        TARGET node's bucket for the min fold."""
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "bkt": pd.Series([], dtype="int64"),
+                    "node": pd.Series([], dtype="int64"),
+                    "lbl": pd.Series([], dtype="int64"),
+                }
+            )
+        is_e = g["is_edge"] == 1
+        lab = g.loc[~is_e, ["node", "lbl"]]
+        ed = g.loc[is_e, ["node", "lbl"]].rename(columns={"lbl": "dst"})
+        msg = ed.merge(lab, on="node", how="left")
+        if msg["lbl"].isna().any():
+            raise KeyError("label row missing for an edge endpoint")
+        out = pd.concat(
+            [
+                pd.DataFrame({"node": msg["dst"], "lbl": msg["lbl"]}),
+                lab[["node", "lbl"]],
+            ],
+            ignore_index=True,
+        ).astype("int64")
+        out["bkt"] = _bkt(out["node"].to_numpy(np.int64))
+        return out[["bkt", "node", "lbl"]]
+
+    prev = _chk(labels)
+    for _ in range(max_rounds):
+        tagged = labels.map_batches(
+            lambda b: b.append_column(
+                "is_edge", pa.array(np.zeros(b.num_rows, np.int8))
+            ).append_column(
+                "bkt",
+                pa.array(_bkt(b["node"].to_numpy(zero_copy_only=False))),
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            tagged.union(e_sym)
+            .groupby("bkt")
+            .map_groups(_merge_group, batch_format="pandas")
+            .groupby("bkt")
+            .map_groups(_cc_min_group, batch_format="pandas")
+            .materialize()
+        )
+        cur = _chk(labels)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"dup-cluster label propagation did not converge in {max_rounds} "
+            "rounds (graph diameter larger than expected)"
+        )
+
+    def _size_partial(b: pa.Table) -> pa.Table:
+        l = b["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(l, return_counts=True)
+        return pa.table(
+            {
+                "lbl": pa.array(u),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    sizes = (
+        labels.map_batches(_size_partial, batch_format="pyarrow")
+        .groupby("lbl")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    sizes["n"] = sizes["n"].astype("int64")
+    hist = (
+        sizes.groupby("n", as_index=False)
+        .agg(
+            n_clusters=("lbl", "size"),
+            root_checksum=("lbl", lambda s: int(s.astype(object).sum() % _PAIR_MOD)),
+        )
+        .rename(columns={"n": "cluster_size"})
+    )
+    hist = hist[hist["cluster_size"] >= 2]
+    out = hist.sort_values("cluster_size").reset_index(drop=True)
+    return out.astype(
+        {"cluster_size": "int64", "n_clusters": "int64", "root_checksum": "int64"}
+    )
+
+
+def dup_clusters_sql(threshold=(7, 10)) -> str:
+    """Recursive-CTE transitive closure over the same exact-Jaccard dup
+    pairs; component root = LEAST(node, min reachable node)."""
+    num, den = threshold
+    return f"""
+WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ws) - 2, 1)),
+           i -> CASE WHEN len(ws) >= 3
+                     THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     ELSE array_to_string(ws, ' ') END)) AS gram
+  FROM w
+),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM gd GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+  FROM gd x JOIN gd y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+dup AS (
+  SELECT a, b
+  FROM inter JOIN sz sa ON sa.doc_id = inter.a JOIN sz sb ON sb.doc_id = inter.b
+  WHERE {den} * c >= {num} * (sa.ns + sb.ns - c)
+),
+e AS (SELECT a AS s, b AS d FROM dup UNION SELECT b AS s, a AS d FROM dup),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d
+),
+comp AS (SELECT s AS doc, LEAST(s, MIN(d)) AS root FROM reach GROUP BY s),
+cl AS (SELECT root, CAST(COUNT(*) AS BIGINT) AS csize FROM comp GROUP BY root)
+SELECT CAST(csize AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(root % {_PAIR_MOD}) % {_PAIR_MOD} AS BIGINT) AS root_checksum
+FROM cl GROUP BY csize ORDER BY csize
+"""
 
 
 # ---------------------------------------------------------------------------
