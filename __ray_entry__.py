@@ -115,7 +115,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_qty_salted": _qty_salted,
         "sink_projection_stats": _sink_projection,
         "dup_clusters": _dup_clusters,
+        "dedup_keep_stats": _keep_stats,
     }
+
+
+def _keep_stats(sf_dir: str):
+    from tokenzip.analysis import q_dedup_keep_stats
+
+    return q_dedup_keep_stats(sf_dir)
 
 
 def _dup_clusters(sf_dir: str):
@@ -480,6 +487,12 @@ def _dup_clusters_sql() -> str:
     return dup_clusters_sql()
 
 
+def _keep_stats_sql() -> str:
+    from tokenzip.analysis import dedup_keep_stats_sql
+
+    return dedup_keep_stats_sql()
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -778,6 +791,8 @@ FROM documents GROUP BY source ORDER BY source
         "dedup_jaccard": _O.minhash_sql(),
         # connected components over the same dup pairs: recursive closure
         "dup_clusters": _dup_clusters_sql(),
+        # keep-min-per-cluster dedup accounting per source
+        "dedup_keep_stats": _keep_stats_sql(),
         "dedup_simhash": _O.simhash_sql(),
         # time-keyed relational operators over the events/orders views
         "events_window_agg": _O.events_window_sql(),

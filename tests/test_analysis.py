@@ -536,3 +536,36 @@ def test_dup_clusters_planted_chain(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     by_size = dict(zip(got["cluster_size"], got["n_clusters"]))
     assert by_size.get(3) == 1 and by_size.get(2) == 1  # chain + exact pair
+
+
+def test_dedup_keep_stats_matches_oracle(ray_session):
+    from tokenzip.analysis import dedup_keep_stats_sql, q_dedup_keep_stats
+
+    got = q_dedup_keep_stats(SF).reset_index(drop=True)
+    exp = _ddb_on_docs(dedup_keep_stats_sql(), f"{SF}/documents.parquet")
+    # accounting identity + dedup actually removed something
+    assert (got["n_kept"] + got["n_removed"]).equals(got["n_docs"])
+    assert int(got["n_removed"].sum()) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_dedup_keep_stats_no_dups(ray_session, tmp_path):
+    """A corpus with zero near-dup pairs keeps everything."""
+    import pyarrow.parquet as pq
+
+    from tokenzip.analysis import dedup_keep_stats_sql, q_dedup_keep_stats
+
+    texts = ["alpha beta gamma", "delta epsilon zeta", "eta theta iota"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(["s1", "s2", "s2"]),
+        }
+    )
+    d = str(tmp_path / "documents.parquet")
+    pq.write_table(docs, d)
+    got = q_dedup_keep_stats(str(tmp_path)).reset_index(drop=True)
+    assert got.values.tolist() == [["s1", 1, 0, 1], ["s2", 2, 0, 2]]
+    exp = _ddb_on_docs(dedup_keep_stats_sql(), d)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

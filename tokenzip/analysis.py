@@ -1755,12 +1755,7 @@ def q_dup_clusters(sf_dir: str, threshold=(7, 10), max_rounds: int = 16):
     upgrade if diameters ever grow). Returns the cluster-size histogram
     (cluster_size >= 2, n_clusters, modular checksum of cluster roots) —
     oracle = DuckDB recursive-CTE transitive closure over the same pairs."""
-    judged, _, _ = _jaccard_judged_pairs(sf_dir, threshold)
-    edges = judged.map_batches(
-        lambda b: b.filter(pc.equal(b["dup"], 1)).select(["a", "b"]),
-        batch_format="pyarrow",
-    ).materialize()
-
+    labels = _dup_cluster_labels(sf_dir, threshold, max_rounds)
     empty = pd.DataFrame(
         {
             "cluster_size": pd.Series([], dtype="int64"),
@@ -1768,8 +1763,52 @@ def q_dup_clusters(sf_dir: str, threshold=(7, 10), max_rounds: int = 16):
             "root_checksum": pd.Series([], dtype="int64"),
         }
     )
-    if edges.count() == 0:
+    if labels is None:
         return empty
+
+    def _size_partial(b: pa.Table) -> pa.Table:
+        l = b["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(l, return_counts=True)
+        return pa.table(
+            {
+                "lbl": pa.array(u),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    sizes = (
+        labels.map_batches(_size_partial, batch_format="pyarrow")
+        .groupby("lbl")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    sizes["n"] = sizes["n"].astype("int64")
+    hist = (
+        sizes.groupby("n", as_index=False)
+        .agg(
+            n_clusters=("lbl", "size"),
+            root_checksum=("lbl", lambda s: int(s.astype(object).sum() % _PAIR_MOD)),
+        )
+        .rename(columns={"n": "cluster_size"})
+    )
+    hist = hist[hist["cluster_size"] >= 2]
+    out = hist.sort_values("cluster_size").reset_index(drop=True)
+    return out.astype(
+        {"cluster_size": "int64", "n_clusters": "int64", "root_checksum": "int64"}
+    )
+
+
+def _dup_cluster_labels(sf_dir: str, threshold=(7, 10), max_rounds: int = 16):
+    """(node, lbl) Dataset of the converged min-label propagation over the
+    exact near-dup pair graph — lbl is the component's min doc id; None
+    when there are no dup pairs at all."""
+    judged, _, _ = _jaccard_judged_pairs(sf_dir, threshold)
+    edges = judged.map_batches(
+        lambda b: b.filter(pc.equal(b["dup"], 1)).select(["a", "b"]),
+        batch_format="pyarrow",
+    ).materialize()
+    if edges.count() == 0:
+        return None
     nb = _lsh_n_buckets(_doc_count(sf_dir))
     nbv = np.uint64(nb - 1)
 
@@ -1883,37 +1922,144 @@ def q_dup_clusters(sf_dir: str, threshold=(7, 10), max_rounds: int = 16):
             f"dup-cluster label propagation did not converge in {max_rounds} "
             "rounds (graph diameter larger than expected)"
         )
+    return labels
 
-    def _size_partial(b: pa.Table) -> pa.Table:
-        l = b["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
-        u, c = np.unique(l, return_counts=True)
+
+def q_dedup_keep_stats(sf_dir: str, threshold=(7, 10)) -> pd.DataFrame:
+    """The dedup pipeline's OUTPUT accounting: per source, how many docs
+    survive keep-min-per-cluster near-dup dedup. A labeled node with
+    node != lbl is removed (its cluster's min id is the kept canonical);
+    everything else — cluster roots and docs in no cluster — is kept.
+    Sources attach through the same hash-bucketed join pattern (label rows
+    and (doc_id, source) rows co-partition on bkt(doc_id)); never a
+    driver-side pull of the corpus."""
+    from ray.data.aggregate import Count
+
+    labels = _dup_cluster_labels(sf_dir, threshold)
+    base = (
+        _docs(sf_dir, ["source"])
+        .groupby("source")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_docs"})
+    )
+    base["n_docs"] = base["n_docs"].astype("int64")
+    if labels is None:
+        out = base.copy()
+        out["n_removed"] = np.int64(0)
+        out["n_kept"] = out["n_docs"]
+        return out.sort_values("source").reset_index(drop=True)
+
+    nb = _lsh_n_buckets(_doc_count(sf_dir))
+    nbv = np.uint64(nb - 1)
+
+    def _doc_rows(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "lbl": pa.array(u),
-                "n": pa.array(c.astype(np.int64)),
+                "bkt": pa.array(
+                    (_splitmix64(ids.astype(np.uint64)) & nbv).astype(np.int64)
+                ),
+                "node": pa.array(ids),
+                "lbl": pa.array(np.full(len(ids), -1, np.int64)),
+                "source": b["source"],
             }
         )
 
-    sizes = (
-        labels.map_batches(_size_partial, batch_format="pyarrow")
-        .groupby("lbl")
-        .aggregate(Sum("n", alias_name="n"))
+    def _lab_rows(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_splitmix64(node.astype(np.uint64)) & nbv).astype(np.int64)
+                ),
+                "node": b["node"],
+                "lbl": b["lbl"],
+                "source": pa.array([""] * len(node), pa.string()),
+            }
+        )
+
+    def _removed_group(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "n_removed": pd.Series([], dtype="int64"),
+                }
+            )
+        is_doc = g["lbl"] == -1
+        lab = g.loc[~is_doc, ["node", "lbl"]]
+        removed = lab[lab["node"] != lab["lbl"]]
+        docs = g.loc[is_doc, ["node", "source"]]
+        hit = removed.merge(docs, on="node", how="left")
+        if hit["source"].isna().any():
+            raise KeyError("labeled node missing from the documents table")
+        agg = hit.groupby("source", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "source": agg["source"],
+                "n_removed": agg["size"].astype("int64"),
+            }
+        )
+
+    removed = (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(_doc_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(labels.map_batches(_lab_rows, batch_format="pyarrow"))
+        .groupby("bkt")
+        .map_groups(_removed_group, batch_format="pandas")
+        .groupby("source")
+        .aggregate(Sum("n_removed", alias_name="n_removed"))
         .to_pandas()
     )
-    sizes["n"] = sizes["n"].astype("int64")
-    hist = (
-        sizes.groupby("n", as_index=False)
-        .agg(
-            n_clusters=("lbl", "size"),
-            root_checksum=("lbl", lambda s: int(s.astype(object).sum() % _PAIR_MOD)),
-        )
-        .rename(columns={"n": "cluster_size"})
-    )
-    hist = hist[hist["cluster_size"] >= 2]
-    out = hist.sort_values("cluster_size").reset_index(drop=True)
-    return out.astype(
-        {"cluster_size": "int64", "n_clusters": "int64", "root_checksum": "int64"}
-    )
+    out = base.merge(removed, on="source", how="left")
+    out["n_removed"] = out["n_removed"].fillna(0).astype("int64")
+    out["n_kept"] = (out["n_docs"] - out["n_removed"]).astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def dedup_keep_stats_sql(threshold=(7, 10)) -> str:
+    num, den = threshold
+    return f"""
+WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(ws) - 2, 1)),
+           i -> CASE WHEN len(ws) >= 3
+                     THEN ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     ELSE array_to_string(ws, ' ') END)) AS gram
+  FROM w
+),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns FROM gd GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS c
+  FROM gd x JOIN gd y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+dup AS (
+  SELECT a, b
+  FROM inter JOIN sz sa ON sa.doc_id = inter.a JOIN sz sb ON sb.doc_id = inter.b
+  WHERE {den} * c >= {num} * (sa.ns + sb.ns - c)
+),
+e AS (SELECT a AS s, b AS d FROM dup UNION SELECT b AS s, a AS d FROM dup),
+reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d
+),
+comp AS (SELECT s AS doc, LEAST(s, MIN(d)) AS root FROM reach GROUP BY s),
+rm AS (SELECT doc FROM comp WHERE doc != root)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rm.doc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+       CAST(SUM(CASE WHEN rm.doc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept
+FROM documents d LEFT JOIN rm ON d.doc_id = rm.doc
+GROUP BY d.source ORDER BY d.source
+"""
 
 
 def dup_clusters_sql(threshold=(7, 10)) -> str:
