@@ -116,7 +116,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_projection_stats": _sink_projection,
         "dup_clusters": _dup_clusters,
         "dedup_keep_stats": _keep_stats,
+        "retention_cohorts": _retention,
     }
+
+
+def _retention(sf_dir: str):
+    from tokenzip.relational import q_retention_cohorts
+
+    return q_retention_cohorts(sf_dir)
 
 
 def _keep_stats(sf_dir: str):
@@ -493,6 +500,12 @@ def _keep_stats_sql() -> str:
     return dedup_keep_stats_sql()
 
 
+def _retention_sql() -> str:
+    from tokenzip.relational import retention_cohorts_sql
+
+    return retention_cohorts_sql()
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -834,6 +847,8 @@ FROM documents GROUP BY source ORDER BY source
         "funnel_view_purchase": _funnel_sql(),
         # salted two-phase aggregate == plain groupby (skew primitive)
         "lineitem_qty_salted": _qty_salted_sql(),
+        # week-1 retention cohorts (first-event week, returns next week)
+        "retention_cohorts": _retention_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

@@ -776,3 +776,55 @@ def test_funnel_window_boundaries(ray_session, tmp_path):
     )
     exp = con.sql(funnel_view_purchase_sql(window_ms=W)).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_retention_cohorts_matches_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import q_retention_cohorts, retention_cohorts_sql
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    got = q_retention_cohorts(SF).reset_index(drop=True)
+    exp = con.sql(retention_cohorts_sql()).df()
+    assert (got["n_retained"] <= got["n_users"]).all()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_retention_cohorts_planted(ray_session, tmp_path):
+    """Discriminating cases: retained next week; skipped a week (NOT
+    retained); event in the SAME week only (not retained); two cohorts."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokenzip.relational import _WEEK_MS, q_retention_cohorts, retention_cohorts_sql
+
+    W = _WEEK_MS
+    rows = [
+        # user 1: cohort week 100, returns week 101 -> retained
+        (1, 100 * W + 5), (1, 101 * W + 1),
+        # user 2: cohort 100, next event week 102 -> NOT retained
+        (2, 100 * W + 9), (2, 102 * W + 3),
+        # user 3: cohort 100, extra event same week only -> NOT retained
+        (3, 100 * W + 1), (3, 100 * W + 2),
+        # user 4: cohort 101, returns 102 -> retained (second cohort)
+        (4, 101 * W + 7), (4, 102 * W + 8),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ms")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = q_retention_cohorts(str(tmp_path)).reset_index(drop=True)
+    assert got.values.tolist() == [[100, 3, 1], [101, 1, 1]]
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    exp = con.sql(retention_cohorts_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -599,6 +599,104 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 _FUNNEL_SHIFT = 42  # epoch-ms < 2^42 (< year 2109): (uid << 42) | tms packs
 
+_WEEK_MS = 7 * 86_400_000
+
+
+def _cohort_group(g: pd.DataFrame) -> pd.DataFrame:
+    """groupby(bucket): per-user cohort week (week of first event) and
+    whether the user has any event in cohort_week + 1 — vectorized sort +
+    segment reduction, then a per-(cohort, retained) partial count."""
+    if not len(g):
+        return pd.DataFrame(
+            {
+                "cohort_week": pd.Series([], dtype="int64"),
+                "n_users": pd.Series([], dtype="int64"),
+                "n_retained": pd.Series([], dtype="int64"),
+            }
+        )
+    uid = g["uid"].to_numpy(np.int64)
+    wk = g["wk"].to_numpy(np.int64)
+    order = np.lexsort((wk, uid))
+    uid, wk = uid[order], wk[order]
+    first = np.concatenate([[True], uid[1:] != uid[:-1]])
+    starts = np.flatnonzero(first)
+    ends = np.r_[starts[1:], len(uid)]
+    cohort = wk[starts]
+    # retained iff any event in cohort+1 — segmented membership without a
+    # Python loop: each row checks against its own user's cohort week
+    seg_id = np.cumsum(first) - 1
+    target = cohort[seg_id]  # per-row: its user's cohort week
+    hit_rows = wk == target + 1
+    c = np.bincount(seg_id, weights=hit_rows, minlength=len(starts)) > 0
+    uc, inv = np.unique(cohort, return_inverse=True)
+    return pd.DataFrame(
+        {
+            "cohort_week": uc.astype("int64"),
+            "n_users": np.bincount(inv).astype("int64"),
+            "n_retained": np.bincount(inv, weights=c).astype("int64"),
+        }
+    )
+
+
+def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Week-1 retention cohorts: users grouped by the epoch-week of their
+    FIRST event; a user counts as retained when they have >= 1 event in
+    the following week. One user-bucketed shuffle of two int64 columns,
+    vectorized per-bucket segment reduction, final groupby over the
+    #weeks domain. Integer epoch-week arithmetic mirrored in SQL."""
+    path = os.path.join(sf_dir, "events.parquet")
+    nb = _lsh_n_buckets(_row_count(path))
+
+    def rows(b: pa.Table) -> pa.Table:
+        uid = (
+            b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        wk = _ts_ms(b["ts"]) // _WEEK_MS
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(uid, nb)),
+                "uid": pa.array(uid),
+                "wk": pa.array(wk),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(path, columns=["user_id", "ts"])
+        .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(_cohort_group, batch_format="pandas")
+        .groupby("cohort_week")
+        .aggregate(
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_retained", alias_name="n_retained"),
+        )
+        .to_pandas()
+    )
+    out = agg[["cohort_week", "n_users", "n_retained"]].astype("int64")
+    return out.sort_values("cohort_week").reset_index(drop=True)
+
+
+def retention_cohorts_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000 // {_WEEK_MS} AS wk FROM events
+),
+c AS (SELECT user_id, MIN(wk) AS cohort_week FROM e GROUP BY user_id),
+r AS (
+  SELECT c.user_id, c.cohort_week,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM e
+           WHERE e.user_id = c.user_id AND e.wk = c.cohort_week + 1
+         ) THEN 1 ELSE 0 END AS retained
+  FROM c
+)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(retained) AS BIGINT) AS n_retained
+FROM r GROUP BY cohort_week ORDER BY cohort_week
+"""
+
 
 def _funnel_group(window_ms: int):
     def fn(g: pd.DataFrame) -> pd.DataFrame:
