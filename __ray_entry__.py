@@ -117,7 +117,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _dup_clusters,
         "dedup_keep_stats": _keep_stats,
         "retention_cohorts": _retention,
+        "shipping_priority": _shipping_priority,
     }
+
+
+def _shipping_priority(sf_dir: str):
+    from tokenzip.relational import q_shipping_priority
+
+    return q_shipping_priority(sf_dir)
 
 
 def _retention(sf_dir: str):
@@ -506,6 +513,12 @@ def _retention_sql() -> str:
     return retention_cohorts_sql()
 
 
+def _shipping_sql() -> str:
+    from tokenzip.relational import shipping_priority_sql
+
+    return shipping_priority_sql()
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -849,6 +862,8 @@ FROM documents GROUP BY source ORDER BY source
         "lineitem_qty_salted": _qty_salted_sql(),
         # week-1 retention cohorts (first-event week, returns next week)
         "retention_cohorts": _retention_sql(),
+        # TPC-H Q3 shape: filters pushed to both reads, join, top-k
+        "shipping_priority": _shipping_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

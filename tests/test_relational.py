@@ -828,3 +828,22 @@ def test_retention_cohorts_planted(ray_session, tmp_path):
     )
     exp = con.sql(retention_cohorts_sql()).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_shipping_priority_matches_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import q_shipping_priority, shipping_priority_sql
+
+    con = duckdb.connect()
+    for t in ["orders", "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_shipping_priority(SF).reset_index(drop=True)
+    exp = con.sql(shipping_priority_sql()).df()
+    assert len(got) == 10 and got["revenue"].is_monotonic_decreasing
+    # both date predicates actually bit: every surviving order predates
+    # the cutoff (shipdate side is checked by value equality with the SQL)
+    from tokenzip.relational import _Q3_CUT_MS
+
+    assert (got["o_orderdate_ms"] < _Q3_CUT_MS).all()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

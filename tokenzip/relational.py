@@ -1953,6 +1953,143 @@ def q_order_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+_Q3_CUT_MS = 900_288_000_000  # 1998-07-15 UTC epoch-ms
+
+
+def _q3_group(k: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "revenue": pd.Series([], dtype="int64"),
+                "o_orderdate_ms": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        is_o = g["side"] == 0
+        ok = g.loc[is_o, "key"].to_numpy(np.int64)
+        odate = g.loc[is_o, "rev"].to_numpy(np.int64)  # odate rides rev slot
+        order = np.argsort(ok, kind="stable")
+        ok, odate = ok[order], odate[order]
+        if len(np.unique(ok)) != len(ok):
+            raise ValueError("duplicate o_orderkey in the orders side")
+        lk = g.loc[~is_o, "key"].to_numpy(np.int64)
+        rev = g.loc[~is_o, "rev"].to_numpy(np.int64)
+        pos = np.searchsorted(ok, lk)
+        hit = (pos < len(ok)) & (ok[np.clip(pos, 0, max(len(ok) - 1, 0))] == lk)
+        if not hit.any():
+            return empty
+        pos, rev = pos[hit], rev[hit]
+        per = np.zeros(len(ok), np.int64)
+        np.add.at(per, pos, rev)
+        nz = per > 0
+        keys, revs, dates = ok[nz], per[nz], odate[nz]
+        top = np.lexsort((keys, -revs))[:k]
+        return pd.DataFrame(
+            {
+                "o_orderkey": keys[top],
+                "revenue": revs[top],
+                "o_orderdate_ms": dates[top],
+            }
+        ).astype("int64")
+
+    return fn
+
+
+def q_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3 shape: top-k orders by outstanding revenue — orders placed
+    BEFORE the cutoff whose lineitems ship AFTER it. Both date predicates
+    push into the parquet reads (non-qualifying row groups never leave
+    storage), the join is the co-partitioned union shuffle, revenue folds
+    per order inside each bucket, and only bucket-local top-k rows reach
+    the driver. Integer cents × (100 − discount-hundredths) revenue."""
+    import pyarrow.compute as pc_
+
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    opath = os.path.join(sf_dir, "orders.parquet")
+    nb = _lsh_n_buckets(_row_count(lpath))
+    cut = pa.scalar(_Q3_CUT_MS * 1000, pa.timestamp("us"))
+
+    def orows(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        odate = _ts_ms(b["o_orderdate"])
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ok, nb)),
+                "side": pa.array(np.zeros(len(ok), np.int64)),
+                "key": pa.array(ok),
+                "rev": pa.array(odate),  # orderdate rides the rev slot
+            }
+        )
+
+    def lrows(b: pa.Table) -> pa.Table:
+        lk = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _cents(b["l_extendedprice"])
+        disc = np.floor(
+            b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(lk, nb)),
+                "side": pa.array(np.ones(len(lk), np.int64)),
+                "key": pa.array(lk),
+                "rev": pa.array(price * (100 - disc)),
+            }
+        )
+
+    od = ray.data.read_parquet(
+        opath,
+        columns=["o_orderkey", "o_orderdate"],
+        filter=pc_.field("o_orderdate") < cut,
+    ).map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
+    li = ray.data.read_parquet(
+        lpath,
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc_.field("l_shipdate") > cut,
+    ).map_batches(lrows, batch_format="pyarrow", zero_copy_batch=True)
+    parts = (
+        od.union(li)
+        .groupby("bkt")
+        .map_groups(_q3_group(k), batch_format="pandas")
+        .to_pandas()
+    )
+    top = (
+        parts.sort_values(["revenue", "o_orderkey"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "o_orderkey": top["o_orderkey"].astype("int64"),
+            "revenue": top["revenue"].astype("int64"),
+            "o_orderdate_ms": top["o_orderdate_ms"].astype("int64"),
+        }
+    )
+
+
+def shipping_priority_sql(k: int = 10) -> str:
+    return f"""
+WITH r AS (
+  SELECT o_orderkey,
+         CAST(epoch_us(o_orderdate) // 1000 AS BIGINT) AS o_orderdate_ms,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS revenue
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE epoch_us(o_orderdate) // 1000 < {_Q3_CUT_MS}
+    AND epoch_us(l_shipdate) // 1000 > {_Q3_CUT_MS}
+  GROUP BY 1, 2
+)
+SELECT CAST(row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS BIGINT)
+           AS rank,
+       o_orderkey, revenue, o_orderdate_ms
+FROM r ORDER BY revenue DESC, o_orderkey ASC LIMIT {k}
+"""
+
+
 def order_revenue_sql() -> str:
     return """
 SELECT o_orderpriority,
