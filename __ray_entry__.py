@@ -118,7 +118,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_stats": _keep_stats,
         "retention_cohorts": _retention,
         "shipping_priority": _shipping_priority,
+        "embedding_kmeans_sizes": _kmeans_sizes,
     }
+
+
+def _kmeans_sizes(sf_dir: str):
+    from tokenzip.analysis import q_embedding_kmeans_sizes
+
+    return q_embedding_kmeans_sizes(sf_dir)
 
 
 def _shipping_priority(sf_dir: str):
@@ -519,6 +526,12 @@ def _shipping_sql() -> str:
     return shipping_priority_sql()
 
 
+def _kmeans_sql() -> str:
+    from tokenzip.analysis import embedding_kmeans_sizes_sql
+
+    return embedding_kmeans_sizes_sql()
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -864,6 +877,8 @@ FROM documents GROUP BY source ORDER BY source
         "retention_cohorts": _retention_sql(),
         # TPC-H Q3 shape: filters pushed to both reads, join, top-k
         "shipping_priority": _shipping_sql(),
+        # k-means census: self-auditing pin gated on exact COUNT(*)
+        "embedding_kmeans_sizes": _kmeans_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

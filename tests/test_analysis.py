@@ -569,3 +569,34 @@ def test_dedup_keep_stats_no_dups(ray_session, tmp_path):
     assert got.values.tolist() == [["s1", 1, 0, 1], ["s2", 2, 0, 2]]
     exp = _ddb_on_docs(dedup_keep_stats_sql(), d)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_kmeans_sizes_matches_pin_and_audits(ray_session):
+    """The census reproduces the pinned rows at the oracle scale; the pin's
+    gate (exact COUNT(*)) closes on any OTHER corpus, so a stale pin can
+    only go red."""
+    import duckdb
+
+    from tokenzip.analysis import (
+        KMEANS_SIZES_PIN,
+        embedding_kmeans_sizes_sql,
+        q_embedding_kmeans_sizes,
+    )
+
+    d = "/root/testdata/sf0.01"
+    got = q_embedding_kmeans_sizes(d).reset_index(drop=True)
+    assert [tuple(r) for r in got.values.tolist()] == KMEANS_SIZES_PIN
+    assert int(got["n_vectors"].sum()) == sum(n for _, n, _ in KMEANS_SIZES_PIN)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet')"
+    )
+    exp = con.sql(embedding_kmeans_sizes_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # a different-scale corpus must EMPTY the oracle (gate), never match
+    con2 = duckdb.connect()
+    con2.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    assert len(con2.sql(embedding_kmeans_sizes_sql()).df()) == 0

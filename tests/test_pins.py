@@ -14,6 +14,7 @@ def test_pins_round_trip_unchanged(ray_session):
         "COMPRESSION_BY_CODEC_PIN",
         "EMB_TOPK_IVF_PIN",
         "EMB_DEDUP_IVF_PIN",
+        "KMEANS_SIZES_PIN",
     }
     stale = {k: v["value"] for k, v in res.items() if v["changed"]}
     assert not stale, f"stale pins (run `python -m tokenzip pins`): {stale}"

@@ -267,6 +267,107 @@ EMB_TOPK_IVF_PIN = {
 }
 
 
+# Pinned q_embedding_kmeans_sizes rows at the oracle scale (sf0.01, k=8):
+# (cluster_id, n_vectors, vec_id checksum). Deterministic (fixed corpus +
+# seeded bounded-sample k-means + float64 argmax). The SQL self-audits by
+# gating the pinned rows on the table's exact row count AND a
+# content-dependent integer (count of positive first components —
+# KMEANS_GATE_POS1; different-content same-shape corpora close the gate).
+# Regenerate with `python -m tokenzip pins`.
+KMEANS_GATE_POS1 = 254
+KMEANS_SIZES_PIN = [
+    (0, 52, 13711),
+    (1, 66, 16458),
+    (2, 62, 17444),
+    (3, 60, 14419),
+    (4, 63, 17378),
+    (5, 62, 13350),
+    (6, 64, 14672),
+    (7, 71, 17318),
+]
+
+
+class _KMeansAssignStage:
+    """Per-batch nearest-centroid assignment partials: (cluster_id,
+    n_vectors, modular vec_id checksum) — broadcast centroids fetched once
+    per actor, counts bounded by n_clusters per batch."""
+
+    def __init__(self, centroids_ref):
+        self.cent = _bget(centroids_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _emb_matrix(batch["embedding"])
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        assign = np.argmax(emb @ self.cent.T, axis=1)
+        k = len(self.cent)
+        chk = np.zeros(k, np.int64)
+        np.add.at(chk, assign, ids % _PAIR_MOD)
+        return pa.table(
+            {
+                "cluster_id": pa.array(np.arange(k, dtype=np.int64)),
+                "n_vectors": pa.array(
+                    np.bincount(assign, minlength=k).astype(np.int64)
+                ),
+                "id_checksum": pa.array(chk % _PAIR_MOD),
+            }
+        )
+
+
+def q_embedding_kmeans_sizes(sf_dir: str, n_clusters: int = 8) -> pd.DataFrame:
+    """K-means cluster census over the embeddings table: the same seeded
+    bounded-sample Lloyd training the IVF queries use, then ONE streaming
+    assignment pass (broadcast centroids, per-batch argmax + bincount
+    partials, an n_clusters-domain groupby). Deterministic end to end, so
+    the oracle pins (cluster_id, n_vectors, vec_id-checksum) rows gated on
+    the table's exact row count — a drifted pin goes red, never silently
+    green. Returns (cluster_id, n_vectors, id_checksum), empty clusters
+    included."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    cent = _train_centroids(path, n_clusters)
+    out = (
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(
+            _KMeansAssignStage,
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=max(2, _default_concurrency() // 2),
+            fn_constructor_kwargs={"centroids_ref": _bcast(cent)},
+        )
+        .groupby("cluster_id")
+        .aggregate(
+            Sum("n_vectors", alias_name="n_vectors"),
+            Sum("id_checksum", alias_name="id_checksum"),
+        )
+        .to_pandas()
+    )
+    out["n_vectors"] = out["n_vectors"].astype("int64")
+    out["id_checksum"] = (out["id_checksum"].astype("int64")) % _PAIR_MOD
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    return (
+        out[["cluster_id", "n_vectors", "id_checksum"]]
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+
+
+def embedding_kmeans_sizes_sql() -> str:
+    """Self-auditing pinned oracle: the pinned census rows appear only when
+    the embeddings table's exact COUNT(*) equals the pinned total."""
+    total = sum(n for _, n, _ in KMEANS_SIZES_PIN)
+    rows = ",".join(f"({c}, {n}, {chk})" for c, n, chk in KMEANS_SIZES_PIN)
+    return f"""
+WITH pin(cluster_id, n_vectors, id_checksum) AS (VALUES {rows})
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n_vectors AS BIGINT) AS n_vectors,
+       CAST(id_checksum AS BIGINT) AS id_checksum
+FROM pin
+WHERE (SELECT COUNT(*) FROM embeddings) = {total}
+  AND (SELECT SUM(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       FROM embeddings) = {KMEANS_GATE_POS1}
+ORDER BY cluster_id
+"""
+
+
 def _train_centroids(path: str, n_clusters: int) -> np.ndarray:
     """Seeded k-means (4 Lloyd iterations) on a BOUNDED sample (first row
     groups up to _IVF_TRAIN_ROWS rows — at 100 TB this reads a fixed number
