@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_where_events": _table_where,
         "table_where_strings": _table_where_str,
         "table_nulls_roundtrip": _table_nulls,
+        "table_agg_pushdown": _table_agg_pushdown,
+        "table_roundtrip_embeddings": _table_emb_roundtrip,
         "mixture_sample_stats": _mixture_stats,
         "decontamination_by_source": _decontam,
         "distinct_tokens_by_source": _distinct_tokens,
@@ -336,6 +338,18 @@ def _table_nulls(sf_dir: str):
     from tokenzip.table import q_table_nulls_roundtrip
 
     return q_table_nulls_roundtrip(sf_dir)
+
+
+def _table_agg_pushdown(sf_dir: str):
+    from tokenzip.table import q_table_agg_pushdown
+
+    return q_table_agg_pushdown(sf_dir)
+
+
+def _table_emb_roundtrip(sf_dir: str):
+    from tokenzip.table import q_table_roundtrip_embeddings
+
+    return q_table_roundtrip_embeddings(sf_dir)
 
 
 def _pack_stats(sf_dir: str):
@@ -734,6 +748,18 @@ def _table_nulls_sql() -> str:
     return table_nulls_roundtrip_sql()
 
 
+def _table_agg_sql() -> str:
+    from tokenzip.table import table_agg_pushdown_sql
+
+    return table_agg_pushdown_sql()
+
+
+def _table_emb_sql() -> str:
+    from tokenzip.table import table_roundtrip_embeddings_sql
+
+    return table_roundtrip_embeddings_sql()
+
+
 def _mixture_sql(glob: str) -> str:
     from tokenzip.training import mixture_sample_sql
 
@@ -810,6 +836,8 @@ FROM documents GROUP BY source ORDER BY source
         "table_where_events": _table_where_sql(),
         "table_where_strings": _table_where_str_sql(),
         "table_nulls_roundtrip": _table_nulls_sql(),
+        "table_agg_pushdown": _table_agg_sql(),
+        "table_roundtrip_embeddings": _table_emb_sql(),
         "mixture_sample_stats": _mixture_sql(glob),
         "decontamination_by_source": _decontam_sql(),
         "lang_id_confusion": _O.lang_id_sql(),

@@ -660,3 +660,154 @@ def test_table_projection_decode_skip(ray_session, tmp_path):
     pd.testing.assert_frame_equal(w.reset_index(drop=True), exp)
     with pytest.raises(Exception, match="unknown table columns"):
         decompress_table(out, columns=["nope"]).materialize()
+
+
+def test_list_column_roundtrip_all_shapes(ray_session, tmp_path):
+    """Encoded list columns (int64/large_list<float>/list<int32> with
+    top-level nulls, element nulls, and empty lists) roundtrip
+    bit-identically through the chunk sink."""
+    from tokenzip.table import compress_table, decompress_table
+
+    rng = np.random.default_rng(7)
+    n = 400
+    lens = rng.integers(0, 9, n)
+    lens[::17] = 0  # empty lists
+    ne = int(lens.sum())
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    li = pa.ListArray.from_arrays(
+        pa.array(offs.astype(np.int32), pa.int32()),
+        pa.array(rng.integers(-(10**6), 10**12, ne), pa.int64()),
+    )
+    null_mask = rng.random(n) < 0.1
+    li = pa.compute.if_else(pa.array(~null_mask), li, pa.nulls(n, li.type))
+    lf = pa.LargeListArray.from_arrays(
+        pa.array(offs, pa.int64()),
+        pa.array(rng.normal(size=ne).astype(np.float32), pa.float32()),
+    )
+    ev = pa.array(rng.integers(0, 100, ne), pa.int32())
+    emask = rng.random(ne) < 0.05
+    ev = pa.compute.if_else(pa.array(~emask), ev, pa.nulls(ne, pa.int32()))
+    le = pa.ListArray.from_arrays(
+        pa.array(offs.astype(np.int32), pa.int32()), ev
+    )
+    t = pa.table(
+        {"id": pa.array(np.arange(n)), "li": li, "lf": lf, "le": le}
+    )
+    src = str(tmp_path / "lists.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "sink")
+    compress_table([src], out)
+    dec = (
+        decompress_table(out)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    orig = t.to_pandas()
+    pd.testing.assert_frame_equal(dec, orig)
+    # the codec plan actually routed the lists through 'lst', not passthrough
+    chunks = pq.read_table(
+        os.path.join(out, "chunks"), columns=["enc_codecs", "enc_names"]
+    )
+    plan = dict(
+        zip(chunks["enc_names"][0].as_py(), chunks["enc_codecs"][0].as_py())
+    )
+    assert plan["li"] == plan["lf"] == plan["le"] == "lst"
+
+
+def test_fixed_dim_list_lengths_cost_nothing(ray_session, tmp_path):
+    """Fixed-dimension embedding lists: the lengths stream RLEs to a few
+    bytes; the sink roundtrips the embeddings table bit-identically."""
+    from tokenzip.table import compress_table, decompress_table
+
+    src = os.path.join(SF, "embeddings.parquet")
+    out = str(tmp_path / "emb")
+    compress_table([src], out)
+    dec = (
+        decompress_table(out)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    orig = (
+        pq.read_table(src).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert dec["vec_id"].equals(orig["vec_id"])
+    assert dec["label"].equals(orig["label"])
+    for a, b in zip(dec["embedding"], orig["embedding"]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_exact_sum_i64_extremes():
+    from tokenzip.table import _exact_sum_i64
+
+    cases = [
+        np.array([], np.int64),
+        np.array([0], np.int64),
+        np.array([np.iinfo(np.int64).max] * 1000, np.int64),
+        np.array([np.iinfo(np.int64).min] * 1000, np.int64),
+        np.array([np.iinfo(np.int64).max, np.iinfo(np.int64).min, -1, 1], np.int64),
+    ]
+    rng = np.random.default_rng(3)
+    cases.append(rng.integers(-(2**62), 2**62, 50_000))
+    for v in cases:
+        assert _exact_sum_i64(v) == sum(int(x) for x in v)
+
+
+def test_table_stats_metadata_only(ray_session, tmp_path):
+    """table_stats answers COUNT/MIN/MAX/SUM from chunk metadata and agrees
+    with the row-level truth, including null accounting."""
+    from tokenzip.table import compress_table, table_stats
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    vals = rng.integers(-(10**9), 10**9, n)
+    mask = rng.random(n) < 0.2
+    col = pa.array(vals, pa.int64(), mask=mask)
+    t = pa.table({"a": col, "b": pa.array(np.arange(n), pa.int64())})
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "sink")
+    compress_table([src], out)
+    st = table_stats(out).set_index("column")
+    dense = vals[~mask]
+    assert st.loc["a", "n_rows"] == n
+    assert st.loc["a", "n_null"] == int(mask.sum())
+    assert st.loc["a", "min_v"] == int(dense.min())
+    assert st.loc["a", "max_v"] == int(dense.max())
+    assert st.loc["a", "sum_v"] == sum(int(x) for x in dense)
+    assert st.loc["b", "sum_v"] == n * (n - 1) // 2
+    with pytest.raises(Exception, match="aggregate metadata"):
+        table_stats(out, columns=["nope"])
+
+
+def test_table_agg_pushdown_oracle(ray_session):
+    from tokenzip.table import q_table_agg_pushdown, table_agg_pushdown_sql
+
+    mine = q_table_agg_pushdown(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    oracle = con.execute(table_agg_pushdown_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        mine.reset_index(drop=True), oracle.reset_index(drop=True)
+    )
+
+
+def test_table_embeddings_oracle(ray_session):
+    from tokenzip.table import (
+        q_table_roundtrip_embeddings,
+        table_roundtrip_embeddings_sql,
+    )
+
+    mine = q_table_roundtrip_embeddings(SF)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    oracle = con.execute(table_roundtrip_embeddings_sql()).fetchdf()
+    pd.testing.assert_frame_equal(
+        mine.reset_index(drop=True), oracle.reset_index(drop=True)
+    )

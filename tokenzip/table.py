@@ -36,6 +36,8 @@ from tokenzip.codecs.core import (
     encode_float_column,
     encode_int_column,
     leb128_oracle_bytes,
+    pack_blob,
+    unpack_blob,
 )
 from tokenzip.codecs.selector import choose_int_codec
 from tokenzip import uio
@@ -52,8 +54,8 @@ _INT_WIDTH = {"int8": 8, "int16": 16, "int32": 32, "int64": 64}
 _UINT_WIDTH = {"uint8": 16, "uint16": 32, "uint32": 64, "uint64": 64}
 
 # bump when the chunk-row schema changes (v2: scalar zone-map columns;
-# v3: enc_nulls validity bitmaps)
-_CHUNK_VER = 4  # 4: string columns carry smin_/smax_ zone maps
+# v3: enc_nulls validity bitmaps; v4: string smin_/smax_ zone maps)
+_CHUNK_VER = 5  # 5: encoded list columns + znn_/zsum_ aggregate metadata
 
 _DTYPE_OF_TAG = {
     "int8": pa.int8(),
@@ -71,17 +73,40 @@ _DTYPE_OF_TAG = {
 }
 
 
+def _list_child_tag(t: pa.DataType) -> str | None:
+    """dtype tag of a list's element type when the codec family covers it
+    (ints, unsigned ints, naive timestamps, float32/64); None routes the
+    list to verbatim passthrough."""
+    tag = str(t)
+    if tag in _INT_WIDTH or tag in _UINT_WIDTH or tag in ("float", "double"):
+        return tag
+    if pa.types.is_timestamp(t) and t.tz is None:
+        return tag
+    return None
+
+
 def _col_plan(
     schema: pa.Schema,
-) -> tuple[list[tuple[str, int, str]], list[str], list[str]]:
+) -> tuple[
+    list[tuple[str, int, str]],
+    list[str],
+    list[tuple[str, int, str]],
+    list[tuple[str, str, str]],
+    list[str],
+]:
     """(int columns as (name, width, dtype-tag), string column names,
+    float columns, list columns as (name, list-kind, element-tag),
     passthrough names). Ints at their native width, unsigned ints widened
     (u64 bitcast), naive timestamps as width-64 (delta usually wins on
     sorted time columns), strings through the plain/dict/prefix_int/FSST
     auto-selector, float64 through the XOR-delta family (raw floor on
-    incompressible values; float32 and float64). Bool/nested/decimal:
-    verbatim columnar passthrough."""
-    enc, strs, flts, passthru = [], [], [], []
+    incompressible values; float32 and float64). list/large_list of any of
+    those element types decomposes into a lengths stream + a flattened
+    value stream, each through its own codec (the reference's flat
+    `&[u64]` contract applied to the child buffer —
+    /root/reference/src/lib.rs). Bool/nested-of-nested/decimal: verbatim
+    columnar passthrough."""
+    enc, strs, flts, lsts, passthru = [], [], [], [], []
     for f in schema:
         tag = str(f.type)
         if tag in _INT_WIDTH:
@@ -96,9 +121,129 @@ def _col_plan(
             flts.append((f.name, 64, tag))
         elif tag == "float":
             flts.append((f.name, 32, tag))
+        elif pa.types.is_list(f.type) or pa.types.is_large_list(f.type):
+            ctag = _list_child_tag(f.type.value_type)
+            if ctag is None:
+                passthru.append(f.name)
+            else:
+                kind = (
+                    "large_list"
+                    if pa.types.is_large_list(f.type)
+                    else "list"
+                )
+                lsts.append((f.name, kind, ctag))
         else:
             passthru.append(f.name)
-    return enc, strs, flts, passthru
+    return enc, strs, flts, lsts, passthru
+
+
+def _exact_sum_i64(vals: np.ndarray) -> int:
+    """Exact (arbitrary-precision) sum of an int64 array without a Python
+    loop: split each value into a signed high half and an unsigned low
+    half, sum each half in its own 64-bit accumulator (no overflow for
+    chunks up to 2^25 rows), recombine in Python ints."""
+    if not len(vals):
+        return 0
+    lo = int((vals.view(np.uint64) & np.uint64(0xFFFFFFFF)).sum(dtype=np.uint64))
+    hi = int((vals >> 32).sum(dtype=np.int64))
+    return (hi << 32) + lo
+
+
+def _encode_int_vals(vals: np.ndarray, width: int) -> bytes:
+    """Selector-chosen int blob with the LEB128 fallback floor (sampling
+    can mispredict, the floor cannot) — the shared tail of the scalar-int
+    and list-value encode paths."""
+    codec = choose_int_codec(vals, width)
+    blob = encode_int_column(vals, codec, width)
+    if codec != "leb128":
+        lb = encode_int_column(vals, "leb128", width)
+        if len(lb) < len(blob):
+            blob = lb
+    return blob
+
+
+def _encode_list_column(col: pa.Array, kind: str, ctag: str) -> bytes:
+    """list column (no top-level nulls — those were split off into the
+    enc_nulls bitmap) -> one packed 'lst' blob: lengths stream (RLE
+    collapses fixed-dim lists to ~nothing), flattened value stream through
+    the int or float codec family, and an element-validity bitmap (b""
+    when elements are null-free)."""
+    lens = (
+        pa.compute.list_value_length(col)
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    flat = col.flatten()  # values in list order; sliced offsets respected
+    vmap = b""
+    if flat.null_count:
+        valid = flat.is_valid().to_numpy(zero_copy_only=False)
+        vmap = np.packbits(valid).tobytes()
+        flat = flat.drop_null()
+    if ctag in ("float", "double"):
+        fwidth = 64 if ctag == "double" else 32
+        vblob = encode_float_column(
+            flat.to_numpy(zero_copy_only=False), fwidth
+        )
+    else:
+        if ctag == "uint64":
+            vals = flat.to_numpy(zero_copy_only=False).view(np.int64)
+            width = 64
+        else:
+            vals = flat.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            width = _INT_WIDTH.get(ctag) or _UINT_WIDTH.get(ctag) or 64
+        vblob = _encode_int_vals(vals, width)
+    lblob = _encode_int_vals(lens, 64)
+    return pack_blob(
+        "lst",
+        {"n": len(col), "k": kind, "ct": ctag, "ne": int(lens.sum())},
+        [lblob, vblob, vmap],
+    )
+
+
+def _decode_list_column(blob) -> pa.Array:
+    """Inverse of _encode_list_column (dense non-null lists; the caller
+    re-expands top-level nulls from the enc_nulls bitmap)."""
+    codec, meta, streams = unpack_blob(blob)
+    if codec != "lst":
+        raise ChunkFormatError(f"expected a 'lst' blob, got {codec!r}")
+    ctag = meta["ct"]
+    n = int(meta["n"])
+    n_elem = int(meta["ne"])
+    lens = decode_int_column(bytes(streams[0]))
+    if ctag in ("float", "double"):
+        vals = decode_float_column(bytes(streams[1]))
+        vtyp = pa.float64() if ctag == "double" else pa.float32()
+        varr_np = vals
+    else:
+        ints = decode_int_column(bytes(streams[1]))
+        vtyp = _DTYPE_OF_TAG[ctag]
+        varr_np = ints.view(np.uint64) if ctag == "uint64" else ints
+    vmap = bytes(streams[2])
+    if vmap:
+        valid = np.unpackbits(
+            np.frombuffer(vmap, np.uint8), count=n_elem
+        ).astype(bool)
+        idx = np.zeros(n_elem, np.int64)
+        idx[valid] = np.arange(len(varr_np), dtype=np.int64)
+        values = pa.compute.take(
+            pa.array(varr_np).cast(vtyp)
+            if ctag not in ("float", "double", "uint64")
+            else pa.array(varr_np, vtyp),
+            pa.array(idx, pa.int64(), mask=~valid),
+        )
+    elif ctag in ("float", "double", "uint64"):
+        values = pa.array(varr_np, vtyp)
+    else:
+        values = pa.array(varr_np).cast(vtyp)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    if meta["k"] == "large_list":
+        return pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), values
+        )
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), pa.int32()), values
+    )
 
 
 def _one_list(arr: pa.Array) -> pa.Array:
@@ -129,7 +274,7 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
     from tokenzip.codecs.strings import encode_str_column
 
     schema = batch.schema
-    enc_plan, str_cols, flt_cols, passthru = _col_plan(
+    enc_plan, str_cols, flt_cols, lst_cols, passthru = _col_plan(
         pa.schema([f for f in schema if f.name != "frag"])
     )
     frags = batch["frag"].to_numpy(zero_copy_only=False)
@@ -140,6 +285,7 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
         names, codecs, dtags, blobs, nmaps = [], [], [], [], []
         bytes_in = int_bytes_out = str_bytes_out = oracle = 0
         zmaps: dict[str, tuple[int, int]] = {}
+        zaggs: dict[str, tuple[int, int]] = {}  # name -> (n_nonnull, sum)
         for name, width, tag in enc_plan:
             col = sub[name]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -172,6 +318,11 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
             zmaps[name] = (
                 (int(vals.min()), int(vals.max())) if len(vals) else (1, 0)
             )
+            # aggregate metadata (parquet-stats analog): non-null count +
+            # exact sum in int64 storage units, serialized as a decimal
+            # string so the fold never overflows — SUM/COUNT/MIN/MAX
+            # queries answer from chunk rows without touching any blob
+            zaggs[name] = (len(vals), _exact_sum_i64(vals))
         for name, fwidth, ftag in flt_cols:
             col = sub[name]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
@@ -184,6 +335,22 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
             blobs.append(blob)
             nmaps.append(nmap)
             bytes_in += fvals.nbytes
+            str_bytes_out += len(blob) + len(nmap)
+        for name, kind, ctag in lst_cols:
+            col = sub[name]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            col, nmap = _null_split(col)
+            blob = _encode_list_column(col, kind, ctag)
+            names.append(name)
+            codecs.append("lst")
+            dtags.append(f"{kind}<{ctag}>")
+            blobs.append(blob)
+            nmaps.append(nmap)
+            bytes_in += sum(
+                b.size
+                for b in (col.buffers() if len(col) else [])
+                if b is not None
+            )
             str_bytes_out += len(blob) + len(nmap)
         szmaps: dict[str, tuple[str, str]] = {}
         for name in str_cols:
@@ -254,6 +421,11 @@ def _encode_table_fn(batch: pa.Table) -> pa.Table:
         for name, (lo, hi) in zmaps.items():
             arrays[f"zmin_{name}"] = pa.array([lo], pa.int64())
             arrays[f"zmax_{name}"] = pa.array([hi], pa.int64())
+        # aggregate metadata scalars: non-null count + exact decimal-string
+        # sum per encoded int/timestamp column (see zaggs above)
+        for name, (nn, sm) in zaggs.items():
+            arrays[f"znn_{name}"] = pa.array([nn], pa.int64())
+            arrays[f"zsum_{name}"] = pa.array([str(sm)], pa.string())
         # string zone maps (same contract, lexicographic): smin_/smax_
         for name, (slo, shi) in szmaps.items():
             arrays[f"smin_{name}"] = pa.array([slo], pa.string())
@@ -360,6 +532,19 @@ def _decode_table_fn(batch: pa.Table, columns: list[str] | None = None) -> pa.Ta
                 continue
             if tag == "string":
                 dec = decode_str_column(blob)
+                if nmap:
+                    valid = np.unpackbits(
+                        np.frombuffer(nmap, np.uint8), count=n
+                    ).astype(bool)
+                    idx = np.zeros(n, np.int64)
+                    idx[valid] = np.arange(len(dec), dtype=np.int64)
+                    dec = pa.compute.take(
+                        dec, pa.array(idx, pa.int64(), mask=~valid)
+                    )
+                cols[name] = dec
+                continue
+            if tag.startswith(("list<", "large_list<")):
+                dec = _decode_list_column(blob)
                 if nmap:
                     valid = np.unpackbits(
                         np.frombuffer(nmap, np.uint8), count=n
@@ -602,16 +787,12 @@ def _plant_nulls_fn(batch: pa.Table) -> pa.Table:
     )
 
 
-def q_table_nulls_roundtrip(sf_dir: str):
-    """Nullable-column differential: plant NULLs into events with a
-    deterministic rule (Ray map), compress the nulled table through the
-    bitmap path, decompress the WRITTEN chunks, and roll up per-event_type
-    row/null counts + non-null sums against DuckDB applying the same rule
-    to the original table."""
+def _events_nulled_sink(sf_dir: str) -> str:
+    """Chunk sink of events with NULLs planted by the deterministic rule
+    (props NULL at event_id % 7 == 0, user_id NULL at % 11 == 0) —
+    content-keyed scratch like _events_sink; shared by the nulls-roundtrip
+    and aggregate-pushdown differentials."""
     import hashlib
-
-    import pandas as pd
-    from ray.data.aggregate import Sum
 
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
@@ -636,8 +817,20 @@ def q_table_nulls_roundtrip(sf_dir: str):
         if f.endswith(".parquet")
     ]
     compress_table(paths, out_dir)
+    return out_dir
+
+
+def q_table_nulls_roundtrip(sf_dir: str):
+    """Nullable-column differential: plant NULLs into events with a
+    deterministic rule (Ray map), compress the nulled table through the
+    bitmap path, decompress the WRITTEN chunks, and roll up per-event_type
+    row/null counts + non-null sums against DuckDB applying the same rule
+    to the original table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
     agg = (
-        decompress_table(out_dir)
+        decompress_table(_events_nulled_sink(sf_dir))
         .map_batches(
             _NullsChkStage(), batch_format="pyarrow", zero_copy_batch=True
         )
@@ -899,4 +1092,332 @@ SELECT event_type,
        CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_props_len
 FROM events WHERE {col} BETWEEN '{lo}' AND '{hi}'
 GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregate pushdown: COUNT/SUM/MIN/MAX answered from chunk metadata only.
+# Every chunk row carries scalar znn_/zmin_/zmax_/zsum_ columns per encoded
+# int/timestamp column (the parquet-footer-statistics analog, written at
+# encode time); table_stats projects JUST those scalars out of the chunk
+# parquet — the enc_blobs payload lists are never read, so the scan cost is
+# O(chunks), independent of row count or value bytes.
+# ---------------------------------------------------------------------------
+
+
+def _stats_partial(cols: list[str]):
+    """Per-batch fold of chunk-metadata rows -> one partial row per column:
+    (column, n_rows, n_nonnull, min_v, max_v, sum as decimal string).
+    Chunks with znn == 0 carry the inverted zone-map sentinel and are
+    excluded from min/max; sums stay exact via Python ints."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        n_rows = int(
+            b["n_rows"].to_numpy(zero_copy_only=False).sum(dtype=np.int64)
+        )
+        out = {
+            "column": [],
+            "n_rows": [],
+            "n_nonnull": [],
+            "min_v": [],
+            "max_v": [],
+            "sum_str": [],
+        }
+        for c in cols:
+            nn = b[f"znn_{c}"].to_numpy(zero_copy_only=False)
+            mn = b[f"zmin_{c}"].to_numpy(zero_copy_only=False)
+            mx = b[f"zmax_{c}"].to_numpy(zero_copy_only=False)
+            live = nn > 0
+            total = sum(int(s) for s in b[f"zsum_{c}"].to_pylist())
+            out["column"].append(c)
+            out["n_rows"].append(n_rows)
+            out["n_nonnull"].append(int(nn.sum(dtype=np.int64)))
+            out["min_v"].append(int(mn[live].min()) if live.any() else None)
+            out["max_v"].append(int(mx[live].max()) if live.any() else None)
+            out["sum_str"].append(str(total))
+        return pa.table(
+            {
+                "column": pa.array(out["column"], pa.string()),
+                "n_rows": pa.array(out["n_rows"], pa.int64()),
+                "n_nonnull": pa.array(out["n_nonnull"], pa.int64()),
+                "min_v": pa.array(out["min_v"], pa.int64()),
+                "max_v": pa.array(out["max_v"], pa.int64()),
+                "sum_str": pa.array(out["sum_str"], pa.string()),
+            }
+        )
+
+    return fn
+
+
+def table_stats(out_dir: str, columns: list[str] | None = None):
+    """Per-column (n_rows, n_null, min, max, exact sum) for the sink's
+    int/timestamp columns, computed from chunk metadata ONLY (no payload
+    blob is read or decoded — parquet column projection prunes the list
+    columns at the scan). Values are in int64 storage units: timestamps as
+    epoch in the column's unit, uint64 in its two's-complement bitcast
+    (the zone maps' contract). Sums are exact at any scale (decimal-string
+    fold, never a wrapping int64). Returns a pandas frame with sum_v as a
+    Python int column."""
+    import pandas as pd
+
+    chunks_dir = os.path.join(out_dir, "chunks")
+    files = [
+        p for p, _ in uio.walk_files(chunks_dir) if p.endswith(".parquet")
+    ]
+    if not files:
+        raise ChunkFormatError(f"no chunk parquet under {chunks_dir}")
+    names = pq.ParquetFile(files[0]).schema_arrow.names
+    have = sorted(n[5:] for n in names if n.startswith("zsum_"))
+    if columns is None:
+        columns = have
+    else:
+        missing = sorted(set(columns) - set(have))
+        if missing:
+            raise ChunkFormatError(
+                f"columns {missing} carry no aggregate metadata in this "
+                f"sink (covered: {have}); re-compress or aggregate the "
+                "decoded stream"
+            )
+        columns = sorted(columns)
+    needed = ["n_rows"] + [
+        f"{p}{c}" for c in columns for p in ("znn_", "zmin_", "zmax_", "zsum_")
+    ]
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_blocks = min(len(files), max(8, 4 * cpus))
+    partials = (
+        ray.data.read_parquet(
+            chunks_dir, columns=needed, override_num_blocks=n_blocks
+        )
+        .map_batches(
+            _stats_partial(columns),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    # driver fold over ~blocks x columns tiny partial rows, Python-int exact
+    rows = []
+    for c in columns:
+        p = partials[partials["column"] == c]
+        mins = p["min_v"].dropna()
+        maxs = p["max_v"].dropna()
+        rows.append(
+            {
+                "column": c,
+                "n_rows": int(p["n_rows"].sum()),
+                "n_null": int(p["n_rows"].sum()) - int(p["n_nonnull"].sum()),
+                "min_v": int(mins.min()) if len(mins) else None,
+                "max_v": int(maxs.max()) if len(maxs) else None,
+                "sum_v": sum(int(s) for s in p["sum_str"]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def q_table_agg_pushdown(sf_dir: str):
+    """Aggregate-pushdown differential: COUNT/COUNT(col)/MIN/MAX/SUM over
+    event_id, user_id and ts answered purely from chunk metadata — once on
+    the plain events sink and once on the NULL-planted sink (user_id nulls
+    exercise the non-null accounting) — against DuckDB computing the same
+    aggregates row-level from the original table. Sums compare mod a
+    shared prime (the metadata sum is arbitrary-precision; SQL goes
+    through HUGEINT)."""
+    import pandas as pd
+
+    from tokenzip.analysis import _PAIR_MOD
+
+    rows = []
+    for sink, out_dir in (
+        ("nulled", _events_nulled_sink(sf_dir)),
+        ("plain", _events_sink(sf_dir)[1]),
+    ):
+        st = table_stats(out_dir, columns=["event_id", "ts", "user_id"])
+        for r in st.itertuples(index=False):
+            rows.append(
+                {
+                    "sink": sink,
+                    "col": r.column,
+                    "n_rows": int(r.n_rows),
+                    "n_null": int(r.n_null),
+                    "min_v": int(r.min_v),
+                    "max_v": int(r.max_v),
+                    "sum_mod": ((r.sum_v % _PAIR_MOD) + _PAIR_MOD)
+                    % _PAIR_MOD,
+                }
+            )
+    out = pd.DataFrame(rows).astype(
+        {
+            "n_rows": "int64",
+            "n_null": "int64",
+            "min_v": "int64",
+            "max_v": "int64",
+            "sum_mod": "int64",
+        }
+    )
+    return out.sort_values(["sink", "col"]).reset_index(drop=True)
+
+
+def table_agg_pushdown_sql() -> str:
+    from tokenzip.analysis import _PAIR_MOD
+
+    m = _PAIR_MOD
+    parts = []
+    for sink, uid_expr in (
+        ("nulled", "CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END"),
+        ("plain", "user_id"),
+    ):
+        for col, expr in (
+            ("event_id", "event_id"),
+            ("ts", "epoch_us(ts)"),
+            ("user_id", uid_expr),
+        ):
+            parts.append(
+                f"""
+SELECT '{sink}' AS sink, '{col}' AS col,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({expr}) AS BIGINT) AS n_null,
+       CAST(MIN({expr}) AS BIGINT) AS min_v,
+       CAST(MAX({expr}) AS BIGINT) AS max_v,
+       CAST(((SUM({expr}) % {m}) + {m}) % {m} AS BIGINT) AS sum_mod
+FROM events"""
+            )
+    return " UNION ALL ".join(parts) + " ORDER BY sink, col"
+
+
+# ---------------------------------------------------------------------------
+# Encoded list columns end-to-end: the embeddings table (vec_id int64,
+# embedding list<float>, label int32) through compress/decompress — the
+# fixed-dim lengths stream RLEs to ~nothing and the float32 value stream
+# rides the float codec family (raw floor on incompressible vectors).
+# ---------------------------------------------------------------------------
+
+
+def _embeddings_sink(sf_dir: str) -> tuple[str, str]:
+    """(source parquet path, scratch sink dir) for the embeddings-table
+    chunk sink — content-keyed like _events_sink."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha1(
+        f"{os.path.abspath(src)}:{st.st_size}:{st.st_mtime_ns}:{_CHUNK_VER}".encode()
+    ).hexdigest()[:12]
+    out_dir = os.path.join(
+        "/tmp/tokenzip_table",
+        f"{os.path.basename(os.path.normpath(sf_dir))}_emb_{fp}",
+    )
+    compress_table([src], out_dir)
+    return src, out_dir
+
+
+class _EmbChkStage:
+    """Partials over the decoded embeddings table: per label, vector count,
+    id sum, total element count, and an element-value checksum
+    (sum of floor(value * 1e5) — float32 widens to float64 exactly, and
+    both engines run the identical double multiply + floor, so the sum is
+    deterministic across Ray and DuckDB)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        emb = batch["embedding"]
+        emb = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) else emb
+        lens = (
+            pc.list_value_length(emb)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        q = np.floor(flat.astype(np.float64) * 1e5).astype(np.int64)
+        lab = (
+            batch["label"]
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        df = pd.DataFrame(
+            {
+                "label": lab,
+                "vid": batch["vec_id"].to_numpy(zero_copy_only=False),
+                "len": lens,
+            }
+        )
+        a = df.groupby("label", as_index=False).agg(
+            n_rows=("vid", "size"),
+            sum_vec_id=("vid", "sum"),
+            sum_len=("len", "sum"),
+        )
+        eldf = pd.DataFrame({"label": np.repeat(lab, lens), "q": q})
+        b = eldf.groupby("label", as_index=False).agg(sum_q=("q", "sum"))
+        return pa.Table.from_pandas(
+            a.merge(b, on="label", how="left").fillna({"sum_q": 0}),
+            preserve_index=False,
+        )
+
+
+def q_table_roundtrip_embeddings(sf_dir: str):
+    """Encoded-list-column differential: compress embeddings.parquet
+    (list<float> through the lengths+values decomposition), decompress the
+    WRITTEN chunks, and checksum per label — vector/element counts, id
+    sums, and a floor-quantized element-value sum — against DuckDB
+    unnesting the original table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from tokenzip.analysis import _PAIR_MOD
+
+    _, out_dir = _embeddings_sink(sf_dir)
+    agg = (
+        decompress_table(out_dir)
+        .map_batches(
+            _EmbChkStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("label")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_vec_id", alias_name="sum_vec_id"),
+            Sum("sum_len", alias_name="sum_len"),
+            Sum("sum_q", alias_name="sum_q"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "label": agg["label"].astype("int64"),
+            "n_rows": agg["n_rows"].astype("int64"),
+            "sum_vec_id": agg["sum_vec_id"].astype("int64"),
+            "sum_len": agg["sum_len"].astype("int64"),
+            "sum_q": (
+                (agg["sum_q"].astype("int64") % _PAIR_MOD) + _PAIR_MOD
+            )
+            % _PAIR_MOD,
+        }
+    )
+    return out.sort_values("label").reset_index(drop=True)
+
+
+def table_roundtrip_embeddings_sql() -> str:
+    from tokenzip.analysis import _PAIR_MOD
+
+    m = _PAIR_MOD
+    return f"""
+WITH el AS (
+  SELECT CAST(label AS BIGINT) AS label, UNNEST(embedding) AS e
+  FROM embeddings
+),
+q AS (
+  SELECT label,
+         CAST(((SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 100000.0) AS BIGINT))
+                % {m}) + {m}) % {m} AS BIGINT) AS sum_q
+  FROM el GROUP BY label
+),
+a AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+         CAST(SUM(len(embedding)) AS BIGINT) AS sum_len
+  FROM embeddings GROUP BY 1
+)
+SELECT a.label, a.n_rows, a.sum_vec_id, a.sum_len, q.sum_q
+FROM a JOIN q USING (label) ORDER BY label
 """
