@@ -121,7 +121,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _retention,
         "shipping_priority": _shipping_priority,
         "embedding_kmeans_sizes": _kmeans_sizes,
+        "user_peak_window": _user_peak_window,
+        "small_qty_revenue": _small_qty_revenue,
+        "lineitem_cube": _lineitem_cube,
     }
+
+
+def _user_peak_window(sf_dir: str):
+    from tokenzip.relational import q_user_peak_window
+
+    return q_user_peak_window(sf_dir)
+
+
+def _small_qty_revenue(sf_dir: str):
+    from tokenzip.relational import q_small_qty_revenue
+
+    return q_small_qty_revenue(sf_dir)
+
+
+def _lineitem_cube(sf_dir: str):
+    from tokenzip.relational import q_lineitem_cube
+
+    return q_lineitem_cube(sf_dir)
 
 
 def _kmeans_sizes(sf_dir: str):
@@ -630,6 +651,24 @@ def _rollup_sql() -> str:
     return revenue_rollup_sql()
 
 
+def _cube_sql() -> str:
+    from tokenzip.relational import lineitem_cube_sql
+
+    return lineitem_cube_sql()
+
+
+def _peak_window_sql() -> str:
+    from tokenzip.relational import user_peak_window_sql
+
+    return user_peak_window_sql()
+
+
+def _small_qty_sql() -> str:
+    from tokenzip.relational import small_qty_revenue_sql
+
+    return small_qty_revenue_sql()
+
+
 def _top_token_sql(glob: str) -> str:
     from tokenzip.training import top_token_by_source_sql
 
@@ -887,6 +926,12 @@ FROM documents GROUP BY source ORDER BY source
         "cross_source_dups": _cross_dups_sql(),
         # GROUP BY ROLLUP from one scan: coarser levels fold from finest
         "revenue_rollup": _rollup_sql(),
+        # GROUP BY CUBE: all four grouping sets from the same identity
+        "lineitem_cube": _cube_sql(),
+        # window FRAME (ROWS 2 PRECEDING): per-user peak 3-event spend
+        "user_peak_window": _peak_window_sql(),
+        # TPC-H Q17 shape: correlated per-part avg via integer cross-multiply
+        "small_qty_revenue": _small_qty_sql(),
         # exact NTILE deciles from a sparse histogram — no global sort
         "order_price_deciles": _deciles_sql(),
         # LAG window: per-user inter-arrival gaps, deterministic tie-break

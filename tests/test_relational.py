@@ -847,3 +847,76 @@ def test_shipping_priority_matches_oracle(ray_session):
 
     assert (got["o_orderdate_ms"] < _Q3_CUT_MS).all()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_user_peak_window_matches_frame_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import q_user_peak_window, user_peak_window_sql
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    got = q_user_peak_window(SF).reset_index(drop=True)
+    exp = con.sql(user_peak_window_sql()).df()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_user_peak_window_frame_clamps_at_user_start(ray_session, tmp_path):
+    """A user's first two windows are partial (1 then 2 rows); a big spend
+    by the PREVIOUS user in the sorted order must never leak into them."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokenzip.relational import q_user_peak_window, user_peak_window_sql
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([1000, 2000, 3000, 1500, 2500], pa.timestamp("ms")),
+            "value": pa.array([100.0, 100.0, 100.0, 1.0, 2.0]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = q_user_peak_window(str(tmp_path)).reset_index(drop=True)
+    # user 1 peak = 300 units = 30000 cents; user 2 peak = 1+2 = 300 cents
+    assert got.set_index("user_id").loc[1, "peak3_cents"] == 30000
+    assert got.set_index("user_id").loc[2, "peak3_cents"] == 300
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    exp = con.sql(user_peak_window_sql()).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_small_qty_revenue_matches_q17_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import q_small_qty_revenue, small_qty_revenue_sql
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_small_qty_revenue(SF).reset_index(drop=True)
+    exp = con.sql(small_qty_revenue_sql()).df()
+    assert int(got["n_rows"].sum()) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_lineitem_cube_matches_cube_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import q_lineitem_cube, lineitem_cube_sql
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')")
+    got = q_lineitem_cube(SF).reset_index(drop=True)
+    exp = con.sql(lineitem_cube_sql()).df()
+    # all four grouping sets present: fine cells + two margins + grand total
+    assert (got["l_returnflag"] == "ALL").any()
+    assert (got["l_linestatus"] == "ALL").any()
+    assert ((got["l_returnflag"] == "ALL") & (got["l_linestatus"] == "ALL")).sum() == 1
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -2232,3 +2232,362 @@ SELECT * FROM (
   FROM orders LEFT JOIN customer c ON o_custkey = c_custkey
 ) ORDER BY relation
 """
+
+
+# ---------------------------------------------------------------------------
+# Window FRAMES: per-user peak 3-event sliding spend (SUM OVER ROWS BETWEEN
+# 2 PRECEDING AND CURRENT ROW, then MAX per user). The LAG operator above
+# covers offset windows; this one covers bounded frames — the rolling sum
+# is a cumulative-sum difference with the frame start clamped at each
+# user's segment boundary, so partial leading windows match SQL exactly.
+# Same co-partitioned single-shuffle plan as sessionization: each user
+# lands wholly in one hash bucket, so per-user results need NO second
+# aggregation.
+# ---------------------------------------------------------------------------
+
+
+def _peak_group(g: pd.DataFrame) -> pd.DataFrame:
+    """groupby(bucket): lexsort by (uid, tms, eid), segmented 3-row rolling
+    sums via cumsum differences with frame starts clamped at user
+    boundaries, per-user max — vectorized, zero per-row Python."""
+    if not len(g):
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "peak3_cents": pd.Series([], dtype="int64"),
+            }
+        )
+    uid = g["uid"].to_numpy(np.int64)
+    tms = g["tms"].to_numpy(np.int64)
+    eid = g["eid"].to_numpy(np.int64)
+    cents = g["cents"].to_numpy(np.int64)
+    order = np.lexsort((eid, tms, uid))
+    uid, cents = uid[order], cents[order]
+    n = len(uid)
+    first = np.zeros(n, bool)
+    first[0] = True
+    first[1:] = uid[1:] != uid[:-1]
+    seg_starts = np.flatnonzero(first)
+    seg_id = np.cumsum(first) - 1
+    lo = np.maximum(np.arange(n) - 2, seg_starts[seg_id])
+    csum = np.zeros(n + 1, np.int64)
+    np.cumsum(cents, out=csum[1:])
+    w3 = csum[1:] - csum[lo]
+    return pd.DataFrame(
+        {
+            "user_id": uid[seg_starts],
+            "n_events": np.diff(np.append(seg_starts, n)).astype("int64"),
+            "peak3_cents": np.maximum.reduceat(w3, seg_starts).astype(
+                "int64"
+            ),
+        }
+    )
+
+
+def q_user_peak_window(sf_dir: str) -> pd.DataFrame:
+    """Window-frame operator: for each user, the maximum over all 3-event
+    sliding windows (ordered by ts, event_id tie-break) of the window's
+    summed spend in cents. Hash-bucket user_id once; the frame never
+    crosses a bucket because a user never does."""
+    path = os.path.join(sf_dir, "events.parquet")
+    nb = _lsh_n_buckets(_row_count(path))
+
+    def rows(b: pa.Table) -> pa.Table:
+        uid = (
+            b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        v = (
+            b["value"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(uid, nb)),
+                "uid": pa.array(uid),
+                "tms": pa.array(_ts_ms(b["ts"])),
+                "eid": pa.array(
+                    b["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                # floor(x*100): both engines run the identical double
+                # multiply + floor (values may be negative, so no +0.5)
+                "cents": pa.array(np.floor(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            path, columns=["user_id", "ts", "event_id", "value"]
+        )
+        .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(_peak_group, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out[["user_id", "n_events", "peak3_cents"]].astype(
+        {"user_id": "int64", "n_events": "int64", "peak3_cents": "int64"}
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def user_peak_window_sql() -> str:
+    return """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000 AS tms,
+         CAST(FLOOR(value * 100.0) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT user_id,
+         SUM(cents) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w3
+  FROM e
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(w3) AS BIGINT) AS peak3_cents
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlated-aggregate filter (the TPC-H Q17 shape): revenue from lineitems
+# whose quantity is below half their part's average quantity. The per-part
+# average is a first distributed pass pre-aggregated per batch and bounded
+# by the part DIMENSION (broadcast once via ray.put, like the
+# customer×nation lookup); the comparison cross-multiplies —
+# 2*qty*cnt < sum_qty — so no float division ever happens on either
+# engine. Second pass filters and rolls revenue up per brand.
+# ---------------------------------------------------------------------------
+
+
+class _SmallQtyStage:
+    """Second-pass lineitem scan: broadcast (partkey -> sum_qty, cnt,
+    brand) lookup, integer cross-multiplied avg comparison, per-brand
+    revenue partials."""
+
+    def __init__(self, ref):
+        self.pk, self.sq, self.cnt, self.brand = ray.get(ref[0])
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.floor(
+            b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        price = _cents(b["l_extendedprice"])
+        pos = np.searchsorted(self.pk, pk)
+        if len(pos) and not np.array_equal(
+            self.pk[np.clip(pos, 0, len(self.pk) - 1)], pk
+        ):
+            raise ValueError("lineitem.l_partkey outside part table")
+        keep = 2 * qty * self.cnt[pos] < self.sq[pos]
+        brands = self.brand[pos][keep]
+        ub, inv = np.unique(brands, return_inverse=True)
+        return pa.table(
+            {
+                "p_brand": pa.array([str(s) for s in ub], pa.string()),
+                "n_rows": pa.array(np.bincount(inv).astype(np.int64)),
+                "revenue_cents": pa.array(
+                    np.bincount(inv, weights=price[keep]).astype(np.int64)
+                ),
+            }
+        )
+
+
+def q_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape: per-brand count and revenue of small-quantity
+    lineitems (qty < half the part's average qty), with the per-part
+    average from a first distributed pass and an integer cross-multiplied
+    comparison (no float division on either engine)."""
+    import pyarrow.parquet as pq
+
+    from tokenzip.stages import _bcast
+
+    li = os.path.join(sf_dir, "lineitem.parquet")
+
+    def partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.floor(
+            b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        up, inv = np.unique(pk, return_inverse=True)
+        return pa.table(
+            {
+                "l_partkey": pa.array(up),
+                "sq": pa.array(np.bincount(inv, weights=qty).astype(np.int64)),
+                "cnt": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    per_part = (
+        ray.data.read_parquet(li, columns=["l_partkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(Sum("sq", alias_name="sq"), Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    pkeys = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pkeys, kind="stable")
+    pkeys = pkeys[order]
+    brand = np.asarray(part["p_brand"].to_pylist(), dtype=object)[order]
+    # align the per-part aggregates onto the part dimension (parts with no
+    # lineitems keep cnt=0 — the strict inequality then drops nothing,
+    # matching the oracle's inner join)
+    sq = np.zeros(len(pkeys), np.int64)
+    cnt = np.zeros(len(pkeys), np.int64)
+    pos = np.searchsorted(pkeys, per_part["l_partkey"].to_numpy(np.int64))
+    sq[pos] = per_part["sq"].to_numpy(np.int64)
+    cnt[pos] = per_part["cnt"].to_numpy(np.int64)
+    ref = _bcast((pkeys, sq, cnt, brand))
+
+    agg = (
+        ray.data.read_parquet(
+            li, columns=["l_partkey", "l_quantity", "l_extendedprice"]
+        )
+        .map_batches(
+            _SmallQtyStage,
+            fn_constructor_args=(ref,),
+            concurrency=(1, max(2, _default_concurrency() // 2)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("p_brand")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .to_pandas()
+    )
+    out = agg[["p_brand", "n_rows", "revenue_cents"]].astype(
+        {"n_rows": "int64", "revenue_cents": "int64"}
+    )
+    out["p_brand"] = out["p_brand"].astype(str)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def small_qty_revenue_sql() -> str:
+    return """
+WITH a AS (
+  SELECT l_partkey,
+         SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN a ON l.l_partkey = a.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE 2 * CAST(FLOOR(l.l_quantity) AS BIGINT) * a.cnt < a.sq
+GROUP BY p.p_brand ORDER BY p.p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY CUBE(l_returnflag, l_linestatus): all FOUR grouping sets from
+# one fact-table scan — the finest (rf, ls) level is a Ray groupby over
+# the bounded flag domain; the two single-dim margins and the grand total
+# fold from it driver-side (the distributed-cube identity ROLLUP above
+# uses, extended with the second margin).
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE over (returnflag, linestatus): counts, integer quantity sums
+    and revenue cents at every grouping set, 'ALL' marking aggregated-out
+    dimensions."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        rf = np.asarray(b["l_returnflag"].to_pylist(), dtype=object)
+        ls = np.asarray(b["l_linestatus"].to_pylist(), dtype=object)
+        qty = np.floor(
+            b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        price = _cents(b["l_extendedprice"])
+        ur, rinv = np.unique(rf, return_inverse=True)
+        ul, linv = np.unique(ls, return_inverse=True)
+        code = rinv.astype(np.int64) * len(ul) + linv
+        uc, cinv = np.unique(code, return_inverse=True)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(
+                    [str(s) for s in ur[uc // len(ul)]], pa.string()
+                ),
+                "l_linestatus": pa.array(
+                    [str(s) for s in ul[uc % len(ul)]], pa.string()
+                ),
+                "n_rows": pa.array(np.bincount(cinv).astype(np.int64)),
+                "sum_qty": pa.array(
+                    np.bincount(cinv, weights=qty).astype(np.int64)
+                ),
+                "revenue_cents": pa.array(
+                    np.bincount(cinv, weights=price).astype(np.int64)
+                ),
+            }
+        )
+
+    fine = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=[
+                "l_returnflag",
+                "l_linestatus",
+                "l_quantity",
+                "l_extendedprice",
+            ],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .to_pandas()
+    )
+    fine = fine[
+        ["l_returnflag", "l_linestatus", "n_rows", "sum_qty", "revenue_cents"]
+    ].astype({"n_rows": "int64", "sum_qty": "int64", "revenue_cents": "int64"})
+    fine["l_returnflag"] = fine["l_returnflag"].astype(str)
+    fine["l_linestatus"] = fine["l_linestatus"].astype(str)
+    vals = ["n_rows", "sum_qty", "revenue_cents"]
+    by_rf = fine.groupby("l_returnflag", as_index=False)[vals].sum()
+    by_rf["l_linestatus"] = "ALL"
+    by_ls = fine.groupby("l_linestatus", as_index=False)[vals].sum()
+    by_ls["l_returnflag"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            **{v: [fine[v].sum()] for v in vals},
+        }
+    )
+    out = pd.concat([fine, by_rf, by_ls, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus"] + vals
+    ]
+    for v in vals:
+        out[v] = out[v].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(
+        drop=True
+    )
+
+
+def lineitem_cube_sql() -> str:
+    return """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY COALESCE(l_returnflag, 'ALL'), COALESCE(l_linestatus, 'ALL')
+"""
