@@ -124,7 +124,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_peak_window": _user_peak_window,
         "small_qty_revenue": _small_qty_revenue,
         "lineitem_cube": _lineitem_cube,
+        "customer_order_dist": _customer_order_dist,
+        "large_orders": _large_orders,
+        "order_priority_exists": _order_priority_exists,
+        "returned_top_customers": _returned_top_customers,
     }
+
+
+def _customer_order_dist(sf_dir: str):
+    from tokenzip.relational import q_customer_order_dist
+
+    return q_customer_order_dist(sf_dir)
+
+
+def _large_orders(sf_dir: str):
+    from tokenzip.relational import q_large_orders
+
+    return q_large_orders(sf_dir)
+
+
+def _order_priority_exists(sf_dir: str):
+    from tokenzip.relational import q_order_priority_exists
+
+    return q_order_priority_exists(sf_dir)
+
+
+def _returned_top_customers(sf_dir: str):
+    from tokenzip.relational import q_returned_top_customers
+
+    return q_returned_top_customers(sf_dir)
 
 
 def _user_peak_window(sf_dir: str):
@@ -567,6 +595,30 @@ def _kmeans_sql() -> str:
     return embedding_kmeans_sizes_sql()
 
 
+def _custdist_sql() -> str:
+    from tokenzip.relational import customer_order_dist_sql
+
+    return customer_order_dist_sql()
+
+
+def _large_orders_sql() -> str:
+    from tokenzip.relational import large_orders_sql
+
+    return large_orders_sql()
+
+
+def _priority_exists_sql() -> str:
+    from tokenzip.relational import order_priority_exists_sql
+
+    return order_priority_exists_sql()
+
+
+def _returned_topk_sql() -> str:
+    from tokenzip.relational import returned_top_customers_sql
+
+    return returned_top_customers_sql()
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -952,6 +1004,15 @@ FROM documents GROUP BY source ORDER BY source
         "shipping_priority": _shipping_sql(),
         # k-means census: self-auditing pin gated on exact COUNT(*)
         "embedding_kmeans_sizes": _kmeans_sql(),
+        # TPC-H Q13 shape: LEFT-JOIN order-count distribution, zero bucket
+        # from customer row count minus distinct ordering customers
+        "customer_order_dist": _custdist_sql(),
+        # TPC-H Q18 shape: distributed HAVING, tail-only join-back
+        "large_orders": _large_orders_sql(),
+        # TPC-H Q4 shape: EXISTS as a co-partitioned semi join
+        "order_priority_exists": _priority_exists_sql(),
+        # TPC-H Q10 shape: returns revenue top-k, k-row dimension probe
+        "returned_top_customers": _returned_topk_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

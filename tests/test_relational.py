@@ -920,3 +920,102 @@ def test_lineitem_cube_matches_cube_oracle(ray_session):
     assert (got["l_linestatus"] == "ALL").any()
     assert ((got["l_returnflag"] == "ALL") & (got["l_linestatus"] == "ALL")).sum() == 1
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_customer_order_dist_matches_q13_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import customer_order_dist_sql, q_customer_order_dist
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_customer_order_dist(SF).reset_index(drop=True)
+    exp = con.sql(customer_order_dist_sql()).df()
+    # the distribution accounts for EVERY customer, zero-order ones included
+    n_cust = pq.ParquetFile(f"{SF}/customer.parquet").metadata.num_rows
+    assert int(got["custdist"].sum()) == n_cust
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_customer_order_dist_zero_bucket(ray_session, tmp_path):
+    """Customers without orders land in the c_count=0 bucket (the LEFT
+    JOIN's whole contribution), computed without scanning customer."""
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "c_name": pa.array(["a", "b", "c", "d"]),
+                "c_nationkey": pa.array([0, 0, 0, 0], pa.int32()),
+                "c_acctbal": pa.array([0.0] * 4),
+                "c_mktsegment": pa.array(["X"] * 4),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    import datetime as dt
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                "o_custkey": pa.array([2, 2, 3], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 3),
+                "o_totalprice": pa.array([1.0] * 3),
+                "o_orderdate": pa.array([dt.datetime(2020, 1, 1)] * 3, pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 3),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    from tokenzip.relational import q_customer_order_dist
+
+    got = q_customer_order_dist(str(tmp_path))
+    assert got.values.tolist() == [[0, 2], [1, 1], [2, 1]]
+
+
+def test_large_orders_matches_q18_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import large_orders_sql, q_large_orders
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_large_orders(SF).reset_index(drop=True)
+    exp = con.sql(large_orders_sql()).df()
+    assert len(got) > 0 and (got["sum_qty"] > 250).all()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_order_priority_exists_matches_q4_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import order_priority_exists_sql, q_order_priority_exists
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_order_priority_exists(SF).reset_index(drop=True)
+    exp = con.sql(order_priority_exists_sql()).df()
+    # EXISTS counts orders once no matter how many returned lineitems
+    n_orders = pq.ParquetFile(f"{SF}/orders.parquet").metadata.num_rows
+    assert 0 < int(got["n_orders"].sum()) <= n_orders
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_returned_top_customers_matches_q10_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import (
+        q_returned_top_customers,
+        returned_top_customers_sql,
+    )
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "nation"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_returned_top_customers(SF).reset_index(drop=True)
+    exp = con.sql(returned_top_customers_sql()).df()
+    assert len(got) == 20 and got["revenue"].is_monotonic_decreasing
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -2591,3 +2591,441 @@ FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)
 ORDER BY COALESCE(l_returnflag, 'ALL'), COALESCE(l_linestatus, 'ALL')
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution INCLUDING the
+# zero-order bucket — the classic LEFT JOIN + double GROUP BY, computed
+# without any join at all: the left join's only contribution is the
+# zero-count group, and that is customer-row-count minus the number of
+# DISTINCT ordering customers (fk_integrity guarantees every o_custkey
+# resolves).  Shape at 100 TB: one orders scan with per-batch (custkey ->
+# n) partials, a custkey-hash groupby, then per-batch (c_count -> n_cust)
+# partials into a c_count-sized (tiny, bounded by max orders/customer)
+# final groupby; the customer table contributes ONE metadata row count —
+# no customer scan, no shuffle of the dimension.
+# reference parity: distribution aggregates mirror the reference's
+# benches/varint_bench summary tables (bench-first discipline), not any
+# reference operator — this is engine-completion surface.
+# ---------------------------------------------------------------------------
+
+
+def _custkey_partial(b: pa.Table) -> pa.Table:
+    ck = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    u, cnt = np.unique(ck, return_counts=True)
+    return pa.table({"k": pa.array(u), "n": pa.array(cnt.astype(np.int64))})
+
+
+def _ccount_partial(b: pa.Table) -> pa.Table:
+    n = b["sum(n)"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    u, cnt = np.unique(n, return_counts=True)
+    return pa.table(
+        {"c_count": pa.array(u), "n_cust": pa.array(cnt.astype(np.int64))}
+    )
+
+
+def q_customer_order_dist(sf_dir: str) -> pd.DataFrame:
+    """(c_count, custdist): how many customers placed exactly c_count
+    orders, zero included."""
+    total_cust = _row_count(os.path.join(sf_dir, "customer.parquet"))
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+        )
+        .map_batches(_custkey_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("n"))
+        .map_batches(_ccount_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_count")
+        .aggregate(Sum("n_cust"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "c_count": agg["c_count"].astype("int64"),
+            "custdist": agg["sum(n_cust)"].astype("int64"),
+        }
+    )
+    zero = total_cust - int(out["custdist"].sum())
+    if zero < 0:
+        raise ValueError("more distinct o_custkey values than customer rows")
+    if zero > 0:
+        out = pd.concat(
+            [out, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    return out.sort_values("c_count").reset_index(drop=True).astype("int64")
+
+
+def customer_order_dist_sql() -> str:
+    return """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) t
+GROUP BY c_count ORDER BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+# threshold, joined back to the order header.  The HAVING filter runs
+# distributed (groupby-sum then an Arrow filter); only the survivors —
+# by construction the extreme tail of the per-order quantity
+# distribution, a vanishing fraction at any corpus size — reach the
+# driver as a broadcast lookup for the header scan, so the join back is
+# a membership probe per orders batch, never a second shuffle.
+# ---------------------------------------------------------------------------
+
+_Q18_QTY = 250
+
+
+def _qty_partial(b: pa.Table) -> pa.Table:
+    ok = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    qty = np.floor(
+        b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    u, inv = np.unique(ok, return_inverse=True)
+    return pa.table(
+        {"k": pa.array(u), "q": pa.array(np.bincount(inv, weights=qty).astype(np.int64))}
+    )
+
+
+def q_large_orders(sf_dir: str, min_qty: int = _Q18_QTY) -> pd.DataFrame:
+    """Order headers for orders with SUM(l_quantity) > min_qty:
+    (o_orderkey, o_custkey, o_totalprice_cents, o_orderdate_ms, sum_qty)."""
+    import pyarrow.compute as pc_
+
+    heavy = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_quantity"],
+        )
+        .map_batches(_qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("q", alias_name="sum_qty"))
+        .filter(expr=f"sum_qty > {int(min_qty)}")
+        .to_pandas()
+    )
+    keys = heavy["k"].to_numpy().astype(np.int64)
+    qtys = heavy["sum_qty"].to_numpy().astype(np.int64)
+    o = np.argsort(keys)
+    keys, qtys = keys[o], qtys[o]
+    keys_ref = ray.put(keys)
+    qtys_ref = ray.put(qtys)
+
+    def orows(b: pa.Table) -> pa.Table:
+        ks, qs = ray.get(keys_ref), ray.get(qtys_ref)
+        ok = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ks, ok)
+        hit = (pos < len(ks)) & (ks[np.clip(pos, 0, max(len(ks) - 1, 0))] == ok)
+        sub = b.filter(pa.array(hit))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[hit]),
+                "o_custkey": pa.array(
+                    sub["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "o_totalprice_cents": pa.array(_cents(sub["o_totalprice"])),
+                "o_orderdate_ms": pa.array(_ts_ms(sub["o_orderdate"])),
+                "sum_qty": pa.array(qs[pos[hit]]),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        )
+        .map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True).astype("int64")
+
+
+def large_orders_sql(min_qty: int = _Q18_QTY) -> str:
+    return f"""
+WITH s AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT o_orderkey, o_custkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_totalprice_cents,
+       CAST(epoch_us(o_orderdate) // 1000 AS BIGINT) AS o_orderdate_ms,
+       sum_qty
+FROM orders JOIN s ON o_orderkey = s.l_orderkey
+WHERE sum_qty > {int(min_qty)}
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: orders counted per priority when an EXISTS-correlated
+# lineitem predicate holds (here: at least one returned lineitem).  The
+# EXISTS is a co-partitioned SEMI join — parent and child rows union into
+# one orderkey-hash bucket shuffle carrying only (bkt, side, key, prio);
+# each group counts parents with >= 1 child hit via one sort +
+# searchsorted, emitting per-priority partials; the final groupby is
+# priority-sized.  No distinct-set broadcast, no driver pull.
+# ---------------------------------------------------------------------------
+
+
+def _exists_group(g: pd.DataFrame) -> pd.DataFrame:
+    empty = pd.DataFrame(
+        {
+            "o_orderpriority": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+        }
+    )
+    if not len(g):
+        return empty
+    side = g["side"].to_numpy().astype(np.int64)
+    key = g["key"].to_numpy().astype(np.int64)
+    pk = key[side == 0]
+    prio = g["prio"].to_numpy()[side == 0]
+    ck = np.unique(key[side == 1])
+    if not len(pk) or not len(ck):
+        return empty
+    pos = np.searchsorted(ck, pk)
+    hit = (pos < len(ck)) & (ck[np.clip(pos, 0, len(ck) - 1)] == pk)
+    if not hit.any():
+        return empty
+    u, cnt = np.unique(prio[hit].astype(str), return_counts=True)
+    return pd.DataFrame({"o_orderpriority": u, "n": cnt.astype(np.int64)})
+
+
+def q_order_priority_exists(sf_dir: str) -> pd.DataFrame:
+    """(o_orderpriority, n_orders): orders with >=1 returned lineitem."""
+    import pyarrow.compute as pc_
+
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    nb = _lsh_n_buckets(_row_count(lpath))
+
+    def orows(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ok, nb)),
+                "side": pa.array(np.zeros(len(ok), np.int64)),
+                "key": pa.array(ok),
+                "prio": b["o_orderpriority"].combine_chunks(),
+            }
+        )
+
+    def lrows(b: pa.Table) -> pa.Table:
+        lk = np.unique(
+            b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(lk, nb)),
+                "side": pa.array(np.ones(len(lk), np.int64)),
+                "key": pa.array(lk),
+                "prio": pa.array([""] * len(lk), pa.string()),
+            }
+        )
+
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
+    li = ray.data.read_parquet(
+        lpath,
+        columns=["l_orderkey"],
+        filter=pc_.field("l_returnflag") == "R",
+    ).map_batches(lrows, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (
+        od.union(li)
+        .groupby("bkt")
+        .map_groups(_exists_group, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "o_orderpriority": agg["o_orderpriority"].astype(str),
+            "n_orders": agg["n_orders"].astype("int64"),
+        }
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def order_priority_exists_sql() -> str:
+    return """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: top-k customers by returned-item revenue.  The
+# fact-fact edge (lineitem filtered to returns x orders) is the
+# co-partitioned union shuffle; per-bucket groups fold revenue per
+# custkey, a custkey groupby sums the partials, per-batch partial top-k
+# bounds what the driver sees to k rows per block, and — the scale-shaped
+# enrichment — customer NAMES are fetched by a parquet read FILTERED to
+# the k winning keys (a k-row dimension probe, never a dimension scan or
+# broadcast of the customer table).
+# ---------------------------------------------------------------------------
+
+
+def _q10_group(g: pd.DataFrame) -> pd.DataFrame:
+    empty = pd.DataFrame(
+        {
+            "c_custkey": pd.Series([], dtype="int64"),
+            "rev": pd.Series([], dtype="int64"),
+        }
+    )
+    if not len(g):
+        return empty
+    side = g["side"].to_numpy().astype(np.int64)
+    key = g["key"].to_numpy().astype(np.int64)
+    val = g["val"].to_numpy().astype(np.int64)
+    ok = key[side == 0]
+    cust = val[side == 0]
+    order = np.argsort(ok, kind="stable")
+    ok, cust = ok[order], cust[order]
+    if len(np.unique(ok)) != len(ok):
+        raise ValueError("duplicate o_orderkey in the orders side")
+    lk = key[side == 1]
+    rev = val[side == 1]
+    pos = np.searchsorted(ok, lk)
+    hit = (pos < len(ok)) & (ok[np.clip(pos, 0, max(len(ok) - 1, 0))] == lk)
+    if not hit.any():
+        return empty
+    ck = cust[pos[hit]]
+    u, inv = np.unique(ck, return_inverse=True)
+    return pd.DataFrame(
+        {
+            "c_custkey": u,
+            "rev": np.bincount(inv, weights=rev[hit]).astype(np.int64),
+        }
+    )
+
+
+def _q10_topk_partial(k: int):
+    def fn(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = b["sum(rev)"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        top = np.lexsort((ck, -rev))[:k]
+        return pa.table(
+            {"c_custkey": pa.array(ck[top]), "revenue": pa.array(rev[top])}
+        )
+
+    return fn
+
+
+def q_returned_top_customers(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k customers by revenue on returned lineitems, enriched with
+    c_name and n_name: (rank, c_custkey, c_name, n_name, revenue)."""
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq
+
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    nb = _lsh_n_buckets(_row_count(lpath))
+
+    def orows(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ok, nb)),
+                "side": pa.array(np.zeros(len(ok), np.int64)),
+                "key": pa.array(ok),
+                "val": pa.array(ck),
+            }
+        )
+
+    def lrows(b: pa.Table) -> pa.Table:
+        lk = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _cents(b["l_extendedprice"])
+        disc = np.floor(
+            b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(lk, nb)),
+                "side": pa.array(np.ones(len(lk), np.int64)),
+                "key": pa.array(lk),
+                "val": pa.array(price * (100 - disc)),
+            }
+        )
+
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
+    li = ray.data.read_parquet(
+        lpath,
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc_.field("l_returnflag") == "R",
+    ).map_batches(lrows, batch_format="pyarrow", zero_copy_batch=True)
+    parts = (
+        od.union(li)
+        .groupby("bkt")
+        .map_groups(_q10_group, batch_format="pandas")
+        .groupby("c_custkey")
+        .aggregate(Sum("rev"))
+        .map_batches(_q10_topk_partial(k), batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    top = (
+        parts.sort_values(["revenue", "c_custkey"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    keys = top["c_custkey"].to_numpy().astype(np.int64)
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=pc_.field("c_custkey").isin(pa.array(keys)),
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(ck)
+    pos = np.searchsorted(ck[o], keys)
+    if len(keys) and not np.array_equal(ck[o][pos], keys):
+        raise ValueError("top custkey missing from customer table")
+    names = cust["c_name"].to_numpy(zero_copy_only=False)[o][pos]
+    nkeys = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[o][pos]
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    no = np.argsort(nk)
+    npos = np.searchsorted(nk[no], nkeys)
+    nnames = nat["n_name"].to_numpy(zero_copy_only=False)[no][npos]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "c_custkey": keys,
+            "c_name": [str(s) for s in names],
+            "n_name": [str(s) for s in nnames],
+            "revenue": top["revenue"].astype("int64"),
+        }
+    )
+
+
+def returned_top_customers_sql(k: int = 20) -> str:
+    return f"""
+WITH r AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS BIGINT)
+           AS rank,
+       c_custkey, c_name, n_name, revenue
+FROM r JOIN customer USING (c_custkey)
+       JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey ASC LIMIT {k}
+"""
