@@ -128,7 +128,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": _large_orders,
         "order_priority_exists": _order_priority_exists,
         "returned_top_customers": _returned_top_customers,
+        "cumulative_revenue": _cumulative_revenue,
+        "idle_high_balance": _idle_high_balance,
+        "local_supplier_volume": _local_supplier_volume,
     }
+
+
+def _cumulative_revenue(sf_dir: str):
+    from tokenzip.relational import q_cumulative_revenue
+
+    return q_cumulative_revenue(sf_dir)
+
+
+def _idle_high_balance(sf_dir: str):
+    from tokenzip.relational import q_idle_high_balance
+
+    return q_idle_high_balance(sf_dir)
+
+
+def _local_supplier_volume(sf_dir: str):
+    from tokenzip.relational import q_local_supplier_volume
+
+    return q_local_supplier_volume(sf_dir)
 
 
 def _customer_order_dist(sf_dir: str):
@@ -619,6 +640,24 @@ def _returned_topk_sql() -> str:
     return returned_top_customers_sql()
 
 
+def _cumrev_sql() -> str:
+    from tokenzip.relational import cumulative_revenue_sql
+
+    return cumulative_revenue_sql()
+
+
+def _idle_high_sql() -> str:
+    from tokenzip.relational import idle_high_balance_sql
+
+    return idle_high_balance_sql()
+
+
+def _q5_sql() -> str:
+    from tokenzip.relational import local_supplier_volume_sql
+
+    return local_supplier_volume_sql()
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -1013,6 +1052,12 @@ FROM documents GROUP BY source ORDER BY source
         "order_priority_exists": _priority_exists_sql(),
         # TPC-H Q10 shape: returns revenue top-k, k-row dimension probe
         "returned_top_customers": _returned_topk_sql(),
+        # window over aggregate: monthly running revenue per priority
+        "cumulative_revenue": _cumrev_sql(),
+        # TPC-H Q22 shape: exact-integer scalar avg + anti join
+        "idle_high_balance": _idle_high_sql(),
+        # TPC-H Q5 shape: two chained co-partitioned joins, region filter
+        "local_supplier_volume": _q5_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

@@ -1019,3 +1019,86 @@ def test_returned_top_customers_matches_q10_oracle(ray_session):
     exp = con.sql(returned_top_customers_sql()).df()
     assert len(got) == 20 and got["revenue"].is_monotonic_decreasing
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_cumulative_revenue_matches_window_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import cumulative_revenue_sql, q_cumulative_revenue
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')")
+    got = q_cumulative_revenue(SF).reset_index(drop=True)
+    exp = con.sql(cumulative_revenue_sql()).df()
+    # running total is monotone within each priority and ends at its total
+    for _, grp in got.groupby("o_orderpriority"):
+        assert grp["cum_revenue_cents"].is_monotonic_increasing
+        assert int(grp["cum_revenue_cents"].iloc[-1]) == int(grp["revenue_cents"].sum())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_idle_high_balance_matches_q22_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import idle_high_balance_sql, q_idle_high_balance
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_idle_high_balance(SF).reset_index(drop=True)
+    exp = con.sql(idle_high_balance_sql()).df()
+    assert int(got["n_cust"].sum()) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_idle_high_balance_empty_is_typed(ray_session, tmp_path):
+    """When every high-balance customer ordered recently the result is an
+    EMPTY frame with the full schema (the zero-block gotcha)."""
+    import datetime as dt
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_name": pa.array(["a", "b"]),
+                "c_nationkey": pa.array([0, 0], pa.int32()),
+                "c_acctbal": pa.array([10.0, 20.0]),
+                "c_mktsegment": pa.array(["X", "Y"]),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11], pa.int64()),
+                "o_custkey": pa.array([1, 2], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 2),
+                "o_totalprice": pa.array([1.0] * 2),
+                "o_orderdate": pa.array(
+                    [dt.datetime(2001, 1, 1)] * 2, pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 2),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    from tokenzip.relational import q_idle_high_balance
+
+    got = q_idle_high_balance(str(tmp_path))
+    assert len(got) == 0
+    assert list(got.columns) == ["c_mktsegment", "n_cust", "sum_acctbal_cents"]
+
+
+def test_local_supplier_volume_matches_q5_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import local_supplier_volume_sql, q_local_supplier_volume
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "supplier", "nation", "region"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_local_supplier_volume(SF).reset_index(drop=True)
+    exp = con.sql(local_supplier_volume_sql()).df()
+    assert len(got) > 0 and got["revenue"].is_monotonic_decreasing
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

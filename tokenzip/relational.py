@@ -3029,3 +3029,513 @@ FROM r JOIN customer USING (c_custkey)
        JOIN nation ON c_nationkey = n_nationkey
 ORDER BY revenue DESC, c_custkey ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Cumulative window over an aggregate: monthly revenue running total per
+# order priority — SUM(SUM(...)) OVER (PARTITION BY prio ORDER BY month).
+# The scan folds (priority, month, cents) partials per batch; the shuffle
+# key space is |priorities| x |months| (bounded by the calendar, not the
+# corpus), so the final prefix sum runs on a result-sized frame.  This is
+# the standard shape for any "cumulative metric over time" report at
+# 100 TB: all heavy lifting is the pre-aggregation, the window itself is
+# arithmetic on the tiny aggregate.
+# ---------------------------------------------------------------------------
+
+_MS_PER_DAY = 86_400_000
+
+
+def _month_of_ms(ms: np.ndarray) -> np.ndarray:
+    """epoch ms -> yyyymm int64, via numpy datetime month arithmetic
+    (identical to the oracle's date_trunc month on non-negative epochs)."""
+    m = (ms // _MS_PER_DAY).astype("datetime64[D]").astype("datetime64[M]")
+    mi = m.astype(np.int64)  # months since 1970-01
+    return (1970 + mi // 12) * 100 + (mi % 12 + 1)
+
+
+def _cumrev_partial(b: pa.Table) -> pa.Table:
+    prio = np.asarray(b["o_orderpriority"].to_pylist(), dtype=object)
+    month = _month_of_ms(_ts_ms(b["o_orderdate"]))
+    cents = _cents(b["o_totalprice"])
+    up, pinv = np.unique(prio, return_inverse=True)
+    um, minv = np.unique(month, return_inverse=True)
+    code = pinv.astype(np.int64) * len(um) + minv
+    uc, cinv = np.unique(code, return_inverse=True)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(
+                [str(s) for s in up[uc // len(um)]], pa.string()
+            ),
+            "month": pa.array(um[uc % len(um)]),
+            "cents": pa.array(np.bincount(cinv, weights=cents).astype(np.int64)),
+        }
+    )
+
+
+def q_cumulative_revenue(sf_dir: str) -> pd.DataFrame:
+    """(o_orderpriority, month, revenue_cents, cum_revenue_cents): monthly
+    order revenue and its running total within each priority."""
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(_cumrev_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "k": pa.array(
+                        [
+                            f"{p}\x00{m}"
+                            for p, m in zip(
+                                t["o_orderpriority"].to_pylist(),
+                                t["month"].to_pylist(),
+                            )
+                        ],
+                        pa.string(),
+                    ),
+                    "o_orderpriority": t["o_orderpriority"],
+                    "month": t["month"],
+                    "cents": t["cents"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("k")
+        .aggregate(Sum("cents", alias_name="revenue_cents"), Max("month"), )
+        .to_pandas()
+    )
+    prio = agg["k"].str.split("\x00").str[0]
+    out = pd.DataFrame(
+        {
+            "o_orderpriority": prio.astype(str),
+            "month": agg["max(month)"].astype("int64"),
+            "revenue_cents": agg["revenue_cents"].astype("int64"),
+        }
+    ).sort_values(["o_orderpriority", "month"], kind="stable")
+    out["cum_revenue_cents"] = (
+        out.groupby("o_orderpriority")["revenue_cents"].cumsum().astype("int64")
+    )
+    return out.reset_index(drop=True)
+
+
+def cumulative_revenue_sql() -> str:
+    return """
+WITH m AS (
+  SELECT o_orderpriority,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, month, revenue_cents,
+       CAST(SUM(revenue_cents) OVER (
+                PARTITION BY o_orderpriority ORDER BY month) AS BIGINT)
+           AS cum_revenue_cents
+FROM m ORDER BY o_orderpriority, month
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: high-balance customers with no RECENT orders — a
+# global scalar aggregate (average balance) plus an anti join, per
+# market segment.  The average is exact integer arithmetic: keep
+# (sum_cents, n) and compare cents*N > total_cents so neither engine
+# ever divides.  The anti join is the co-partitioned union shuffle
+# (customer side carries cents+segment, orders side distinct custkeys
+# of orders AT/AFTER the cutoff — that recency predicate pushes into
+# the orders parquet read); the scalar rides in as two ints — no second
+# pass over customer.
+# ---------------------------------------------------------------------------
+
+_Q22_CUT_MS = 946_684_800_000  # 2000-01-01
+
+
+def _q22_group(total_cents: int, n_cust: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "c_mktsegment": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+                "cents": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        side = g["side"].to_numpy().astype(np.int64)
+        key = g["key"].to_numpy().astype(np.int64)
+        is_c = side == 0
+        ck = key[is_c]
+        bal = g["val"].to_numpy().astype(np.int64)[is_c]
+        seg = g["seg"].to_numpy()[is_c]
+        ok = np.unique(key[~is_c])
+        pos = np.searchsorted(ok, ck)
+        has_order = (pos < len(ok)) & (
+            ok[np.clip(pos, 0, max(len(ok) - 1, 0))] == ck
+        )
+        keep = (~has_order) & (bal * n_cust > total_cents)
+        if not keep.any():
+            return empty
+        u, inv = np.unique(seg[keep].astype(str), return_inverse=True)
+        return pd.DataFrame(
+            {
+                "c_mktsegment": u,
+                "n": np.bincount(inv).astype(np.int64),
+                "cents": np.bincount(inv, weights=bal[keep]).astype(np.int64),
+            }
+        )
+
+    return fn
+
+
+def q_idle_high_balance(sf_dir: str) -> pd.DataFrame:
+    """(c_mktsegment, n_cust, sum_acctbal_cents): customers whose balance
+    exceeds the global average and who placed no order at/after the
+    _Q22_CUT_MS cutoff."""
+    import pyarrow.compute as pc_
+
+    cpath = os.path.join(sf_dir, "customer.parquet")
+    nb = _lsh_n_buckets(_row_count(cpath))
+
+    def _bal_partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b["c_acctbal"])
+        return pa.table(
+            {
+                "s": pa.array([int(cents.sum())], pa.int64()),
+                "n": pa.array([len(cents)], pa.int64()),
+            }
+        )
+
+    tot = (
+        ray.data.read_parquet(cpath, columns=["c_acctbal"])
+        .map_batches(_bal_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .sum(["s", "n"])
+    )
+    total_cents, n_cust = int(tot["sum(s)"]), int(tot["sum(n)"])
+
+    def crows(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ck, nb)),
+                "side": pa.array(np.zeros(len(ck), np.int64)),
+                "key": pa.array(ck),
+                "val": pa.array(_cents(b["c_acctbal"])),
+                "seg": b["c_mktsegment"].combine_chunks(),
+            }
+        )
+
+    def orows(b: pa.Table) -> pa.Table:
+        ok = np.unique(
+            b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ok, nb)),
+                "side": pa.array(np.ones(len(ok), np.int64)),
+                "key": pa.array(ok),
+                "val": pa.array(np.zeros(len(ok), np.int64)),
+                "seg": pa.array([""] * len(ok), pa.string()),
+            }
+        )
+
+    cd = ray.data.read_parquet(
+        cpath, columns=["c_custkey", "c_acctbal", "c_mktsegment"]
+    ).map_batches(crows, batch_format="pyarrow", zero_copy_batch=True)
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pc_.field("o_orderdate")
+        >= pa.scalar(_Q22_CUT_MS * 1000, pa.timestamp("us")),
+    ).map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (
+        cd.union(od)
+        .groupby("bkt")
+        .map_groups(_q22_group(total_cents, n_cust), batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n", alias_name="n_cust"), Sum("cents", alias_name="sum_acctbal_cents"))
+        .to_pandas()
+    )
+    if not len(agg):  # zero-block gotcha: empty aggregates carry no columns
+        return pd.DataFrame(
+            {
+                "c_mktsegment": pd.Series([], dtype="object"),
+                "n_cust": pd.Series([], dtype="int64"),
+                "sum_acctbal_cents": pd.Series([], dtype="int64"),
+            }
+        )
+    out = pd.DataFrame(
+        {
+            "c_mktsegment": agg["c_mktsegment"].astype(str),
+            "n_cust": agg["n_cust"].astype("int64"),
+            "sum_acctbal_cents": agg["sum_acctbal_cents"].astype("int64"),
+        }
+    )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def idle_high_balance_sql() -> str:
+    return f"""
+WITH g AS (
+  SELECT CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM customer
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_acctbal_cents
+FROM customer, g
+WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * g.n_cust > g.total_cents
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND epoch_us(o_orderdate) // 1000 >= {_Q22_CUT_MS})
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: revenue per nation where customer and supplier share
+# the nation, restricted to one region and a date range.  Two
+# co-partitioned shuffles chained on DIFFERENT keys — orderkey to attach
+# custkey to each lineitem's revenue, then custkey to test the
+# c_nationkey = s_nationkey correlation — with the two genuinely small
+# dimensions (supplier here; nation/region always) broadcast.  The date
+# predicate pushes into the orders read; the region predicate rides the
+# broadcast nation set.  This is the canonical multi-join fact pipeline:
+# each shuffle carries 4 narrow int64 columns, never a wide row.
+# ---------------------------------------------------------------------------
+
+_Q5_REGION = "EUROPE"
+_Q5_LO_MS = 788_918_400_000  # 1995-01-01
+_Q5_HI_MS = 915_148_800_000  # 1999-01-01
+
+
+def _q5_stage1_group(g: pd.DataFrame) -> pd.DataFrame:
+    """orderkey bucket: fact rows inherit the order's custkey; emit
+    (custkey, s_nationkey, rev) partials packed as ck2 = custkey*64+snat."""
+    empty = pd.DataFrame(
+        {"ck2": pd.Series([], dtype="int64"), "rev": pd.Series([], dtype="int64")}
+    )
+    if not len(g):
+        return empty
+    side = g["side"].to_numpy().astype(np.int64)
+    key = g["key"].to_numpy().astype(np.int64)
+    a = g["a"].to_numpy().astype(np.int64)
+    b = g["b"].to_numpy().astype(np.int64)
+    ok = key[side == 0]
+    cust = a[side == 0]
+    order = np.argsort(ok, kind="stable")
+    ok, cust = ok[order], cust[order]
+    lk, rev, snat = key[side == 1], a[side == 1], b[side == 1]
+    pos = np.searchsorted(ok, lk)
+    hit = (pos < len(ok)) & (ok[np.clip(pos, 0, max(len(ok) - 1, 0))] == lk)
+    if not hit.any():
+        return empty
+    ck2 = cust[pos[hit]] * 64 + snat[hit]
+    u, inv = np.unique(ck2, return_inverse=True)
+    return pd.DataFrame(
+        {"ck2": u, "rev": np.bincount(inv, weights=rev[hit]).astype(np.int64)}
+    )
+
+
+def _q5_stage2_group(g: pd.DataFrame) -> pd.DataFrame:
+    """custkey bucket: keep fact rows whose supplier nation equals the
+    customer's nation; emit (n_nationkey, rev) partials."""
+    empty = pd.DataFrame(
+        {
+            "n_nationkey": pd.Series([], dtype="int64"),
+            "rev": pd.Series([], dtype="int64"),
+        }
+    )
+    if not len(g):
+        return empty
+    side = g["side"].to_numpy().astype(np.int64)
+    key = g["key"].to_numpy().astype(np.int64)
+    a = g["a"].to_numpy().astype(np.int64)
+    b = g["b"].to_numpy().astype(np.int64)
+    ck = key[side == 0]
+    cnat = a[side == 0]
+    order = np.argsort(ck, kind="stable")
+    ck, cnat = ck[order], cnat[order]
+    fk, snat, rev = key[side == 1], a[side == 1], b[side == 1]
+    pos = np.searchsorted(ck, fk)
+    hit = (pos < len(ck)) & (ck[np.clip(pos, 0, max(len(ck) - 1, 0))] == fk)
+    hit &= np.where(hit, cnat[np.clip(pos, 0, max(len(ck) - 1, 0))] == snat, False)
+    if not hit.any():
+        return empty
+    u, inv = np.unique(snat[hit], return_inverse=True)
+    return pd.DataFrame(
+        {
+            "n_nationkey": u,
+            "rev": np.bincount(inv, weights=rev[hit]).astype(np.int64),
+        }
+    )
+
+
+def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """(n_name, revenue): lineitem revenue where the customer's and the
+    supplier's nation coincide, nation in _Q5_REGION, orders within the
+    [1995, 1999) window."""
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq
+
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    nb = _lsh_n_buckets(_row_count(lpath))
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    so = np.argsort(sk)
+    sk, sn = sk[so], sn[so]
+    sk_ref, sn_ref = ray.put(sk), ray.put(sn)
+
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    rk = reg["r_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rname = reg["r_name"].to_numpy(zero_copy_only=False)
+    region_keys = set(rk[np.asarray([str(s) == _Q5_REGION for s in rname])].tolist())
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nrk = nat["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nname = nat["n_name"].to_numpy(zero_copy_only=False)
+    in_region = np.asarray([int(k) in region_keys for k in nrk.tolist()])
+    region_nations = np.sort(nk[in_region])
+    rn_ref = ray.put(region_nations)
+
+    lo = pa.scalar(_Q5_LO_MS * 1000, pa.timestamp("us"))
+    hi = pa.scalar(_Q5_HI_MS * 1000, pa.timestamp("us"))
+
+    def orows(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ok, nb)),
+                "side": pa.array(np.zeros(len(ok), np.int64)),
+                "key": pa.array(ok),
+                "a": pa.array(ck),
+                "b": pa.array(np.zeros(len(ok), np.int64)),
+            }
+        )
+
+    def lrows(b: pa.Table) -> pa.Table:
+        ks, ns, rns = ray.get(sk_ref), ray.get(sn_ref), ray.get(rn_ref)
+        lk = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        spk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _cents(b["l_extendedprice"])
+        disc = np.floor(
+            b["l_discount"].combine_chunks().to_numpy(zero_copy_only=False) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        pos = np.searchsorted(ks, spk)
+        if len(pos) and not np.array_equal(ks[np.clip(pos, 0, len(ks) - 1)], spk):
+            raise ValueError("l_suppkey outside supplier table")
+        snat = ns[pos]
+        # region predicate applied at the source: only in-region suppliers
+        # can satisfy c_nation = s_nation AND nation-in-region downstream
+        rpos = np.searchsorted(rns, snat)
+        keep = (rpos < len(rns)) & (rns[np.clip(rpos, 0, max(len(rns) - 1, 0))] == snat)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(lk[keep], nb)),
+                "side": pa.array(np.ones(int(keep.sum()), np.int64)),
+                "key": pa.array(lk[keep]),
+                "a": pa.array((price * (100 - disc))[keep]),
+                "b": pa.array(snat[keep]),
+            }
+        )
+
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pc_.field("o_orderdate") >= lo) & (pc_.field("o_orderdate") < hi),
+    ).map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
+    li = ray.data.read_parquet(
+        lpath, columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(lrows, batch_format="pyarrow", zero_copy_batch=True)
+    stage1 = (
+        od.union(li)
+        .groupby("bkt")
+        .map_groups(_q5_stage1_group, batch_format="pandas")
+    )
+
+    def frows(b: pa.Table) -> pa.Table:
+        ck2 = b["ck2"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = b["rev"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = ck2 // 64
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ck, nb)),
+                "side": pa.array(np.ones(len(ck), np.int64)),
+                "key": pa.array(ck),
+                "a": pa.array(ck2 % 64),
+                "b": pa.array(rev),
+            }
+        )
+
+    def crows(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = b["c_nationkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ck, nb)),
+                "side": pa.array(np.zeros(len(ck), np.int64)),
+                "key": pa.array(ck),
+                "a": pa.array(cn),
+                "b": pa.array(np.zeros(len(ck), np.int64)),
+            }
+        )
+
+    cd = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(crows, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (
+        cd.union(stage1.map_batches(frows, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("bkt")
+        .map_groups(_q5_stage2_group, batch_format="pandas")
+        .groupby("n_nationkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    keys = agg["n_nationkey"].to_numpy().astype(np.int64)
+    no = np.argsort(nk)
+    pos = np.searchsorted(nk[no], keys)
+    names = nname[no][pos]
+    out = pd.DataFrame(
+        {
+            "n_name": [str(s) for s in names],
+            "revenue": agg["revenue"].astype("int64"),
+        }
+    )
+    return out.sort_values(
+        ["revenue", "n_name"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)
+
+
+def local_supplier_volume_sql() -> str:
+    return f"""
+SELECT n_name,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+            AS BIGINT) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = '{_Q5_REGION}'
+  AND epoch_us(o_orderdate) // 1000 >= {_Q5_LO_MS}
+  AND epoch_us(o_orderdate) // 1000 < {_Q5_HI_MS}
+GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+"""
