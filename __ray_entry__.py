@@ -131,7 +131,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumulative_revenue": _cumulative_revenue,
         "idle_high_balance": _idle_high_balance,
         "local_supplier_volume": _local_supplier_volume,
+        "vocab_overlap": _vocab_overlap,
+        "token_run_stats": _token_run_stats,
+        "supplier_variety": _supplier_variety,
     }
+
+
+def _vocab_overlap(sf_dir: str):
+    from tokenzip.training import q_vocab_overlap
+
+    return q_vocab_overlap(sf_dir)
+
+
+def _token_run_stats(sf_dir: str):
+    from tokenzip.training import q_token_run_stats
+
+    return q_token_run_stats(sf_dir)
+
+
+def _supplier_variety(sf_dir: str):
+    from tokenzip.relational import q_supplier_variety
+
+    return q_supplier_variety(sf_dir)
 
 
 def _cumulative_revenue(sf_dir: str):
@@ -658,6 +679,24 @@ def _q5_sql() -> str:
     return local_supplier_volume_sql()
 
 
+def _vocab_overlap_sql(glob: str) -> str:
+    from tokenzip.training import vocab_overlap_sql
+
+    return vocab_overlap_sql(glob)
+
+
+def _token_run_sql(glob: str) -> str:
+    from tokenzip.training import token_run_stats_sql
+
+    return token_run_stats_sql(glob)
+
+
+def _supplier_variety_sql() -> str:
+    from tokenzip.relational import supplier_variety_sql
+
+    return supplier_variety_sql()
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -1058,6 +1097,12 @@ FROM documents GROUP BY source ORDER BY source
         "idle_high_balance": _idle_high_sql(),
         # TPC-H Q5 shape: two chained co-partitioned joins, region filter
         "local_supplier_volume": _q5_sql(),
+        # set op: pairwise source vocab INTERSECT via bitmask census
+        "vocab_overlap": _vocab_overlap_sql(glob),
+        # run-length census per source (the RLE codec's premise, exact)
+        "token_run_stats": _token_run_sql(glob),
+        # TPC-H Q16 shape: COUNT(DISTINCT) per attribute combo
+        "supplier_variety": _supplier_variety_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

@@ -1102,3 +1102,18 @@ def test_local_supplier_volume_matches_q5_oracle(ray_session):
     exp = con.sql(local_supplier_volume_sql()).df()
     assert len(got) > 0 and got["revenue"].is_monotonic_decreasing
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_supplier_variety_matches_q16_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import q_supplier_variety, supplier_variety_sql
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_supplier_variety(SF).reset_index(drop=True)
+    exp = con.sql(supplier_variety_sql()).df()
+    n_sup = pq.ParquetFile(f"{SF}/supplier.parquet").metadata.num_rows
+    assert (got["supplier_cnt"] >= 1).all() and (got["supplier_cnt"] <= n_sup).all()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

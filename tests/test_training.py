@@ -542,3 +542,75 @@ def test_freq_hist_digit_boundaries():
         [3, 1, 100],
         [4, 1, 1000],
     ]
+
+
+def test_vocab_overlap_matches_intersect_oracle(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import q_vocab_overlap, vocab_overlap_sql
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_vocab_overlap(SF)
+    odf = duckdb.sql(vocab_overlap_sql(glob)).df()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_vocab_overlap_bitmask_is_or(ray_session, tmp_path):
+    """A token in ALL sources counts once per pair; a token in one source
+    counts nowhere; duplicate occurrences never inflate the mask."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d"]),
+            "tokens": pa.array(
+                [[5, 5, 7], [5, 9], [5, 9, 9], [11]],
+                pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array([3, 2, 3, 1], pa.int32()),
+            "source": pa.array(["s1", "s2", "s3", "s3"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "toks.parquet"))
+    from tokenzip.training import q_vocab_overlap
+
+    got = q_vocab_overlap(str(tmp_path))
+    # 5 in all three pairs; 9 in (s2,s3) only; 7/11 nowhere
+    assert got.values.tolist() == [
+        ["s1", "s2", 1],
+        ["s1", "s3", 1],
+        ["s2", "s3", 2],
+    ]
+
+
+def test_token_run_stats_matches_window_oracle(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import q_token_run_stats, token_run_stats_sql
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_token_run_stats(SF)
+    odf = duckdb.sql(token_run_stats_sql(glob)).df()
+    assert (got["n_runs"] <= got["n_tokens"]).all()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_token_run_stats_run_boundaries(ray_session, tmp_path):
+    """Runs never span documents, empty docs count as docs with no runs,
+    and max_run is per source."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d"]),
+            "tokens": pa.array(
+                [[3, 3, 3], [3, 3], [], [1, 1, 2]], pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([3, 2, 0, 3], pa.int32()),
+            "source": pa.array(["x", "x", "x", "y"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "toks.parquet"))
+    from tokenzip.training import q_token_run_stats
+
+    got = q_token_run_stats(str(tmp_path))
+    # x: docs a+b+c -> runs [3][2] (never merged across docs), max 3
+    # y: runs [1,1][2] -> 2 runs, max 2
+    assert got.values.tolist() == [
+        ["x", 3, 5, 2, 3],
+        ["y", 1, 3, 2, 2],
+    ]

@@ -3539,3 +3539,94 @@ WHERE c_nationkey = s_nationkey
   AND epoch_us(o_orderdate) // 1000 < {_Q5_HI_MS}
 GROUP BY n_name ORDER BY revenue DESC, n_name ASC
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier variety per part attribute — COUNT(DISTINCT
+# l_suppkey) per (p_brand, p_type, p_size).  The part dimension is
+# broadcast as a partkey -> combo-index array (one int per part, not the
+# attribute strings); distinctness is a composite-key groupby (combo *
+# 2^20 + suppkey — key space bounded by |combos| x |suppliers|, NOT by
+# lineitem rows), and the count folds per combo.  Attribute strings are
+# attached only to the final combo-sized frame.
+# ---------------------------------------------------------------------------
+
+
+def q_supplier_variety(sf_dir: str) -> pd.DataFrame:
+    """(p_brand, p_type, p_size, supplier_cnt) with supplier_cnt =
+    COUNT(DISTINCT l_suppkey) over lineitems of parts in the combo."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    brand = part["p_brand"].to_numpy(zero_copy_only=False).astype(str)
+    ptype = part["p_type"].to_numpy(zero_copy_only=False).astype(str)
+    psize = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # NUL can't ride numpy's U dtype (it pads with NUL); use the unit
+    # separator, and build the strings in Python — this is the
+    # dimension-sized side, never the fact table
+    combo_key = np.asarray(
+        [f"{b}\x1f{t}\x1f{s}" for b, t, s in zip(brand, ptype, psize)],
+        dtype=object,
+    )
+    ucombo, cinv = np.unique(combo_key, return_inverse=True)
+    po = np.argsort(pk)
+    pk_s, cinv_s = pk[po], cinv[po].astype(np.int64)
+    pk_ref, cv_ref = ray.put(pk_s), ray.put(cinv_s)
+
+    def krows(b: pa.Table) -> pa.Table:
+        ks, cv = ray.get(pk_ref), ray.get(cv_ref)
+        lpk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        spk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(spk) and int(spk.max()) >= (1 << 20):
+            raise ValueError("l_suppkey >= 2^20; widen the composite packing")
+        pos = np.searchsorted(ks, lpk)
+        if len(pos) and not np.array_equal(ks[np.clip(pos, 0, len(ks) - 1)], lpk):
+            raise ValueError("l_partkey outside part table")
+        k = cv[pos] * (1 << 20) + spk
+        return pa.table({"k": pa.array(np.unique(k))})
+
+    def combo_partial(b: pa.Table) -> pa.Table:
+        k = b["k"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(k >> 20, return_counts=True)
+        return pa.table(
+            {"combo": pa.array(u), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey"],
+        )
+        .map_batches(krows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .count()
+        .map_batches(combo_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("combo")
+        .aggregate(Sum("n", alias_name="supplier_cnt"))
+        .to_pandas()
+    )
+    ci = agg["combo"].to_numpy().astype(np.int64)
+    split = [str(s).split("\x1f") for s in ucombo[ci]]
+    out = pd.DataFrame(
+        {
+            "p_brand": [s[0] for s in split],
+            "p_type": [s[1] for s in split],
+            "p_size": np.asarray([int(s[2]) for s in split], dtype=np.int64),
+            "supplier_cnt": agg["supplier_cnt"].astype("int64"),
+        }
+    )
+    return out.sort_values(["p_brand", "p_type", "p_size"]).reset_index(drop=True)
+
+
+def supplier_variety_sql() -> str:
+    return """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type, p_size
+ORDER BY p_brand, p_type, p_size
+"""

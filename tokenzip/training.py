@@ -1803,3 +1803,225 @@ SELECT source,
        CAST(MAX(n_tok) AS BIGINT) AS max_tok
 FROM o GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary set operations across sources: |vocab(a) INTERSECT vocab(b)|
+# for every source pair.  The whole computation is two bounded shuffles:
+# (1) distinct (token, source) pairs via a composite-key groupby (key
+# space = vocab x n_sources — corpus-size-INDEPENDENT), (2) per-token
+# source bitmasks via Sum (each surviving pair contributes one distinct
+# bit, so integer sum IS bitwise OR), folded into a <= 2^S-row mask
+# census on which every pairwise intersection is a driver-side popcount.
+# Signed tokens are bias-packed (+2^31) before the composite key, the
+# same discipline as top_token_by_source.
+# ---------------------------------------------------------------------------
+
+_BIAS32 = np.int64(1) << 31
+
+
+def _distinct_sources(paths: list[str]) -> list[str]:
+    rows = (
+        ray.data.read_parquet(paths, columns=["source"])
+        .groupby("source")
+        .count()
+        .to_pandas()
+    )
+    return sorted(str(s) for s in rows["source"])
+
+
+def q_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """(source_a, source_b, n_common) for source_a < source_b, counting
+    distinct token values present in both sources' streams; zero-overlap
+    pairs are omitted (matching the SQL inner join)."""
+    from tokenzip.chunk import _tokens_parts
+
+    paths = _token_paths(sf_dir)
+    sources = _distinct_sources(paths)
+    S = len(sources)
+    if S > 62:
+        raise ValueError("source bitmask packing supports at most 62 sources")
+    sid = {s: i for i, s in enumerate(sources)}
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        lengths, flat = _tokens_parts(b["tokens"])
+        src = b["source"].to_numpy(zero_copy_only=False)
+        docsrc = np.fromiter(
+            (sid[str(s)] for s in src), count=len(src), dtype=np.int64
+        )
+        tok_src = np.repeat(docsrc, lengths)
+        k = (flat.astype(np.int64) + _BIAS32) * S + tok_src
+        return pa.table({"k": pa.array(np.unique(k))})
+
+    def mask_partial(b: pa.Table) -> pa.Table:
+        k = b["k"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "t": pa.array(k // S),
+                "m": pa.array((np.int64(1) << (k % S)).astype(np.int64)),
+            }
+        )
+
+    def census_partial(b: pa.Table) -> pa.Table:
+        m = b["mask"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(m, return_counts=True)
+        return pa.table({"mask": pa.array(u), "n": pa.array(cnt.astype(np.int64))})
+
+    census = (
+        ray.data.read_parquet(paths, columns=["tokens", "source"])
+        .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .count()
+        .map_batches(mask_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("t")
+        .aggregate(Sum("m", alias_name="mask"))
+        .map_batches(census_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("mask")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    masks = census["mask"].to_numpy().astype(np.int64)
+    ns = census["n"].to_numpy().astype(np.int64)
+    rows = []
+    for a in range(S):
+        for b_ in range(a + 1, S):
+            both = (masks >> a & 1).astype(bool) & (masks >> b_ & 1).astype(bool)
+            n = int(ns[both].sum())
+            if n > 0:
+                rows.append((sources[a], sources[b_], n))
+    return pd.DataFrame(rows, columns=["source_a", "source_b", "n_common"]).astype(
+        {"n_common": "int64"}
+    )
+
+
+def vocab_overlap_sql(glob: str) -> str:
+    return f"""
+WITH v AS (
+  SELECT DISTINCT source, t
+  FROM (SELECT source, unnest(tokens) AS t FROM read_parquet('{glob}'))
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common
+FROM v a JOIN v b ON a.t = b.t AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token run-length structure per source — the statistic that decides
+# whether the RLE codec can ever win on a stream (SURVEY §2: codec
+# selection is sampling-based; this is the exact census).  A run is a
+# maximal block of equal adjacent tokens WITHIN one document.  Fully
+# vectorized: change flags on the flat concatenated stream with doc
+# starts forced True, run lengths from diff of change positions, per-run
+# source via the doc-repeat map.  Partials are 4 ints per (batch,
+# source); the shuffle is source-sized.
+# ---------------------------------------------------------------------------
+
+
+def _run_stats_partial(b: pa.Table) -> pa.Table:
+    from tokenzip.chunk import _tokens_parts
+
+    lengths, flat = _tokens_parts(b["tokens"])
+    src = b["source"].to_numpy(zero_copy_only=False)
+    usrc, sinv = np.unique(src.astype(str), return_inverse=True)
+    n_docs = np.bincount(sinv, minlength=len(usrc)).astype(np.int64)
+    n_tokens = np.bincount(sinv, weights=lengths, minlength=len(usrc)).astype(np.int64)
+    if len(flat):
+        chg = np.empty(len(flat), dtype=bool)
+        chg[0] = True
+        np.not_equal(flat[1:], flat[:-1], out=chg[1:])
+        starts = np.cumsum(lengths)[:-1]
+        chg[starts[(starts > 0) & (starts < len(flat))]] = True
+        pos = np.flatnonzero(chg)
+        run_len = np.diff(np.append(pos, len(flat)))
+        run_doc = np.repeat(np.arange(len(lengths)), lengths)[pos]
+        run_src = sinv[run_doc]
+        n_runs = np.bincount(run_src, minlength=len(usrc)).astype(np.int64)
+        max_run = np.zeros(len(usrc), dtype=np.int64)
+        np.maximum.at(max_run, run_src, run_len)
+    else:
+        n_runs = np.zeros(len(usrc), dtype=np.int64)
+        max_run = np.zeros(len(usrc), dtype=np.int64)
+    return pa.table(
+        {
+            "source": pa.array([str(s) for s in usrc], pa.string()),
+            "n_docs": pa.array(n_docs),
+            "n_tokens": pa.array(n_tokens),
+            "n_runs": pa.array(n_runs),
+            "max_run": pa.array(max_run),
+        }
+    )
+
+
+def q_token_run_stats(sf_dir: str) -> pd.DataFrame:
+    """(source, n_docs, n_tokens, n_runs, max_run): run-length census of
+    every source's token streams."""
+    from ray.data.aggregate import Max
+
+    paths = _token_paths(sf_dir)
+    agg = (
+        ray.data.read_parquet(paths, columns=["tokens", "source"])
+        .map_batches(_run_stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_runs", alias_name="n_runs"),
+            Max("max_run", alias_name="max_run"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "source": agg["source"].astype(str),
+            "n_docs": agg["n_docs"].astype("int64"),
+            "n_tokens": agg["n_tokens"].astype("int64"),
+            "n_runs": agg["n_runs"].astype("int64"),
+            "max_run": agg["max_run"].astype("int64"),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def token_run_stats_sql(glob: str) -> str:
+    return f"""
+WITH u AS (
+  SELECT source, doc_id, unnest(tokens) AS t,
+         generate_subscripts(tokens, 1) AS i
+  FROM read_parquet('{glob}')
+),
+d AS (
+  SELECT source, doc_id,
+         CASE WHEN lag(t) OVER w IS NULL OR t != lag(t) OVER w
+              THEN 1 ELSE 0 END AS chg,
+         t, i
+  FROM u WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+r AS (
+  SELECT source, doc_id, i,
+         SUM(chg) OVER (PARTITION BY doc_id ORDER BY i) AS rid
+  FROM d
+),
+rl AS (
+  SELECT source, doc_id, rid, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM r GROUP BY 1, 2, 3
+),
+per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_runs,
+         CAST(SUM(run_len) AS BIGINT) AS n_tokens,
+         CAST(MAX(run_len) AS BIGINT) AS max_run
+  FROM rl GROUP BY source
+),
+docs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM read_parquet('{glob}') GROUP BY source
+)
+SELECT docs.source, n_docs,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       COALESCE(n_runs, 0) AS n_runs,
+       COALESCE(max_run, 0) AS max_run
+FROM docs LEFT JOIN per_src ON docs.source = per_src.source
+ORDER BY docs.source
+"""
