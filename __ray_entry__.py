@@ -134,7 +134,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_overlap": _vocab_overlap,
         "token_run_stats": _token_run_stats,
         "supplier_variety": _supplier_variety,
+        "marker_counts_by_lang": _marker_counts,
+        "single_month_orders": _single_month_orders,
     }
+
+
+def _marker_counts(sf_dir: str):
+    from tokenzip.analysis import q_marker_counts_by_lang
+
+    return q_marker_counts_by_lang(sf_dir)
+
+
+def _single_month_orders(sf_dir: str):
+    from tokenzip.relational import q_single_month_orders
+
+    return q_single_month_orders(sf_dir)
 
 
 def _vocab_overlap(sf_dir: str):
@@ -697,6 +711,18 @@ def _supplier_variety_sql() -> str:
     return supplier_variety_sql()
 
 
+def _marker_counts_sql() -> str:
+    from tokenzip.analysis import marker_counts_by_lang_sql
+
+    return marker_counts_by_lang_sql()
+
+
+def _single_month_sql() -> str:
+    from tokenzip.relational import single_month_orders_sql
+
+    return single_month_orders_sql()
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -1103,6 +1129,10 @@ FROM documents GROUP BY source ORDER BY source
         "token_run_stats": _token_run_sql(glob),
         # TPC-H Q16 shape: COUNT(DISTINCT) per attribute combo
         "supplier_variety": _supplier_variety_sql(),
+        # pure-Arrow-kernel text census (count_substring; no regex)
+        "marker_counts_by_lang": _marker_counts_sql(),
+        # ALL quantifier per join group (min==max over segments)
+        "single_month_orders": _single_month_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

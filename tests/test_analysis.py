@@ -600,3 +600,20 @@ def test_kmeans_sizes_matches_pin_and_audits(ray_session):
         "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
     )
     assert len(con2.sql(embedding_kmeans_sizes_sql()).df()) == 0
+
+
+def test_marker_counts_by_lang_matches_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.analysis import marker_counts_by_lang_sql, q_marker_counts_by_lang
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    got = q_marker_counts_by_lang(SF).reset_index(drop=True)
+    exp = con.sql(marker_counts_by_lang_sql()).df()
+    # every containing doc contributes >= 1 occurrence
+    assert (got["n_docs"] <= got["n_occurrences"]).all()
+    assert int(got["n_occurrences"].sum()) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

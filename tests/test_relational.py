@@ -1117,3 +1117,66 @@ def test_supplier_variety_matches_q16_oracle(ray_session):
     n_sup = pq.ParquetFile(f"{SF}/supplier.parquet").metadata.num_rows
     assert (got["supplier_cnt"] >= 1).all() and (got["supplier_cnt"] <= n_sup).all()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_single_month_orders_matches_all_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import q_single_month_orders, single_month_orders_sql
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = q_single_month_orders(SF).reset_index(drop=True)
+    exp = con.sql(single_month_orders_sql()).df()
+    assert int(got["n_orders"].sum()) > 0
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_single_month_orders_boundary(ray_session, tmp_path):
+    """One lineitem = trivially ALL; a month-crossing pair disqualifies;
+    orders without lineitems don't count."""
+    import datetime as dt
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([1, 1, 1], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 3),
+                "o_totalprice": pa.array([1.0] * 3),
+                "o_orderdate": pa.array([dt.datetime(2020, 1, 1)] * 3, pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "2-HIGH"]),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2, 2], pa.int64()),
+                "l_partkey": pa.array([1, 1, 1], pa.int64()),
+                "l_suppkey": pa.array([1, 1, 1], pa.int64()),
+                "l_linenumber": pa.array([1, 1, 2], pa.int32()),
+                "l_quantity": pa.array([1.0] * 3),
+                "l_extendedprice": pa.array([1.0] * 3),
+                "l_discount": pa.array([0.0] * 3),
+                "l_tax": pa.array([0.0] * 3),
+                "l_returnflag": pa.array(["N"] * 3),
+                "l_linestatus": pa.array(["O"] * 3),
+                "l_shipdate": pa.array(
+                    [
+                        dt.datetime(2020, 3, 15),
+                        dt.datetime(2020, 1, 31),
+                        dt.datetime(2020, 2, 1),
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    from tokenzip.relational import q_single_month_orders
+
+    got = q_single_month_orders(str(tmp_path))
+    assert got.values.tolist() == [["1-URGENT", 1]]

@@ -2773,3 +2773,76 @@ SELECT source,
             AS BIGINT) AS n_repetitive
 FROM w GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Literal-marker census per language — the pure-Arrow-kernel text stage:
+# pyarrow.compute count_substring / match_substring do ALL the work
+# (zero Python per row, zero regex-engine semantics to disagree on: the
+# oracle recomputes the same counts with length/replace arithmetic).
+# Partials are (lang, marker) ints; the shuffle is |langs| x |markers|.
+# ---------------------------------------------------------------------------
+
+_MARKERS = ("merge", "join", "scan")
+
+
+def _marker_partial(b: pa.Table) -> pa.Table:
+    lang = b["lang"].to_numpy(zero_copy_only=False)
+    ul, linv = np.unique(lang.astype(str), return_inverse=True)
+    text = b["text"].combine_chunks()
+    out_lang, out_marker, out_occ, out_docs = [], [], [], []
+    for mk in _MARKERS:
+        occ = pc.count_substring(text, mk).to_numpy(zero_copy_only=False).astype(np.int64)
+        has = (occ > 0).astype(np.int64)
+        out_lang.extend(str(s) for s in ul)
+        out_marker.extend([mk] * len(ul))
+        out_occ.extend(np.bincount(linv, weights=occ, minlength=len(ul)).astype(np.int64))
+        out_docs.extend(np.bincount(linv, weights=has, minlength=len(ul)).astype(np.int64))
+    return pa.table(
+        {
+            "k": pa.array([f"{l}\x1f{m}" for l, m in zip(out_lang, out_marker)]),
+            "n_occurrences": pa.array(np.asarray(out_occ, dtype=np.int64)),
+            "n_docs": pa.array(np.asarray(out_docs, dtype=np.int64)),
+        }
+    )
+
+
+def q_marker_counts_by_lang(sf_dir: str) -> pd.DataFrame:
+    """(lang, marker, n_docs, n_occurrences): occurrence and containing-doc
+    counts of each literal marker, per language."""
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+        )
+        .map_batches(_marker_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_occurrences", alias_name="n_occurrences"),
+        )
+        .to_pandas()
+    )
+    parts = agg["k"].str.split("\x1f")
+    out = pd.DataFrame(
+        {
+            "lang": parts.str[0].astype(str),
+            "marker": parts.str[1].astype(str),
+            "n_docs": agg["n_docs"].astype("int64"),
+            "n_occurrences": agg["n_occurrences"].astype("int64"),
+        }
+    )
+    return out.sort_values(["lang", "marker"]).reset_index(drop=True)
+
+
+def marker_counts_by_lang_sql() -> str:
+    per_marker = "\nUNION ALL\n".join(
+        f"""
+SELECT lang, '{mk}' AS marker,
+       CAST(COUNT(*) FILTER (WHERE position('{mk}' IN text) > 0) AS BIGINT)
+           AS n_docs,
+       CAST(SUM((length(text) - length(replace(text, '{mk}', '')))
+                // {len(mk)}) AS BIGINT) AS n_occurrences
+FROM documents GROUP BY lang"""
+        for mk in _MARKERS
+    )
+    return f"SELECT * FROM ({per_marker}) ORDER BY lang, marker"

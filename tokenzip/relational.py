@@ -3630,3 +3630,121 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand, p_type, p_size
 ORDER BY p_brand, p_type, p_size
 """
+
+
+# ---------------------------------------------------------------------------
+# Universal quantifier over a join group (the ALL- counterpart of Q4's
+# EXISTS): orders whose lineitems ALL ship inside one calendar month,
+# counted per priority.  Same single co-partitioned union shuffle; each
+# orderkey bucket tests min(month) == max(month) over the order's
+# lineitems — a per-key ALL predicate folded with two searchsorted-
+# segmented reductions, no COUNT(DISTINCT) materialization.
+# ---------------------------------------------------------------------------
+
+
+def _all_month_group(g: pd.DataFrame) -> pd.DataFrame:
+    empty = pd.DataFrame(
+        {
+            "o_orderpriority": pd.Series([], dtype="object"),
+            "n": pd.Series([], dtype="int64"),
+        }
+    )
+    if not len(g):
+        return empty
+    side = g["side"].to_numpy().astype(np.int64)
+    key = g["key"].to_numpy().astype(np.int64)
+    is_o = side == 0
+    ok = key[is_o]
+    prio = g["prio"].to_numpy()[is_o]
+    order = np.argsort(ok, kind="stable")
+    ok, prio = ok[order], prio[order]
+    lk = key[~is_o]
+    month = g["month"].to_numpy().astype(np.int64)[~is_o]
+    if not len(lk):
+        return empty
+    lo = np.argsort(lk, kind="stable")
+    lk, month = lk[lo], month[lo]
+    pos = np.searchsorted(ok, lk)
+    if (pos >= len(ok)).any() or not (ok[pos] == lk).all():
+        raise ValueError("lineitem orderkey missing from orders side")
+    # segment boundaries of each order's lineitem block
+    starts = np.searchsorted(lk, ok, side="left")
+    ends = np.searchsorted(lk, ok, side="right")
+    has = ends > starts
+    if not has.any():
+        return empty
+    mmin = np.minimum.reduceat(month, starts[has])
+    mmax = np.maximum.reduceat(month, starts[has])
+    same = mmin == mmax
+    if not same.any():
+        return empty
+    u, cnt = np.unique(prio[has][same].astype(str), return_counts=True)
+    return pd.DataFrame({"o_orderpriority": u, "n": cnt.astype(np.int64)})
+
+
+def q_single_month_orders(sf_dir: str) -> pd.DataFrame:
+    """(o_orderpriority, n_orders): orders all of whose lineitems ship in
+    the same calendar month."""
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    nb = _lsh_n_buckets(_row_count(lpath))
+
+    def orows(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ok, nb)),
+                "side": pa.array(np.zeros(len(ok), np.int64)),
+                "key": pa.array(ok),
+                "month": pa.array(np.zeros(len(ok), np.int64)),
+                "prio": b["o_orderpriority"].combine_chunks(),
+            }
+        )
+
+    def lrows(b: pa.Table) -> pa.Table:
+        lk = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        month = _month_of_ms(_ts_ms(b["l_shipdate"]))
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(lk, nb)),
+                "side": pa.array(np.ones(len(lk), np.int64)),
+                "key": pa.array(lk),
+                "month": pa.array(month),
+                "prio": pa.array([""] * len(lk), pa.string()),
+            }
+        )
+
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
+    li = ray.data.read_parquet(
+        lpath, columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(lrows, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (
+        od.union(li)
+        .groupby("bkt")
+        .map_groups(_all_month_group, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "o_orderpriority": agg["o_orderpriority"].astype(str),
+            "n_orders": agg["n_orders"].astype("int64"),
+        }
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def single_month_orders_sql() -> str:
+    return """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING COUNT(DISTINCT year(l_shipdate) * 100 + month(l_shipdate)) = 1
+)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
