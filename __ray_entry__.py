@@ -136,7 +136,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_variety": _supplier_variety,
         "marker_counts_by_lang": _marker_counts,
         "single_month_orders": _single_month_orders,
+        "events_dedup_lag": _events_dedup_lag,
+        "qty_price_suffstats": _qty_price_suffstats,
     }
+
+
+def _events_dedup_lag(sf_dir: str):
+    from tokenzip.relational import q_events_dedup_lag
+
+    return q_events_dedup_lag(sf_dir)
+
+
+def _qty_price_suffstats(sf_dir: str):
+    from tokenzip.relational import q_qty_price_suffstats
+
+    return q_qty_price_suffstats(sf_dir)
 
 
 def _marker_counts(sf_dir: str):
@@ -723,6 +737,18 @@ def _single_month_sql() -> str:
     return single_month_orders_sql()
 
 
+def _dedup_lag_sql() -> str:
+    from tokenzip.relational import events_dedup_lag_sql
+
+    return events_dedup_lag_sql()
+
+
+def _suffstats_sql() -> str:
+    from tokenzip.relational import qty_price_suffstats_sql
+
+    return qty_price_suffstats_sql()
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -1133,6 +1159,10 @@ FROM documents GROUP BY source ORDER BY source
         "marker_counts_by_lang": _marker_counts_sql(),
         # ALL quantifier per join group (min==max over segments)
         "single_month_orders": _single_month_sql(),
+        # LAG-window duplicate suppression census per event type
+        "events_dedup_lag": _dedup_lag_sql(),
+        # exact-integer regression sufficient statistics per flag
+        "qty_price_suffstats": _suffstats_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

@@ -1180,3 +1180,70 @@ def test_single_month_orders_boundary(ray_session, tmp_path):
 
     got = q_single_month_orders(str(tmp_path))
     assert got.values.tolist() == [["1-URGENT", 1]]
+
+
+def test_events_dedup_lag_matches_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import events_dedup_lag_sql, q_events_dedup_lag
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    got = q_events_dedup_lag(SF).reset_index(drop=True)
+    exp = con.sql(events_dedup_lag_sql()).df()
+    assert (got["n_suppressed"] <= got["n_events"]).all()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_events_dedup_lag_window_edges(ray_session, tmp_path):
+    """Suppression keys on (user, type); the reference point is the
+    previous event even if that one was itself suppressed; an exact
+    window-width gap is NOT suppressed (strict <)."""
+    import datetime as dt
+
+    base = dt.datetime(2021, 1, 1)
+    rows = [
+        # user 1 view: 0s, +10min (sup), +20min (sup: 10min from previous)
+        (1, 1, base, "view"),
+        (2, 1, base + dt.timedelta(minutes=10), "view"),
+        (3, 1, base + dt.timedelta(minutes=20), "view"),
+        # user 1 click exactly 60min after its predecessor: kept
+        (4, 1, base, "click"),
+        (5, 1, base + dt.timedelta(hours=1), "click"),
+        # user 2 view within window of user 1's: different user, kept
+        (6, 2, base + dt.timedelta(minutes=1), "view"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from tokenzip.relational import q_events_dedup_lag
+
+    got = q_events_dedup_lag(str(tmp_path))
+    assert got.values.tolist() == [["click", 2, 0], ["view", 4, 2]]
+
+
+def test_qty_price_suffstats_matches_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import q_qty_price_suffstats, qty_price_suffstats_sql
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    got = q_qty_price_suffstats(SF).reset_index(drop=True)
+    exp = con.sql(qty_price_suffstats_sql()).df()
+    # Cauchy-Schwarz on the moments: (Sxy)^2 <= Sxx * Syy needs Syy, but
+    # the mean inequality n*Sxx >= Sx^2 must always hold
+    assert ((got["n"] * got["sum_qty_sq"]) >= got["sum_qty"] ** 2).all()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -3748,3 +3748,198 @@ WHERE o_orderkey IN (
 )
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Within-window duplicate suppression census (the dedup-by-recency rule
+# every event ingest applies): an event is suppressed when the SAME
+# (user_id, event_type) key fired within the preceding window.  LAG
+# semantics — the reference point is the previous event, suppressed or
+# not, so the rule is one window function on both engines (a
+# previous-KEPT rule would be a sequential scan; this is the
+# distributable variant).  Same single user-bucketed shuffle as
+# sessionization; suppression is a segmented diff after one lexsort.
+# ---------------------------------------------------------------------------
+
+_SUPPRESS_MS = 3_600_000
+
+
+def _suppress_group(g: pd.DataFrame) -> pd.DataFrame:
+    empty = pd.DataFrame(
+        {
+            "event_type": pd.Series([], dtype="object"),
+            "n_events": pd.Series([], dtype="int64"),
+            "n_suppressed": pd.Series([], dtype="int64"),
+        }
+    )
+    if not len(g):
+        return empty
+    uid = g["uid"].to_numpy().astype(np.int64)
+    tms = g["tms"].to_numpy().astype(np.int64)
+    eid = g["eid"].to_numpy().astype(np.int64)
+    et = g["event_type"].to_numpy()
+    uet, einv = np.unique(et.astype(str), return_inverse=True)
+    o = np.lexsort((eid, tms, einv, uid))
+    uid, tms, einv = uid[o], tms[o], einv[o]
+    same = np.zeros(len(uid), dtype=bool)
+    if len(uid) > 1:
+        same[1:] = (uid[1:] == uid[:-1]) & (einv[1:] == einv[:-1])
+    gap = np.empty(len(uid), dtype=np.int64)
+    gap[0] = np.iinfo(np.int64).max
+    if len(uid) > 1:
+        gap[1:] = tms[1:] - tms[:-1]
+    sup = same & (gap < _SUPPRESS_MS)
+    n_events = np.bincount(einv, minlength=len(uet)).astype(np.int64)
+    n_sup = np.bincount(einv, weights=sup, minlength=len(uet)).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "event_type": uet,
+            "n_events": n_events,
+            "n_suppressed": n_sup,
+        }
+    )
+
+
+def q_events_dedup_lag(sf_dir: str) -> pd.DataFrame:
+    """(event_type, n_events, n_suppressed): events whose same-key
+    predecessor fired within the last _SUPPRESS_MS."""
+    path = os.path.join(sf_dir, "events.parquet")
+    nb = _lsh_n_buckets(_row_count(path))
+
+    def rows(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(uid, nb)),
+                "uid": pa.array(uid),
+                "tms": pa.array(_ts_ms(b["ts"])),
+                "eid": pa.array(
+                    b["event_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "event_type": b["event_type"].combine_chunks(),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(path, columns=["user_id", "ts", "event_id", "event_type"])
+        .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(_suppress_group, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_suppressed", alias_name="n_suppressed"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"].astype(str),
+            "n_events": agg["n_events"].astype("int64"),
+            "n_suppressed": agg["n_suppressed"].astype("int64"),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_dedup_lag_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000
+           - lag(epoch_us(ts) // 1000) OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY epoch_us(ts) // 1000, event_id) AS gap
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE gap IS NOT NULL
+                             AND gap < {_SUPPRESS_MS}) AS BIGINT)
+           AS n_suppressed
+FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Regression/correlation sufficient statistics, exact-integer: per
+# returnflag, the (n, Sx, Sxx, Sy_cents, Sxy_cents) moments of
+# (quantity, extendedprice).  All sums stay inside int64 by
+# construction (qty <= ~1e2, price_cents <= ~1e7 => Sxy <= 1e9/row);
+# the second moment of PRICE is deliberately not emitted — its per-row
+# term alone (~1e14) would overflow long before 10^12 rows.  Slope /
+# correlation are one driver-side division on the tiny result, so no
+# float ever crosses the compare boundary.
+# ---------------------------------------------------------------------------
+
+
+def _suffstats_partial(b: pa.Table) -> pa.Table:
+    rf = np.asarray(b["l_returnflag"].to_pylist(), dtype=object)
+    qty = np.floor(
+        b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    price = _cents(b["l_extendedprice"])
+    u, inv = np.unique(rf, return_inverse=True)
+    return pa.table(
+        {
+            "l_returnflag": pa.array([str(s) for s in u], pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_qty": pa.array(np.bincount(inv, weights=qty).astype(np.int64)),
+            "sum_qty_sq": pa.array(
+                np.bincount(inv, weights=qty * qty).astype(np.int64)
+            ),
+            "sum_price_cents": pa.array(
+                np.bincount(inv, weights=price).astype(np.int64)
+            ),
+            "sum_qty_price_cents": pa.array(
+                np.bincount(inv, weights=qty * price).astype(np.int64)
+            ),
+        }
+    )
+
+
+def q_qty_price_suffstats(sf_dir: str) -> pd.DataFrame:
+    """(l_returnflag, n, sum_qty, sum_qty_sq, sum_price_cents,
+    sum_qty_price_cents): exact moments for downstream slope/corr."""
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(_suffstats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_qty_sq", alias_name="sum_qty_sq"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("sum_qty_price_cents", alias_name="sum_qty_price_cents"),
+        )
+        .to_pandas()
+    )
+    cols = [
+        "n",
+        "sum_qty",
+        "sum_qty_sq",
+        "sum_price_cents",
+        "sum_qty_price_cents",
+    ]
+    out = pd.DataFrame({"l_returnflag": agg["l_returnflag"].astype(str)})
+    for c in cols:
+        out[c] = agg[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def qty_price_suffstats_sql() -> str:
+    return """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                * CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_sq,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_qty_price_cents
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
