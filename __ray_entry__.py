@@ -138,7 +138,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "single_month_orders": _single_month_orders,
         "events_dedup_lag": _events_dedup_lag,
         "qty_price_suffstats": _qty_price_suffstats,
+        "props_field_stats": _props_field_stats,
     }
+
+
+def _props_field_stats(sf_dir: str):
+    from tokenzip.relational import q_props_field_stats
+
+    return q_props_field_stats(sf_dir)
 
 
 def _events_dedup_lag(sf_dir: str):
@@ -749,6 +756,12 @@ def _suffstats_sql() -> str:
     return qty_price_suffstats_sql()
 
 
+def _props_stats_sql() -> str:
+    from tokenzip.relational import props_field_stats_sql
+
+    return props_field_stats_sql()
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -1163,6 +1176,8 @@ FROM documents GROUP BY source ORDER BY source
         "events_dedup_lag": _dedup_lag_sql(),
         # exact-integer regression sufficient statistics per flag
         "qty_price_suffstats": _suffstats_sql(),
+        # semi-structured: one RE2 kernel extracts the props int field
+        "props_field_stats": _props_stats_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

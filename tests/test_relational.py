@@ -1247,3 +1247,40 @@ def test_qty_price_suffstats_matches_oracle(ray_session):
     # the mean inequality n*Sxx >= Sx^2 must always hold
     assert ((got["n"] * got["sum_qty_sq"]) >= got["sum_qty"] ** 2).all()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_props_field_stats_matches_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import props_field_stats_sql, q_props_field_stats
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    got = q_props_field_stats(SF).reset_index(drop=True)
+    exp = con.sql(props_field_stats_sql()).df()
+    assert (got["min_k"] <= got["max_k"]).all()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_props_field_stats_malformed_raises(ray_session, tmp_path):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([dt.datetime(2021, 1, 1)], pa.timestamp("us")),
+                "user_id": pa.array([1], pa.int64()),
+                "event_type": pa.array(["view"]),
+                "value": pa.array([0.0]),
+                "props": pa.array(['{"other": true}']),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from tokenzip.relational import q_props_field_stats
+
+    with _pytest.raises(Exception, match="integer 'k' field"):
+        q_props_field_stats(str(tmp_path))

@@ -3943,3 +3943,87 @@ SELECT l_returnflag,
            AS sum_qty_price_cents
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction: pull the integer field out of the events
+# ``props`` JSON string with ONE vectorized RE2 kernel
+# (pyarrow.compute.extract_regex — no Python, no per-row json.loads)
+# and aggregate it per event type.  Malformed rows fail loudly rather
+# than silently zeroing (a null extraction raises).  The oracle
+# re-extracts with DuckDB's regexp_extract, so both engines parse the
+# same digits with the same regex semantics.
+# ---------------------------------------------------------------------------
+
+# Arrow's extract_regex requires a NAMED group; DuckDB's regexp_extract
+# takes the group by index — same RE2 pattern semantics either way
+_PROPS_RE_ARROW = r'"k":\s*(?P<k>-?\d+)'
+_PROPS_RE_SQL = r'"k":\s*(-?\d+)'
+
+
+def _props_partial(b: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc_
+
+    et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+    ext = pc_.extract_regex(b["props"].combine_chunks(), _PROPS_RE_ARROW)
+    if ext.null_count:
+        raise ValueError("props row without an integer 'k' field")
+    k = pc_.cast(pc_.struct_field(ext, "k"), pa.int64()).to_numpy(zero_copy_only=False)
+    u, inv = np.unique(et, return_inverse=True)
+    mink = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+    maxk = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+    np.minimum.at(mink, inv, k)
+    np.maximum.at(maxk, inv, k)
+    return pa.table(
+        {
+            "event_type": pa.array([str(s) for s in u], pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sum_k": pa.array(np.bincount(inv, weights=k).astype(np.int64)),
+            "min_k": pa.array(mink),
+            "max_k": pa.array(maxk),
+        }
+    )
+
+
+def q_props_field_stats(sf_dir: str) -> pd.DataFrame:
+    """(event_type, n, sum_k, min_k, max_k) over the props JSON field."""
+    from ray.data.aggregate import Min
+
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+        )
+        .map_batches(_props_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"].astype(str),
+            "n": agg["n"].astype("int64"),
+            "sum_k": agg["sum_k"].astype("int64"),
+            "min_k": agg["min_k"].astype("int64"),
+            "max_k": agg["max_k"].astype("int64"),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def props_field_stats_sql() -> str:
+    return f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(regexp_extract(props, '{_PROPS_RE_SQL}', 1) AS BIGINT))
+            AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(regexp_extract(props, '{_PROPS_RE_SQL}', 1) AS BIGINT))
+            AS BIGINT) AS min_k,
+       CAST(MAX(CAST(regexp_extract(props, '{_PROPS_RE_SQL}', 1) AS BIGINT))
+            AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
