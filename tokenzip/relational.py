@@ -2610,32 +2610,53 @@ ORDER BY COALESCE(l_returnflag, 'ALL'), COALESCE(l_linestatus, 'ALL')
 # ---------------------------------------------------------------------------
 
 
-def _custkey_partial(b: pa.Table) -> pa.Table:
-    ck = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-    u, cnt = np.unique(ck, return_counts=True)
-    return pa.table({"k": pa.array(u), "n": pa.array(cnt.astype(np.int64))})
+def _custkey_partial(nb: int):
+    def fn(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        u, cnt = np.unique(ck, return_counts=True)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(u, nb)),
+                "k": pa.array(u),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return fn
 
 
-def _ccount_partial(b: pa.Table) -> pa.Table:
-    n = b["sum(n)"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-    u, cnt = np.unique(n, return_counts=True)
-    return pa.table(
-        {"c_count": pa.array(u), "n_cust": pa.array(cnt.astype(np.int64))}
-    )
+def _ccount_group(g: pd.DataFrame) -> pd.DataFrame:
+    """One custkey bucket: exact per-customer totals (custkeys never span
+    buckets), collapsed to the bucket's (c_count -> n_cust) census — a
+    bounded map_groups fold instead of a |customers|-key aggregate."""
+    if not len(g):
+        return pd.DataFrame(
+            {
+                "c_count": pd.Series([], dtype="int64"),
+                "n_cust": pd.Series([], dtype="int64"),
+            }
+        )
+    k = g["k"].to_numpy().astype(np.int64)
+    n = g["n"].to_numpy().astype(np.int64)
+    u, inv = np.unique(k, return_inverse=True)
+    tot = np.bincount(inv, weights=n).astype(np.int64)
+    uc, cnt = np.unique(tot, return_counts=True)
+    return pd.DataFrame({"c_count": uc, "n_cust": cnt.astype(np.int64)})
 
 
 def q_customer_order_dist(sf_dir: str) -> pd.DataFrame:
     """(c_count, custdist): how many customers placed exactly c_count
     orders, zero included."""
     total_cust = _row_count(os.path.join(sf_dir, "customer.parquet"))
+    opath = os.path.join(sf_dir, "orders.parquet")
+    nb = _lsh_n_buckets(_row_count(opath))
     agg = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+        ray.data.read_parquet(opath, columns=["o_custkey"])
+        .map_batches(
+            _custkey_partial(nb), batch_format="pyarrow", zero_copy_batch=True
         )
-        .map_batches(_custkey_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("k")
-        .aggregate(Sum("n"))
-        .map_batches(_ccount_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(_ccount_group, batch_format="pandas")
         .groupby("c_count")
         .aggregate(Sum("n_cust"))
         .to_pandas()
@@ -2680,31 +2701,58 @@ GROUP BY c_count ORDER BY c_count
 _Q18_QTY = 250
 
 
-def _qty_partial(b: pa.Table) -> pa.Table:
-    ok = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-    qty = np.floor(
-        b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
-    ).astype(np.int64)
-    u, inv = np.unique(ok, return_inverse=True)
-    return pa.table(
-        {"k": pa.array(u), "q": pa.array(np.bincount(inv, weights=qty).astype(np.int64))}
-    )
+def _qty_partial(nb: int):
+    def fn(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.floor(
+            b["l_quantity"].combine_chunks().to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        u, inv = np.unique(ok, return_inverse=True)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(u, nb)),
+                "k": pa.array(u),
+                "q": pa.array(np.bincount(inv, weights=qty).astype(np.int64)),
+            }
+        )
+
+    return fn
+
+
+def _heavy_group(min_qty: int):
+    """One orderkey bucket: fold the partials to exact per-order totals
+    (orderkeys never span buckets) and emit ONLY the threshold survivors
+    — the HAVING filter runs inside the bounded group fold, so the big
+    |orders|-key aggregate never materializes."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "k": pd.Series([], dtype="int64"),
+                    "sum_qty": pd.Series([], dtype="int64"),
+                }
+            )
+        k = g["k"].to_numpy().astype(np.int64)
+        q = g["q"].to_numpy().astype(np.int64)
+        u, inv = np.unique(k, return_inverse=True)
+        tot = np.bincount(inv, weights=q).astype(np.int64)
+        keep = tot > min_qty
+        return pd.DataFrame({"k": u[keep], "sum_qty": tot[keep]})
+
+    return fn
 
 
 def q_large_orders(sf_dir: str, min_qty: int = _Q18_QTY) -> pd.DataFrame:
     """Order headers for orders with SUM(l_quantity) > min_qty:
     (o_orderkey, o_custkey, o_totalprice_cents, o_orderdate_ms, sum_qty)."""
-    import pyarrow.compute as pc_
-
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    nb = _lsh_n_buckets(_row_count(lpath))
     heavy = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_orderkey", "l_quantity"],
-        )
-        .map_batches(_qty_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("k")
-        .aggregate(Sum("q", alias_name="sum_qty"))
-        .filter(expr=f"sum_qty > {int(min_qty)}")
+        ray.data.read_parquet(lpath, columns=["l_orderkey", "l_quantity"])
+        .map_batches(_qty_partial(nb), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(_heavy_group(int(min_qty)), batch_format="pandas")
         .to_pandas()
     )
     keys = heavy["k"].to_numpy().astype(np.int64)
@@ -2866,11 +2914,12 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 # TPC-H Q10 shape: top-k customers by returned-item revenue.  The
 # fact-fact edge (lineitem filtered to returns x orders) is the
 # co-partitioned union shuffle; per-bucket groups fold revenue per
-# custkey, a custkey groupby sums the partials, per-batch partial top-k
-# bounds what the driver sees to k rows per block, and — the scale-shaped
-# enrichment — customer NAMES are fetched by a parquet read FILTERED to
-# the k winning keys (a k-row dimension probe, never a dimension scan or
-# broadcast of the customer table).
+# custkey, the partials re-key into CUSTKEY-hash buckets where the
+# in-group sum is each customer's global total and only the bucket's
+# top-k rows survive (k x #buckets rows reach the driver), and — the
+# scale-shaped enrichment — customer NAMES are fetched by a parquet
+# read FILTERED to the k winning keys (a k-row dimension probe, never a
+# dimension scan or broadcast of the customer table).
 # ---------------------------------------------------------------------------
 
 
@@ -2908,14 +2957,45 @@ def _q10_group(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _q10_topk_partial(k: int):
+def _q10_rekey(nb: int):
+    """Partial rows leave the orderkey buckets keyed by CUSTKEY hash — a
+    custkey's partials all land in one bounded bucket, so the in-group
+    sum below is that customer's GLOBAL revenue."""
+
     def fn(b: pa.Table) -> pa.Table:
         ck = b["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        rev = b["sum(rev)"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        top = np.lexsort((ck, -rev))[:k]
         return pa.table(
-            {"c_custkey": pa.array(ck[top]), "revenue": pa.array(rev[top])}
+            {
+                "bkt2": pa.array(_jbkt_of(ck, nb)),
+                "c_custkey": pa.array(ck),
+                "rev": b["rev"].combine_chunks(),
+            }
         )
+
+    return fn
+
+
+def _q10_final_group(k: int):
+    """One custkey bucket: exact per-customer totals, keep the bucket's
+    top-k (a superset of that bucket's global-top-k members).  Replaces a
+    generic groupby(custkey) AGGREGATE that cost 11.8 of the query's
+    12.5 s at sf0.1 — the sort-shuffle over |customers| keys was ~6x the
+    join itself for a 20-row answer."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "c_custkey": pd.Series([], dtype="int64"),
+                    "revenue": pd.Series([], dtype="int64"),
+                }
+            )
+        ck = g["c_custkey"].to_numpy().astype(np.int64)
+        rev = g["rev"].to_numpy().astype(np.int64)
+        u, inv = np.unique(ck, return_inverse=True)
+        tot = np.bincount(inv, weights=rev).astype(np.int64)
+        top = np.lexsort((u, -tot))[:k]
+        return pd.DataFrame({"c_custkey": u[top], "revenue": tot[top]})
 
     return fn
 
@@ -2970,9 +3050,9 @@ def q_returned_top_customers(sf_dir: str, k: int = 20) -> pd.DataFrame:
         od.union(li)
         .groupby("bkt")
         .map_groups(_q10_group, batch_format="pandas")
-        .groupby("c_custkey")
-        .aggregate(Sum("rev"))
-        .map_batches(_q10_topk_partial(k), batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(_q10_rekey(nb), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt2")
+        .map_groups(_q10_final_group(k), batch_format="pandas")
         .to_pandas()
     )
     top = (

@@ -1807,12 +1807,17 @@ FROM o GROUP BY source ORDER BY source
 
 # ---------------------------------------------------------------------------
 # Vocabulary set operations across sources: |vocab(a) INTERSECT vocab(b)|
-# for every source pair.  The whole computation is two bounded shuffles:
-# (1) distinct (token, source) pairs via a composite-key groupby (key
-# space = vocab x n_sources — corpus-size-INDEPENDENT), (2) per-token
-# source bitmasks via Sum (each surviving pair contributes one distinct
-# bit, so integer sum IS bitwise OR), folded into a <= 2^S-row mask
-# census on which every pairwise intersection is a driver-side popcount.
+# for every source pair.  ONE bucketed shuffle end to end: each batch
+# folds its distinct (token, source) pairs into per-token source-bitmask
+# PARTIALS (vocabulary-sized rows, never token-sized), the token-hash
+# groupby ORs the partials per token inside bounded buckets and
+# immediately collapses each bucket to a <= 2^S-row mask census, and the
+# final aggregate is over <= 2^S masks.  Every pairwise intersection is
+# then a driver-side popcount over that census.  (The first cut ran two
+# vocab-sized groupby AGGREGATES — distinct pairs, then per-token Sum;
+# at sf0.1 that was 119 s of key-sorted shuffle for a 10-row answer;
+# bucket-local reduceat over 512 groups runs the same input in 11.7 s,
+# now dominated by the per-batch distinct fold, i.e. useful compute.)
 # Signed tokens are bias-packed (+2^31) before the composite key, the
 # same discipline as top_token_by_source.
 # ---------------------------------------------------------------------------
@@ -1844,38 +1849,53 @@ def q_vocab_overlap(sf_dir: str) -> pd.DataFrame:
     sid = {s: i for i, s in enumerate(sources)}
 
     def pair_partial(b: pa.Table) -> pa.Table:
+        # per-batch DISTINCT (token, source) folded to a per-token mask
+        # PARTIAL — output is (bucket, token, mask) rows, vocabulary-sized
+        # per batch, never token-sized
         lengths, flat = _tokens_parts(b["tokens"])
         src = b["source"].to_numpy(zero_copy_only=False)
         docsrc = np.fromiter(
             (sid[str(s)] for s in src), count=len(src), dtype=np.int64
         )
         tok_src = np.repeat(docsrc, lengths)
-        k = (flat.astype(np.int64) + _BIAS32) * S + tok_src
-        return pa.table({"k": pa.array(np.unique(k))})
-
-    def mask_partial(b: pa.Table) -> pa.Table:
-        k = b["k"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.unique((flat.astype(np.int64) + _BIAS32) * S + tok_src)
+        t = k // S
+        m = (np.int64(1) << (k % S)).astype(np.int64)
+        # fold the batch's per-source bits into one mask row per token
+        ut, starts = np.unique(t, return_index=True)
+        mask = np.bitwise_or.reduceat(m, starts)
         return pa.table(
             {
-                "t": pa.array(k // S),
-                "m": pa.array((np.int64(1) << (k % S)).astype(np.int64)),
+                "bkt": pa.array(ut % _VOCAB_NB),
+                "t": pa.array(ut),
+                "m": pa.array(mask),
             }
         )
 
-    def census_partial(b: pa.Table) -> pa.Table:
-        m = b["mask"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        u, cnt = np.unique(m, return_counts=True)
-        return pa.table({"mask": pa.array(u), "n": pa.array(cnt.astype(np.int64))})
+    def census_group(g: pd.DataFrame) -> pd.DataFrame:
+        # one token-hash bucket: OR the batch partials per token, then
+        # count tokens per final mask — output <= 2^S rows per bucket
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "mask": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                }
+            )
+        t = g["t"].to_numpy().astype(np.int64)
+        m = g["m"].to_numpy().astype(np.int64)
+        o = np.argsort(t, kind="stable")
+        t, m = t[o], m[o]
+        ut, starts = np.unique(t, return_index=True)
+        masks = np.bitwise_or.reduceat(m, starts)
+        u, cnt = np.unique(masks, return_counts=True)
+        return pd.DataFrame({"mask": u, "n": cnt.astype(np.int64)})
 
     census = (
         ray.data.read_parquet(paths, columns=["tokens", "source"])
         .map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("k")
-        .count()
-        .map_batches(mask_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("t")
-        .aggregate(Sum("m", alias_name="mask"))
-        .map_batches(census_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(census_group, batch_format="pandas")
         .groupby("mask")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
