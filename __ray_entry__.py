@@ -139,7 +139,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup_lag": _events_dedup_lag,
         "qty_price_suffstats": _qty_price_suffstats,
         "props_field_stats": _props_field_stats,
+        "recode_stats": _recode_stats,
     }
+
+
+def _recode_stats(sf_dir: str):
+    from tokenzip.queries import q_recode_stats
+
+    return q_recode_stats(sf_dir)
 
 
 def _props_field_stats(sf_dir: str):
@@ -762,6 +769,12 @@ def _props_stats_sql() -> str:
     return props_field_stats_sql()
 
 
+def _recode_sql(glob: str) -> str:
+    from tokenzip.queries import recode_stats_sql
+
+    return recode_stats_sql(glob)
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -1178,6 +1191,9 @@ FROM documents GROUP BY source ORDER BY source
         "qty_price_suffstats": _suffstats_sql(),
         # semi-structured: one RE2 kernel extracts the props int field
         "props_field_stats": _props_stats_sql(),
+        # codec migration: legacy LEB128 sink recoded to auto, content
+        # decoded from the RECODED sink (bit-identity through two sinks)
+        "recode_stats": _recode_sql(glob),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

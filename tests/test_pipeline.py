@@ -618,3 +618,61 @@ def test_projection_rejects_unknown_columns(ray_session, paths, tmp_path):
     compress(paths[:1], out, concurrency=2)
     with pytest.raises(ValueError, match="unknown sink columns"):
         decompress(out, columns=["doc_id", "nope"])
+
+
+def test_recode_bit_identical_and_resumes(ray_session, paths, tmp_path):
+    """Codec migration: forced-LEB128 sink -> auto sink decodes to the
+    exact same rows, shrinks the tokens payload, and a second recode call
+    is a resume no-op."""
+    import numpy as np
+
+    from tokenzip.pipeline import decompress, recode
+
+    legacy = str(tmp_path / "legacy")
+    dst = str(tmp_path / "dst")
+    t_legacy = compress(paths, legacy, tokens_codec="leb128", concurrency=2)
+    t_new = recode(legacy, dst, tokens_codec="auto")
+    assert t_new["n_tokens"] == t_legacy["n_tokens"]
+    assert t_new["tokens_bytes_out"] < t_legacy["tokens_bytes_out"]
+    a = decompress(legacy).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = decompress(dst).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert all(
+        np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(a["tokens"], b["tokens"])
+    )
+    # resume: nothing left to do, totals unchanged
+    again = recode(legacy, dst, tokens_codec="auto")
+    assert again == t_new
+    # per-fragment migration lineage recorded
+    from tokenzip.manifest import Manifest
+
+    man = Manifest(dst)
+    frag_stats = list(man.data["fragments"].values())
+    assert frag_stats and all(
+        s.get("recoded_from") == legacy and s.get("src_n_chunks", 0) > 0
+        for s in frag_stats
+    )
+
+
+def test_recode_matches_direct_compress_bytes(ray_session, paths, tmp_path):
+    """Migrating legacy->auto lands on the SAME codec choices (and bytes)
+    as compressing the original corpus with auto directly — the selector
+    is deterministic on content, not on the input container."""
+    from tokenzip.pipeline import recode
+
+    legacy = str(tmp_path / "legacy")
+    direct = str(tmp_path / "direct")
+    dst = str(tmp_path / "dst")
+    compress(paths, legacy, tokens_codec="leb128", concurrency=2)
+    t_direct = compress(paths, direct, tokens_codec="auto", concurrency=2)
+    t_new = recode(legacy, dst, tokens_codec="auto")
+    assert t_new["tokens_bytes_out"] == t_direct["tokens_bytes_out"]
+
+
+def test_recode_refuses_non_sink(ray_session, tmp_path):
+    from tokenzip.errors import ChunkFormatError
+    from tokenzip.pipeline import recode
+
+    with pytest.raises(ChunkFormatError, match="no chunks directory"):
+        recode(str(tmp_path / "nothing"), str(tmp_path / "dst"))

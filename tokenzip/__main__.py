@@ -87,6 +87,14 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("out_dir"), cp.add_argument("dst_dir")
     cp.add_argument("--target-mb", type=int, default=256)
 
+    rc = sub.add_parser(
+        "recode", help="migrate a sink to a new codec regime (decode fused "
+        "with re-encode; the corpus never materializes)"
+    )
+    rc.add_argument("in_dir"), rc.add_argument("out_dir")
+    rc.add_argument("--codec", default="auto", help="tokens codec for the new sink")
+    rc.add_argument("--no-resume", action="store_true")
+
     v = sub.add_parser("verify", help="encode->decode->equality over an input table")
     v.add_argument("input")
 
@@ -208,6 +216,15 @@ def main(argv: list[str] | None = None) -> int:
             reader = read_tokens_csv if csvs else read_tokens_jsonl
             reader(paths).write_parquet(args.dst_dir)
             print(json.dumps({"rows": "written", "dir": args.dst_dir}))
+        elif args.cmd == "recode":
+            from tokenzip.pipeline import recode
+
+            res = recode(
+                args.in_dir, args.out_dir,
+                tokens_codec=args.codec,
+                resume=not args.no_resume,
+            )
+            print(json.dumps(res, sort_keys=True))
         elif args.cmd == "compact":
             from tokenzip.pipeline import compact
 

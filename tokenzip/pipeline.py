@@ -1400,3 +1400,173 @@ def verify_roundtrip(
         zero_copy_batch=True,
         batch_size=None,
     )
+
+
+# ---------------------------------------------------------------------------
+# Codec migration: re-encode a live sink in place-shape.  When a new codec
+# lands (rankdict, dod, ...) or a forced choice must be revisited, recode()
+# walks the OLD sink's chunk rows, decodes and immediately re-encodes each
+# small batch of chunks (the decoded corpus never materializes — decode and
+# encode are FUSED in one map stage, so plasma holds chunk rows on both
+# sides, never the token payload), and writes a fresh frag-partitioned sink
+# with its own manifest.  Resume is per SOURCE FRAGMENT (the old sink's
+# frag= partitions become the new manifest's fragment keys), and each
+# fragment's manifest entry records migration lineage: the source sink,
+# source chunk count, the grouping-invariant chunk-id checksum of the
+# source rows, and source bytes for the byte-delta audit.
+# ---------------------------------------------------------------------------
+
+_FRAG_RE = None
+_RECODE_SIDECARS: set = set()
+
+
+def _frag_of_chunk_path(path: str) -> str:
+    import re
+
+    from tokenzip.errors import ChunkFormatError
+
+    global _FRAG_RE
+    if _FRAG_RE is None:
+        _FRAG_RE = re.compile(r"frag=([^/\\]+)")
+    m = _FRAG_RE.search(path)
+    if not m:
+        raise ChunkFormatError(f"chunk file outside a frag= partition: {path}")
+    return m.group(1)
+
+
+def _recode_fn(
+    batch: pa.Table, tokens_codec: str = "auto", sidecar: str | None = None
+) -> pa.Table:
+    """Chunk rows in -> chunk rows out (decode fused with re-encode).
+    Batches may span frag partitions; decode per frag slice so lineage
+    partitioning survives the migration."""
+    from tokenzip.chunk import decode_chunks
+
+    if sidecar is not None and sidecar not in _RECODE_SIDECARS:
+        # shared-table source sinks: symbol tables load once per worker
+        if uio.exists(sidecar):
+            from tokenzip.codecs.strings import load_shared_tables
+
+            load_shared_tables(sidecar)
+        _RECODE_SIDECARS.add(sidecar)
+
+    paths = batch["path"].to_numpy(zero_copy_only=False)
+    frags = np.asarray([_frag_of_chunk_path(str(p)) for p in paths], dtype=object)
+    rows = batch.drop_columns(["path"])
+    parts = []
+    for frag in np.unique(frags):
+        sub = rows.filter(pa.array(frags == frag))
+        decoded = decode_chunks(sub)
+        decoded = decoded.append_column(
+            "frag", pa.array([str(frag)] * decoded.num_rows, pa.string())
+        )
+        parts.append(decoded)
+    tokens = pa.concat_tables(parts) if parts else None
+    if tokens is None or tokens.num_rows == 0:
+        from tokenzip.chunk import CHUNK_SCHEMA
+
+        out = pa.table({f.name: pa.array([], f.type) for f in CHUNK_SCHEMA})
+        return out.append_column("frag", pa.array([], pa.string()))
+    return _encode_fn(tokens, tokens_codec=tokens_codec)
+
+
+def recode(
+    in_dir: str,
+    out_dir: str,
+    *,
+    tokens_codec: str = "auto",
+    batch_chunks: int = 4,
+    concurrency: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Migrate ``in_dir`` (an existing token sink) to a fresh sink at
+    ``out_dir`` under a new codec regime. Returns the new manifest totals
+    (with per-fragment migration lineage recorded)."""
+    from tokenzip.chunk import CHUNK_FORMAT
+    from tokenzip.errors import ChunkFormatError
+
+    in_chunks = uio.join(in_dir, "chunks")
+    if not uio.isdir(in_chunks):
+        raise ChunkFormatError(f"no chunks directory under {in_dir}")
+    frag_dirs = sorted(
+        d for d in uio.listdir(in_chunks) if d.startswith("frag=")
+    )
+    if not frag_dirs:
+        raise ChunkFormatError(f"no frag= partitions under {in_chunks}")
+    chunks_dir = uio.join(out_dir, "chunks")
+    man = Manifest(out_dir)
+    done = man.done_fragments() if resume else set()
+    if not resume and uio.isdir(chunks_dir):
+        uio.rmtree(chunks_dir)
+        man.data["fragments"] = {}
+    elif resume and not done and uio.isdir(chunks_dir):
+        uio.rmtree(chunks_dir)
+    if not done:
+        man.data["chunk_format"] = CHUNK_FORMAT
+    todo = [d.split("=", 1)[1] for d in frag_dirs if d.split("=", 1)[1] not in done]
+    for frag in todo:
+        d = uio.join(chunks_dir, f"frag={frag}")
+        if uio.isdir(d):
+            uio.rmtree(d)
+    if not todo:
+        return man.totals()
+
+    # migration lineage of the SOURCE rows: metadata-only fold of the old
+    # sink (chunk ids + byte counts; payload columns never read)
+    src_stats = _fold_chunk_meta(in_chunks, todo)
+
+    paths = []
+    for frag in todo:
+        d = uio.join(in_chunks, f"frag={frag}")
+        paths.extend(
+            uio.join(d, f) for f in sorted(uio.listdir(d)) if f.endswith(".parquet")
+        )
+    src_sidecar = uio.join(in_dir, "symbols.json")
+    kwargs = dict(
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_chunks,
+        fn_kwargs={
+            "tokens_codec": tokens_codec,
+            "sidecar": src_sidecar if uio.exists(src_sidecar) else None,
+        },
+    )
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    (
+        ray.data.read_parquet(paths, include_paths=True)
+        .map_batches(_recode_fn, **kwargs)
+        .write_parquet(
+            chunks_dir,
+            partition_cols=["frag"],
+            compression="none",
+            row_group_size=8,
+        )
+    )
+
+    frags_written = {
+        d.split("=", 1)[1]
+        for d in uio.listdir(chunks_dir)
+        if d.startswith("frag=")
+    }
+    zero = {
+        "n_chunks": 0, "n_rows": 0, "n_tokens": 0, "bytes_in": 0,
+        "bytes_out": 0, "tokens_bytes_out": 0, "leb128_bytes": 0,
+        "codecs": {},
+    }
+    stats = _fold_chunk_meta(chunks_dir, sorted(set(todo) & frags_written))
+    for frag in todo:
+        s = dict(stats.get(frag) or zero)
+        src = src_stats.get(frag) or {}
+        s["recoded_from"] = in_dir
+        s["src_n_chunks"] = int(src.get("n_chunks", 0))
+        s["src_bytes_out"] = int(src.get("bytes_out", 0))
+        s["src_codecs"] = src.get("codecs", {})
+        if s["n_tokens"] != int(src.get("n_tokens", 0)):
+            raise ChunkFormatError(
+                f"recode token-count drift on frag {frag}: "
+                f"{s['n_tokens']} != {src.get('n_tokens', 0)}"
+            )
+        man.mark_done(frag, s)
+    man.save()
+    return man.totals()

@@ -669,3 +669,102 @@ def q_compression_totals(sf_dir: str):
             }
         ]
     )
+
+
+def q_recode_stats(sf_dir: str):
+    """Codec-migration audit (pipeline.recode): compress a LEGACY sink with
+    the codec forced to plain LEB128, migrate it to the auto selector with
+    the fused decode->re-encode recode pass, then decode the RECODED sink
+    and report per-source content stats.  Three self-audits run before the
+    frame returns: recode's own per-fragment token-count drift guard, the
+    migration byte win (auto must not exceed the legacy LEB128 bytes — the
+    north rule's bound applied across a migration), and the oracle hash on
+    the decoded content (bit-identical round trip through TWO sinks)."""
+    import os
+
+    import pandas as pd
+
+    from tokenzip.pipeline import compress, decompress, recode
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    legacy_dir = os.path.join("/tmp/tokenzip_legacy", base)
+    dst_dir = os.path.join("/tmp/tokenzip_recoded", base)
+    t_legacy = compress(corpus_paths(sf_dir), legacy_dir, tokens_codec="leb128")
+    t_new = recode(legacy_dir, dst_dir, tokens_codec="auto")
+    if t_new["n_tokens"] != t_legacy["n_tokens"]:
+        raise ValueError(
+            f"recode token drift: {t_new['n_tokens']} != {t_legacy['n_tokens']}"
+        )
+    if t_new["tokens_bytes_out"] > t_legacy["tokens_bytes_out"]:
+        raise ValueError(
+            "codec migration must not grow the tokens payload: "
+            f"{t_new['tokens_bytes_out']} > {t_legacy['tokens_bytes_out']}"
+        )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+
+        lengths, values = _tokens_parts(batch["tokens"])
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        tok_src = np.repeat(inv, lengths)
+        zz = zigzag_encode(values.astype(np.int32), 32).astype(np.int64)
+        # int64 accumulator (np.add.at), NOT bincount's float64 weights —
+        # a corpus-scale zigzag sum can pass 2^53 and lose exactness
+        sum_zz = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sum_zz, tok_src, zz)
+        return pa.table(
+            {
+                "source": pa.array([str(s) for s in uniq], pa.string()),
+                "n_docs": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64)),
+                "n_tokens": pa.array(
+                    np.bincount(inv, weights=lengths, minlength=len(uniq)).astype(np.int64)
+                ),
+                "sum_zigzag": pa.array(sum_zz),
+            }
+        )
+
+    agg = (
+        decompress(dst_dir)
+        .map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("sum_zigzag", alias_name="sum_zigzag"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "source": agg["source"].astype(str),
+            "n_docs": agg["n_docs"].astype("int64"),
+            "n_tokens": agg["n_tokens"].astype("int64"),
+            "sum_zigzag": agg["sum_zigzag"].astype("int64"),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def recode_stats_sql(glob: str) -> str:
+    zz = (
+        "CASE WHEN t >= 0 THEN 2*CAST(t AS BIGINT) "
+        "ELSE -2*CAST(t AS BIGINT)-1 END"
+    )
+    return f"""
+WITH z AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM({zz}) AS BIGINT) AS sum_zigzag
+  FROM (SELECT source, unnest(tokens) AS t FROM read_parquet('{glob}'))
+  GROUP BY source
+),
+d AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM read_parquet('{glob}') GROUP BY source
+)
+SELECT d.source AS source, n_docs,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       COALESCE(sum_zigzag, 0) AS sum_zigzag
+FROM d LEFT JOIN z ON d.source = z.source
+ORDER BY d.source
+"""
