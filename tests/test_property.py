@@ -88,3 +88,99 @@ def test_float_codec_roundtrips_any_bit_pattern(bits, width):
     out = decode_float_column(encode_float_column(v, width))
     assert out.dtype == fdt
     assert np.array_equal(u, out.view(udt))
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # user
+            st.integers(0, 1),          # event type index
+            st.integers(0, 10_000_000), # t_ms
+        ),
+        max_size=60,
+    )
+)
+def test_suppress_group_matches_bruteforce(rows):
+    """_suppress_group == the LAG rule computed the slow way: an event is
+    suppressed iff its same-(user,type) predecessor (by ts, event_id) is
+    strictly within the window."""
+    import pandas as pd
+
+    from tokenzip.relational import _SUPPRESS_MS, _suppress_group
+
+    et_names = np.array(["a", "b"])
+    g = pd.DataFrame(
+        {
+            "uid": [r[0] for r in rows],
+            "tms": [r[2] for r in rows],
+            "eid": range(len(rows)),
+            "event_type": [et_names[r[1]] for r in rows],
+        }
+    )
+    got = (
+        _suppress_group(g)
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    # brute force
+    exp = {}
+    order = sorted(range(len(rows)), key=lambda i: (rows[i][2], i))
+    last: dict = {}
+    for i in order:
+        u, t, ms = rows[i]
+        key = (u, t)
+        name = et_names[t]
+        n, s = exp.get(name, (0, 0))
+        sup = key in last and ms - last[key] < _SUPPRESS_MS
+        exp[name] = (n + 1, s + (1 if sup else 0))
+        last[key] = ms
+    exp_df = pd.DataFrame(
+        sorted((k, n, s) for k, (n, s) in exp.items()),
+        columns=["event_type", "n_events", "n_suppressed"],
+    )
+    pd.testing.assert_frame_equal(
+        got, exp_df, check_dtype=False
+    )
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    orders=st.dictionaries(
+        st.integers(0, 20), st.sampled_from(["P1", "P2"]), max_size=12
+    ),
+    lines=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 5)),  # (orderkey, month idx)
+        max_size=40,
+    ),
+)
+def test_all_month_group_matches_bruteforce(orders, lines):
+    """_all_month_group == 'every lineitem in one month' per order."""
+    import pandas as pd
+
+    from tokenzip.relational import _all_month_group
+
+    lines = [(k, m) for k, m in lines if k in orders]
+    ok = sorted(orders)
+    g = pd.DataFrame(
+        {
+            "side": [0] * len(ok) + [1] * len(lines),
+            "key": ok + [k for k, _ in lines],
+            "month": [0] * len(ok) + [202001 + m for _, m in lines],
+            "prio": [orders[k] for k in ok] + [""] * len(lines),
+        }
+    )
+    got = _all_month_group(g).sort_values("o_orderpriority").reset_index(drop=True)
+    exp: dict = {}
+    for k in ok:
+        months = {m for kk, m in lines if kk == k}
+        if len(months) == 1:
+            p = orders[k]
+            exp[p] = exp.get(p, 0) + 1
+    exp_df = pd.DataFrame(
+        sorted(exp.items()), columns=["o_orderpriority", "n"]
+    )
+    if not len(exp_df):
+        assert not len(got)
+    else:
+        pd.testing.assert_frame_equal(got, exp_df, check_dtype=False)
