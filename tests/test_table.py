@@ -811,3 +811,34 @@ def test_table_embeddings_oracle(ray_session):
     pd.testing.assert_frame_equal(
         mine.reset_index(drop=True), oracle.reset_index(drop=True)
     )
+
+
+def test_recode_table_bit_identical_and_resumes(ray_session, tmp_path):
+    """Generic-table migration: decode of the recoded sink equals decode
+    of the source sink row-for-row; resume is a no-op; lineage recorded."""
+    from tokenzip.table import compress_table, decompress_table, recode_table
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    a_dir = str(tmp_path / "a")
+    b_dir = str(tmp_path / "b")
+    t_a = compress_table([src], a_dir, concurrency=2)
+    t_b = recode_table(a_dir, b_dir)
+    assert t_b["n_rows"] == t_a["n_rows"]
+    a = (
+        decompress_table(a_dir)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        decompress_table(b_dir)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert recode_table(a_dir, b_dir) == t_b  # resume no-op
+    from tokenzip.manifest import Manifest
+
+    stats = list(Manifest(b_dir).data["fragments"].values())
+    assert stats and all(s.get("recoded_from") == a_dir for s in stats)

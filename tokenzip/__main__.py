@@ -95,6 +95,13 @@ def main(argv: list[str] | None = None) -> int:
     rc.add_argument("--codec", default="auto", help="tokens codec for the new sink")
     rc.add_argument("--no-resume", action="store_true")
 
+    rt = sub.add_parser(
+        "table-recode", help="migrate a generic-table sink to the current "
+        "format/codec regime (fused decode->re-encode)"
+    )
+    rt.add_argument("in_dir"), rt.add_argument("out_dir")
+    rt.add_argument("--no-resume", action="store_true")
+
     v = sub.add_parser("verify", help="encode->decode->equality over an input table")
     v.add_argument("input")
 
@@ -223,6 +230,13 @@ def main(argv: list[str] | None = None) -> int:
                 args.in_dir, args.out_dir,
                 tokens_codec=args.codec,
                 resume=not args.no_resume,
+            )
+            print(json.dumps(res, sort_keys=True))
+        elif args.cmd == "table-recode":
+            from tokenzip.table import recode_table
+
+            res = recode_table(
+                args.in_dir, args.out_dir, resume=not args.no_resume
             )
             print(json.dumps(res, sort_keys=True))
         elif args.cmd == "compact":

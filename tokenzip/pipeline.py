@@ -1470,18 +1470,22 @@ def _recode_fn(
     return _encode_fn(tokens, tokens_codec=tokens_codec)
 
 
-def recode(
+def _recode_scaffold(
     in_dir: str,
     out_dir: str,
+    map_fn,
+    fn_kwargs: dict,
     *,
-    tokens_codec: str = "auto",
-    batch_chunks: int = 4,
-    concurrency: int | None = None,
-    resume: bool = True,
+    batch_chunks: int,
+    concurrency: int | None,
+    resume: bool,
+    guard_col: str,
 ) -> dict:
-    """Migrate ``in_dir`` (an existing token sink) to a fresh sink at
-    ``out_dir`` under a new codec regime. Returns the new manifest totals
-    (with per-fragment migration lineage recorded)."""
+    """Shared migration scaffolding of recode() and table.recode_table():
+    frag discovery on the source sink, manifest resume/wipe, the fused
+    decode->re-encode map, per-fragment lineage + drift guard on
+    ``guard_col`` (n_tokens for token sinks, n_rows for generic tables —
+    a migration that changes either is corrupt, not merely different)."""
     from tokenzip.chunk import CHUNK_FORMAT
     from tokenzip.errors import ChunkFormatError
 
@@ -1512,7 +1516,7 @@ def recode(
         return man.totals()
 
     # migration lineage of the SOURCE rows: metadata-only fold of the old
-    # sink (chunk ids + byte counts; payload columns never read)
+    # sink (chunk counts + byte counts; payload columns never read)
     src_stats = _fold_chunk_meta(in_chunks, todo)
 
     paths = []
@@ -1521,21 +1525,17 @@ def recode(
         paths.extend(
             uio.join(d, f) for f in sorted(uio.listdir(d)) if f.endswith(".parquet")
         )
-    src_sidecar = uio.join(in_dir, "symbols.json")
     kwargs = dict(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_chunks,
-        fn_kwargs={
-            "tokens_codec": tokens_codec,
-            "sidecar": src_sidecar if uio.exists(src_sidecar) else None,
-        },
+        fn_kwargs=fn_kwargs,
     )
     if concurrency:
         kwargs["concurrency"] = concurrency
     (
         ray.data.read_parquet(paths, include_paths=True)
-        .map_batches(_recode_fn, **kwargs)
+        .map_batches(map_fn, **kwargs)
         .write_parquet(
             chunks_dir,
             partition_cols=["frag"],
@@ -1562,11 +1562,39 @@ def recode(
         s["src_n_chunks"] = int(src.get("n_chunks", 0))
         s["src_bytes_out"] = int(src.get("bytes_out", 0))
         s["src_codecs"] = src.get("codecs", {})
-        if s["n_tokens"] != int(src.get("n_tokens", 0)):
+        if s[guard_col] != int(src.get(guard_col, 0)):
             raise ChunkFormatError(
-                f"recode token-count drift on frag {frag}: "
-                f"{s['n_tokens']} != {src.get('n_tokens', 0)}"
+                f"recode {guard_col} drift on frag {frag}: "
+                f"{s[guard_col]} != {src.get(guard_col, 0)}"
             )
         man.mark_done(frag, s)
     man.save()
     return man.totals()
+
+
+def recode(
+    in_dir: str,
+    out_dir: str,
+    *,
+    tokens_codec: str = "auto",
+    batch_chunks: int = 4,
+    concurrency: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Migrate ``in_dir`` (an existing token sink) to a fresh sink at
+    ``out_dir`` under a new codec regime. Returns the new manifest totals
+    (with per-fragment migration lineage recorded)."""
+    src_sidecar = uio.join(in_dir, "symbols.json")
+    return _recode_scaffold(
+        in_dir,
+        out_dir,
+        _recode_fn,
+        {
+            "tokens_codec": tokens_codec,
+            "sidecar": src_sidecar if uio.exists(src_sidecar) else None,
+        },
+        batch_chunks=batch_chunks,
+        concurrency=concurrency,
+        resume=resume,
+        guard_col="n_tokens",
+    )

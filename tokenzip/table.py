@@ -1421,3 +1421,59 @@ a AS (
 SELECT a.label, a.n_rows, a.sum_vec_id, a.sum_len, q.sum_q
 FROM a JOIN q USING (label) ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Generic-table sink migration: the compress_table counterpart of
+# pipeline.recode.  Decode fused with re-encode per small batch of chunk
+# rows (the decoded table never materializes), frag-partitioned output +
+# per-fragment migration lineage, drift guard on n_rows (a migration that
+# changes the row count is corrupt, not merely different).  Use case:
+# format upgrades — pre-v3 null-free sinks gain enc_nulls bitmaps, newly
+# added codecs re-run the per-column auto-selection.
+# ---------------------------------------------------------------------------
+
+
+def _recode_table_fn(batch: pa.Table) -> pa.Table:
+    from tokenzip.pipeline import _frag_of_chunk_path
+
+    paths = batch["path"].to_numpy(zero_copy_only=False)
+    frags = np.asarray([_frag_of_chunk_path(str(p)) for p in paths], dtype=object)
+    rows = batch.drop_columns(["path"])
+    parts = []
+    for frag in np.unique(frags):
+        sub = rows.filter(pa.array(frags == frag))
+        decoded = _decode_table_fn(sub)
+        decoded = decoded.append_column(
+            "frag", pa.array([str(frag)] * decoded.num_rows, pa.string())
+        )
+        parts.append(decoded)
+    if not parts or sum(p.num_rows for p in parts) == 0:
+        # chunk rows always carry n_rows > 0; an empty decode means the
+        # source sink is corrupt — fail loudly, don't emit a schema guess
+        raise ChunkFormatError("table recode read chunk rows with no content")
+    return _encode_table_fn(pa.concat_tables(parts))
+
+
+def recode_table(
+    in_dir: str,
+    out_dir: str,
+    *,
+    batch_chunks: int = 4,
+    concurrency: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Migrate a compress_table sink to the current format/codec regime.
+    Returns the new manifest totals with per-fragment lineage."""
+    from tokenzip.pipeline import _recode_scaffold
+
+    return _recode_scaffold(
+        in_dir,
+        out_dir,
+        _recode_table_fn,
+        {},
+        batch_chunks=batch_chunks,
+        concurrency=concurrency,
+        resume=resume,
+        guard_col="n_rows",
+    )
