@@ -140,7 +140,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_suffstats": _qty_price_suffstats,
         "props_field_stats": _props_field_stats,
         "recode_stats": _recode_stats,
+        "vocab_unique_by_source": _vocab_unique,
     }
+
+
+def _vocab_unique(sf_dir: str):
+    from tokenzip.training import q_vocab_unique_by_source
+
+    return q_vocab_unique_by_source(sf_dir)
 
 
 def _recode_stats(sf_dir: str):
@@ -727,6 +734,12 @@ def _vocab_overlap_sql(glob: str) -> str:
     return vocab_overlap_sql(glob)
 
 
+def _vocab_unique_sql(glob: str) -> str:
+    from tokenzip.training import vocab_unique_by_source_sql
+
+    return vocab_unique_by_source_sql(glob)
+
+
 def _token_run_sql(glob: str) -> str:
     from tokenzip.training import token_run_stats_sql
 
@@ -1177,6 +1190,8 @@ FROM documents GROUP BY source ORDER BY source
         "local_supplier_volume": _q5_sql(),
         # set op: pairwise source vocab INTERSECT via bitmask census
         "vocab_overlap": _vocab_overlap_sql(glob),
+        # set op: per-source vocab EXCEPT-all-others, same census
+        "vocab_unique_by_source": _vocab_unique_sql(glob),
         # run-length census per source (the RLE codec's premise, exact)
         "token_run_stats": _token_run_sql(glob),
         # TPC-H Q16 shape: COUNT(DISTINCT) per attribute combo

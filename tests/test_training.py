@@ -614,3 +614,32 @@ def test_token_run_stats_run_boundaries(ray_session, tmp_path):
         ["x", 3, 5, 2, 3],
         ["y", 1, 3, 2, 2],
     ]
+
+
+def test_vocab_unique_matches_except_oracle(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import q_vocab_unique_by_source, vocab_unique_by_source_sql
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_vocab_unique_by_source(SF)
+    odf = duckdb.sql(vocab_unique_by_source_sql(glob)).df()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_vocab_unique_census_identity(ray_session, tmp_path):
+    """unique + shared partition the vocab: sum(n_unique) + |tokens in >=2
+    sources| == |global vocab| on a planted corpus."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "tokens": pa.array([[1, 2], [2, 3], [4]], pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 2, 1], pa.int32()),
+            "source": pa.array(["x", "y", "z"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "toks.parquet"))
+    from tokenzip.training import q_vocab_unique_by_source
+
+    got = q_vocab_unique_by_source(str(tmp_path))
+    # 1 unique to x, 3 unique to y, 4 unique to z; 2 shared
+    assert got.values.tolist() == [["x", 1], ["y", 1], ["z", 1]]

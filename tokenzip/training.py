@@ -1835,10 +1835,10 @@ def _distinct_sources(paths: list[str]) -> list[str]:
     return sorted(str(s) for s in rows["source"])
 
 
-def q_vocab_overlap(sf_dir: str) -> pd.DataFrame:
-    """(source_a, source_b, n_common) for source_a < source_b, counting
-    distinct token values present in both sources' streams; zero-overlap
-    pairs are omitted (matching the SQL inner join)."""
+def _vocab_mask_census(sf_dir: str):
+    """Shared kernel of the vocabulary set operations: the (mask -> token
+    count) census, where bit i of a token's mask says the token appears in
+    sources[i].  Returns (sources, masks, counts)."""
     from tokenzip.chunk import _tokens_parts
 
     paths = _token_paths(sf_dir)
@@ -1847,7 +1847,6 @@ def q_vocab_overlap(sf_dir: str) -> pd.DataFrame:
     if S > 62:
         raise ValueError("source bitmask packing supports at most 62 sources")
     sid = {s: i for i, s in enumerate(sources)}
-
     def pair_partial(b: pa.Table) -> pa.Table:
         # per-batch DISTINCT (token, source) folded to a per-token mask
         # PARTIAL — output is (bucket, token, mask) rows, vocabulary-sized
@@ -1900,8 +1899,19 @@ def q_vocab_overlap(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
-    masks = census["mask"].to_numpy().astype(np.int64)
-    ns = census["n"].to_numpy().astype(np.int64)
+    return (
+        sources,
+        census["mask"].to_numpy().astype(np.int64),
+        census["n"].to_numpy().astype(np.int64),
+    )
+
+
+def q_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """(source_a, source_b, n_common) for source_a < source_b, counting
+    distinct token values present in both sources' streams; zero-overlap
+    pairs are omitted (matching the SQL inner join)."""
+    sources, masks, ns = _vocab_mask_census(sf_dir)
+    S = len(sources)
     rows = []
     for a in range(S):
         for b_ in range(a + 1, S):
@@ -2044,4 +2054,35 @@ SELECT docs.source, n_docs,
        COALESCE(max_run, 0) AS max_run
 FROM docs LEFT JOIN per_src ON docs.source = per_src.source
 ORDER BY docs.source
+"""
+
+
+def q_vocab_unique_by_source(sf_dir: str) -> pd.DataFrame:
+    """(source, n_unique): distinct token values appearing in EXACTLY one
+    source — the EXCEPT-all-others counterpart of vocab_overlap, read off
+    the same mask census (mask == 1 << source_index); zero-unique sources
+    are omitted (matching the SQL HAVING)."""
+    sources, masks, ns = _vocab_mask_census(sf_dir)
+    rows = []
+    for i, s in enumerate(sources):
+        n = int(ns[masks == (np.int64(1) << i)].sum())
+        if n > 0:
+            rows.append((s, n))
+    return pd.DataFrame(rows, columns=["source", "n_unique"]).astype(
+        {"n_unique": "int64"}
+    )
+
+
+def vocab_unique_by_source_sql(glob: str) -> str:
+    return f"""
+WITH v AS (
+  SELECT DISTINCT source, t
+  FROM (SELECT source, unnest(tokens) AS t FROM read_parquet('{glob}'))
+),
+c AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS ns, MIN(source) AS only_src
+  FROM v GROUP BY t
+)
+SELECT only_src AS source, CAST(COUNT(*) AS BIGINT) AS n_unique
+FROM c WHERE ns = 1 GROUP BY only_src ORDER BY only_src
 """
