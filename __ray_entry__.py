@@ -141,7 +141,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_field_stats": _props_field_stats,
         "recode_stats": _recode_stats,
         "vocab_unique_by_source": _vocab_unique,
+        "multi_format_union_stats": _multi_format_union,
+        "incompressible_topk": _incompressible_topk,
     }
+
+
+def _incompressible_topk(sf_dir: str):
+    from tokenzip.queries import q_incompressible_topk
+
+    return q_incompressible_topk(sf_dir)
+
+
+def _multi_format_union(sf_dir: str):
+    from tokenzip.sources import q_multi_format_union
+
+    return q_multi_format_union(sf_dir)
 
 
 def _vocab_unique(sf_dir: str):
@@ -740,6 +754,18 @@ def _vocab_unique_sql(glob: str) -> str:
     return vocab_unique_by_source_sql(glob)
 
 
+def _multi_union_sql(glob: str) -> str:
+    from tokenzip.sources import multi_format_union_sql
+
+    return multi_format_union_sql(glob)
+
+
+def _incompressible_sql(glob: str) -> str:
+    from tokenzip.queries import incompressible_topk_sql
+
+    return incompressible_topk_sql(glob)
+
+
 def _token_run_sql(glob: str) -> str:
     from tokenzip.training import token_run_stats_sql
 
@@ -1192,6 +1218,10 @@ FROM documents GROUP BY source ORDER BY source
         "vocab_overlap": _vocab_overlap_sql(glob),
         # set op: per-source vocab EXCEPT-all-others, same census
         "vocab_unique_by_source": _vocab_unique_sql(glob),
+        # heterogeneous union: jsonl+csv+parquet must equal the corpus
+        "multi_format_union_stats": _multi_union_sql(glob),
+        # incompressibility outliers: worst LEB128 bytes per 1k tokens
+        "incompressible_topk": _incompressible_sql(glob),
         # run-length census per source (the RLE codec's premise, exact)
         "token_run_stats": _token_run_sql(glob),
         # TPC-H Q16 shape: COUNT(DISTINCT) per attribute combo

@@ -676,3 +676,21 @@ def test_recode_refuses_non_sink(ray_session, tmp_path):
 
     with pytest.raises(ChunkFormatError, match="no chunks directory"):
         recode(str(tmp_path / "nothing"), str(tmp_path / "dst"))
+
+
+def test_incompressible_topk_matches_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.queries import incompressible_topk_sql, q_incompressible_topk
+
+    sf = "sf0.001"
+    glob = ensure_corpus(sf) + "/*.parquet"
+    got = q_incompressible_topk(sf).reset_index(drop=True)
+    exp = duckdb.sql(incompressible_topk_sql(glob)).df()
+    assert len(got) == 20
+    # per-mille ratio bounded by the codec: 1..5 bytes/token
+    assert (got["bytes_per_ktok"] >= 1000).all()
+    assert (got["bytes_per_ktok"] <= 5000).all()
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))

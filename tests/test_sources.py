@@ -100,3 +100,16 @@ def test_csv_non_numeric_token_refused(ray_session, tmp_path):
     p.write_text("doc_id,tokens,n_tok,source\nx,1 oops 3,3,web\n")
     with pytest.raises(Exception):
         read_tokens_csv(str(p)).materialize()
+
+
+def test_multi_format_union_equals_parquet_corpus(ray_session):
+    """jsonl(shard0) + csv(shard1) + parquet(rest) == the full corpus."""
+    import duckdb
+
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.sources import multi_format_union_sql, q_multi_format_union
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_multi_format_union(SF).reset_index(drop=True)
+    exp = duckdb.sql(multi_format_union_sql(glob)).df()
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))

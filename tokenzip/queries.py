@@ -768,3 +768,98 @@ SELECT d.source AS source, n_docs,
 FROM d LEFT JOIN z ON d.source = z.source
 ORDER BY d.source
 """
+
+
+def _incompressible_partial(k: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+
+        lengths, values = _tokens_parts(batch["tokens"])
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
+        zz = zigzag_encode(values.astype(np.int32), 32).astype(np.uint64)
+        sizes = leb128_size(zz).astype(np.int64)
+        # per-doc byte sums via one cumsum + offset gather
+        csum = np.concatenate(([0], np.cumsum(sizes)))
+        ends = np.cumsum(lengths.astype(np.int64))
+        starts = ends - lengths
+        doc_bytes = csum[ends] - csum[starts]
+        keep = lengths > 0
+        ids, doc_bytes, ntok = ids[keep], doc_bytes[keep], lengths[keep].astype(np.int64)
+        # integer per-mille bytes/token: (bytes*1000)//ntok — exact on both
+        # engines, no float ratio ever compared
+        mills = doc_bytes * 1000 // ntok
+        order = np.lexsort((ids, -mills))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array([str(s) for s in ids[order]], pa.string()),
+                "leb128_bytes": pa.array(doc_bytes[order]),
+                "n_tok": pa.array(ntok[order]),
+                "bytes_per_ktok": pa.array(mills[order]),
+            }
+        )
+
+    return fn
+
+
+def q_incompressible_topk(sf_dir: str, k: int = 20):
+    """Top-k documents by LEB128 bytes per 1000 tokens — the
+    incompressibility outlier report (near-random streams compress worst;
+    in an LLM pipeline that's a quality/mixture signal, and for the engine
+    it's the census of who defeats the codec family).  Per-batch partial
+    top-k (k rows per block reach the driver), exact integer per-mille
+    ratios, ties to the smaller doc_id."""
+    import pandas as pd
+
+    parts = (
+        ray.data.read_parquet(
+            _sorted_corpus(sf_dir), columns=["doc_id", "tokens"]
+        )
+        .map_batches(
+            _incompressible_partial(k), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_pandas()
+    )
+    top = (
+        parts.sort_values(
+            ["bytes_per_ktok", "doc_id"], ascending=[False, True], kind="stable"
+        )
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out = pd.DataFrame(
+        {
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "doc_id": top["doc_id"].astype(str),
+            "leb128_bytes": top["leb128_bytes"].astype("int64"),
+            "n_tok": top["n_tok"].astype("int64"),
+            "bytes_per_ktok": top["bytes_per_ktok"].astype("int64"),
+        }
+    )
+    return out
+
+
+def _sorted_corpus(sf_dir: str) -> list[str]:
+    return sorted(corpus_paths(sf_dir))
+
+
+def incompressible_topk_sql(glob: str, k: int = 20) -> str:
+    zz = "CASE WHEN t >= 0 THEN 2*CAST(t AS BIGINT) ELSE -2*CAST(t AS BIGINT)-1 END"
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN zz < 128 THEN 1 WHEN zz < 16384 THEN 2
+                       WHEN zz < 2097152 THEN 3 WHEN zz < 268435456 THEN 4
+                       ELSE 5 END) AS BIGINT) AS leb128_bytes,
+         CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM (SELECT doc_id, {zz} AS zz
+        FROM (SELECT doc_id, unnest(tokens) AS t FROM read_parquet('{glob}')))
+  GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (
+           ORDER BY leb128_bytes * 1000 // n_tok DESC, doc_id ASC) AS BIGINT)
+           AS rank,
+       doc_id, leb128_bytes, n_tok,
+       CAST(leb128_bytes * 1000 // n_tok AS BIGINT) AS bytes_per_ktok
+FROM per_doc
+ORDER BY bytes_per_ktok DESC, doc_id ASC LIMIT {k}
+"""

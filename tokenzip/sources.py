@@ -56,21 +56,21 @@ def read_tokens_jsonl(paths: list[str] | str) -> "ray.data.Dataset":
     )
 
 
-def ensure_jsonl_corpus(sf_dir: str) -> str:
-    """Deterministic JSONL rendering of the synthetic corpus's FIRST shard
+def ensure_jsonl_corpus(sf_dir: str, shard: int = 0) -> str:
+    """Deterministic JSONL rendering of one shard of the synthetic corpus
     (bounded size; same derivation for the Ray query and the SQL oracle).
     Idempotent: written once per scale under /tmp/tokenzip_corpus."""
     from tokenzip.corpus import corpus_paths
 
-    shard = sorted(corpus_paths(sf_dir))[0]
+    spath = sorted(corpus_paths(sf_dir))[shard]
     dst = os.path.join(
-        os.path.dirname(shard), os.path.basename(shard) + ".jsonl"
+        os.path.dirname(spath), os.path.basename(spath) + ".jsonl"
     )
     if os.path.exists(dst):
         return dst
     import pyarrow.parquet as pq
 
-    t = pq.read_table(shard)
+    t = pq.read_table(spath)
     lines = []
     ids = t["doc_id"].to_pylist()
     toks = t["tokens"].to_pylist()
@@ -200,21 +200,21 @@ def read_tokens_csv(paths: list[str] | str) -> "ray.data.Dataset":
     )
 
 
-def ensure_csv_corpus(sf_dir: str) -> str:
-    """Deterministic CSV rendering of the synthetic corpus's FIRST shard
+def ensure_csv_corpus(sf_dir: str, shard: int = 0) -> str:
+    """Deterministic CSV rendering of one shard of the synthetic corpus
     (tokens space-joined; same derivation for Ray and the SQL oracle).
     Idempotent per scale under /tmp/tokenzip_corpus."""
     import csv
 
     from tokenzip.corpus import corpus_paths
 
-    shard = sorted(corpus_paths(sf_dir))[0]
-    dst = os.path.join(os.path.dirname(shard), os.path.basename(shard) + ".csv")
+    spath = sorted(corpus_paths(sf_dir))[shard]
+    dst = os.path.join(os.path.dirname(spath), os.path.basename(spath) + ".csv")
     if os.path.exists(dst):
         return dst
     import pyarrow.parquet as pq
 
-    t = pq.read_table(shard)
+    t = pq.read_table(spath)
     tmp = dst + f".tmp.{os.getpid()}"
     with open(tmp, "w", newline="") as f:
         w = csv.writer(f)
@@ -253,6 +253,42 @@ z AS (SELECT source, {zz} AS zt
 SELECT d.source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       (SELECT CAST(SUM(zt) AS BIGINT) FROM z WHERE z.source = d.source)
+           AS sum_zigzag
+FROM d GROUP BY d.source ORDER BY d.source
+"""
+
+
+def q_multi_format_union(sf_dir: str):
+    """Heterogeneous-source union: shard 0 rendered to JSONL, shard 1 to
+    CSV, the remaining shards read as parquet — three readers union into
+    ONE Dataset (every downstream stage is format-blind after
+    canonicalization), and the per-source value-level stats must equal
+    the plain parquet corpus exactly.  The oracle reads the ORIGINAL
+    parquet glob: the union is only correct if all three parse paths are
+    lossless."""
+    from tokenzip.corpus import corpus_paths
+
+    paths = sorted(corpus_paths(sf_dir))
+    if len(paths) < 3:
+        raise ValueError("multi-format union needs >= 3 corpus shards")
+    jsonl = read_tokens_jsonl(ensure_jsonl_corpus(sf_dir, shard=0))
+    csv = read_tokens_csv(ensure_csv_corpus(sf_dir, shard=1))
+    parquet = ray.data.read_parquet(paths[2:]).map_batches(
+        _canonicalize, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _ingest_stats(jsonl.union(csv).union(parquet))
+
+
+def multi_format_union_sql(glob: str) -> str:
+    zz = "CASE WHEN t >= 0 THEN 2*CAST(t AS BIGINT) ELSE -2*CAST(t AS BIGINT)-1 END"
+    return f"""
+WITH d AS (SELECT * FROM read_parquet('{glob}')),
+z AS (SELECT source, {zz} AS zt
+      FROM (SELECT source, unnest(tokens) AS t FROM d))
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_tokens,
        (SELECT CAST(SUM(zt) AS BIGINT) FROM z WHERE z.source = d.source)
            AS sum_zigzag
 FROM d GROUP BY d.source ORDER BY d.source
