@@ -184,3 +184,142 @@ def test_all_month_group_matches_bruteforce(orders, lines):
         assert not len(got)
     else:
         pd.testing.assert_frame_equal(got, exp_df, check_dtype=False)
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    custs=st.dictionaries(
+        st.integers(0, 15),
+        st.tuples(st.integers(-5000, 5000), st.sampled_from(["A", "B"])),
+        max_size=10,
+    ),
+    orders=st.lists(st.integers(0, 15), max_size=30),
+)
+def test_q22_group_matches_bruteforce(custs, orders):
+    """Anti-join + scalar threshold == the slow way."""
+    import pandas as pd
+
+    from tokenzip.relational import _q22_group
+
+    orders = [o for o in orders if o in custs]
+    ck = sorted(custs)
+    n_cust = len(ck) + 3          # global figures include other buckets
+    total_cents = 1234
+    g = pd.DataFrame(
+        {
+            "side": [0] * len(ck) + [1] * len(orders),
+            "key": ck + orders,
+            "val": [custs[c][0] for c in ck] + [0] * len(orders),
+            "seg": [custs[c][1] for c in ck] + [""] * len(orders),
+        }
+    )
+    got = _q22_group(total_cents, n_cust)(g)
+    exp: dict = {}
+    ordered = set(orders)
+    for c in ck:
+        bal, seg = custs[c]
+        if c not in ordered and bal * n_cust > total_cents:
+            n, s = exp.get(seg, (0, 0))
+            exp[seg] = (n + 1, s + bal)
+    exp_df = pd.DataFrame(
+        sorted((k, n, s) for k, (n, s) in exp.items()),
+        columns=["c_mktsegment", "n", "cents"],
+    )
+    if not len(exp_df):
+        assert not len(got)
+    else:
+        pd.testing.assert_frame_equal(
+            got.sort_values("c_mktsegment").reset_index(drop=True),
+            exp_df,
+            check_dtype=False,
+        )
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    orders=st.dictionaries(st.integers(0, 12), st.integers(0, 6), max_size=8),
+    lines=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 3), st.integers(1, 100)),
+        max_size=30,
+    ),
+    custnat=st.lists(st.integers(0, 3), min_size=7, max_size=7),
+)
+def test_q5_stages_match_bruteforce(orders, lines, custnat):
+    """Both Q5 group stages composed == the 4-way join computed slowly.
+    orders: orderkey -> custkey (0..6); lines: (orderkey, s_nat, rev);
+    custnat[custkey] = c_nationkey."""
+    import pandas as pd
+
+    from tokenzip.relational import _q5_stage1_group, _q5_stage2_group
+
+    lines = [l for l in lines if l[0] in orders]
+    ok = sorted(orders)
+    g1 = pd.DataFrame(
+        {
+            "side": [0] * len(ok) + [1] * len(lines),
+            "key": ok + [l[0] for l in lines],
+            "a": [orders[k] for k in ok] + [l[2] for l in lines],
+            "b": [0] * len(ok) + [l[1] for l in lines],
+        }
+    )
+    s1 = _q5_stage1_group(g1)
+    ck2 = s1["ck2"].to_numpy()
+    rev = s1["rev"].to_numpy()
+    cks = sorted(set(range(7)))
+    g2 = pd.DataFrame(
+        {
+            "side": [0] * len(cks) + [1] * len(ck2),
+            "key": cks + list(ck2 // 64),
+            "a": [custnat[c] for c in cks] + list(ck2 % 64),
+            "b": [0] * len(cks) + list(rev),
+        }
+    )
+    got = (
+        _q5_stage2_group(g2)
+        .groupby("n_nationkey", as_index=False)["rev"]
+        .sum()
+        .sort_values("n_nationkey")
+        .reset_index(drop=True)
+    )
+    exp: dict = {}
+    for okey, snat, r in lines:
+        cust = orders[okey]
+        if custnat[cust] == snat:
+            exp[snat] = exp.get(snat, 0) + r
+    exp_df = pd.DataFrame(
+        sorted(exp.items()), columns=["n_nationkey", "rev"]
+    )
+    if not len(exp_df):
+        assert not len(got)
+    else:
+        pd.testing.assert_frame_equal(got, exp_df, check_dtype=False)
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    parts=st.lists(
+        st.tuples(st.integers(0, 10), st.integers(1, 60)), max_size=40
+    ),
+    thresh=st.integers(1, 200),
+)
+def test_heavy_group_matches_bruteforce(parts, thresh):
+    """Q18's in-bucket HAVING == per-key sums filtered the slow way."""
+    import pandas as pd
+
+    from tokenzip.relational import _heavy_group
+
+    g = pd.DataFrame(
+        {"k": [p[0] for p in parts], "q": [p[1] for p in parts]}
+    )
+    got = _heavy_group(thresh)(g).sort_values("k").reset_index(drop=True)
+    exp: dict = {}
+    for k, q in parts:
+        exp[k] = exp.get(k, 0) + q
+    exp_df = pd.DataFrame(
+        sorted((k, v) for k, v in exp.items() if v > thresh),
+        columns=["k", "sum_qty"],
+    )
+    if not len(exp_df):
+        assert not len(got)
+    else:
+        pd.testing.assert_frame_equal(got, exp_df, check_dtype=False)

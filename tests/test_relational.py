@@ -1284,3 +1284,20 @@ def test_props_field_stats_malformed_raises(ray_session, tmp_path):
 
     with _pytest.raises(Exception, match="integer 'k' field"):
         q_props_field_stats(str(tmp_path))
+
+
+def test_large_orders_empty_when_threshold_unreachable(ray_session):
+    """A threshold above every order's quantity yields a typed EMPTY frame
+    (the filtered-parent empty-bucket path the property differential
+    exposed in q22 — exercised here at the query level)."""
+    from tokenzip.relational import q_large_orders
+
+    got = q_large_orders(SF, min_qty=10**9)
+    assert len(got) == 0
+    assert list(got.columns) == [
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice_cents",
+        "o_orderdate_ms",
+        "sum_qty",
+    ]

@@ -1976,8 +1976,7 @@ def _q3_group(k: int):
             raise ValueError("duplicate o_orderkey in the orders side")
         lk = g.loc[~is_o, "key"].to_numpy(np.int64)
         rev = g.loc[~is_o, "rev"].to_numpy(np.int64)
-        pos = np.searchsorted(ok, lk)
-        hit = (pos < len(ok)) & (ok[np.clip(pos, 0, max(len(ok) - 1, 0))] == lk)
+        hit, pos = _probe_sorted(ok, lk)
         if not hit.any():
             return empty
         pos, rev = pos[hit], rev[hit]
@@ -2110,6 +2109,20 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 # fact->dimension edge (orders->customer) probes a broadcast sorted key
 # array. Output is a 2-row frame, exchange volume is O(rows) narrow ints.
 # ---------------------------------------------------------------------------
+
+
+def _probe_sorted(sorted_keys: np.ndarray, probes: np.ndarray):
+    """(hit_mask, clipped_positions) of ``probes`` against a SORTED key
+    array — EMPTY-SAFE.  Every co-partitioned join group whose parent side
+    is FILTERED (date cutoffs, returnflag, thresholds) can receive a
+    bucket with child rows and ZERO parents; the naive
+    ``ok[np.clip(pos, 0, len(ok)-1)]`` crashes on that bucket (found by
+    the q22 property differential — the sf sweeps never produced one)."""
+    if not len(sorted_keys) or not len(probes):
+        return np.zeros(len(probes), dtype=bool), np.zeros(len(probes), np.int64)
+    pos = np.searchsorted(sorted_keys, probes)
+    clip = np.minimum(pos, len(sorted_keys) - 1)
+    return (pos < len(sorted_keys)) & (sorted_keys[clip] == probes), clip
 
 
 def _fk_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -2755,6 +2768,12 @@ def q_large_orders(sf_dir: str, min_qty: int = _Q18_QTY) -> pd.DataFrame:
         .map_groups(_heavy_group(int(min_qty)), batch_format="pandas")
         .to_pandas()
     )
+    empty_cols = [
+        "o_orderkey", "o_custkey", "o_totalprice_cents",
+        "o_orderdate_ms", "sum_qty",
+    ]
+    if not len(heavy):  # all-groups-empty output carries NO columns
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in empty_cols})
     keys = heavy["k"].to_numpy().astype(np.int64)
     qtys = heavy["sum_qty"].to_numpy().astype(np.int64)
     o = np.argsort(keys)
@@ -2765,8 +2784,7 @@ def q_large_orders(sf_dir: str, min_qty: int = _Q18_QTY) -> pd.DataFrame:
     def orows(b: pa.Table) -> pa.Table:
         ks, qs = ray.get(keys_ref), ray.get(qtys_ref)
         ok = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(ks, ok)
-        hit = (pos < len(ks)) & (ks[np.clip(pos, 0, max(len(ks) - 1, 0))] == ok)
+        hit, pos = _probe_sorted(ks, ok)
         sub = b.filter(pa.array(hit))
         return pa.table(
             {
@@ -2943,8 +2961,7 @@ def _q10_group(g: pd.DataFrame) -> pd.DataFrame:
         raise ValueError("duplicate o_orderkey in the orders side")
     lk = key[side == 1]
     rev = val[side == 1]
-    pos = np.searchsorted(ok, lk)
-    hit = (pos < len(ok)) & (ok[np.clip(pos, 0, max(len(ok) - 1, 0))] == lk)
+    hit, pos = _probe_sorted(ok, lk)
     if not hit.any():
         return empty
     ck = cust[pos[hit]]
@@ -3250,10 +3267,16 @@ def _q22_group(total_cents: int, n_cust: int):
         bal = g["val"].to_numpy().astype(np.int64)[is_c]
         seg = g["seg"].to_numpy()[is_c]
         ok = np.unique(key[~is_c])
-        pos = np.searchsorted(ok, ck)
-        has_order = (pos < len(ok)) & (
-            ok[np.clip(pos, 0, max(len(ok) - 1, 0))] == ck
-        )
+        if len(ok):
+            pos = np.searchsorted(ok, ck)
+            has_order = (pos < len(ok)) & (
+                ok[np.clip(pos, 0, len(ok) - 1)] == ck
+            )
+        else:
+            # a bucket can carry customers and ZERO recent orders — every
+            # customer here survives the anti join (found by the property
+            # differential; the sf sweeps never produced such a bucket)
+            has_order = np.zeros(len(ck), dtype=bool)
         keep = (~has_order) & (bal * n_cust > total_cents)
         if not keep.any():
             return empty
@@ -3409,8 +3432,7 @@ def _q5_stage1_group(g: pd.DataFrame) -> pd.DataFrame:
     order = np.argsort(ok, kind="stable")
     ok, cust = ok[order], cust[order]
     lk, rev, snat = key[side == 1], a[side == 1], b[side == 1]
-    pos = np.searchsorted(ok, lk)
-    hit = (pos < len(ok)) & (ok[np.clip(pos, 0, max(len(ok) - 1, 0))] == lk)
+    hit, pos = _probe_sorted(ok, lk)
     if not hit.any():
         return empty
     ck2 = cust[pos[hit]] * 64 + snat[hit]
@@ -3440,9 +3462,8 @@ def _q5_stage2_group(g: pd.DataFrame) -> pd.DataFrame:
     order = np.argsort(ck, kind="stable")
     ck, cnat = ck[order], cnat[order]
     fk, snat, rev = key[side == 1], a[side == 1], b[side == 1]
-    pos = np.searchsorted(ck, fk)
-    hit = (pos < len(ck)) & (ck[np.clip(pos, 0, max(len(ck) - 1, 0))] == fk)
-    hit &= np.where(hit, cnat[np.clip(pos, 0, max(len(ck) - 1, 0))] == snat, False)
+    hit, pos = _probe_sorted(ck, fk)
+    hit &= np.where(hit, cnat[pos] == snat, False)
     if not hit.any():
         return empty
     u, inv = np.unique(snat[hit], return_inverse=True)
