@@ -694,3 +694,18 @@ def test_incompressible_topk_matches_oracle(ray_session):
     assert (got["bytes_per_ktok"] >= 1000).all()
     assert (got["bytes_per_ktok"] <= 5000).all()
     pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+
+def test_cli_recode_chain(ray_session, tmp_path):
+    """CLI: compress --codec-forced sink, recode it, verify the recoded
+    sink decodes identically via the verify-sink audit."""
+    from tokenzip.__main__ import main
+    from tokenzip.corpus import ensure_corpus
+
+    toks = ensure_corpus("sf0.001")
+    legacy = str(tmp_path / "legacy")
+    dst = str(tmp_path / "dst")
+    assert main(["compress", toks, legacy]) == 0
+    assert main(["recode", legacy, dst]) == 0
+    assert main(["verify-sink", toks, dst]) == 0
+    assert main(["stats", dst]) == 0
