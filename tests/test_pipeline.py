@@ -709,3 +709,76 @@ def test_cli_recode_chain(ray_session, tmp_path):
     assert main(["recode", legacy, dst]) == 0
     assert main(["verify-sink", toks, dst]) == 0
     assert main(["stats", dst]) == 0
+
+
+def test_shuffle_by_source_bit_identical_and_spreads(ray_session, tmp_path):
+    """The skew-isolation shuffle mode produces the same CONTENT as the
+    map-only path (verified through the sink join) and spreads a
+    file-clustered hot source across shuffle buckets."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tokenzip.pipeline import decompress
+
+    # hot source: all its (long) docs concentrated in ONE input file —
+    # the straggle layout the shuffle exists for
+    rng = np.random.default_rng(7)
+    hot = pa.table(
+        {
+            "doc_id": pa.array([f"hot-{i:05d}" for i in range(64)]),
+            "tokens": pa.array(
+                [rng.integers(0, 100, size=4000).astype(np.int32).tolist()
+                 for _ in range(64)],
+                pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array([4000] * 64, pa.int32()),
+            "source": pa.array(["hot"] * 64),
+        }
+    )
+    cold = pa.table(
+        {
+            "doc_id": pa.array([f"cold-{i:05d}" for i in range(64)]),
+            "tokens": pa.array(
+                [rng.integers(0, 100, size=8).astype(np.int32).tolist()
+                 for _ in range(64)],
+                pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array([8] * 64, pa.int32()),
+            "source": pa.array(["cold"] * 64),
+        }
+    )
+    pq.write_table(hot, str(tmp_path / "a.parquet"))
+    pq.write_table(cold, str(tmp_path / "b.parquet"))
+    paths = [str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")]
+
+    plain_dir = str(tmp_path / "plain")
+    shuf_dir = str(tmp_path / "shuf")
+    t_plain = compress(paths, plain_dir)
+    t_shuf = compress(paths, shuf_dir, shuffle_by_source=True, shuffle_buckets=8)
+    assert t_shuf["n_tokens"] == t_plain["n_tokens"]
+    a = decompress(plain_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = decompress(shuf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert all(
+        np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(a["tokens"], b["tokens"])
+    )
+    # the hot source's chunks now spread across multiple write tasks/files
+    import glob as _g
+
+    from tokenzip.pipeline import _frag_of_path
+
+    frag_a = _g.glob(
+        f"{shuf_dir}/chunks/frag={_frag_of_path(paths[0])}/*.parquet"
+    )
+    assert len(frag_a) >= 2
+
+
+def test_shuffle_by_source_rejects_shared_tables(ray_session, tmp_path):
+    with pytest.raises(ValueError, match="shuffle_by_source"):
+        compress(
+            ["/nonexistent.parquet"],
+            str(tmp_path / "x"),
+            shared_tables=True,
+            shuffle_by_source=True,
+        )

@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--shared-tables", action="store_true")
     c.add_argument("--tokens-codec", default="auto")
     c.add_argument("--no-resume", action="store_true")
+    c.add_argument(
+        "--shuffle-by-source", action="store_true",
+        help="skew isolation: one doc-hash groupby shuffle before encode "
+             "so a skewed source's long docs spread across encode tasks",
+    )
 
     d = sub.add_parser("decompress", help="restore the original table from chunks")
     d.add_argument("out_dir"), d.add_argument("restored_dir")
@@ -185,6 +190,7 @@ def main(argv: list[str] | None = None) -> int:
                 tokens_codec=args.tokens_codec,
                 resume=not args.no_resume,
                 shared_tables=args.shared_tables,
+                shuffle_by_source=args.shuffle_by_source,
             )
             print(json.dumps(totals, sort_keys=True))
         elif args.cmd == "decompress":

@@ -295,6 +295,27 @@ def _compress_setup(
     return man, todo, chunks_dir, n_blocks
 
 
+def _sbkt_tag(nb: int):
+    """Doc-hash shuffle-bucket tag for the skew-isolation mode: md5 of the
+    doc_id (the C span kernel — no per-row Python), folded to a bucket.
+    Deterministic under retries/re-sharding, like every hash rule here."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from tokenzip.hashutil import md5_digests_str
+
+        dig = md5_digests_str(batch["doc_id"].combine_chunks())
+        h = dig[:, :8].copy().view(np.int64).ravel()
+        bkt = np.abs(h) % nb
+        return batch.append_column("sbkt", pa.array(bkt.astype(np.int64)))
+
+    return fn
+
+
+def _group_encode_fn(g: pa.Table, tokens_codec: str = "auto") -> pa.Table:
+    out = _encode_fn(g.drop_columns(["sbkt"]), tokens_codec=tokens_codec)
+    return out
+
+
 def compress(
     input_paths: list[str],
     out_dir: str,
@@ -304,18 +325,54 @@ def compress(
     concurrency: int | None = None,
     resume: bool = True,
     shared_tables: bool = False,
+    shuffle_by_source: bool = False,
+    shuffle_buckets: int | None = None,
 ) -> dict:
     """Compress input token-table fragments into chunk parquet + manifest.
 
     Returns the manifest totals. Resumable: fragments already marked done in
     the manifest are not re-read; chunk output of unfinished fragments is
     wiped before re-encoding so a crashed run never double-writes.
+
+    ``shuffle_by_source=True`` is the explicit skew-isolation mode the
+    north rule names: the input goes through ONE doc-hash-bucketed groupby
+    shuffle before encoding, so a skewed source's long token arrays spread
+    evenly across encode tasks instead of straggling whichever fragments
+    they cluster in.  Chunk lineage is unchanged (EncodeStage partitions
+    each group by (frag, source) internally) and resume semantics are
+    unchanged (fragments are marked done only after the full write).  Costs
+    one all-to-all pass over the payload — enable it when a source is
+    known-skewed, leave the default map-only path otherwise.
     """
+    if shuffle_by_source and shared_tables:
+        raise ValueError(
+            "shuffle_by_source uses a groupby stage; combine it with "
+            "shared tables by training tables first (two-phase) — not "
+            "supported in one call"
+        )
     man, todo, chunks_dir, n_blocks = _compress_setup(input_paths, out_dir, resume)
     if not todo:
         return man.totals()
     ds = ray.data.read_parquet(todo, include_paths=True, override_num_blocks=n_blocks)
     ds = ds.map_batches(_add_frag, batch_format="pyarrow", zero_copy_batch=True)
+    if shuffle_by_source:
+        nb = int(shuffle_buckets or max(32, 2 * n_blocks))
+        ds = (
+            ds.map_batches(_sbkt_tag(nb), batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("sbkt")
+            .map_groups(
+                _group_encode_fn,
+                batch_format="pyarrow",
+                fn_kwargs={"tokens_codec": tokens_codec},
+            )
+        )
+        ds.write_parquet(
+            chunks_dir,
+            partition_cols=["frag"],
+            compression="none",
+            row_group_size=8,
+        )
+        return _finish_compress(man, todo, chunks_dir, shared_tables=False)
     if shared_tables:
         # stateful path: train once on a deterministic sample, broadcast to
         # an actor pool, persist the sidecar + hashes for decode and lineage
@@ -362,11 +419,15 @@ def compress(
         row_group_size=8,
     )
 
-    # fold chunk metadata into the per-fragment manifest (metadata columns
-    # only — column-pruned read of the chunk files, no payload bytes move).
-    # EVERY todo fragment gets marked done — a fragment that produced zero
-    # chunk rows (hence no frag= dir) records zero stats instead of being
-    # re-read on every resume.
+    return _finish_compress(man, todo, chunks_dir, shared_tables=shared_tables)
+
+
+def _finish_compress(man, todo: list[str], chunks_dir: str, *, shared_tables: bool) -> dict:
+    """Fold chunk metadata into the per-fragment manifest (metadata columns
+    only — column-pruned read of the chunk files, no payload bytes move).
+    EVERY todo fragment gets marked done — a fragment that produced zero
+    chunk rows (hence no frag= dir) records zero stats instead of being
+    re-read on every resume."""
     frags_written = {
         d.split("=", 1)[1]
         for d in uio.listdir(chunks_dir)
