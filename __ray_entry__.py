@@ -143,7 +143,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_unique_by_source": _vocab_unique,
         "multi_format_union_stats": _multi_format_union,
         "incompressible_topk": _incompressible_topk,
+        "shuffled_compress_stats": _shuffled_compress,
     }
+
+
+def _shuffled_compress(sf_dir: str):
+    from tokenzip.queries import q_shuffled_compress_stats
+
+    return q_shuffled_compress_stats(sf_dir)
 
 
 def _incompressible_topk(sf_dir: str):
@@ -1222,6 +1229,8 @@ FROM documents GROUP BY source ORDER BY source
         "multi_format_union_stats": _multi_union_sql(glob),
         # incompressibility outliers: worst LEB128 bytes per 1k tokens
         "incompressible_topk": _incompressible_sql(glob),
+        # skew-isolation compress (doc-hash groupby shuffle) is lossless
+        "shuffled_compress_stats": _recode_sql(glob),
         # run-length census per source (the RLE codec's premise, exact)
         "token_run_stats": _token_run_sql(glob),
         # TPC-H Q16 shape: COUNT(DISTINCT) per attribute combo

@@ -863,3 +863,61 @@ SELECT CAST(row_number() OVER (
 FROM per_doc
 ORDER BY bytes_per_ktok DESC, doc_id ASC LIMIT {k}
 """
+
+
+def q_shuffled_compress_stats(sf_dir: str):
+    """The skew-isolation compress mode under the oracle: compress the
+    corpus THROUGH the doc-hash groupby shuffle (shuffle_by_source=True),
+    decode the sink, and report the same per-source content stats the
+    plain path reports — hash-green iff the shuffled path is lossless."""
+    import os
+
+    import pandas as pd
+
+    from tokenzip.pipeline import compress, decompress
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join("/tmp/tokenzip_shuffled", base)
+    compress(corpus_paths(sf_dir), out_dir, shuffle_by_source=True)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+
+        lengths, values = _tokens_parts(batch["tokens"])
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        tok_src = np.repeat(inv, lengths)
+        zz = zigzag_encode(values.astype(np.int32), 32).astype(np.int64)
+        sum_zz = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sum_zz, tok_src, zz)
+        return pa.table(
+            {
+                "source": pa.array([str(s) for s in uniq], pa.string()),
+                "n_docs": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64)),
+                "n_tokens": pa.array(
+                    np.bincount(inv, weights=lengths, minlength=len(uniq)).astype(np.int64)
+                ),
+                "sum_zigzag": pa.array(sum_zz),
+            }
+        )
+
+    agg = (
+        decompress(out_dir)
+        .map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("sum_zigzag", alias_name="sum_zigzag"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "source": agg["source"].astype(str),
+            "n_docs": agg["n_docs"].astype("int64"),
+            "n_tokens": agg["n_tokens"].astype("int64"),
+            "sum_zigzag": agg["sum_zigzag"].astype("int64"),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
