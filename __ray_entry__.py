@@ -144,7 +144,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_format_union_stats": _multi_format_union,
         "incompressible_topk": _incompressible_topk,
         "shuffled_compress_stats": _shuffled_compress,
+        "corpus_diff_stats": _corpus_diff,
     }
+
+
+def _corpus_diff(sf_dir: str):
+    from tokenzip.analysis import q_corpus_diff_stats
+
+    return q_corpus_diff_stats(sf_dir)
 
 
 def _shuffled_compress(sf_dir: str):
@@ -773,6 +780,12 @@ def _incompressible_sql(glob: str) -> str:
     return incompressible_topk_sql(glob)
 
 
+def _corpus_diff_sql(glob: str) -> str:
+    from tokenzip.analysis import corpus_diff_stats_sql
+
+    return corpus_diff_stats_sql(glob)
+
+
 def _token_run_sql(glob: str) -> str:
     from tokenzip.training import token_run_stats_sql
 
@@ -1231,6 +1244,8 @@ FROM documents GROUP BY source ORDER BY source
         "incompressible_topk": _incompressible_sql(glob),
         # skew-isolation compress (doc-hash groupby shuffle) is lossless
         "shuffled_compress_stats": _recode_sql(glob),
+        # CDC corpus diff: FULL OUTER JOIN classification per source
+        "corpus_diff_stats": _corpus_diff_sql(glob),
         # run-length census per source (the RLE codec's premise, exact)
         "token_run_stats": _token_run_sql(glob),
         # TPC-H Q16 shape: COUNT(DISTINCT) per attribute combo

@@ -617,3 +617,51 @@ def test_marker_counts_by_lang_matches_oracle(ray_session):
     assert (got["n_docs"] <= got["n_occurrences"]).all()
     assert int(got["n_occurrences"].sum()) > 0
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_corpus_diff_matches_full_outer_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.analysis import corpus_diff_stats_sql, q_corpus_diff_stats
+    from tokenzip.corpus import ensure_corpus
+
+    sf = "sf0.001"
+    glob = ensure_corpus(sf) + "/*.parquet"
+    got = q_corpus_diff_stats(sf).reset_index(drop=True)
+    exp = duckdb.sql(corpus_diff_stats_sql(glob)).df()
+    # every class present at this scale, accounting sums to |A| + added
+    assert int(got["n_removed"].sum()) > 0
+    assert int(got["n_changed"].sum()) > 0
+    assert int(got["n_added"].sum()) > 0
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+
+def test_corpus_diff_classes_planted(ray_session, tmp_path):
+    """Planted 4-doc corpus: one of each class (n_tok 7k+1 changed,
+    7k+3 removed, 7k+5 added-source, else same)."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    tbl = pa_.table(
+        {
+            "doc_id": pa_.array(["a", "b", "c", "d"]),
+            "tokens": pa_.array(
+                [[5, 6, 7, 8, 9, 10, 11, 12],      # n_tok=8 -> changed
+                 [1, 2, 3],                          # n_tok=3 -> removed
+                 [9, 9, 9, 9, 9],                    # n_tok=5 -> +added twin
+                 [4, 4]],                            # n_tok=2 -> same
+                pa_.list_(pa_.int32()),
+            ),
+            "n_tok": pa_.array([8, 3, 5, 2], pa_.int32()),
+            "source": pa_.array(["x", "x", "y", "y"]),
+        }
+    )
+    pq_.write_table(tbl, str(tmp_path / "toks.parquet"))
+    from tokenzip.analysis import q_corpus_diff_stats
+
+    got = q_corpus_diff_stats(str(tmp_path))
+    # x: a changed, b removed; y: c same + its added twin, d same
+    assert got.values.tolist() == [
+        ["x", 0, 1, 1, 0],
+        ["y", 2, 0, 0, 1],
+    ]

@@ -2846,3 +2846,209 @@ FROM documents GROUP BY lang"""
         for mk in _MARKERS
     )
     return f"SELECT * FROM ({per_marker}) ORDER BY lang, marker"
+
+
+# ---------------------------------------------------------------------------
+# Corpus diff (CDC shape): FULL OUTER JOIN of two corpus versions with
+# per-source added/removed/changed/same accounting.  Version B is derived
+# from A by a deterministic rule both engines apply (drop-first-token for
+# n_tok%7==1, drop the doc for %7==3, add a synthetic doc for %7==5), so
+# the query needs no second dataset yet exercises the real diff plan: ONE
+# scan emits BOTH sides' narrow fingerprint rows (doc_id, len, zigzag
+# sum — the change rule always alters the LENGTH, so classification is
+# exact integer equality, no hash-collision leap), one doc-hash-bucketed
+# shuffle co-locates each id's pair, and the group fold classifies.  At
+# 100 TB the same plan diffs two REAL sinks: each side contributes its
+# fingerprint rows and the payload never moves.
+# ---------------------------------------------------------------------------
+
+
+def _diff_rows(nb: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+        from tokenzip.codecs.varint import zigzag_encode
+        from tokenzip.hashutil import md5_digests_str
+
+        lengths, flat = _tokens_parts(batch["tokens"])
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        ntok = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zz = zigzag_encode(flat.astype(np.int32), 32).astype(np.int64)
+        ends = np.cumsum(lengths.astype(np.int64))
+        starts = ends - lengths
+        csum = np.concatenate(([0], np.cumsum(zz)))
+        sums = csum[ends] - csum[starts]
+        if len(zz):
+            first = np.where(lengths > 0, zz[np.minimum(starts, len(zz) - 1)], 0)
+        else:
+            first = np.zeros(len(lengths), dtype=np.int64)
+
+        mod = ntok % 7
+        changed = mod == 1
+        removed = mod == 3
+        added = mod == 5
+
+        out_id, out_src, out_len, out_sum, out_side = [], [], [], [], []
+        # side A: every doc as-is
+        out_id.append(ids)
+        out_src.append(src)
+        out_len.append(lengths.astype(np.int64))
+        out_sum.append(sums)
+        out_side.append(np.zeros(len(ids), np.int64))
+        # side B: survivors, with the change rule applied
+        keep = ~removed
+        blen = np.where(changed, np.maximum(lengths - 1, 0), lengths).astype(np.int64)
+        bsum = np.where(changed, sums - first, sums)
+        out_id.append(ids[keep])
+        out_src.append(src[keep])
+        out_len.append(blen[keep])
+        out_sum.append(bsum[keep])
+        out_side.append(np.ones(int(keep.sum()), np.int64))
+        # side B: synthetic added docs [n_tok]
+        if added.any():
+            azz = zigzag_encode(ntok[added].astype(np.int32), 32).astype(np.int64)
+            out_id.append(np.asarray(["new-" + str(s) for s in ids[added]], dtype=object))
+            out_src.append(src[added])
+            out_len.append(np.ones(int(added.sum()), np.int64))
+            out_sum.append(azz)
+            out_side.append(np.ones(int(added.sum()), np.int64))
+
+        all_ids = np.concatenate(out_id)
+        col = pa.array([str(s) for s in all_ids], pa.string())
+        dig = md5_digests_str(col)
+        h = dig[:, :8].copy().view(np.int64).ravel()
+        return pa.table(
+            {
+                "bkt": pa.array((np.abs(h) % nb).astype(np.int64)),
+                "doc_id": col,
+                "source": pa.array(
+                    [str(s) for s in np.concatenate(out_src)], pa.string()
+                ),
+                "len": pa.array(np.concatenate(out_len)),
+                "chk": pa.array(np.concatenate(out_sum)),
+                "side": pa.array(np.concatenate(out_side)),
+            }
+        )
+
+    return fn
+
+
+def _diff_group(g: pd.DataFrame) -> pd.DataFrame:
+    empty = pd.DataFrame(
+        {
+            "source": pd.Series([], dtype="object"),
+            "n_same": pd.Series([], dtype="int64"),
+            "n_changed": pd.Series([], dtype="int64"),
+            "n_removed": pd.Series([], dtype="int64"),
+            "n_added": pd.Series([], dtype="int64"),
+        }
+    )
+    if not len(g):
+        return empty
+    ids = g["doc_id"].to_numpy()
+    side = g["side"].to_numpy().astype(np.int64)
+    ln = g["len"].to_numpy().astype(np.int64)
+    chk = g["chk"].to_numpy().astype(np.int64)
+    src = g["source"].to_numpy()
+    order = np.lexsort((side, ids))
+    ids, side, ln, chk, src = (
+        ids[order], side[order], ln[order], chk[order], src[order]
+    )
+    uid, starts = np.unique(ids, return_index=True)
+    ends = np.append(starts[1:], len(ids))
+    cnt = ends - starts
+    if int(cnt.max(initial=0)) > 2:
+        raise ValueError("duplicate doc_id within one diff side")
+    both = cnt == 2
+    only = cnt == 1
+    a_only = only & (side[starts] == 0)
+    b_only = only & (side[starts] == 1)
+    same = np.zeros(len(uid), dtype=bool)
+    if both.any():
+        s0, s1 = starts[both], starts[both] + 1
+        if not (side[s0] == 0).all() or not (side[s1] == 1).all():
+            raise ValueError("diff pair with two rows of one side")
+        same[both] = (ln[s0] == ln[s1]) & (chk[s0] == chk[s1])
+    changed = both & ~same
+    gsrc = src[starts].astype(str)
+    usrc, sinv = np.unique(gsrc, return_inverse=True)
+    def cnt_of(mask):
+        return np.bincount(sinv, weights=mask, minlength=len(usrc)).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "source": usrc,
+            "n_same": cnt_of(same),
+            "n_changed": cnt_of(changed),
+            "n_removed": cnt_of(a_only),
+            "n_added": cnt_of(b_only),
+        }
+    )
+
+
+def q_corpus_diff_stats(sf_dir: str) -> pd.DataFrame:
+    """(source, n_same, n_changed, n_removed, n_added) between the corpus
+    and its deterministically perturbed next version."""
+    import pyarrow.parquet as pq
+
+    from tokenzip.training import _token_paths
+
+    paths = _token_paths(sf_dir)
+    # bucket-count sizing from a bounded metadata sample (first 4 footers
+    # extrapolated), never an O(files) footer loop
+    sample = sum(pq.ParquetFile(p).metadata.num_rows for p in paths[:4])
+    total = sample * max(1, len(paths) // min(4, max(len(paths), 1)))
+    nb = _lsh_n_buckets(max(total, 1))
+    agg = (
+        ray.data.read_parquet(paths, columns=["doc_id", "tokens", "n_tok", "source"])
+        .map_batches(_diff_rows(nb), batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(_diff_group, batch_format="pandas")
+        .groupby("source")
+        .aggregate(
+            Sum("n_same", alias_name="n_same"),
+            Sum("n_changed", alias_name="n_changed"),
+            Sum("n_removed", alias_name="n_removed"),
+            Sum("n_added", alias_name="n_added"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "source": agg["source"].astype(str),
+            "n_same": agg["n_same"].astype("int64"),
+            "n_changed": agg["n_changed"].astype("int64"),
+            "n_removed": agg["n_removed"].astype("int64"),
+            "n_added": agg["n_added"].astype("int64"),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def corpus_diff_stats_sql(glob: str) -> str:
+    return f"""
+WITH a AS (SELECT doc_id, tokens, n_tok, source FROM read_parquet('{glob}')),
+b AS (
+  SELECT doc_id,
+         CASE WHEN n_tok % 7 = 1 THEN tokens[2:] ELSE tokens END AS tokens,
+         source
+  FROM a WHERE n_tok % 7 != 3
+  UNION ALL
+  SELECT 'new-' || doc_id, [CAST(n_tok AS INTEGER)], source
+  FROM a WHERE n_tok % 7 = 5
+),
+j AS (
+  SELECT COALESCE(a.source, b.source) AS source,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.tokens = b.tokens
+                   OR (len(a.tokens) = 0 AND len(b.tokens) = 0) THEN 'same'
+              ELSE 'changed' END AS cls
+  FROM a FULL OUTER JOIN b USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) FILTER (cls = 'same') AS BIGINT) AS n_same,
+       CAST(COUNT(*) FILTER (cls = 'changed') AS BIGINT) AS n_changed,
+       CAST(COUNT(*) FILTER (cls = 'removed') AS BIGINT) AS n_removed,
+       CAST(COUNT(*) FILTER (cls = 'added') AS BIGINT) AS n_added
+FROM j GROUP BY source ORDER BY source
+"""
