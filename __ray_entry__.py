@@ -145,7 +145,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incompressible_topk": _incompressible_topk,
         "shuffled_compress_stats": _shuffled_compress,
         "corpus_diff_stats": _corpus_diff,
+        "funnel_three_step": _funnel3,
     }
+
+
+def _funnel3(sf_dir: str):
+    from tokenzip.relational import q_funnel_three_step
+
+    return q_funnel_three_step(sf_dir)
 
 
 def _corpus_diff(sf_dir: str):
@@ -786,6 +793,12 @@ def _corpus_diff_sql(glob: str) -> str:
     return corpus_diff_stats_sql(glob)
 
 
+def _funnel3_sql() -> str:
+    from tokenzip.relational import funnel_three_step_sql
+
+    return funnel_three_step_sql()
+
+
 def _token_run_sql(glob: str) -> str:
     from tokenzip.training import token_run_stats_sql
 
@@ -1246,6 +1259,8 @@ FROM documents GROUP BY source ORDER BY source
         "shuffled_compress_stats": _recode_sql(glob),
         # CDC corpus diff: FULL OUTER JOIN classification per source
         "corpus_diff_stats": _corpus_diff_sql(glob),
+        # sequential pattern: view->click->purchase chain within windows
+        "funnel_three_step": _funnel3_sql(),
         # run-length census per source (the RLE codec's premise, exact)
         "token_run_stats": _token_run_sql(glob),
         # TPC-H Q16 shape: COUNT(DISTINCT) per attribute combo

@@ -1301,3 +1301,61 @@ def test_large_orders_empty_when_threshold_unreachable(ray_session):
         "o_orderdate_ms",
         "sum_qty",
     ]
+
+
+def test_funnel_three_step_matches_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import funnel_three_step_sql, q_funnel_three_step
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    got = q_funnel_three_step(SF).reset_index(drop=True)
+    exp = con.sql(funnel_three_step_sql()).df()
+    # funnel monotonicity
+    assert (
+        int(got["n_users_view"].iloc[0])
+        >= int(got["n_users_view_click"].iloc[0])
+        >= 0
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_funnel_three_step_chain_ordering(ray_session, tmp_path):
+    """The chain is ORDERED: click-before-view never qualifies, a purchase
+    only counts against a click that itself qualified, and every step must
+    land strictly later within the window."""
+    import datetime as dt
+
+    base = dt.datetime(2021, 6, 1)
+    rows = [
+        # user 1: proper chain v(0) < c(+1h) < p(+2h)  -> full chain
+        (1, 1, base, "view"),
+        (2, 1, base + dt.timedelta(hours=1), "click"),
+        (3, 1, base + dt.timedelta(hours=2), "purchase"),
+        # user 2: click BEFORE view; purchase after view only -> view only
+        (4, 2, base + dt.timedelta(hours=1), "view"),
+        (5, 2, base, "click"),
+        (6, 2, base + dt.timedelta(hours=2), "purchase"),
+        # user 3: v -> c ok, purchase 2 DAYS after click -> vc only
+        (7, 3, base, "view"),
+        (8, 3, base + dt.timedelta(hours=1), "click"),
+        (9, 3, base + dt.timedelta(days=2, hours=1), "purchase"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from tokenzip.relational import q_funnel_three_step
+
+    got = q_funnel_three_step(str(tmp_path))
+    assert got.values.tolist() == [[3, 2, 1]]

@@ -4128,3 +4128,132 @@ SELECT event_type,
             AS BIGINT) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Three-step funnel (sequential pattern): users whose events contain a
+# view -> click -> purchase CHAIN with each step strictly later than the
+# previous and within the trailing window.  Two chained window probes
+# over (uid << 42 | ts) packed sorted keys: clicks qualify against views,
+# purchases against QUALIFYING clicks — intermediate pair sets are never
+# materialized, and each user lives in exactly one hash bucket so
+# bucket-local distinct-user counts sum globally.
+# ---------------------------------------------------------------------------
+
+
+def _pack_uid_ts(uid: np.ndarray, tms: np.ndarray) -> np.ndarray:
+    return (uid << _FUNNEL_SHIFT) | tms
+
+
+def _funnel3_group(window_ms: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "n_users_view": pd.Series([], dtype="int64"),
+                "n_users_view_click": pd.Series([], dtype="int64"),
+                "n_users_full_chain": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        uid = g["uid"].to_numpy().astype(np.int64)
+        tms = g["tms"].to_numpy().astype(np.int64)
+        typ = g["typ"].to_numpy().astype(np.int64)
+        vm, cm, pm = typ == 0, typ == 1, typ == 2
+
+        def probe(anchor_uid, anchor_t, prior_packed_sorted):
+            """anchors with >= 1 prior event in [t - window, t - 1]."""
+            if not len(prior_packed_sorted) or not len(anchor_uid):
+                return np.zeros(len(anchor_uid), dtype=bool)
+            lo = _pack_uid_ts(anchor_uid, anchor_t - window_ms)
+            hi = _pack_uid_ts(anchor_uid, anchor_t - 1)
+            a = np.searchsorted(prior_packed_sorted, lo, side="left")
+            b = np.searchsorted(prior_packed_sorted, hi, side="right")
+            return b > a
+
+        views = np.sort(_pack_uid_ts(uid[vm], tms[vm]))
+        c_ok = probe(uid[cm], tms[cm], views)
+        qclicks = np.sort(_pack_uid_ts(uid[cm][c_ok], tms[cm][c_ok]))
+        p_ok = probe(uid[pm], tms[pm], qclicks)
+        return pd.DataFrame(
+            {
+                "n_users_view": [int(len(np.unique(uid[vm])))],
+                "n_users_view_click": [int(len(np.unique(uid[cm][c_ok])))],
+                "n_users_full_chain": [int(len(np.unique(uid[pm][p_ok])))],
+            }
+        )
+
+    return fn
+
+
+def q_funnel_three_step(sf_dir: str, window_ms: int = 86_400_000) -> pd.DataFrame:
+    """One row: (n_users_view, n_users_view_click, n_users_full_chain)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    nb = _lsh_n_buckets(_row_count(path))
+    codes = {"view": 0, "click": 1, "purchase": 2}
+
+    def rows(b: pa.Table) -> pa.Table:
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        keep = (et == "view") | (et == "click") | (et == "purchase")
+        uid = (
+            b["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype(np.int64)[keep]
+        )
+        tms = _ts_ms(b["ts"])[keep]
+        if len(tms) and (
+            tms.min() < window_ms or tms.max() >= 1 << _FUNNEL_SHIFT
+        ):
+            raise ValueError("event timestamp outside the packable ms range")
+        typ = np.asarray([codes[t] for t in et[keep]], dtype=np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(uid, nb)),
+                "uid": pa.array(uid),
+                "tms": pa.array(tms),
+                "typ": pa.array(typ),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(path, columns=["user_id", "ts", "event_type"])
+        .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(_funnel3_group(window_ms), batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "n_users_view": [0],
+                "n_users_view_click": [0],
+                "n_users_full_chain": [0],
+            }
+        ).astype("int64")
+    return pd.DataFrame(
+        {
+            "n_users_view": [int(parts["n_users_view"].sum())],
+            "n_users_view_click": [int(parts["n_users_view_click"].sum())],
+            "n_users_full_chain": [int(parts["n_users_full_chain"].sum())],
+        }
+    ).astype("int64")
+
+
+def funnel_three_step_sql(window_ms: int = 86_400_000) -> str:
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) // 1000 AS t FROM events),
+v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+c AS (SELECT user_id, t FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+qc AS (
+  SELECT DISTINCT c.user_id, c.t FROM c JOIN v ON v.user_id = c.user_id
+   AND v.t >= c.t - {window_ms} AND v.t < c.t
+),
+qp AS (
+  SELECT DISTINCT p.user_id FROM p JOIN qc ON qc.user_id = p.user_id
+   AND qc.t >= p.t - {window_ms} AND qc.t < p.t
+)
+SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM v) AS n_users_view,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM qc)
+           AS n_users_view_click,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM qp) AS n_users_full_chain
+"""
