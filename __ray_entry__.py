@@ -146,7 +146,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_compress_stats": _shuffled_compress,
         "corpus_diff_stats": _corpus_diff,
         "funnel_three_step": _funnel3,
+        "rolling_active_users": _rolling_wau,
     }
+
+
+def _rolling_wau(sf_dir: str):
+    from tokenzip.relational import q_rolling_active_users
+
+    return q_rolling_active_users(sf_dir)
 
 
 def _funnel3(sf_dir: str):
@@ -799,6 +806,12 @@ def _funnel3_sql() -> str:
     return funnel_three_step_sql()
 
 
+def _rolling_wau_sql() -> str:
+    from tokenzip.relational import rolling_active_users_sql
+
+    return rolling_active_users_sql()
+
+
 def _token_run_sql(glob: str) -> str:
     from tokenzip.training import token_run_stats_sql
 
@@ -1261,6 +1274,8 @@ FROM documents GROUP BY source ORDER BY source
         "corpus_diff_stats": _corpus_diff_sql(glob),
         # sequential pattern: view->click->purchase chain within windows
         "funnel_three_step": _funnel3_sql(),
+        # exact rolling 7-day distinct users via interval diffs
+        "rolling_active_users": _rolling_wau_sql(),
         # run-length census per source (the RLE codec's premise, exact)
         "token_run_stats": _token_run_sql(glob),
         # TPC-H Q16 shape: COUNT(DISTINCT) per attribute combo

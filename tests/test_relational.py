@@ -1359,3 +1359,50 @@ def test_funnel_three_step_chain_ordering(ray_session, tmp_path):
 
     got = q_funnel_three_step(str(tmp_path))
     assert got.values.tolist() == [[3, 2, 1]]
+
+
+def test_rolling_active_users_matches_window_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import q_rolling_active_users, rolling_active_users_sql
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    got = q_rolling_active_users(SF).reset_index(drop=True)
+    exp = con.sql(rolling_active_users_sql()).df()
+    assert len(got) > 0 and (got["wau"] >= 1).all()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_rolling_active_users_interval_merge(ray_session, tmp_path):
+    """Interval union semantics: a user active on days {0, 3} is one WAU
+    for every day 0..9 (overlapping [0,6] and [3,9] merge); a user with a
+    9-day gap contributes two separate runs; users never double-count."""
+    import datetime as dt
+
+    base = dt.datetime(2021, 1, 4)  # a known epoch-day anchor
+    rows = [
+        (1, 1, base),                          # day d0
+        (2, 1, base + dt.timedelta(days=3)),   # merges with d0's window
+        (3, 2, base),                          # second user, same day
+        (4, 2, base + dt.timedelta(days=12)),  # gap > 6: separate run
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([0.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    from tokenzip.relational import q_rolling_active_users
+
+    got = q_rolling_active_users(str(tmp_path))
+    d0 = int(got["day"].iloc[0])
+    # observed days: d0 (2 users), d0+3 (still both windows), d0+12 (user 2 only)
+    assert got.values.tolist() == [[d0, 2], [d0 + 3, 2], [d0 + 12, 1]]

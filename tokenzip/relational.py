@@ -4257,3 +4257,123 @@ SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM v) AS n_users_view,
            AS n_users_view_click,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM qp) AS n_users_full_chain
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users per day (the WAU curve) — EXACT, with no
+# per-window recount and no distinct-over-window shuffle: a user's event
+# days contribute the union of [day, day+6] intervals to the window
+# calendar, so each user-bucket group merges its users' intervals (one
+# lexsort + run flags) and emits sparse (day, +1/-1) DIFF rows; the final
+# day-domain groupby is calendar-sized, and one driver-side cumsum over
+# the sorted sparse diffs yields the exact rolling distinct count at
+# every observed day.  A 10^12-event stream shuffles only distinct
+# (user, day) rows and calendar-sized diffs.
+# ---------------------------------------------------------------------------
+
+_WAU_WINDOW_DAYS = 7
+
+
+def _wau_group(g: pd.DataFrame) -> pd.DataFrame:
+    empty = pd.DataFrame(
+        {
+            "day": pd.Series([], dtype="int64"),
+            "delta": pd.Series([], dtype="int64"),
+            "obs": pd.Series([], dtype="int64"),
+        }
+    )
+    if not len(g):
+        return empty
+    uid = g["uid"].to_numpy().astype(np.int64)
+    day = g["day"].to_numpy().astype(np.int64)
+    order = np.lexsort((day, uid))
+    uid, day = uid[order], day[order]
+    keep = np.ones(len(uid), dtype=bool)
+    keep[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+    uid, day = uid[keep], day[keep]
+    W = _WAU_WINDOW_DAYS
+    is_start = np.ones(len(uid), dtype=bool)
+    is_start[1:] = (uid[1:] != uid[:-1]) | (day[1:] > day[:-1] + (W - 1))
+    starts = np.flatnonzero(is_start)
+    ends = np.append(starts[1:], len(uid)) - 1  # last index of each run
+    plus_day = day[starts]
+    minus_day = day[ends] + W  # exclusive end of [start, last + W - 1]
+    obs_days = np.unique(day)
+    days = np.concatenate([plus_day, minus_day, obs_days])
+    deltas = np.concatenate(
+        [
+            np.ones(len(plus_day), np.int64),
+            -np.ones(len(minus_day), np.int64),
+            np.zeros(len(obs_days), np.int64),
+        ]
+    )
+    obs = np.concatenate(
+        [
+            np.zeros(len(plus_day) + len(minus_day), np.int64),
+            np.ones(len(obs_days), np.int64),
+        ]
+    )
+    ud, inv = np.unique(days, return_inverse=True)
+    return pd.DataFrame(
+        {
+            "day": ud,
+            "delta": np.bincount(inv, weights=deltas).astype(np.int64),
+            "obs": np.bincount(inv, weights=obs).astype(np.int64).clip(max=1),
+        }
+    )
+
+
+def q_rolling_active_users(sf_dir: str) -> pd.DataFrame:
+    """(day, wau): exact distinct users active within the trailing 7-day
+    window ending at each observed day (day = epoch days)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    nb = _lsh_n_buckets(_row_count(path))
+
+    def rows(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        day = _ts_ms(b["ts"]) // _MS_PER_DAY
+        k = uid * 1_000_000 + day  # day < 1e6 through year ~4707
+        if len(day) and (day.min() < 0 or day.max() >= 1_000_000):
+            raise ValueError("event day outside the packable range")
+        ku = np.unique(k)
+        u, d = ku // 1_000_000, ku % 1_000_000
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(u, nb)),
+                "uid": pa.array(u),
+                "day": pa.array(d),
+            }
+        )
+
+    diffs = (
+        ray.data.read_parquet(path, columns=["user_id", "ts"])
+        .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(_wau_group, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("delta", alias_name="delta"), Max("obs", alias_name="obs"))
+        .to_pandas()
+    )
+    if not len(diffs):
+        return pd.DataFrame(
+            {"day": pd.Series([], dtype="int64"), "wau": pd.Series([], dtype="int64")}
+        )
+    diffs = diffs.sort_values("day").reset_index(drop=True)
+    wau = diffs["delta"].astype("int64").cumsum()
+    out = pd.DataFrame(
+        {"day": diffs["day"].astype("int64"), "wau": wau.astype("int64")}
+    )
+    return out[diffs["obs"].astype(int) == 1].reset_index(drop=True)
+
+
+def rolling_active_users_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT DISTINCT epoch_us(ts) // 1000 // {_MS_PER_DAY} AS day, user_id
+  FROM events
+),
+d AS (SELECT DISTINCT day FROM e)
+SELECT d.day AS day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+FROM d JOIN e ON e.day BETWEEN d.day - {_WAU_WINDOW_DAYS - 1} AND d.day
+GROUP BY d.day ORDER BY d.day
+"""
