@@ -147,7 +147,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff_stats": _corpus_diff,
         "funnel_three_step": _funnel3,
         "rolling_active_users": _rolling_wau,
+        "event_type_affinity": _type_affinity,
     }
+
+
+def _type_affinity(sf_dir: str):
+    from tokenzip.relational import q_event_type_affinity
+
+    return q_event_type_affinity(sf_dir)
 
 
 def _rolling_wau(sf_dir: str):
@@ -812,6 +819,12 @@ def _rolling_wau_sql() -> str:
     return rolling_active_users_sql()
 
 
+def _affinity_sql() -> str:
+    from tokenzip.relational import event_type_affinity_sql
+
+    return event_type_affinity_sql()
+
+
 def _token_run_sql(glob: str) -> str:
     from tokenzip.training import token_run_stats_sql
 
@@ -1276,6 +1289,8 @@ FROM documents GROUP BY source ORDER BY source
         "funnel_three_step": _funnel3_sql(),
         # exact rolling 7-day distinct users via interval diffs
         "rolling_active_users": _rolling_wau_sql(),
+        # market-basket support: users performing BOTH of each type pair
+        "event_type_affinity": _affinity_sql(),
         # run-length census per source (the RLE codec's premise, exact)
         "token_run_stats": _token_run_sql(glob),
         # TPC-H Q16 shape: COUNT(DISTINCT) per attribute combo

@@ -1406,3 +1406,19 @@ def test_rolling_active_users_interval_merge(ray_session, tmp_path):
     d0 = int(got["day"].iloc[0])
     # observed days: d0 (2 users), d0+3 (still both windows), d0+12 (user 2 only)
     assert got.values.tolist() == [[d0, 2], [d0 + 3, 2], [d0 + 12, 1]]
+
+
+def test_event_type_affinity_matches_basket_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.relational import event_type_affinity_sql, q_event_type_affinity
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    got = q_event_type_affinity(SF).reset_index(drop=True)
+    exp = con.sql(event_type_affinity_sql()).df()
+    n_users = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert (got["n_users"] <= n_users).all()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

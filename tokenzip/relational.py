@@ -4377,3 +4377,93 @@ SELECT d.day AS day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
 FROM d JOIN e ON e.day BETWEEN d.day - {_WAU_WINDOW_DAYS - 1} AND d.day
 GROUP BY d.day ORDER BY d.day
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-type affinity (market-basket support): for every unordered pair
+# of event types, how many users performed BOTH.  The vocab_overlap mask
+# census re-applied to a different domain: distinct (user, type) pairs
+# fold to per-user type bitmasks inside user-hash buckets (sum of
+# distinct bits IS bitwise OR), each bucket collapses to a <= 2^T mask
+# census, and every pairwise support is a popcount over that census —
+# users are never enumerated per pair.
+# ---------------------------------------------------------------------------
+
+
+def _affinity_group(g: pd.DataFrame) -> pd.DataFrame:
+    if not len(g):
+        return pd.DataFrame(
+            {"mask": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
+        )
+    uid = g["uid"].to_numpy().astype(np.int64)
+    m = g["m"].to_numpy().astype(np.int64)
+    order = np.argsort(uid, kind="stable")
+    uid, m = uid[order], m[order]
+    _, starts = np.unique(uid, return_index=True)
+    masks = np.bitwise_or.reduceat(m, starts)
+    u, cnt = np.unique(masks, return_counts=True)
+    return pd.DataFrame({"mask": u, "n": cnt.astype(np.int64)})
+
+
+def q_event_type_affinity(sf_dir: str) -> pd.DataFrame:
+    """(type_a, type_b, n_users) for type_a < type_b, counting users who
+    performed both; zero-support pairs omitted (matching the SQL join)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    nb = _lsh_n_buckets(_row_count(path))
+    types = list(EVENT_TYPES)
+    tid = {t: i for i, t in enumerate(types)}
+
+    def rows(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        et = np.asarray(b["event_type"].to_pylist(), dtype=object)
+        codes = np.asarray([tid.get(t, -1) for t in et], dtype=np.int64)
+        if (codes < 0).any():
+            raise ValueError("unknown event type in affinity scan")
+        k = np.unique(uid * len(types) + codes)
+        u = k // len(types)
+        m = (np.int64(1) << (k % len(types))).astype(np.int64)
+        # per-batch per-user partial masks (distinct bits per (uid, type))
+        _, starts = np.unique(u, return_index=True)
+        um = np.bitwise_or.reduceat(m, starts)
+        uu = u[starts]
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(uu, nb)),
+                "uid": pa.array(uu),
+                "m": pa.array(um),
+            }
+        )
+
+    census = (
+        ray.data.read_parquet(path, columns=["user_id", "event_type"])
+        .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkt")
+        .map_groups(_affinity_group, batch_format="pandas")
+        .groupby("mask")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    masks = census["mask"].to_numpy().astype(np.int64)
+    ns = census["n"].to_numpy().astype(np.int64)
+    out = []
+    for a in range(len(types)):
+        for b_ in range(a + 1, len(types)):
+            both = ((masks >> a) & 1).astype(bool) & ((masks >> b_) & 1).astype(bool)
+            n = int(ns[both].sum())
+            if n > 0:
+                pair = sorted((types[a], types[b_]))
+                out.append((pair[0], pair[1], n))
+    df = pd.DataFrame(out, columns=["type_a", "type_b", "n_users"]).astype(
+        {"n_users": "int64"}
+    )
+    return df.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+def event_type_affinity_sql() -> str:
+    return """
+WITH v AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM v a JOIN v b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
