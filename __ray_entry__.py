@@ -148,7 +148,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_three_step": _funnel3,
         "rolling_active_users": _rolling_wau,
         "event_type_affinity": _type_affinity,
+        "vocab_jaccard": _vocab_jaccard,
     }
+
+
+def _vocab_jaccard(sf_dir: str):
+    from tokenzip.training import q_vocab_jaccard
+
+    return q_vocab_jaccard(sf_dir)
 
 
 def _type_affinity(sf_dir: str):
@@ -825,6 +832,12 @@ def _affinity_sql() -> str:
     return event_type_affinity_sql()
 
 
+def _vocab_jaccard_sql(glob: str) -> str:
+    from tokenzip.training import vocab_jaccard_sql
+
+    return vocab_jaccard_sql(glob)
+
+
 def _token_run_sql(glob: str) -> str:
     from tokenzip.training import token_run_stats_sql
 
@@ -1291,6 +1304,8 @@ FROM documents GROUP BY source ORDER BY source
         "rolling_active_users": _rolling_wau_sql(),
         # market-basket support: users performing BOTH of each type pair
         "event_type_affinity": _affinity_sql(),
+        # set-similarity coefficients (integer basis points) off the census
+        "vocab_jaccard": _vocab_jaccard_sql(glob),
         # run-length census per source (the RLE codec's premise, exact)
         "token_run_stats": _token_run_sql(glob),
         # TPC-H Q16 shape: COUNT(DISTINCT) per attribute combo

@@ -643,3 +643,16 @@ def test_vocab_unique_census_identity(ray_session, tmp_path):
     got = q_vocab_unique_by_source(str(tmp_path))
     # 1 unique to x, 3 unique to y, 4 unique to z; 2 shared
     assert got.values.tolist() == [["x", 1], ["y", 1], ["z", 1]]
+
+
+def test_vocab_jaccard_matches_oracle(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import q_vocab_jaccard, vocab_jaccard_sql
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_vocab_jaccard(SF)
+    odf = duckdb.sql(vocab_jaccard_sql(glob)).df()
+    # identity: inter <= union, bp within [0, 10000]
+    assert (got["n_inter"] <= got["n_union"]).all()
+    assert got["jaccard_bp"].between(0, 10000).all()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))

@@ -2086,3 +2086,52 @@ c AS (
 SELECT only_src AS source, CAST(COUNT(*) AS BIGINT) AS n_unique
 FROM c WHERE ns = 1 GROUP BY only_src ORDER BY only_src
 """
+
+
+def q_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
+    """(source_a, source_b, n_inter, n_union, jaccard_bp) for every source
+    pair with a non-empty union — the similarity-coefficient completion of
+    the INTERSECT/EXCEPT family, all integers (basis points via
+    inter*10000 // union; no float ratio crosses the compare boundary),
+    read off the same single-shuffle mask census."""
+    sources, masks, ns = _vocab_mask_census(sf_dir)
+    S = len(sources)
+    rows = []
+    for a in range(S):
+        for b_ in range(a + 1, S):
+            in_a = ((masks >> a) & 1).astype(bool)
+            in_b = ((masks >> b_) & 1).astype(bool)
+            inter = int(ns[in_a & in_b].sum())
+            union = int(ns[in_a | in_b].sum())
+            if union > 0:
+                rows.append(
+                    (sources[a], sources[b_], inter, union, inter * 10000 // union)
+                )
+    return pd.DataFrame(
+        rows,
+        columns=["source_a", "source_b", "n_inter", "n_union", "jaccard_bp"],
+    ).astype({"n_inter": "int64", "n_union": "int64", "jaccard_bp": "int64"})
+
+
+def vocab_jaccard_sql(glob: str) -> str:
+    return f"""
+WITH v AS (
+  SELECT DISTINCT source, t
+  FROM (SELECT source, unnest(tokens) AS t FROM read_parquet('{glob}'))
+),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM v a JOIN v b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       sa.n + sb.n - COALESCE(i.n_inter, 0) AS n_union,
+       CAST(COALESCE(i.n_inter, 0) * 10000
+            // (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS BIGINT) AS jaccard_bp
+FROM sz sa JOIN sz sb ON sa.source < sb.source
+LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+ORDER BY 1, 2
+"""
