@@ -149,7 +149,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": _rolling_wau,
         "event_type_affinity": _type_affinity,
         "vocab_jaccard": _vocab_jaccard,
+        "longest_docs": _longest_docs,
     }
+
+
+def _longest_docs(sf_dir: str):
+    from tokenzip.training import q_longest_docs
+
+    return q_longest_docs(sf_dir)
 
 
 def _vocab_jaccard(sf_dir: str):
@@ -838,6 +845,12 @@ def _vocab_jaccard_sql(glob: str) -> str:
     return vocab_jaccard_sql(glob)
 
 
+def _longest_docs_sql(glob: str) -> str:
+    from tokenzip.training import longest_docs_sql
+
+    return longest_docs_sql(glob)
+
+
 def _token_run_sql(glob: str) -> str:
     from tokenzip.training import token_run_stats_sql
 
@@ -1306,6 +1319,8 @@ FROM documents GROUP BY source ORDER BY source
         "event_type_affinity": _affinity_sql(),
         # set-similarity coefficients (integer basis points) off the census
         "vocab_jaccard": _vocab_jaccard_sql(glob),
+        # ORDER BY ... LIMIT through Ray's native all-to-all sort
+        "longest_docs": _longest_docs_sql(glob),
         # run-length census per source (the RLE codec's premise, exact)
         "token_run_stats": _token_run_sql(glob),
         # TPC-H Q16 shape: COUNT(DISTINCT) per attribute combo

@@ -656,3 +656,14 @@ def test_vocab_jaccard_matches_oracle(ray_session):
     assert (got["n_inter"] <= got["n_union"]).all()
     assert got["jaccard_bp"].between(0, 10000).all()
     pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_longest_docs_matches_order_by_oracle(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import longest_docs_sql, q_longest_docs
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_longest_docs(SF)
+    odf = duckdb.sql(longest_docs_sql(glob)).df()
+    assert got["n_tok"].is_monotonic_decreasing
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))

@@ -2135,3 +2135,37 @@ FROM sz sa JOIN sz sb ON sa.source < sb.source
 LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
 ORDER BY 1, 2
 """
+
+
+def q_longest_docs(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """(rank, doc_id, n_tok, source): the k longest documents by a GLOBAL
+    total order (n_tok DESC, doc_id ASC) — the one query family that runs
+    Ray's native all-to-all sort operator (every other top-k here
+    deliberately uses bucket-local folds; an engine still owes its users
+    ORDER BY ... LIMIT, and this exercises that path end to end).  Only
+    the id/length columns enter the sort; the token payload never moves."""
+    paths = _token_paths(sf_dir)
+    top = (
+        ray.data.read_parquet(paths, columns=["doc_id", "n_tok", "source"])
+        .sort(key=["n_tok", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "doc_id": top["doc_id"].astype(str),
+            "n_tok": top["n_tok"].astype("int64"),
+            "source": top["source"].astype(str),
+        }
+    )
+
+
+def longest_docs_sql(glob: str, k: int = 100) -> str:
+    return f"""
+SELECT CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id ASC) AS BIGINT)
+           AS rank,
+       doc_id, CAST(n_tok AS BIGINT) AS n_tok, source
+FROM read_parquet('{glob}')
+ORDER BY n_tok DESC, doc_id ASC LIMIT {k}
+"""
