@@ -18,6 +18,24 @@ from tokenzip.corpus import corpus_paths
 from tokenzip.pipeline import _default_concurrency, verify_roundtrip
 
 
+def _scoped_out_dir(prefix: str, sf_dir: str) -> str:
+    """Temp sink dir keyed by a corpus fingerprint (shard names + sizes +
+    mtimes). compress()/recode() sinks resume off their manifest, so a FIXED
+    dir would let a stale manifest mark fragments done after the corpus at
+    the same scale is regenerated — the audit would then silently validate
+    the OLD sink's content against the NEW oracle. Keying the dir by the
+    input fingerprint makes any corpus change start a fresh sink."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    for p in corpus_paths(sf_dir):
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns};".encode())
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(prefix, f"{base}-{h.hexdigest()[:12]}")
+
+
 def q_roundtrip_by_source(sf_dir: str):
     """Full encode->decode->equality pipeline, per source."""
     return verify_roundtrip(corpus_paths(sf_dir))
@@ -32,9 +50,7 @@ def q_sink_roundtrip_join(sf_dir: str):
     from tokenzip.pipeline import compress, verify_sink_roundtrip
 
     paths = corpus_paths(sf_dir)
-    out_dir = os.path.join(
-        "/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir))
-    )
+    out_dir = _scoped_out_dir("/tmp/tokenzip_out", sf_dir)
     compress(paths, out_dir)
     return verify_sink_roundtrip(paths, out_dir)
 
@@ -166,9 +182,7 @@ def q_filtered_decompress(sf_dir: str):
     from tokenzip.pipeline import compress, decompress
 
     paths = corpus_paths(sf_dir)
-    out_dir = os.path.join(
-        "/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir))
-    )
+    out_dir = _scoped_out_dir("/tmp/tokenzip_out", sf_dir)
     compress(paths, out_dir)
     return _source_rollup(decompress(out_dir, sources=FILTERED_SOURCES))
 
@@ -191,9 +205,7 @@ def _v2_sink(sf_dir: str) -> str:
     from tokenzip.pipeline import compress
 
     paths = corpus_paths(sf_dir)
-    out_dir = os.path.join(
-        "/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir))
-    )
+    out_dir = _scoped_out_dir("/tmp/tokenzip_out", sf_dir)
     if int(
         Manifest(out_dir).data.get("chunk_format", 1)
     ) < CHUNK_FORMAT and os.path.isdir(out_dir):
@@ -280,9 +292,7 @@ def q_compacted_roundtrip(sf_dir: str):
     from tokenzip.pipeline import compact, compress, decompress
 
     paths = corpus_paths(sf_dir)
-    out_dir = os.path.join(
-        "/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir))
-    )
+    out_dir = _scoped_out_dir("/tmp/tokenzip_out", sf_dir)
     compress(paths, out_dir)
     cdir = out_dir + "_compacted"
     shutil.rmtree(cdir, ignore_errors=True)
@@ -468,7 +478,7 @@ def q_compression_by_codec(sf_dir: str):
 
     from tokenzip.pipeline import compress, chunk_meta_dataset
 
-    out_dir = os.path.join("/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir)))
+    out_dir = _scoped_out_dir("/tmp/tokenzip_out", sf_dir)
     # fresh compress every time: the manifest's resume would otherwise serve
     # chunks written by an OLDER codec version, silently diverging from the
     # pinned per-codec byte counts
@@ -657,7 +667,7 @@ def q_compression_totals(sf_dir: str):
 
     from tokenzip.pipeline import compress
 
-    out_dir = os.path.join("/tmp/tokenzip_out", os.path.basename(os.path.normpath(sf_dir)))
+    out_dir = _scoped_out_dir("/tmp/tokenzip_out", sf_dir)
     totals = compress(corpus_paths(sf_dir), out_dir)
     return pd.DataFrame(
         [
@@ -686,9 +696,8 @@ def q_recode_stats(sf_dir: str):
 
     from tokenzip.pipeline import compress, decompress, recode
 
-    base = os.path.basename(os.path.normpath(sf_dir))
-    legacy_dir = os.path.join("/tmp/tokenzip_legacy", base)
-    dst_dir = os.path.join("/tmp/tokenzip_recoded", base)
+    legacy_dir = _scoped_out_dir("/tmp/tokenzip_legacy", sf_dir)
+    dst_dir = _scoped_out_dir("/tmp/tokenzip_recoded", sf_dir)
     t_legacy = compress(corpus_paths(sf_dir), legacy_dir, tokens_codec="leb128")
     t_new = recode(legacy_dir, dst_dir, tokens_codec="auto")
     if t_new["n_tokens"] != t_legacy["n_tokens"]:
@@ -876,8 +885,7 @@ def q_shuffled_compress_stats(sf_dir: str):
 
     from tokenzip.pipeline import compress, decompress
 
-    base = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join("/tmp/tokenzip_shuffled", base)
+    out_dir = _scoped_out_dir("/tmp/tokenzip_shuffled", sf_dir)
     compress(corpus_paths(sf_dir), out_dir, shuffle_by_source=True)
 
     def stats(batch: pa.Table) -> pa.Table:

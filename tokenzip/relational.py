@@ -65,6 +65,19 @@ def _cents(col: pa.ChunkedArray) -> np.ndarray:
     return np.floor(v * 100.0 + 0.5).astype(np.int64)
 
 
+def isum64(inv: np.ndarray, weights: np.ndarray, minlength: int = 0) -> np.ndarray:
+    """Exact int64 grouped sum. ``np.bincount(weights=...)`` accumulates in
+    float64 and silently loses exactness above 2**53 — fatal for the exact
+    monetary sums the oracles hash against at the 10^12-row design scale —
+    so sum through an int64 accumulator with ``np.add.at`` instead (the same
+    pattern queries.py uses for its token zigzag sums)."""
+    n = int(inv.max()) + 1 if len(inv) else 0
+    out = np.zeros(max(minlength, n), dtype=np.int64)
+    if len(inv):
+        np.add.at(out, inv, weights.astype(np.int64, copy=False))
+    return out
+
+
 def _comp_keys(key: np.ndarray, tms: np.ndarray) -> np.ndarray:
     """(key rank << _T_SHIFT) + (t - min): one sortable int64 per row that
     orders by (key, time) — segmented searchsorted over ALL keys at once,
@@ -459,7 +472,7 @@ class _OrdersNationStage:
                 "n_name": pa.array([str(s) for s in uniq], pa.string()),
                 "n_orders": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64)),
                 "sum_price": pa.array(
-                    np.bincount(inv, weights=price, minlength=len(uniq)).astype(np.int64)
+                    isum64(inv, price, len(uniq))
                 ),
             }
         )
@@ -536,7 +549,7 @@ class _OrdersRollupStage(_OrdersNationStage):
                 ),
                 "n_orders": pa.array(np.bincount(cinv).astype(np.int64)),
                 "sum_price": pa.array(
-                    np.bincount(cinv, weights=price).astype(np.int64)
+                    isum64(cinv, price)
                 ),
             }
         )
@@ -633,7 +646,7 @@ def _cohort_group(g: pd.DataFrame) -> pd.DataFrame:
         {
             "cohort_week": uc.astype("int64"),
             "n_users": np.bincount(inv).astype("int64"),
-            "n_retained": np.bincount(inv, weights=c).astype("int64"),
+            "n_retained": isum64(inv, c),
         }
     )
 
@@ -953,7 +966,7 @@ def q_top_customer_by_nation(sf_dir: str) -> pd.DataFrame:
             {
                 "custkey": pa.array(uc, pa.int64()),
                 "rev": pa.array(
-                    np.bincount(inv, weights=cents).astype(np.int64), pa.int64()
+                    isum64(inv, cents), pa.int64()
                 ),
             }
         )
@@ -1070,7 +1083,7 @@ def _gap_group(g: pd.DataFrame) -> pd.DataFrame:
         {
             "event_type": [str(s) for s in ut],
             "n_gaps": counts.astype("int64"),
-            "sum_gap_ms": np.bincount(inv, weights=gaps).astype("int64"),
+            "sum_gap_ms": isum64(inv, gaps),
             "max_gap_ms": np.maximum.reduceat(gaps[by_type], starts).astype(
                 "int64"
             ),
@@ -1280,13 +1293,13 @@ class _PricingSummaryStage:
         k = len(uniq)
 
         def gsum(v):
-            return np.bincount(inv, weights=v.astype(np.float64), minlength=k)
+            return isum64(inv, v, k)
 
-        # float64 partial sums are exact below 2^53; per-batch charge sums
-        # approach that only beyond ~10^5 rows/batch * 10^12 — assert loudly
+        # int64 partials are exact below 2^63; per-batch charge sums
+        # (~1e11/row) approach that only beyond ~9e7 rows/batch — assert loudly
         mx = float(np.abs(charge).max()) if len(charge) else 0.0
-        if mx * len(charge) >= 2**53:
-            raise OverflowError("pricing partial exceeds exact float53 range")
+        if mx * len(charge) >= 2**62:
+            raise OverflowError("pricing partial exceeds exact int64 range")
         return pa.table(
             {
                 "l_returnflag": pa.array([str(x) for x in rf[idx]], pa.string()),
@@ -1797,7 +1810,7 @@ def q_events_tumbling_agg(sf_dir: str, window_ms: int = 3_600_000) -> pd.DataFra
                 ),
                 "n_events": pa.array(np.bincount(cinv).astype(np.int64)),
                 "sum_value_cents": pa.array(
-                    np.bincount(cinv, weights=cents).astype(np.int64)
+                    isum64(cinv, cents)
                 ),
             }
         )
@@ -1881,9 +1894,7 @@ def _revenue_group(g: pd.DataFrame) -> pd.DataFrame:
         {
             "o_orderpriority": [str(s) for s in uniq],
             "n_items": np.bincount(inv, minlength=len(uniq)).astype(np.int64),
-            "sum_revenue": np.bincount(
-                inv, weights=rev[hit], minlength=len(uniq)
-            ).astype(np.int64),
+            "sum_revenue": isum64(inv, rev[hit], len(uniq)),
         }
     )
 
@@ -2403,7 +2414,7 @@ class _SmallQtyStage:
                 "p_brand": pa.array([str(s) for s in ub], pa.string()),
                 "n_rows": pa.array(np.bincount(inv).astype(np.int64)),
                 "revenue_cents": pa.array(
-                    np.bincount(inv, weights=price[keep]).astype(np.int64)
+                    isum64(inv, price[keep])
                 ),
             }
         )
@@ -2429,7 +2440,7 @@ def q_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
         return pa.table(
             {
                 "l_partkey": pa.array(up),
-                "sq": pa.array(np.bincount(inv, weights=qty).astype(np.int64)),
+                "sq": pa.array(isum64(inv, qty)),
                 "cnt": pa.array(np.bincount(inv).astype(np.int64)),
             }
         )
@@ -2538,10 +2549,10 @@ def q_lineitem_cube(sf_dir: str) -> pd.DataFrame:
                 ),
                 "n_rows": pa.array(np.bincount(cinv).astype(np.int64)),
                 "sum_qty": pa.array(
-                    np.bincount(cinv, weights=qty).astype(np.int64)
+                    isum64(cinv, qty)
                 ),
                 "revenue_cents": pa.array(
-                    np.bincount(cinv, weights=price).astype(np.int64)
+                    isum64(cinv, price)
                 ),
             }
         )
@@ -2652,7 +2663,7 @@ def _ccount_group(g: pd.DataFrame) -> pd.DataFrame:
     k = g["k"].to_numpy().astype(np.int64)
     n = g["n"].to_numpy().astype(np.int64)
     u, inv = np.unique(k, return_inverse=True)
-    tot = np.bincount(inv, weights=n).astype(np.int64)
+    tot = isum64(inv, n)
     uc, cnt = np.unique(tot, return_counts=True)
     return pd.DataFrame({"c_count": uc, "n_cust": cnt.astype(np.int64)})
 
@@ -2674,6 +2685,10 @@ def q_customer_order_dist(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("n_cust"))
         .to_pandas()
     )
+    if not len(agg):
+        # zero-block gotcha: an empty/fully-filtered orders table yields a
+        # column-less aggregate frame — fall through to the zero bucket only
+        agg = pd.DataFrame({"c_count": [], "sum(n_cust)": []})
     out = pd.DataFrame(
         {
             "c_count": agg["c_count"].astype("int64"),
@@ -2725,7 +2740,7 @@ def _qty_partial(nb: int):
             {
                 "bkt": pa.array(_jbkt_of(u, nb)),
                 "k": pa.array(u),
-                "q": pa.array(np.bincount(inv, weights=qty).astype(np.int64)),
+                "q": pa.array(isum64(inv, qty)),
             }
         )
 
@@ -2749,7 +2764,7 @@ def _heavy_group(min_qty: int):
         k = g["k"].to_numpy().astype(np.int64)
         q = g["q"].to_numpy().astype(np.int64)
         u, inv = np.unique(k, return_inverse=True)
-        tot = np.bincount(inv, weights=q).astype(np.int64)
+        tot = isum64(inv, q)
         keep = tot > min_qty
         return pd.DataFrame({"k": u[keep], "sum_qty": tot[keep]})
 
@@ -2969,7 +2984,7 @@ def _q10_group(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "c_custkey": u,
-            "rev": np.bincount(inv, weights=rev[hit]).astype(np.int64),
+            "rev": isum64(inv, rev[hit]),
         }
     )
 
@@ -3010,7 +3025,7 @@ def _q10_final_group(k: int):
         ck = g["c_custkey"].to_numpy().astype(np.int64)
         rev = g["rev"].to_numpy().astype(np.int64)
         u, inv = np.unique(ck, return_inverse=True)
-        tot = np.bincount(inv, weights=rev).astype(np.int64)
+        tot = isum64(inv, rev)
         top = np.lexsort((u, -tot))[:k]
         return pd.DataFrame({"c_custkey": u[top], "revenue": tot[top]})
 
@@ -3164,7 +3179,7 @@ def _cumrev_partial(b: pa.Table) -> pa.Table:
                 [str(s) for s in up[uc // len(um)]], pa.string()
             ),
             "month": pa.array(um[uc % len(um)]),
-            "cents": pa.array(np.bincount(cinv, weights=cents).astype(np.int64)),
+            "cents": pa.array(isum64(cinv, cents)),
         }
     )
 
@@ -3285,7 +3300,7 @@ def _q22_group(total_cents: int, n_cust: int):
             {
                 "c_mktsegment": u,
                 "n": np.bincount(inv).astype(np.int64),
-                "cents": np.bincount(inv, weights=bal[keep]).astype(np.int64),
+                "cents": isum64(inv, bal[keep]),
             }
         )
 
@@ -3435,10 +3450,15 @@ def _q5_stage1_group(g: pd.DataFrame) -> pd.DataFrame:
     hit, pos = _probe_sorted(ok, lk)
     if not hit.any():
         return empty
-    ck2 = cust[pos[hit]] * 64 + snat[hit]
+    sn = snat[hit]
+    if len(sn) and int(sn.max()) >= 64:
+        # 6-bit packing guard (mirrors the Q16 composite guard): a nationkey
+        # >= 64 would silently corrupt custkey and misattribute revenue
+        raise ValueError(f"s_nationkey {int(sn.max())} >= 64 breaks ck2 packing")
+    ck2 = cust[pos[hit]] * 64 + sn
     u, inv = np.unique(ck2, return_inverse=True)
     return pd.DataFrame(
-        {"ck2": u, "rev": np.bincount(inv, weights=rev[hit]).astype(np.int64)}
+        {"ck2": u, "rev": isum64(inv, rev[hit])}
     )
 
 
@@ -3470,7 +3490,7 @@ def _q5_stage2_group(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "n_nationkey": u,
-            "rev": np.bincount(inv, weights=rev[hit]).astype(np.int64),
+            "rev": isum64(inv, rev[hit]),
         }
     )
 
@@ -3891,7 +3911,7 @@ def _suppress_group(g: pd.DataFrame) -> pd.DataFrame:
         gap[1:] = tms[1:] - tms[:-1]
     sup = same & (gap < _SUPPRESS_MS)
     n_events = np.bincount(einv, minlength=len(uet)).astype(np.int64)
-    n_sup = np.bincount(einv, weights=sup, minlength=len(uet)).astype(np.int64)
+    n_sup = isum64(einv, sup, len(uet))
     return pd.DataFrame(
         {
             "event_type": uet,
@@ -3984,15 +4004,15 @@ def _suffstats_partial(b: pa.Table) -> pa.Table:
         {
             "l_returnflag": pa.array([str(s) for s in u], pa.string()),
             "n": pa.array(np.bincount(inv).astype(np.int64)),
-            "sum_qty": pa.array(np.bincount(inv, weights=qty).astype(np.int64)),
+            "sum_qty": pa.array(isum64(inv, qty)),
             "sum_qty_sq": pa.array(
-                np.bincount(inv, weights=qty * qty).astype(np.int64)
+                isum64(inv, qty * qty)
             ),
             "sum_price_cents": pa.array(
-                np.bincount(inv, weights=price).astype(np.int64)
+                isum64(inv, price)
             ),
             "sum_qty_price_cents": pa.array(
-                np.bincount(inv, weights=qty * price).astype(np.int64)
+                isum64(inv, qty * price)
             ),
         }
     )
@@ -4079,7 +4099,7 @@ def _props_partial(b: pa.Table) -> pa.Table:
         {
             "event_type": pa.array([str(s) for s in u], pa.string()),
             "n": pa.array(np.bincount(inv).astype(np.int64)),
-            "sum_k": pa.array(np.bincount(inv, weights=k).astype(np.int64)),
+            "sum_k": pa.array(isum64(inv, k)),
             "min_k": pa.array(mink),
             "max_k": pa.array(maxk),
         }
@@ -4317,8 +4337,8 @@ def _wau_group(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "day": ud,
-            "delta": np.bincount(inv, weights=deltas).astype(np.int64),
-            "obs": np.bincount(inv, weights=obs).astype(np.int64).clip(max=1),
+            "delta": isum64(inv, deltas),
+            "obs": isum64(inv, obs).clip(max=1),
         }
     )
 

@@ -2096,9 +2096,18 @@ def q_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
     read off the same single-shuffle mask census."""
     sources, masks, ns = _vocab_mask_census(sf_dir)
     S = len(sources)
+    # pair domain = sources with a non-empty vocabulary (some census bit
+    # present): the SQL derives pair sizes from the unnested tokens, which
+    # drops token-less sources — emitting (a, b, 0, union, 0) for such a
+    # pair would be an engine/oracle parity break on that edge
+    present = [
+        i for i in range(S) if bool((((masks >> i) & 1).astype(bool) & (ns > 0)).any())
+    ]
     rows = []
-    for a in range(S):
-        for b_ in range(a + 1, S):
+    for a in present:
+        for b_ in present:
+            if b_ <= a:
+                continue
             in_a = ((masks >> a) & 1).astype(bool)
             in_b = ((masks >> b_) & 1).astype(bool)
             inter = int(ns[in_a & in_b].sum())
