@@ -8,6 +8,7 @@
     python -m tokenzip table-compress   <input_dir_or_glob> <out_dir>
     python -m tokenzip table-decompress <out_dir> <restored_dir>
     python -m tokenzip pack        <sf_dir_or_corpus> <out_dir> [--seq-len N]
+    python -m tokenzip audit       [--query NAME ...] [--sf-dir D] [--out AUDIT.json]
 
 Owns its Ray session (guarded init; the library itself never calls
 ray.init) — submit with ``ray job submit -- python -m tokenzip compress ...``
@@ -148,6 +149,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     pk.add_argument("sf_dir"), pk.add_argument("out_dir")
     pk.add_argument("--seq-len", type=int, default=2048)
+
+    au = sub.add_parser(
+        "audit",
+        help="run EVERY queries() entry vs its oracle_sql() (the driver's "
+             "rows/schema/hash rule) and write AUDIT.json",
+    )
+    au.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    au.add_argument(
+        "--query", action="append", default=None,
+        help="audit only this query (repeatable); default: all",
+    )
+    au.add_argument("--out", default="AUDIT.json")
 
     pn = sub.add_parser(
         "pins", help="recompute every pinned oracle constant and rewrite it in-place"
@@ -291,6 +304,20 @@ def main(argv: list[str] | None = None) -> int:
                 args.restored_dir
             )
             print(json.dumps({"rows": "written", "dir": args.restored_dir}))
+        elif args.cmd == "audit":
+            from tokenzip.audit import run_audit
+
+            summary = run_audit(
+                sf_dir=args.sf_dir, names=args.query, out_path=args.out
+            )
+            print(
+                json.dumps(
+                    {k: v for k, v in summary.items() if k != "results"},
+                    indent=1,
+                    sort_keys=True,
+                )
+            )
+            return 1 if summary["bad"] else 0
         elif args.cmd == "pins":
             from tokenzip.pins import regenerate
 
