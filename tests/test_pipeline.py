@@ -774,11 +774,63 @@ def test_shuffle_by_source_bit_identical_and_spreads(ray_session, tmp_path):
     assert len(frag_a) >= 2
 
 
-def test_shuffle_by_source_rejects_shared_tables(ray_session, tmp_path):
-    with pytest.raises(ValueError, match="shuffle_by_source"):
-        compress(
-            ["/nonexistent.parquet"],
-            str(tmp_path / "x"),
-            shared_tables=True,
-            shuffle_by_source=True,
+def test_shuffle_by_source_with_shared_tables_two_phase(ray_session, tmp_path):
+    """shared_tables x shuffle_by_source runs two-phase (train tables, then
+    shuffled encode): content round-trips identical to plain shared_tables,
+    the trained sidecar is byte-identical (tables are a pure function of the
+    input), and a file-clustered hot source still spreads across encoders."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tokenzip.pipeline import decompress
+
+    rng = np.random.default_rng(11)
+    def mk(src, n, ln, off):
+        return pa.table(
+            {
+                "doc_id": pa.array([f"{src}-{i + off:05d}" for i in range(n)]),
+                "tokens": pa.array(
+                    [rng.integers(0, 500, size=ln).astype(np.int32).tolist()
+                     for _ in range(n)],
+                    pa.list_(pa.int32()),
+                ),
+                "n_tok": pa.array([ln] * n, pa.int32()),
+                "source": pa.array([src] * n),
+            }
         )
+
+    pq.write_table(mk("hot", 64, 4000, 0), str(tmp_path / "a.parquet"))
+    pq.write_table(mk("cold", 64, 8, 0), str(tmp_path / "b.parquet"))
+    paths = [str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")]
+
+    plain_dir = str(tmp_path / "shared_plain")
+    both_dir = str(tmp_path / "shared_shuf")
+    t_plain = compress(paths, plain_dir, shared_tables=True)
+    t_both = compress(
+        paths, both_dir, shared_tables=True, shuffle_by_source=True,
+        shuffle_buckets=8,
+    )
+    assert t_both["n_tokens"] == t_plain["n_tokens"]
+    with open(f"{plain_dir}/symbols.json", "rb") as f1, open(
+        f"{both_dir}/symbols.json", "rb"
+    ) as f2:
+        assert f1.read() == f2.read()
+    a = decompress(plain_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = decompress(both_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"] == b["doc_id"]).all()
+    assert all(
+        np.array_equal(np.asarray(x), np.asarray(y))
+        for x, y in zip(a["tokens"], b["tokens"])
+    )
+    import glob as _g
+    import json as _json
+
+    from tokenzip.pipeline import _frag_of_path
+
+    frag_a = _g.glob(
+        f"{both_dir}/chunks/frag={_frag_of_path(paths[0])}/*.parquet"
+    )
+    assert len(frag_a) >= 2  # the hot source spread across encode groups
+    with open(f"{both_dir}/manifest.json") as f:
+        man = _json.load(f)
+    assert all(fr["shared_tables"] for fr in man["fragments"].values())

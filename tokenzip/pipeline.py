@@ -311,9 +311,38 @@ def _sbkt_tag(nb: int):
     return fn
 
 
-def _group_encode_fn(g: pa.Table, tokens_codec: str = "auto") -> pa.Table:
-    out = _encode_fn(g.drop_columns(["sbkt"]), tokens_codec=tokens_codec)
-    return out
+def _group_encode_fn(
+    g: pa.Table, tokens_codec: str = "auto", tables_ref=None
+) -> pa.Table:
+    g = g.drop_columns(["sbkt"])
+    if tables_ref is None:
+        return _encode_fn(g, tokens_codec=tokens_codec)
+    # two-phase shared_tables x shuffle_by_source: the group fold encodes
+    # with the pre-trained broadcast tables — fetched ONCE per worker
+    # process (cached below), never re-shipped per group
+    key = ("genc", tokens_codec, tables_ref[0].hex())
+    st = _STAGES.get(key)
+    if st is None:
+        st = _STAGES[key] = SharedTableEncodeStage(
+            tables_ref=tables_ref, tokens_codec=tokens_codec
+        )
+    return st(g)
+
+
+def _prepare_shared_tables(input_paths: list[str], out_dir: str):
+    """Train-and-broadcast prelude of the shared_tables modes: merge any
+    existing sidecar (append-only, content-addressed), train on the strided
+    deterministic sample, persist the sidecar, return the broadcast ref."""
+    from tokenzip.codecs.strings import load_shared_tables, save_shared_tables
+
+    sidecar = uio.join(out_dir, "symbols.json")
+    if uio.exists(sidecar):
+        # resume: keep every table earlier chunks reference — the sidecar
+        # is append-only (tables are content-addressed, so merging is safe)
+        load_shared_tables(sidecar)
+    tables = _train_shared_tables(input_paths)
+    save_shared_tables(sidecar)
+    return _bcast(tables)  # wrapped ref: restartable-actor safe
 
 
 def compress(
@@ -342,20 +371,25 @@ def compress(
     each group by (frag, source) internally) and resume semantics are
     unchanged (fragments are marked done only after the full write).  Costs
     one all-to-all pass over the payload — enable it when a source is
-    known-skewed, leave the default map-only path otherwise.
+    known-skewed, leave the default map-only path otherwise.  Combining it
+    with ``shared_tables=True`` runs two-phase: train + broadcast the symbol
+    tables first, then encode inside the shuffled group folds — the trained
+    tables (and sidecar) are bit-identical to the plain shared-tables mode,
+    since they are a pure function of the input fragments.
     """
-    if shuffle_by_source and shared_tables:
-        raise ValueError(
-            "shuffle_by_source uses a groupby stage; combine it with "
-            "shared tables by training tables first (two-phase) — not "
-            "supported in one call"
-        )
     man, todo, chunks_dir, n_blocks = _compress_setup(input_paths, out_dir, resume)
     if not todo:
         return man.totals()
     ds = ray.data.read_parquet(todo, include_paths=True, override_num_blocks=n_blocks)
     ds = ds.map_batches(_add_frag, batch_format="pyarrow", zero_copy_batch=True)
     if shuffle_by_source:
+        # combines with shared_tables two-phase: train + broadcast tables
+        # FIRST (phase 1), then the shuffled group folds encode with them
+        # (phase 2) — bit-identical to plain shared_tables on an unskewed
+        # corpus, since the tables are a pure function of the input
+        tables_ref = (
+            _prepare_shared_tables(input_paths, out_dir) if shared_tables else None
+        )
         nb = int(shuffle_buckets or max(32, 2 * n_blocks))
         ds = (
             ds.map_batches(_sbkt_tag(nb), batch_format="pyarrow", zero_copy_batch=True)
@@ -363,7 +397,10 @@ def compress(
             .map_groups(
                 _group_encode_fn,
                 batch_format="pyarrow",
-                fn_kwargs={"tokens_codec": tokens_codec},
+                fn_kwargs={
+                    "tokens_codec": tokens_codec,
+                    "tables_ref": tables_ref,
+                },
             )
         )
         ds.write_parquet(
@@ -372,20 +409,11 @@ def compress(
             compression="none",
             row_group_size=8,
         )
-        return _finish_compress(man, todo, chunks_dir, shared_tables=False)
+        return _finish_compress(man, todo, chunks_dir, shared_tables=shared_tables)
     if shared_tables:
         # stateful path: train once on a deterministic sample, broadcast to
         # an actor pool, persist the sidecar + hashes for decode and lineage
-        from tokenzip.codecs.strings import load_shared_tables, save_shared_tables
-
-        sidecar = uio.join(out_dir, "symbols.json")
-        if uio.exists(sidecar):
-            # resume: keep every table earlier chunks reference — the sidecar
-            # is append-only (tables are content-addressed, so merging is safe)
-            load_shared_tables(sidecar)
-        tables = _train_shared_tables(input_paths)
-        save_shared_tables(sidecar)
-        tables_ref = _bcast(tables)  # wrapped ref: restartable-actor safe
+        tables_ref = _prepare_shared_tables(input_paths, out_dir)
         ds = ds.map_batches(
             SharedTableEncodeStage,
             batch_format="pyarrow",
