@@ -1422,3 +1422,79 @@ def test_event_type_affinity_matches_basket_oracle(ray_session):
     ).fetchone()[0]
     assert (got["n_users"] <= n_users).all()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_salted_join_viral_key(ray_session, tmp_path):
+    """Planted viral user (one uid = 30% of events): the auto-detected
+    hot-key salting spreads its probe rows across the reserved salt buckets
+    (no single straggler group) while the as-of AND range join results stay
+    identical to the unsalted plan and to the DuckDB oracle."""
+    from tokenzip.relational import (
+        _JOIN_N_SALTS,
+        _lsh_n_buckets,
+        _tagged_sides,
+        q_events_asof_orders,
+        q_events_range_orders,
+    )
+    from tokenzip.shuffle import detect_hot_keys
+
+    base = 1_700_000_000_000
+    rng = np.random.default_rng(3)
+    n = 3000
+    viral = 7
+    uids = np.where(
+        np.arange(n) % 10 < 3, viral, rng.integers(100, 200, size=n)
+    ).astype(np.int64)
+    rows = [
+        (i, base + int(rng.integers(0, 10_000_000)), int(uids[i]),
+         ["click", "view"][i % 2], 1.0)
+        for i in range(n)
+    ]
+    _write_events(tmp_path, rows)
+    orows = [
+        (k, int(ck), 100.0 + k, base - 1_000_000 + k * 7)
+        for k, ck in enumerate(
+            list(range(100, 200)) * 2 + [viral] * 5
+        )
+    ]
+    _write_orders(tmp_path, orows)
+
+    found = detect_hot_keys(str(tmp_path / "events.parquet"), "user_id", frac=0.10)
+    assert viral in found.tolist()
+
+    # no straggler: the viral uid's probe rows span every salt bucket and
+    # the largest salted group holds ~1/n_salts of them
+    nb = _lsh_n_buckets(n + len(orows))
+    ev, od = _tagged_sides(
+        str(tmp_path / "events.parquet"), str(tmp_path / "orders.parquet"),
+        nb, np.array([viral], np.int64),
+    )
+    tagged = ev.union(od).to_pandas()
+    probe_hot = tagged[(tagged["key"] == viral) & (tagged["side"] == 1)]
+    per_bkt = probe_hot.groupby("bkt").size()
+    assert len(per_bkt) == _JOIN_N_SALTS
+    # rotation restarts per batch, so allow modest slack over the perfect
+    # split — the claim is "no straggler", not byte-equal shares
+    assert per_bkt.max() <= int(1.25 * len(probe_hot) / _JOIN_N_SALTS) + 1
+    assert (per_bkt.index >= nb).all()  # reserved range, no collision
+    # build side replicated into every salt bucket
+    build_hot = tagged[(tagged["key"] == viral) & (tagged["side"] == 0)]
+    assert sorted(build_hot["bkt"].unique()) == sorted(per_bkt.index)
+    assert len(build_hot) == 5 * _JOIN_N_SALTS
+
+    plain_asof = q_events_asof_orders(str(tmp_path))
+    salted_asof = q_events_asof_orders(str(tmp_path), hot_keys="auto")
+    pd.testing.assert_frame_equal(plain_asof, salted_asof)
+    plain_rng = q_events_range_orders(str(tmp_path))
+    salted_rng = q_events_range_orders(str(tmp_path), hot_keys="auto")
+    pd.testing.assert_frame_equal(plain_rng, salted_rng)
+
+    from tokenzip.oracles import events_asof_sql
+
+    exp = _oracle(tmp_path, events_asof_sql())
+    exp = exp.sort_values("event_type").reset_index(drop=True)
+    got = salted_asof[exp.columns]
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in got.columns if c != "event_type"}),
+        exp.astype({c: "int64" for c in exp.columns if c != "event_type"}),
+    )

@@ -235,18 +235,79 @@ def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _tagged_sides(epath: str, opath: str, nb: int):
-    """Column-pruned reads of events (side=1) and orders (side=0) projected
-    onto ONE shared schema (bkt, side, key, tms, id, price_c, et) so a
-    single union feeds the co-partitioning shuffle. The shuffle moves five
-    int64-ish columns per row — never the wide payloads."""
+_JOIN_N_SALTS = 16
+
+
+def _salted_bkt(
+    key: np.ndarray, nb: int, hot_keys: np.ndarray | None, probe: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """(bkt, replicate_mask) under hot-key salting. Non-hot keys hash into
+    [0, nb) as before. A hot key gets its own RESERVED bucket range
+    [nb + i*n_salts, nb + (i+1)*n_salts): probe rows split across the range
+    by rotation (no single straggler group), build rows return a replicate
+    mask — the caller clones them into every salt bucket so each salted
+    group still sees the key's full build side."""
+    bkt = _jbkt_of(key, nb)
+    if hot_keys is None or not len(hot_keys):
+        return bkt, np.zeros(len(key), dtype=bool)
+    hot = np.isin(key, hot_keys)
+    if probe:
+        idx = np.searchsorted(hot_keys, key[hot])
+        salt = np.arange(int(hot.sum()), dtype=np.int64) % _JOIN_N_SALTS
+        bkt = bkt.copy()
+        bkt[hot] = nb + idx * _JOIN_N_SALTS + salt
+        return bkt, np.zeros(len(key), dtype=bool)
+    return bkt, hot
+
+
+def _replicate_hot_build(
+    t: pa.Table, key: np.ndarray, hot_keys: np.ndarray, nb: int
+) -> pa.Table:
+    """Clone the build side's hot-key rows into each of their key's salt
+    buckets (replacing the single original row). Hot keys are by definition
+    a handful, and the build side of a key is bounded — the clone factor is
+    n_salts x (hot build rows), never n_salts x table."""
+    hot = np.isin(key, hot_keys)
+    if not hot.any():
+        return t
+    base = t.filter(pa.array(~hot))
+    hot_t = t.filter(pa.array(hot))
+    idx = np.searchsorted(hot_keys, key[hot])
+    parts = [base]
+    for s in range(_JOIN_N_SALTS):
+        rep = hot_t.set_column(
+            t.column_names.index("bkt"),
+            "bkt",
+            pa.array(nb + idx * _JOIN_N_SALTS + s),
+        )
+        parts.append(rep)
+    return pa.concat_tables(parts)
+
+
+def _tagged_sides(epath: str, opath: str, nb: int, hot_keys=None):
+    """Column-pruned reads of events (side=1, probe) and orders (side=0,
+    build) projected onto ONE shared schema (bkt, side, key, tms, id,
+    price_c, et) so a single union feeds the co-partitioning shuffle. The
+    shuffle moves five int64-ish columns per row — never the wide payloads.
+
+    ``hot_keys`` (sorted int64 array, or "auto" in the callers) engages
+    skew salting: a viral key's probe rows split across _JOIN_N_SALTS
+    reserved buckets and its (bounded) build rows are replicated into each,
+    so no single reducer group receives the whole key. The per-group join
+    kernels are unchanged — each salted group is just a smaller, complete
+    (build, probe-slice) instance — and the per-type aggregate is
+    associative, so the result is provably identical for ANY salt split
+    (the same argument as shuffle.salted_sum)."""
+    if hot_keys is not None:
+        hot_keys = np.sort(np.asarray(hot_keys, dtype=np.int64))
 
     def erows(b: pa.Table) -> pa.Table:
         uid = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(uid)
+        bkt, _ = _salted_bkt(uid, nb, hot_keys, probe=True)
         return pa.table(
             {
-                "bkt": pa.array(_jbkt_of(uid, nb)),
+                "bkt": pa.array(bkt),
                 "side": pa.array(np.ones(n, np.int64)),
                 "key": pa.array(uid),
                 "tms": pa.array(_ts_ms(b["ts"])),
@@ -259,7 +320,7 @@ def _tagged_sides(epath: str, opath: str, nb: int):
     def orows(b: pa.Table) -> pa.Table:
         ck = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(ck)
-        return pa.table(
+        t = pa.table(
             {
                 "bkt": pa.array(_jbkt_of(ck, nb)),
                 "side": pa.array(np.zeros(n, np.int64)),
@@ -270,6 +331,9 @@ def _tagged_sides(epath: str, opath: str, nb: int):
                 "et": pa.array([""] * n, pa.string()),
             }
         )
+        if hot_keys is not None and len(hot_keys):
+            t = _replicate_hot_build(t, ck, hot_keys, nb)
+        return t
 
     ev = ray.data.read_parquet(
         epath, columns=["event_id", "user_id", "ts", "event_type"]
@@ -278,6 +342,19 @@ def _tagged_sides(epath: str, opath: str, nb: int):
         opath, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     ).map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
     return ev, od
+
+
+def _resolve_hot_keys(hot_keys, epath: str):
+    """None -> None; "auto" -> sampled detector over the probe side's key
+    column (shuffle.detect_hot_keys); else the caller's explicit list."""
+    if hot_keys is None:
+        return None
+    if isinstance(hot_keys, str) and hot_keys == "auto":
+        from tokenzip.shuffle import detect_hot_keys
+
+        found = detect_hot_keys(epath, "user_id", frac=0.10)
+        return found if len(found) else None
+    return hot_keys
 
 
 _RANGE_EMPTY = {
@@ -345,7 +422,9 @@ def _range_group(range_ms: int):
     return fn
 
 
-def q_events_range_orders(sf_dir: str, range_ms: int = 10_000 * 86_400_000):
+def q_events_range_orders(
+    sf_dir: str, range_ms: int = 10_000 * 86_400_000, hot_keys=None
+):
     """Interval range join: every (event, order) pair of the same customer
     with the order dated within the trailing ``range_ms`` window
     (inclusive both ends), aggregated per event_type as (n_events, number
@@ -361,7 +440,7 @@ def q_events_range_orders(sf_dir: str, range_ms: int = 10_000 * 86_400_000):
     epath = os.path.join(sf_dir, "events.parquet")
     opath = os.path.join(sf_dir, "orders.parquet")
     nb = _lsh_n_buckets(_row_count(epath) + _row_count(opath))
-    ev, od = _tagged_sides(epath, opath, nb)
+    ev, od = _tagged_sides(epath, opath, nb, _resolve_hot_keys(hot_keys, epath))
     partials = ev.union(od).groupby("bkt").map_groups(
         _range_group(range_ms), batch_format="pandas"
     )
@@ -382,7 +461,7 @@ def q_events_range_orders(sf_dir: str, range_ms: int = 10_000 * 86_400_000):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
-def q_events_asof_orders(sf_dir: str):
+def q_events_asof_orders(sf_dir: str, hot_keys=None):
     """AS-OF join: for every event, the latest order (by order date, ties
     broken by max orderkey) of the same customer placed at-or-before the
     event, aggregated per event_type as (n_events, n_matched, sum of the
@@ -395,7 +474,7 @@ def q_events_asof_orders(sf_dir: str):
     epath = os.path.join(sf_dir, "events.parquet")
     opath = os.path.join(sf_dir, "orders.parquet")
     nb = _lsh_n_buckets(_row_count(epath) + _row_count(opath))
-    ev, od = _tagged_sides(epath, opath, nb)
+    ev, od = _tagged_sides(epath, opath, nb, _resolve_hot_keys(hot_keys, epath))
     partials = ev.union(od).groupby("bkt").map_groups(_asof_group, batch_format="pandas")
     agg = (
         partials.groupby("event_type")

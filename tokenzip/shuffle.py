@@ -67,3 +67,50 @@ def salted_sum(
         .aggregate(*[Sum(c) for c in sum_cols])
         .map_batches(unalias, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def detect_hot_keys(
+    path: str, col: str, frac: float = 0.10
+) -> np.ndarray:
+    """Distributed hot-key detector for the salted joins: sorted int64 keys
+    whose global row share MAY reach ``frac``.
+
+    One column-pruned pass: each batch emits (key, count) partials only for
+    keys holding >= frac/2 of the batch (so partial output stays tiny), then
+    a bounded groupby-sum, then a driver threshold at frac/2 of total rows.
+    The result is a certified SUPERSET of every key with global share >=
+    frac: such a key holds < frac/2 of its rows in batches where its local
+    share is < frac/2, so the batches that do report it carry >= frac/2 of
+    the total — it always crosses the final threshold. Keys down to ~frac/4
+    may also appear; extra entries only cost harmless salting."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    total = sum(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in ([path] if os.path.isfile(path) else
+                  sorted(os.path.join(path, f) for f in os.listdir(path)
+                         if f.endswith(".parquet")))
+    )
+    if total == 0:
+        return np.array([], dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        keep = c >= max(1, int(np.ceil(frac / 2 * len(v))))
+        return pa.table({"k": pa.array(u[keep]), "c": pa.array(c[keep].astype(np.int64))})
+
+    agg = (
+        ray.data.read_parquet(path, columns=[col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    if not len(agg):
+        return np.array([], dtype=np.int64)
+    keys = agg.loc[agg["c"] >= frac / 2 * total, "k"].to_numpy().astype(np.int64)
+    return np.sort(keys)
