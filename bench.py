@@ -89,6 +89,45 @@ def run_bench() -> dict:
         queries["decompress"] = time.time() - t0
         assert n_rows == totals["n_rows"], (n_rows, totals)
 
+        # fused-consumer decode (decompress_map): the user's fold runs on
+        # each decoded chunk inside the decode task — decoded tokens never
+        # form block tables. This is the scaling-clean consumer path; the
+        # plain decompress above materializes the decoded Dataset through
+        # the object store because the Dataset IS its product.
+        def _fold(t):
+            import numpy as np
+            import pyarrow as _pa
+
+            from tokenzip.chunk import _tokens_parts
+
+            lengths, flat = _tokens_parts(t["tokens"])
+            return _pa.table(
+                {
+                    "n_docs": _pa.array([t.num_rows], _pa.int64()),
+                    "n_tok": _pa.array([int(lengths.sum())], _pa.int64()),
+                    "tok_sum": _pa.array(
+                        [int(flat.astype(np.int64).sum())], _pa.int64()
+                    ),
+                }
+            )
+
+        t0 = time.time()
+        from tokenzip.pipeline import decompress_map
+
+        fold_df = decompress_map(out_dir, _fold).to_pandas()
+        queries["decompress_fold"] = time.time() - t0
+        assert fold_df["n_docs"].sum() == totals["n_rows"]
+        assert fold_df["n_tok"].sum() == totals["n_tokens"]
+
+        # decode -> write_parquet (the decompress-to-sink shape): decoded
+        # blocks feed the writer directly
+        t0 = time.time()
+        sink_dir = out_dir + "_restored"
+        shutil.rmtree(sink_dir, ignore_errors=True)
+        decompress(out_dir).write_parquet(sink_dir)
+        queries["decompress_sink"] = time.time() - t0
+        shutil.rmtree(sink_dir, ignore_errors=True)
+
         t0 = time.time()
         v = verify_roundtrip(paths).to_pandas()
         queries["verify_roundtrip"] = time.time() - t0

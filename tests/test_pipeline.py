@@ -834,3 +834,99 @@ def test_shuffle_by_source_with_shared_tables_two_phase(ray_session, tmp_path):
     with open(f"{both_dir}/manifest.json") as f:
         man = _json.load(f)
     assert all(fr["shared_tables"] for fr in man["fragments"].values())
+
+
+def _make_tok_partial():
+    """Empty-safe per-chunk fold: (source, n_docs, sum_tok) partials.
+    Built as a closure so it cloudpickles BY VALUE (test modules are not
+    importable on Ray workers)."""
+
+    def _tok_partial(t):
+        import numpy as np
+        import pyarrow as pa
+
+        from tokenzip.chunk import _tokens_parts
+
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "sum_tok": pa.array([], pa.int64()),
+                }
+            )
+        lengths, flat = _tokens_parts(t["tokens"])
+        src = t["source"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(src, return_inverse=True)
+        sums = np.zeros(len(u), np.int64)
+        np.add.at(sums, np.repeat(inv, lengths), flat.astype(np.int64))
+        return pa.table(
+            {
+                "source": pa.array([str(s) for s in u], pa.string()),
+                "n_docs": pa.array(np.bincount(inv, minlength=len(u)).astype(np.int64)),
+                "sum_tok": pa.array(sums),
+            }
+        )
+
+    return _tok_partial
+
+
+def test_decompress_map_fused_fold(ray_session, paths, tmp_path):
+    """decompress_map(fn) == decompress().map_batches(fn) content-wise:
+    identity fn reproduces the corpus bit-identically; a partial-fold fn
+    aggregates to the same totals; pushdown args still apply; zero-match
+    pushdowns return a schema-stable empty of the fn's output."""
+    import numpy as np
+    import pandas as pd
+
+    from tokenzip.pipeline import decompress_map
+
+    tok_partial = _make_tok_partial()
+    out = str(tmp_path / "out")
+    compress(paths, out, concurrency=2)
+
+    # identity fold == plain decode
+    a = (
+        decompress_map(out, lambda t: t)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    orig = _orig_df(paths)
+    assert (a["doc_id"] == orig["doc_id"]).all()
+    for x, y in zip(a["tokens"], orig["tokens"]):
+        assert len(x) == len(y) and (x == y).all()
+
+    # partial fold: per-source sums match the direct computation
+    got = (
+        decompress_map(out, tok_partial)
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.DataFrame(
+            {
+                "source": orig["source"],
+                "n_docs": 1,
+                "sum_tok": [np.asarray(t, np.int64).sum() for t in orig["tokens"]],
+            }
+        )
+        .groupby("source", as_index=False)
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+    # pushdowns still apply inside the fused stage
+    one_src = str(orig["source"].iloc[0])
+    f = decompress_map(out, tok_partial, sources=[one_src]).to_pandas()
+    assert set(f["source"]) == {one_src}
+
+    # zero-match pushdown: schema-stable empty of the fn's output schema
+    # (assert on the Dataset schema: Ray's to_pandas drops columns when
+    # every block is empty — a conversion quirk, not a schema loss)
+    z = decompress_map(out, tok_partial, doc_ids=["no-such-doc"])
+    assert z.schema().names == ["source", "n_docs", "sum_tok"]
+    assert z.count() == 0

@@ -65,7 +65,13 @@ from tokenzip.errors import (  # noqa: E402,F401
 
 
 def __getattr__(name):  # lazy: pipeline pulls in ray; keep bare import light
-    if name in ("compress", "decompress", "verify_roundtrip", "chunk_meta_dataset"):
+    if name in (
+        "compress",
+        "decompress",
+        "decompress_map",
+        "verify_roundtrip",
+        "chunk_meta_dataset",
+    ):
         from tokenzip import pipeline
 
         return getattr(pipeline, name)
