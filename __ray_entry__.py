@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_by_source": a.q_fingerprint_by_source,
         "lang_id_confusion": a.q_lang_id_confusion,
         "media_features_by_source": _media_features,
+        "media_real_stats": _media_real_stats,
         "embedding_topk_ivf": a.q_embedding_topk_ivf,
         "dedup_embedding": a.q_dedup_embedding,
         "dedup_embedding_ivf": a.q_dedup_embedding_ivf,
@@ -1031,6 +1032,12 @@ def _media_features(sf_dir: str):
     return q_media_features_by_source(sf_dir)
 
 
+def _media_real_stats(sf_dir: str):
+    from tokenzip.multimodal import q_media_real_stats
+
+    return q_media_real_stats(sf_dir)
+
+
 
 
 _FP_EXPR = (
@@ -1143,6 +1150,12 @@ def _decontam_sql() -> str:
     return decontamination_sql()
 
 
+def _media_real_sql() -> str:
+    from tokenzip.multimodal import media_real_sql
+
+    return media_real_sql()
+
+
 def _distinct_sql(glob: str) -> str:
     from tokenzip.sketch import distinct_tokens_sql
 
@@ -1220,6 +1233,7 @@ FROM documents GROUP BY source ORDER BY source
         "sample_bottomk_by_source": _bottomk_sql(glob),
         "seqlen_quantiles_by_source": _seqlen_sql(glob),
         "media_features_by_source": _O.media_sql(),
+        "media_real_stats": _media_real_sql(),
         "boundary_roundtrip": _O.boundary_sql(),
         "dedup_minhash": _O.minhash_sql(),
         # exact inverted-index n-gram Jaccard: the SAME oracle as minhash —
