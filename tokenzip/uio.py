@@ -23,7 +23,22 @@ def is_uri(path: str) -> bool:
     return "://" in path
 
 
+# scheme -> pyarrow FileSystem instance. Normally empty (from_uri resolves
+# s3://, gs://, hdfs://, file:// natively); tests and embedders register
+# custom schemes here — e.g. mock:// onto pyarrow's in-memory
+# _MockFileSystem, which is how the remote-storage contract is proven
+# without network access (tests/test_uio.py).
+_FS_REGISTRY: dict[str, object] = {}
+
+
+def register_filesystem(scheme: str, fs) -> None:
+    _FS_REGISTRY[scheme] = fs
+
+
 def _fs(path: str):
+    scheme, _, rest = path.partition("://")
+    if scheme in _FS_REGISTRY:
+        return _FS_REGISTRY[scheme], rest
     from pyarrow import fs as pafs
 
     return pafs.FileSystem.from_uri(path)
