@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_suffstats": _qty_price_suffstats,
         "props_field_stats": _props_field_stats,
         "recode_stats": _recode_stats,
+        "fused_decode_stats": _fused_decode_stats,
+        "events_asof_orders_salted": _events_asof_orders_salted,
         "vocab_unique_by_source": _vocab_unique,
         "multi_format_union_stats": _multi_format_union,
         "incompressible_topk": _incompressible_topk,
@@ -218,6 +220,20 @@ def _recode_stats(sf_dir: str):
     from tokenzip.queries import q_recode_stats
 
     return q_recode_stats(sf_dir)
+
+
+def _fused_decode_stats(sf_dir: str):
+    from tokenzip.queries import q_fused_decode_stats
+
+    return q_fused_decode_stats(sf_dir)
+
+
+def _events_asof_orders_salted(sf_dir: str):
+    # the skew-salted plan MUST be answer-identical to the plain one, so it
+    # shares events_asof_orders' oracle verbatim (hot keys auto-detected)
+    from tokenzip.relational import q_events_asof_orders
+
+    return q_events_asof_orders(sf_dir, hot_keys="auto")
 
 
 def _props_field_stats(sf_dir: str):
@@ -1352,6 +1368,8 @@ FROM documents GROUP BY source ORDER BY source
         # codec migration: legacy LEB128 sink recoded to auto, content
         # decoded from the RECODED sink (bit-identity through two sinks)
         "recode_stats": _recode_sql(glob),
+        "fused_decode_stats": _recode_sql(glob),
+        "events_asof_orders_salted": _O.events_asof_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

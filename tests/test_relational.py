@@ -1473,9 +1473,9 @@ def test_salted_join_viral_key(ray_session, tmp_path):
     probe_hot = tagged[(tagged["key"] == viral) & (tagged["side"] == 1)]
     per_bkt = probe_hot.groupby("bkt").size()
     assert len(per_bkt) == _JOIN_N_SALTS
-    # rotation restarts per batch, so allow modest slack over the perfect
-    # split — the claim is "no straggler", not byte-equal shares
-    assert per_bkt.max() <= int(1.25 * len(probe_hot) / _JOIN_N_SALTS) + 1
+    # hash-of-id salting is a binomial split — allow a few sigma over the
+    # perfect share; the claim is "no straggler", not byte-equal shares
+    assert per_bkt.max() <= int(1.5 * len(probe_hot) / _JOIN_N_SALTS) + 1
     assert (per_bkt.index >= nb).all()  # reserved range, no collision
     # build side replicated into every salt bucket
     build_hot = tagged[(tagged["key"] == viral) & (tagged["side"] == 0)]

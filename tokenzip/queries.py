@@ -929,3 +929,76 @@ def q_shuffled_compress_stats(sf_dir: str):
         }
     )
     return out.sort_values("source").reset_index(drop=True)
+
+
+def _fused_stats_fold(t: pa.Table) -> pa.Table:
+    """Empty-safe per-chunk fold of the fused-consumer demo: per-source
+    (n_docs, n_tokens, sum_zigzag) partials, computed on the decoded chunk
+    while its buffer is cache-hot (int64 np.add.at accumulators — the exact
+    integer rule)."""
+    from tokenzip.chunk import _tokens_parts
+
+    if not t.num_rows:
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "sum_zigzag": pa.array([], pa.int64()),
+            }
+        )
+    lengths, values = _tokens_parts(t["tokens"])
+    src = t["source"].to_numpy(zero_copy_only=False)
+    uniq, inv = np.unique(src, return_inverse=True)
+    zz = zigzag_encode(values.astype(np.int32), 32).astype(np.int64)
+    sum_zz = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sum_zz, np.repeat(inv, lengths), zz)
+    ntok = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(ntok, inv, lengths.astype(np.int64))
+    return pa.table(
+        {
+            "source": pa.array([str(s) for s in uniq], pa.string()),
+            "n_docs": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64)),
+            "n_tokens": pa.array(ntok),
+            "sum_zigzag": pa.array(sum_zz),
+        }
+    )
+
+
+def q_fused_decode_stats(sf_dir: str):
+    """The fold-at-source consumer path (pipeline.decompress_map) under the
+    oracle gate: compress (resumable, shares the other sink queries' sink),
+    then run the per-source content stats fold FUSED into the decode task —
+    decoded tokens never form block tables — and fold the chunk partials
+    with one tiny source-sized groupby. Content must hash-match the SQL over
+    the original corpus: the fused path is only a scheduling change."""
+    import pandas as pd
+
+    from tokenzip.pipeline import compress, decompress_map
+
+    paths = corpus_paths(sf_dir)
+    out_dir = _scoped_out_dir("/tmp/tokenzip_out", sf_dir)
+    compress(paths, out_dir)
+    agg = (
+        decompress_map(out_dir, _fused_stats_fold)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("sum_zigzag", alias_name="sum_zigzag"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "source": agg["source"].astype(str),
+            "n_docs": agg["n_docs"].astype("int64"),
+            "n_tokens": agg["n_tokens"].astype("int64"),
+            "sum_zigzag": agg["sum_zigzag"].astype("int64"),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def fused_decode_stats_sql(glob: str) -> str:
+    return recode_stats_sql(glob)

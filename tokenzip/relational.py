@@ -239,21 +239,27 @@ _JOIN_N_SALTS = 16
 
 
 def _salted_bkt(
-    key: np.ndarray, nb: int, hot_keys: np.ndarray | None, probe: bool
+    key: np.ndarray,
+    ids: np.ndarray,
+    nb: int,
+    hot_keys: np.ndarray | None,
+    probe: bool,
 ) -> tuple[np.ndarray, np.ndarray]:
     """(bkt, replicate_mask) under hot-key salting. Non-hot keys hash into
     [0, nb) as before. A hot key gets its own RESERVED bucket range
     [nb + i*n_salts, nb + (i+1)*n_salts): probe rows split across the range
-    by rotation (no single straggler group), build rows return a replicate
-    mask — the caller clones them into every salt bucket so each salted
-    group still sees the key's full build side."""
+    by a hash of their own row id (deterministic under retries AND
+    re-batching — a per-batch rotation would skew toward low salts; no
+    single straggler group either way), build rows return a replicate mask —
+    the caller clones them into every salt bucket so each salted group still
+    sees the key's full build side."""
     bkt = _jbkt_of(key, nb)
     if hot_keys is None or not len(hot_keys):
         return bkt, np.zeros(len(key), dtype=bool)
     hot = np.isin(key, hot_keys)
     if probe:
         idx = np.searchsorted(hot_keys, key[hot])
-        salt = np.arange(int(hot.sum()), dtype=np.int64) % _JOIN_N_SALTS
+        salt = _jbkt_of(ids[hot], _JOIN_N_SALTS)
         bkt = bkt.copy()
         bkt[hot] = nb + idx * _JOIN_N_SALTS + salt
         return bkt, np.zeros(len(key), dtype=bool)
@@ -304,7 +310,8 @@ def _tagged_sides(epath: str, opath: str, nb: int, hot_keys=None):
     def erows(b: pa.Table) -> pa.Table:
         uid = b["user_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(uid)
-        bkt, _ = _salted_bkt(uid, nb, hot_keys, probe=True)
+        eid = b["event_id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt, _ = _salted_bkt(uid, eid, nb, hot_keys, probe=True)
         return pa.table(
             {
                 "bkt": pa.array(bkt),
