@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recode_stats": _recode_stats,
         "fused_decode_stats": _fused_decode_stats,
         "events_asof_orders_salted": _events_asof_orders_salted,
+        "order_revenue_by_priority_salted": _order_revenue_salted,
         "vocab_unique_by_source": _vocab_unique,
         "multi_format_union_stats": _multi_format_union,
         "incompressible_topk": _incompressible_topk,
@@ -230,10 +231,21 @@ def _fused_decode_stats(sf_dir: str):
 
 def _events_asof_orders_salted(sf_dir: str):
     # the skew-salted plan MUST be answer-identical to the plain one, so it
-    # shares events_asof_orders' oracle verbatim (hot keys auto-detected)
+    # shares events_asof_orders' oracle verbatim. hot_frac is dropped far
+    # below the production 0.10 so the detector actually flags keys at the
+    # oracle scale (max user share at sf0.01 is ~0.9%) and the salted path
+    # genuinely executes under the hash gate
     from tokenzip.relational import q_events_asof_orders
 
-    return q_events_asof_orders(sf_dir, hot_keys="auto")
+    return q_events_asof_orders(sf_dir, hot_keys="auto", hot_frac=0.005)
+
+
+def _order_revenue_salted(sf_dir: str):
+    # equi-join counterpart: lineitem probe rows of detected-hot orderkeys
+    # split across salt buckets; same oracle as the plain plan
+    from tokenzip.relational import q_order_revenue_by_priority
+
+    return q_order_revenue_by_priority(sf_dir, hot_keys="auto", hot_frac=0.0002)
 
 
 def _props_field_stats(sf_dir: str):
@@ -1370,6 +1382,7 @@ FROM documents GROUP BY source ORDER BY source
         "recode_stats": _recode_sql(glob),
         "fused_decode_stats": _recode_sql(glob),
         "events_asof_orders_salted": _O.events_asof_sql(),
+        "order_revenue_by_priority_salted": _order_revenue_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
         "csv_ingest_stats": _csv_sql(),

@@ -1498,3 +1498,75 @@ def test_salted_join_viral_key(ray_session, tmp_path):
         got.astype({c: "int64" for c in got.columns if c != "event_type"}),
         exp.astype({c: "int64" for c in exp.columns if c != "event_type"}),
     )
+
+
+def test_salted_equi_join_viral_orderkey(ray_session, tmp_path):
+    """Planted viral orderkey (one key = ~40% of lineitems): the salted
+    equi-join plan splits that key's probe rows by hash of
+    (orderkey, linenumber) across the reserved salt buckets, replicates its
+    single build row per salt, and stays byte-identical to the unsalted
+    plan — including the exact int64 revenue and the PK guard (each salt
+    bucket sees the replicated order row exactly once, so no false trip)."""
+    from tokenzip.relational import q_order_revenue_by_priority
+    from tokenzip.shuffle import detect_hot_keys
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    viral = 42
+    lk = np.where(
+        np.arange(n) % 5 < 2, viral, rng.integers(1000, 1400, size=n)
+    ).astype(np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(lk),
+                "l_linenumber": pa.array(np.arange(n, dtype=np.int64) % 7 + 1),
+                "l_extendedprice": pa.array(
+                    rng.integers(100, 99999, size=n).astype(np.float64) / 100.0
+                ),
+                "l_discount": pa.array(
+                    rng.integers(0, 11, size=n).astype(np.float64) / 100.0
+                ),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    okeys = np.unique(lk)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(okeys),
+                "o_orderpriority": pa.array(
+                    [["1-URGENT", "3-MEDIUM", "5-LOW"][int(k) % 3] for k in okeys]
+                ),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+
+    found = detect_hot_keys(str(tmp_path / "lineitem.parquet"), "l_orderkey", frac=0.10)
+    assert viral in found.tolist()
+
+    plain = q_order_revenue_by_priority(str(tmp_path))
+    salted_auto = q_order_revenue_by_priority(str(tmp_path), hot_keys="auto")
+    pd.testing.assert_frame_equal(plain, salted_auto)
+    salted_explicit = q_order_revenue_by_priority(
+        str(tmp_path), hot_keys=[viral]
+    )
+    pd.testing.assert_frame_equal(plain, salted_explicit)
+
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""
+        SELECT o_orderpriority,
+               COUNT(*)::BIGINT AS n_items,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))::BIGINT
+                 AS sum_revenue
+        FROM read_parquet('{tmp_path}/lineitem.parquet') l
+        JOIN read_parquet('{tmp_path}/orders.parquet') o
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    pd.testing.assert_frame_equal(salted_auto, exp, check_dtype=False)

@@ -351,15 +351,16 @@ def _tagged_sides(epath: str, opath: str, nb: int, hot_keys=None):
     return ev, od
 
 
-def _resolve_hot_keys(hot_keys, epath: str):
-    """None -> None; "auto" -> sampled detector over the probe side's key
-    column (shuffle.detect_hot_keys); else the caller's explicit list."""
+def _resolve_hot_keys(hot_keys, path: str, col: str = "user_id", frac: float = 0.10):
+    """None -> None; "auto" -> one-pass detector over the probe side's key
+    column (shuffle.detect_hot_keys at ``frac``); else the caller's explicit
+    list."""
     if hot_keys is None:
         return None
     if isinstance(hot_keys, str) and hot_keys == "auto":
         from tokenzip.shuffle import detect_hot_keys
 
-        found = detect_hot_keys(epath, "user_id", frac=0.10)
+        found = detect_hot_keys(path, col, frac=frac)
         return found if len(found) else None
     return hot_keys
 
@@ -430,7 +431,8 @@ def _range_group(range_ms: int):
 
 
 def q_events_range_orders(
-    sf_dir: str, range_ms: int = 10_000 * 86_400_000, hot_keys=None
+    sf_dir: str, range_ms: int = 10_000 * 86_400_000, hot_keys=None,
+    hot_frac: float = 0.10,
 ):
     """Interval range join: every (event, order) pair of the same customer
     with the order dated within the trailing ``range_ms`` window
@@ -447,7 +449,10 @@ def q_events_range_orders(
     epath = os.path.join(sf_dir, "events.parquet")
     opath = os.path.join(sf_dir, "orders.parquet")
     nb = _lsh_n_buckets(_row_count(epath) + _row_count(opath))
-    ev, od = _tagged_sides(epath, opath, nb, _resolve_hot_keys(hot_keys, epath))
+    ev, od = _tagged_sides(
+        epath, opath, nb,
+        _resolve_hot_keys(hot_keys, epath, "user_id", hot_frac),
+    )
     partials = ev.union(od).groupby("bkt").map_groups(
         _range_group(range_ms), batch_format="pandas"
     )
@@ -468,7 +473,7 @@ def q_events_range_orders(
     return out.sort_values("event_type").reset_index(drop=True)
 
 
-def q_events_asof_orders(sf_dir: str, hot_keys=None):
+def q_events_asof_orders(sf_dir: str, hot_keys=None, hot_frac: float = 0.10):
     """AS-OF join: for every event, the latest order (by order date, ties
     broken by max orderkey) of the same customer placed at-or-before the
     event, aggregated per event_type as (n_events, n_matched, sum of the
@@ -481,7 +486,10 @@ def q_events_asof_orders(sf_dir: str, hot_keys=None):
     epath = os.path.join(sf_dir, "events.parquet")
     opath = os.path.join(sf_dir, "orders.parquet")
     nb = _lsh_n_buckets(_row_count(epath) + _row_count(opath))
-    ev, od = _tagged_sides(epath, opath, nb, _resolve_hot_keys(hot_keys, epath))
+    ev, od = _tagged_sides(
+        epath, opath, nb,
+        _resolve_hot_keys(hot_keys, epath, "user_id", hot_frac),
+    )
     partials = ev.union(od).groupby("bkt").map_groups(_asof_group, batch_format="pandas")
     agg = (
         partials.groupby("event_type")
@@ -1985,15 +1993,26 @@ def _revenue_group(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def q_order_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
+def q_order_revenue_by_priority(
+    sf_dir: str, hot_keys=None, hot_frac: float = 0.10
+) -> pd.DataFrame:
     """Revenue per order priority through the lineitem JOIN orders inner
     equi-join: revenue = price_cents * (100 - discount_hundredths), exact
     int64 (the pricing_summary arithmetic). Plan: both fact tables project
     onto one shared narrow schema, union, hash-bucket groupby on the join
-    key, per-group sort-merge, priority-sized final aggregate."""
+    key, per-group sort-merge, priority-sized final aggregate.
+
+    ``hot_keys`` ("auto" or an explicit list) engages the same skew salting
+    as the as-of/range joins: a viral orderkey's probe (lineitem) rows split
+    across reserved salt buckets by hash of (orderkey, linenumber) and its
+    single build (orders) row is replicated per salt — the per-priority
+    aggregate is associative, so the answer is split-invariant."""
     lpath = os.path.join(sf_dir, "lineitem.parquet")
     opath = os.path.join(sf_dir, "orders.parquet")
     nb = _lsh_n_buckets(_row_count(lpath))
+    hot_keys = _resolve_hot_keys(hot_keys, lpath, "l_orderkey", hot_frac)
+    if hot_keys is not None:
+        hot_keys = np.sort(np.asarray(hot_keys, dtype=np.int64))
 
     def lrows(b: pa.Table) -> pa.Table:
         lk = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2003,9 +2022,15 @@ def q_order_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
             + 0.5
         ).astype(np.int64)
         n = len(lk)
+        if hot_keys is not None:
+            ln = b["l_linenumber"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            rid = lk * 31 + ln  # unique per lineitem row -> uniform salt
+            bkt, _ = _salted_bkt(lk, rid, nb, hot_keys, probe=True)
+        else:
+            bkt = _jbkt_of(lk, nb)
         return pa.table(
             {
-                "bkt": pa.array(_jbkt_of(lk, nb)),
+                "bkt": pa.array(bkt),
                 "side": pa.array(np.ones(n, np.int64)),
                 "key": pa.array(lk),
                 "rev": pa.array(price * (100 - disc)),
@@ -2016,7 +2041,7 @@ def q_order_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
     def orows(b: pa.Table) -> pa.Table:
         ok = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(ok)
-        return pa.table(
+        t = pa.table(
             {
                 "bkt": pa.array(_jbkt_of(ok, nb)),
                 "side": pa.array(np.zeros(n, np.int64)),
@@ -2025,10 +2050,16 @@ def q_order_revenue_by_priority(sf_dir: str) -> pd.DataFrame:
                 "pri": b["o_orderpriority"].combine_chunks(),
             }
         )
+        if hot_keys is not None:
+            t = _replicate_hot_build(t, ok, hot_keys, nb)
+        return t
 
-    li = ray.data.read_parquet(
-        lpath, columns=["l_orderkey", "l_extendedprice", "l_discount"]
-    ).map_batches(lrows, batch_format="pyarrow", zero_copy_batch=True)
+    lcols = ["l_orderkey", "l_extendedprice", "l_discount"]
+    if hot_keys is not None:
+        lcols.append("l_linenumber")
+    li = ray.data.read_parquet(lpath, columns=lcols).map_batches(
+        lrows, batch_format="pyarrow", zero_copy_batch=True
+    )
     od = ray.data.read_parquet(
         opath, columns=["o_orderkey", "o_orderpriority"]
     ).map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
