@@ -120,6 +120,7 @@ def test_suppress_group_matches_bruteforce(rows):
     )
     got = (
         _suppress_group(g)
+        .to_pandas()
         .sort_values("event_type")
         .reset_index(drop=True)
     )
@@ -170,7 +171,7 @@ def test_all_month_group_matches_bruteforce(orders, lines):
             "prio": [orders[k] for k in ok] + [""] * len(lines),
         }
     )
-    got = _all_month_group(g).sort_values("o_orderpriority").reset_index(drop=True)
+    got = _all_month_group(g).to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
     exp: dict = {}
     for k in ok:
         months = {m for kk, m in lines if kk == k}
@@ -213,7 +214,7 @@ def test_q22_group_matches_bruteforce(custs, orders):
             "seg": [custs[c][1] for c in ck] + [""] * len(orders),
         }
     )
-    got = _q22_group(total_cents, n_cust)(g)
+    got = _q22_group(total_cents, n_cust)(g).to_pandas()
     exp: dict = {}
     ordered = set(orders)
     for c in ck:
@@ -276,6 +277,7 @@ def test_q5_stages_match_bruteforce(orders, lines, custnat):
     )
     got = (
         _q5_stage2_group(g2)
+        .to_pandas()
         .groupby("n_nationkey", as_index=False)["rev"]
         .sum()
         .sort_values("n_nationkey")
@@ -311,7 +313,7 @@ def test_heavy_group_matches_bruteforce(parts, thresh):
     g = pd.DataFrame(
         {"k": [p[0] for p in parts], "q": [p[1] for p in parts]}
     )
-    got = _heavy_group(thresh)(g).sort_values("k").reset_index(drop=True)
+    got = _heavy_group(thresh)(g).to_pandas().sort_values("k").reset_index(drop=True)
     exp: dict = {}
     for k, q in parts:
         exp[k] = exp.get(k, 0) + q

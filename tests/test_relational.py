@@ -339,7 +339,8 @@ def test_topn_partial_merge_is_exact():
     merged = pd.concat(parts, ignore_index=True)
     fin = _topn_final(n)
     out = pd.concat(
-        [fin(g) for _, g in merged.groupby("n_name")], ignore_index=True
+        [fin(g).to_pandas() for _, g in merged.groupby("n_name")],
+        ignore_index=True,
     )
     got = {
         (int(r["n_name"]), int(r["rnk"])): int(r["o_orderkey"])

@@ -89,16 +89,30 @@ def _comp_keys(key: np.ndarray, tms: np.ndarray) -> np.ndarray:
     return (rank.astype(np.int64) << _T_SHIFT) + dt
 
 
+def _gnp(g, col: str, dtype=None) -> np.ndarray:
+    """Group column -> numpy, for either a pandas group or an Arrow-table
+    group (``map_groups(..., batch_format="pyarrow")``) — the grouped folds
+    run the same NumPy kernels on Arrow slices without a per-group pandas
+    conversion."""
+    c = g[col]
+    a = (
+        c.to_numpy(zero_copy_only=False)
+        if isinstance(c, pa.ChunkedArray)
+        else c.to_numpy()
+    )
+    return a if dtype is None else a.astype(dtype, copy=False)
+
+
 # ---------------------------------------------------------------------------
 # Sliding-window aggregate over events
 # ---------------------------------------------------------------------------
 
 
 _WIN_EMPTY = {
-    "event_type": pd.Series([], dtype="object"),
-    "n_events": pd.Series([], dtype="int64"),
-    "sum_cnt": pd.Series([], dtype="int64"),
-    "max_cnt": pd.Series([], dtype="int64"),
+    "event_type": pa.array([], pa.string()),
+    "n_events": pa.array([], pa.int64()),
+    "sum_cnt": pa.array([], pa.int64()),
+    "max_cnt": pa.array([], pa.int64()),
 }
 
 
@@ -112,10 +126,10 @@ def _win_group(window_ms: int):
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
-            return pd.DataFrame(_WIN_EMPTY)
-        uid = g["uid"].to_numpy().astype(np.int64)
-        tms = g["tms"].to_numpy().astype(np.int64)
-        et = g["et"].to_numpy()
+            return pa.table(_WIN_EMPTY)
+        uid = _gnp(g, "uid").astype(np.int64)
+        tms = _gnp(g, "tms").astype(np.int64)
+        et = _gnp(g, "et")
         order = np.lexsort((tms, uid))
         uid, tms, et = uid[order], tms[order], et[order]
         comp = _comp_keys(uid, tms)
@@ -128,7 +142,7 @@ def _win_group(window_ms: int):
         s = _int_group_sums(cnt, inv, len(types))
         mx = np.zeros(len(types), np.int64)
         np.maximum.at(mx, inv, cnt)
-        return pd.DataFrame(
+        return pa.table(
             {"event_type": types, "n_events": n, "sum_cnt": s, "max_cnt": mx}
         )
 
@@ -160,7 +174,7 @@ def q_events_window_agg(sf_dir: str, window_ms: int = 3_600_000):
         ray.data.read_parquet(path, columns=["user_id", "ts", "event_type"])
         .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bkt")
-        .map_groups(_win_group(window_ms), batch_format="pandas")
+        .map_groups(_win_group(window_ms), batch_format="pyarrow")
     )
     agg = (
         partials.groupby("event_type")
@@ -184,11 +198,11 @@ def q_events_window_agg(sf_dir: str, window_ms: int = 3_600_000):
 
 
 _ASOF_EMPTY = {
-    "event_type": pd.Series([], dtype="object"),
-    "n_events": pd.Series([], dtype="int64"),
-    "n_matched": pd.Series([], dtype="int64"),
-    "sum_price": pd.Series([], dtype="int64"),
-    "chk": pd.Series([], dtype="int64"),
+    "event_type": pa.array([], pa.string()),
+    "n_events": pa.array([], pa.int64()),
+    "n_matched": pa.array([], pa.int64()),
+    "sum_price": pa.array([], pa.int64()),
+    "chk": pa.array([], pa.int64()),
 }
 
 
@@ -199,23 +213,23 @@ def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
     orderkey, matching the oracle's arg_max ordering. Cross-key bleed is
     impossible: the composite embeds the key rank, checked after lookup."""
     if not len(g):
-        return pd.DataFrame(_ASOF_EMPTY)
-    side = g["side"].to_numpy().astype(np.int64)
-    key = g["key"].to_numpy().astype(np.int64)
-    tms = g["tms"].to_numpy().astype(np.int64)
-    ids = g["id"].to_numpy().astype(np.int64)
+        return pa.table(_ASOF_EMPTY)
+    side = _gnp(g, "side").astype(np.int64)
+    key = _gnp(g, "key").astype(np.int64)
+    tms = _gnp(g, "tms").astype(np.int64)
+    ids = _gnp(g, "id").astype(np.int64)
     comp = _comp_keys(key, tms)
 
     om = side == 0
     okey, ocomp = ids[om], comp[om]
-    oprice = g["price_c"].to_numpy().astype(np.int64)[om]
+    oprice = _gnp(g, "price_c").astype(np.int64)[om]
     oo = np.lexsort((okey, ocomp))
     okey, ocomp, oprice = okey[oo], ocomp[oo], oprice[oo]
     orank = ocomp >> _T_SHIFT
 
     em = ~om
     ecomp, eid = comp[em], ids[em]
-    et = g["et"].to_numpy()[em]
+    et = _gnp(g, "et")[em]
     erank = ecomp >> _T_SHIFT
     pos = np.searchsorted(ocomp, ecomp, side="right") - 1
     safe = np.maximum(pos, 0)
@@ -230,7 +244,7 @@ def _asof_group(g: pd.DataFrame) -> pd.DataFrame:
     # arbitrary int64 at scale); congruent to the oracle's HUGEINT end-mod
     terms = ((eid % _PAIR_MOD) * _PAIR_K % _PAIR_MOD + okey[safe] % _PAIR_MOD) % _PAIR_MOD if len(okey) else np.zeros(len(eid), np.int64)
     chk = _int_group_sums(terms[matched], inv[matched], k) % _PAIR_MOD if matched.any() else np.zeros(k, np.int64)
-    return pd.DataFrame(
+    return pa.table(
         {"event_type": types, "n_events": n, "n_matched": nm, "sum_price": price, "chk": chk}
     )
 
@@ -366,11 +380,11 @@ def _resolve_hot_keys(hot_keys, path: str, col: str = "user_id", frac: float = 0
 
 
 _RANGE_EMPTY = {
-    "event_type": pd.Series([], dtype="object"),
-    "n_events": pd.Series([], dtype="int64"),
-    "n_pairs": pd.Series([], dtype="int64"),
-    "sum_price": pd.Series([], dtype="int64"),
-    "chk": pd.Series([], dtype="int64"),
+    "event_type": pa.array([], pa.string()),
+    "n_events": pa.array([], pa.int64()),
+    "n_pairs": pa.array([], pa.int64()),
+    "sum_price": pa.array([], pa.int64()),
+    "chk": pa.array([], pa.int64()),
 }
 
 
@@ -384,11 +398,11 @@ def _range_group(range_ms: int):
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
-            return pd.DataFrame(_RANGE_EMPTY)
-        side = g["side"].to_numpy().astype(np.int64)
-        key = g["key"].to_numpy().astype(np.int64)
-        tms = g["tms"].to_numpy().astype(np.int64)
-        ids = g["id"].to_numpy().astype(np.int64)
+            return pa.table(_RANGE_EMPTY)
+        side = _gnp(g, "side").astype(np.int64)
+        key = _gnp(g, "key").astype(np.int64)
+        tms = _gnp(g, "tms").astype(np.int64)
+        ids = _gnp(g, "id").astype(np.int64)
         comp = _comp_keys(key, tms)
 
         om = side == 0
@@ -396,14 +410,14 @@ def _range_group(range_ms: int):
         oo = np.argsort(ocomp, kind="stable")
         ocomp = ocomp[oo]
         okey_mod = (ids[om][oo] % _PAIR_MOD).astype(np.int64)
-        oprice = g["price_c"].to_numpy().astype(np.int64)[om][oo]
+        oprice = _gnp(g, "price_c").astype(np.int64)[om][oo]
         # prefix sums: per-event slice aggregates in O(1) per event
         pfx_price = np.concatenate(([0], np.cumsum(oprice)))
         pfx_kmod = np.concatenate(([0], np.cumsum(okey_mod)))
 
         em = ~om
         ecomp, eid = comp[em], ids[em]
-        et = g["et"].to_numpy()[em]
+        et = _gnp(g, "et")[em]
         floor_ = ecomp - (ecomp & ((1 << _T_SHIFT) - 1))
         lo = np.searchsorted(ocomp, np.maximum(ecomp - range_ms, floor_), side="left")
         hi = np.searchsorted(ocomp, ecomp, side="right")
@@ -417,7 +431,7 @@ def _range_group(range_ms: int):
         types, inv = np.unique(et, return_inverse=True)
         k = len(types)
         n = np.bincount(inv, minlength=k).astype(np.int64)
-        return pd.DataFrame(
+        return pa.table(
             {
                 "event_type": types,
                 "n_events": n,
@@ -454,7 +468,7 @@ def q_events_range_orders(
         _resolve_hot_keys(hot_keys, epath, "user_id", hot_frac),
     )
     partials = ev.union(od).groupby("bkt").map_groups(
-        _range_group(range_ms), batch_format="pandas"
+        _range_group(range_ms), batch_format="pyarrow"
     )
     agg = (
         partials.groupby("event_type")
@@ -490,7 +504,7 @@ def q_events_asof_orders(sf_dir: str, hot_keys=None, hot_frac: float = 0.10):
         epath, opath, nb,
         _resolve_hot_keys(hot_keys, epath, "user_id", hot_frac),
     )
-    partials = ev.union(od).groupby("bkt").map_groups(_asof_group, batch_format="pandas")
+    partials = ev.union(od).groupby("bkt").map_groups(_asof_group, batch_format="pyarrow")
     agg = (
         partials.groupby("event_type")
         .aggregate(Sum("n_events"), Sum("n_matched"), Sum("sum_price"), Sum("chk"))
@@ -714,15 +728,15 @@ def _cohort_group(g: pd.DataFrame) -> pd.DataFrame:
     whether the user has any event in cohort_week + 1 — vectorized sort +
     segment reduction, then a per-(cohort, retained) partial count."""
     if not len(g):
-        return pd.DataFrame(
+        return pa.table(
             {
-                "cohort_week": pd.Series([], dtype="int64"),
-                "n_users": pd.Series([], dtype="int64"),
-                "n_retained": pd.Series([], dtype="int64"),
+                "cohort_week": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+                "n_retained": pa.array([], pa.int64()),
             }
         )
-    uid = g["uid"].to_numpy(np.int64)
-    wk = g["wk"].to_numpy(np.int64)
+    uid = _gnp(g, "uid", np.int64)
+    wk = _gnp(g, "wk", np.int64)
     order = np.lexsort((wk, uid))
     uid, wk = uid[order], wk[order]
     first = np.concatenate([[True], uid[1:] != uid[:-1]])
@@ -736,7 +750,7 @@ def _cohort_group(g: pd.DataFrame) -> pd.DataFrame:
     hit_rows = wk == target + 1
     c = np.bincount(seg_id, weights=hit_rows, minlength=len(starts)) > 0
     uc, inv = np.unique(cohort, return_inverse=True)
-    return pd.DataFrame(
+    return pa.table(
         {
             "cohort_week": uc.astype("int64"),
             "n_users": np.bincount(inv).astype("int64"),
@@ -772,7 +786,7 @@ def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
         ray.data.read_parquet(path, columns=["user_id", "ts"])
         .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bkt")
-        .map_groups(_cohort_group, batch_format="pandas")
+        .map_groups(_cohort_group, batch_format="pyarrow")
         .groupby("cohort_week")
         .aggregate(
             Sum("n_users", alias_name="n_users"),
@@ -807,18 +821,18 @@ FROM r GROUP BY cohort_week ORDER BY cohort_week
 
 def _funnel_group(window_ms: int):
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+        empty = pa.table(
             {
-                "n_purchases": pd.Series([], dtype="int64"),
-                "n_converted": pd.Series([], dtype="int64"),
-                "n_view_pairs": pd.Series([], dtype="int64"),
+                "n_purchases": pa.array([], pa.int64()),
+                "n_converted": pa.array([], pa.int64()),
+                "n_view_pairs": pa.array([], pa.int64()),
             }
         )
         if not len(g):
             return empty
-        uid = g["uid"].to_numpy(np.int64)
-        tms = g["tms"].to_numpy(np.int64)
-        isp = g["isp"].to_numpy(np.bool_)
+        uid = _gnp(g, "uid", np.int64)
+        tms = _gnp(g, "tms", np.int64)
+        isp = _gnp(g, "isp", np.bool_)
         code = (uid << _FUNNEL_SHIFT) + tms
         views = np.sort(code[~isp])
         pc = code[isp]
@@ -827,7 +841,7 @@ def _funnel_group(window_ms: int):
         nv = np.searchsorted(views, pc, side="right") - np.searchsorted(
             views, pc - window_ms, side="left"
         )
-        return pd.DataFrame(
+        return pa.table(
             {
                 "n_purchases": [int(len(pc))],
                 "n_converted": [int((nv > 0).sum())],
@@ -878,7 +892,7 @@ def q_funnel_view_purchase(sf_dir: str, window_ms: int = 86_400_000) -> pd.DataF
         ray.data.read_parquet(path, columns=["user_id", "ts", "event_type"])
         .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bkt")
-        .map_groups(_funnel_group(window_ms), batch_format="pandas")
+        .map_groups(_funnel_group(window_ms), batch_format="pyarrow")
         .to_pandas()
     )
     return pd.DataFrame(
@@ -1150,30 +1164,30 @@ def _gap_group(g: pd.DataFrame) -> pd.DataFrame:
     attributed to the LATER event's type, pre-aggregated per event_type —
     vectorized, zero per-row Python."""
     if not len(g):
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_type": pd.Series([], dtype=object),
-                "n_gaps": pd.Series([], dtype="int64"),
-                "sum_gap_ms": pd.Series([], dtype="int64"),
-                "max_gap_ms": pd.Series([], dtype="int64"),
+                "event_type": pa.array([], pa.string()),
+                "n_gaps": pa.array([], pa.int64()),
+                "sum_gap_ms": pa.array([], pa.int64()),
+                "max_gap_ms": pa.array([], pa.int64()),
             }
         )
-    uid = g["uid"].to_numpy(np.int64)
-    tms = g["tms"].to_numpy(np.int64)
-    eid = g["eid"].to_numpy(np.int64)
-    et = g["event_type"].to_numpy()
+    uid = _gnp(g, "uid", np.int64)
+    tms = _gnp(g, "tms", np.int64)
+    eid = _gnp(g, "eid", np.int64)
+    et = _gnp(g, "event_type")
     order = np.lexsort((eid, tms, uid))
     uid, tms, et = uid[order], tms[order], et[order]
     same = uid[1:] == uid[:-1]
     gaps = (tms[1:] - tms[:-1])[same]
     types = et[1:][same]
     if not len(gaps):
-        return _gap_group(pd.DataFrame())
+        return _gap_group(pa.table({}))
     ut, inv = np.unique(types, return_inverse=True)
     counts = np.bincount(inv)
     by_type = np.argsort(inv, kind="stable")
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    return pd.DataFrame(
+    return pa.table(
         {
             "event_type": [str(s) for s in ut],
             "n_gaps": counts.astype("int64"),
@@ -1219,7 +1233,7 @@ def q_user_gap_stats(sf_dir: str) -> pd.DataFrame:
         )
         .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bkt")
-        .map_groups(_gap_group, batch_format="pandas")
+        .map_groups(_gap_group, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(
             Sum("n_gaps", alias_name="n_gaps"),
@@ -1472,10 +1486,10 @@ ORDER BY l_returnflag, l_linestatus
 
 
 _SESS_EMPTY = {
-    "session_len": pd.Series([], dtype="int64"),
-    "n_sessions": pd.Series([], dtype="int64"),
-    "sum_duration_ms": pd.Series([], dtype="int64"),
-    "chk": pd.Series([], dtype="int64"),
+    "session_len": pa.array([], pa.int64()),
+    "n_sessions": pa.array([], pa.int64()),
+    "sum_duration_ms": pa.array([], pa.int64()),
+    "chk": pa.array([], pa.int64()),
 }
 
 
@@ -1488,9 +1502,9 @@ def _sessions_group(gap_ms: int):
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
-            return pd.DataFrame(_SESS_EMPTY)
-        uid = g["uid"].to_numpy().astype(np.int64)
-        tms = g["tms"].to_numpy().astype(np.int64)
+            return pa.table(_SESS_EMPTY)
+        uid = _gnp(g, "uid").astype(np.int64)
+        tms = _gnp(g, "tms").astype(np.int64)
         order = np.lexsort((tms, uid))
         uid, tms = uid[order], tms[order]
         starts = np.ones(len(uid), dtype=bool)
@@ -1504,7 +1518,7 @@ def _sessions_group(gap_ms: int):
         term = ((uid[sidx] % _PAIR_MOD) * _PAIR_K % _PAIR_MOD + tms[sidx] % _PAIR_MOD) % _PAIR_MOD
         lens, inv = np.unique(slen, return_inverse=True)
         k = len(lens)
-        return pd.DataFrame(
+        return pa.table(
             {
                 "session_len": lens,
                 "n_sessions": np.bincount(inv, minlength=k).astype(np.int64),
@@ -1543,7 +1557,7 @@ def q_events_sessions(sf_dir: str, gap_ms: int = 86_400_000) -> pd.DataFrame:
         ray.data.read_parquet(path, columns=["user_id", "ts"])
         .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bkt")
-        .map_groups(_sessions_group(gap_ms), batch_format="pandas")
+        .map_groups(_sessions_group(gap_ms), batch_format="pyarrow")
     )
     agg = (
         partials.groupby("session_len")
@@ -1655,20 +1669,20 @@ def _topn_final(n: int):
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "n_name": pd.Series([], dtype="object"),
-                    "rnk": pd.Series([], dtype="int64"),
-                    "o_orderkey": pd.Series([], dtype="int64"),
-                    "price_cents": pd.Series([], dtype="int64"),
+                    "n_name": pa.array([], pa.string()),
+                    "rnk": pa.array([], pa.int64()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "price_cents": pa.array([], pa.int64()),
                 }
             )
-        okey = g["o_orderkey"].to_numpy().astype(np.int64)
-        price = g["price_c"].to_numpy().astype(np.int64)
+        okey = _gnp(g, "o_orderkey").astype(np.int64)
+        price = _gnp(g, "price_c").astype(np.int64)
         order = np.lexsort((okey, -price))[:n]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "n_name": g["n_name"].to_numpy()[order],
+                "n_name": _gnp(g, "n_name")[order],
                 "rnk": np.arange(1, len(order) + 1, dtype=np.int64),
                 "o_orderkey": okey[order],
                 "price_cents": price[order],
@@ -1701,7 +1715,7 @@ def q_top_orders_by_nation(sf_dir: str, n: int = 3) -> pd.DataFrame:
             zero_copy_batch=True,
         )
         .groupby("n_name")
-        .map_groups(_topn_final(n), batch_format="pandas")
+        .map_groups(_topn_final(n), batch_format="pyarrow")
         .to_pandas()
     )
     out = out.astype(
@@ -1757,8 +1771,8 @@ def _anti_group(g: pd.DataFrame) -> pa.Table:
     """groupby(bkt): keep order rows whose key never appears on the probe
     (lineitem) side — sorted-unique probe keys + searchsorted membership,
     vectorized over the whole group."""
-    side = g["side"].to_numpy().astype(np.int64)
-    key = g["key"].to_numpy().astype(np.int64)
+    side = _gnp(g, "side").astype(np.int64)
+    key = _gnp(g, "key").astype(np.int64)
     om = side == 0
     okey = key[om]
     if not len(okey):
@@ -1769,8 +1783,8 @@ def _anti_group(g: pd.DataFrame) -> pa.Table:
     miss = ~(probe[pos_c] == okey) if len(probe) else np.ones(len(okey), bool)
     if not miss.any():
         return _anti_empty()
-    pri = g["pri"].to_numpy()[om][miss]
-    price = g["price_c"].to_numpy().astype(np.int64)[om][miss]
+    pri = _gnp(g, "pri")[om][miss]
+    price = _gnp(g, "price_c").astype(np.int64)[om][miss]
     kmod = okey[miss] % _PAIR_MOD
     uniq, inv = np.unique(pri, return_inverse=True)
     k = len(uniq)
@@ -1826,7 +1840,7 @@ def q_orders_without_lineitems(sf_dir: str) -> pd.DataFrame:
     li = ray.data.read_parquet(lpath, columns=["l_orderkey"]).map_batches(
         lrows, batch_format="pyarrow", zero_copy_batch=True
     )
-    partials = od.union(li).groupby("bkt").map_groups(_anti_group, batch_format="pandas")
+    partials = od.union(li).groupby("bkt").map_groups(_anti_group, batch_format="pyarrow")
     agg = (
         partials.groupby("o_orderpriority")
         .aggregate(Sum("n_orders"), Sum("sum_price"), Sum("chk"))
@@ -1950,9 +1964,9 @@ GROUP BY 1, 2 ORDER BY 1, 2
 # ---------------------------------------------------------------------------
 
 _REV_EMPTY = {
-    "o_orderpriority": pd.Series([], dtype="object"),
-    "n_items": pd.Series([], dtype="int64"),
-    "sum_revenue": pd.Series([], dtype="int64"),
+    "o_orderpriority": pa.array([], pa.string()),
+    "n_items": pa.array([], pa.int64()),
+    "sum_revenue": pa.array([], pa.int64()),
 }
 
 
@@ -1962,18 +1976,18 @@ def _revenue_group(g: pd.DataFrame) -> pd.DataFrame:
     primary key — a duplicate within the bucket means corrupt input and
     raises loudly (silently joining twice would double revenue)."""
     if not len(g):
-        return pd.DataFrame(_REV_EMPTY)
-    side = g["side"].to_numpy().astype(np.int64)
-    key = g["key"].to_numpy().astype(np.int64)
+        return pa.table(_REV_EMPTY)
+    side = _gnp(g, "side").astype(np.int64)
+    key = _gnp(g, "key").astype(np.int64)
     om = side == 0
     okey = key[om]
     oo = np.argsort(okey, kind="stable")
     okey = okey[oo]
     if len(okey) > 1 and bool((okey[1:] == okey[:-1]).any()):
         raise ValueError("duplicate o_orderkey: orders PK violated")
-    pri = np.asarray(g["pri"].to_numpy())[om][oo]
+    pri = np.asarray(_gnp(g, "pri"))[om][oo]
     lkey = key[~om]
-    rev = g["rev"].to_numpy().astype(np.int64)[~om]
+    rev = _gnp(g, "rev").astype(np.int64)[~om]
     pos = np.searchsorted(okey, lkey)
     hit = (pos < len(okey)) & (
         okey[np.clip(pos, 0, max(len(okey) - 1, 0))] == lkey
@@ -1981,10 +1995,10 @@ def _revenue_group(g: pd.DataFrame) -> pd.DataFrame:
         else np.zeros(len(lkey), dtype=bool)
     )
     if not hit.any():
-        return pd.DataFrame(_REV_EMPTY)
+        return pa.table(_REV_EMPTY)
     ppri = pri[pos[hit]]
     uniq, inv = np.unique(ppri, return_inverse=True)
-    return pd.DataFrame(
+    return pa.table(
         {
             "o_orderpriority": [str(s) for s in uniq],
             "n_items": np.bincount(inv, minlength=len(uniq)).astype(np.int64),
@@ -2066,7 +2080,7 @@ def q_order_revenue_by_priority(
     agg = (
         li.union(od)
         .groupby("bkt")
-        .map_groups(_revenue_group, batch_format="pandas")
+        .map_groups(_revenue_group, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .aggregate(Sum("n_items"), Sum("sum_revenue"))
         .to_pandas()
@@ -2086,24 +2100,26 @@ _Q3_CUT_MS = 900_288_000_000  # 1998-07-15 UTC epoch-ms
 
 def _q3_group(k: int):
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+        empty = pa.table(
             {
-                "o_orderkey": pd.Series([], dtype="int64"),
-                "revenue": pd.Series([], dtype="int64"),
-                "o_orderdate_ms": pd.Series([], dtype="int64"),
+                "o_orderkey": pa.array([], pa.int64()),
+                "revenue": pa.array([], pa.int64()),
+                "o_orderdate_ms": pa.array([], pa.int64()),
             }
         )
         if not len(g):
             return empty
-        is_o = g["side"] == 0
-        ok = g.loc[is_o, "key"].to_numpy(np.int64)
-        odate = g.loc[is_o, "rev"].to_numpy(np.int64)  # odate rides rev slot
+        is_o = _gnp(g, "side", np.int64) == 0
+        key = _gnp(g, "key", np.int64)
+        rv = _gnp(g, "rev", np.int64)
+        ok = key[is_o]
+        odate = rv[is_o]  # odate rides rev slot
         order = np.argsort(ok, kind="stable")
         ok, odate = ok[order], odate[order]
         if len(np.unique(ok)) != len(ok):
             raise ValueError("duplicate o_orderkey in the orders side")
-        lk = g.loc[~is_o, "key"].to_numpy(np.int64)
-        rev = g.loc[~is_o, "rev"].to_numpy(np.int64)
+        lk = key[~is_o]
+        rev = rv[~is_o]
         hit, pos = _probe_sorted(ok, lk)
         if not hit.any():
             return empty
@@ -2113,13 +2129,13 @@ def _q3_group(k: int):
         nz = per > 0
         keys, revs, dates = ok[nz], per[nz], odate[nz]
         top = np.lexsort((keys, -revs))[:k]
-        return pd.DataFrame(
+        return pa.table(
             {
                 "o_orderkey": keys[top],
                 "revenue": revs[top],
                 "o_orderdate_ms": dates[top],
             }
-        ).astype("int64")
+        )
 
     return fn
 
@@ -2179,7 +2195,7 @@ def q_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
     parts = (
         od.union(li)
         .groupby("bkt")
-        .map_groups(_q3_group(k), batch_format="pandas")
+        .map_groups(_q3_group(k), batch_format="pyarrow")
         .to_pandas()
     )
     top = (
@@ -2256,8 +2272,8 @@ def _probe_sorted(sorted_keys: np.ndarray, probes: np.ndarray):
 def _fk_group(g: pd.DataFrame) -> pd.DataFrame:
     """One key bucket: child keys (side=1) not present among parent keys
     (side=0), counted via one sort + searchsorted."""
-    side = g["side"].to_numpy().astype(np.int64)
-    key = g["key"].to_numpy().astype(np.int64)
+    side = _gnp(g, "side").astype(np.int64)
+    key = _gnp(g, "key").astype(np.int64)
     parents = np.sort(key[side == 0])
     childs = key[side == 1]
     if len(parents):
@@ -2267,7 +2283,7 @@ def _fk_group(g: pd.DataFrame) -> pd.DataFrame:
         )
     else:
         hit = np.zeros(len(childs), dtype=bool)
-    return pd.DataFrame(
+    return pa.table(
         {
             "n_rows": [int(len(childs))],
             "n_dangling": [int((~hit).sum())],
@@ -2306,7 +2322,7 @@ def q_fk_integrity(sf_dir: str) -> pd.DataFrame:
     lo_audit = (
         li.union(od)
         .groupby("bkt")
-        .map_groups(_fk_group, batch_format="pandas")
+        .map_groups(_fk_group, batch_format="pyarrow")
         .to_pandas()
         .sum()
     )
@@ -2392,17 +2408,17 @@ def _peak_group(g: pd.DataFrame) -> pd.DataFrame:
     sums via cumsum differences with frame starts clamped at user
     boundaries, per-user max — vectorized, zero per-row Python."""
     if not len(g):
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": pd.Series([], dtype="int64"),
-                "n_events": pd.Series([], dtype="int64"),
-                "peak3_cents": pd.Series([], dtype="int64"),
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "peak3_cents": pa.array([], pa.int64()),
             }
         )
-    uid = g["uid"].to_numpy(np.int64)
-    tms = g["tms"].to_numpy(np.int64)
-    eid = g["eid"].to_numpy(np.int64)
-    cents = g["cents"].to_numpy(np.int64)
+    uid = _gnp(g, "uid", np.int64)
+    tms = _gnp(g, "tms", np.int64)
+    eid = _gnp(g, "eid", np.int64)
+    cents = _gnp(g, "cents", np.int64)
     order = np.lexsort((eid, tms, uid))
     uid, cents = uid[order], cents[order]
     n = len(uid)
@@ -2415,7 +2431,7 @@ def _peak_group(g: pd.DataFrame) -> pd.DataFrame:
     csum = np.zeros(n + 1, np.int64)
     np.cumsum(cents, out=csum[1:])
     w3 = csum[1:] - csum[lo]
-    return pd.DataFrame(
+    return pa.table(
         {
             "user_id": uid[seg_starts],
             "n_events": np.diff(np.append(seg_starts, n)).astype("int64"),
@@ -2464,7 +2480,7 @@ def q_user_peak_window(sf_dir: str) -> pd.DataFrame:
         )
         .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bkt")
-        .map_groups(_peak_group, batch_format="pandas")
+        .map_groups(_peak_group, batch_format="pyarrow")
         .to_pandas()
     )
     out = out[["user_id", "n_events", "peak3_cents"]].astype(
@@ -2771,18 +2787,18 @@ def _ccount_group(g: pd.DataFrame) -> pd.DataFrame:
     buckets), collapsed to the bucket's (c_count -> n_cust) census — a
     bounded map_groups fold instead of a |customers|-key aggregate."""
     if not len(g):
-        return pd.DataFrame(
+        return pa.table(
             {
-                "c_count": pd.Series([], dtype="int64"),
-                "n_cust": pd.Series([], dtype="int64"),
+                "c_count": pa.array([], pa.int64()),
+                "n_cust": pa.array([], pa.int64()),
             }
         )
-    k = g["k"].to_numpy().astype(np.int64)
-    n = g["n"].to_numpy().astype(np.int64)
+    k = _gnp(g, "k").astype(np.int64)
+    n = _gnp(g, "n").astype(np.int64)
     u, inv = np.unique(k, return_inverse=True)
     tot = isum64(inv, n)
     uc, cnt = np.unique(tot, return_counts=True)
-    return pd.DataFrame({"c_count": uc, "n_cust": cnt.astype(np.int64)})
+    return pa.table({"c_count": uc, "n_cust": cnt.astype(np.int64)})
 
 
 def q_customer_order_dist(sf_dir: str) -> pd.DataFrame:
@@ -2797,7 +2813,7 @@ def q_customer_order_dist(sf_dir: str) -> pd.DataFrame:
             _custkey_partial(nb), batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("bkt")
-        .map_groups(_ccount_group, batch_format="pandas")
+        .map_groups(_ccount_group, batch_format="pyarrow")
         .groupby("c_count")
         .aggregate(Sum("n_cust"))
         .to_pandas()
@@ -2872,18 +2888,18 @@ def _heavy_group(min_qty: int):
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "k": pd.Series([], dtype="int64"),
-                    "sum_qty": pd.Series([], dtype="int64"),
+                    "k": pa.array([], pa.int64()),
+                    "sum_qty": pa.array([], pa.int64()),
                 }
             )
-        k = g["k"].to_numpy().astype(np.int64)
-        q = g["q"].to_numpy().astype(np.int64)
+        k = _gnp(g, "k").astype(np.int64)
+        q = _gnp(g, "q").astype(np.int64)
         u, inv = np.unique(k, return_inverse=True)
         tot = isum64(inv, q)
         keep = tot > min_qty
-        return pd.DataFrame({"k": u[keep], "sum_qty": tot[keep]})
+        return pa.table({"k": u[keep], "sum_qty": tot[keep]})
 
     return fn
 
@@ -2897,7 +2913,7 @@ def q_large_orders(sf_dir: str, min_qty: int = _Q18_QTY) -> pd.DataFrame:
         ray.data.read_parquet(lpath, columns=["l_orderkey", "l_quantity"])
         .map_batches(_qty_partial(nb), batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bkt")
-        .map_groups(_heavy_group(int(min_qty)), batch_format="pandas")
+        .map_groups(_heavy_group(int(min_qty)), batch_format="pyarrow")
         .to_pandas()
     )
     empty_cols = [
@@ -2970,18 +2986,18 @@ ORDER BY o_orderkey
 
 
 def _exists_group(g: pd.DataFrame) -> pd.DataFrame:
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "o_orderpriority": pd.Series([], dtype="object"),
-            "n": pd.Series([], dtype="int64"),
+            "o_orderpriority": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
         }
     )
     if not len(g):
         return empty
-    side = g["side"].to_numpy().astype(np.int64)
-    key = g["key"].to_numpy().astype(np.int64)
+    side = _gnp(g, "side").astype(np.int64)
+    key = _gnp(g, "key").astype(np.int64)
     pk = key[side == 0]
-    prio = g["prio"].to_numpy()[side == 0]
+    prio = _gnp(g, "prio")[side == 0]
     ck = np.unique(key[side == 1])
     if not len(pk) or not len(ck):
         return empty
@@ -2990,7 +3006,7 @@ def _exists_group(g: pd.DataFrame) -> pd.DataFrame:
     if not hit.any():
         return empty
     u, cnt = np.unique(prio[hit].astype(str), return_counts=True)
-    return pd.DataFrame({"o_orderpriority": u, "n": cnt.astype(np.int64)})
+    return pa.table({"o_orderpriority": u, "n": cnt.astype(np.int64)})
 
 
 def q_order_priority_exists(sf_dir: str) -> pd.DataFrame:
@@ -3036,7 +3052,7 @@ def q_order_priority_exists(sf_dir: str) -> pd.DataFrame:
     agg = (
         od.union(li)
         .groupby("bkt")
-        .map_groups(_exists_group, batch_format="pandas")
+        .map_groups(_exists_group, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .aggregate(Sum("n", alias_name="n_orders"))
         .to_pandas()
@@ -3074,17 +3090,17 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 def _q10_group(g: pd.DataFrame) -> pd.DataFrame:
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "c_custkey": pd.Series([], dtype="int64"),
-            "rev": pd.Series([], dtype="int64"),
+            "c_custkey": pa.array([], pa.int64()),
+            "rev": pa.array([], pa.int64()),
         }
     )
     if not len(g):
         return empty
-    side = g["side"].to_numpy().astype(np.int64)
-    key = g["key"].to_numpy().astype(np.int64)
-    val = g["val"].to_numpy().astype(np.int64)
+    side = _gnp(g, "side").astype(np.int64)
+    key = _gnp(g, "key").astype(np.int64)
+    val = _gnp(g, "val").astype(np.int64)
     ok = key[side == 0]
     cust = val[side == 0]
     order = np.argsort(ok, kind="stable")
@@ -3098,7 +3114,7 @@ def _q10_group(g: pd.DataFrame) -> pd.DataFrame:
         return empty
     ck = cust[pos[hit]]
     u, inv = np.unique(ck, return_inverse=True)
-    return pd.DataFrame(
+    return pa.table(
         {
             "c_custkey": u,
             "rev": isum64(inv, rev[hit]),
@@ -3133,18 +3149,18 @@ def _q10_final_group(k: int):
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "c_custkey": pd.Series([], dtype="int64"),
-                    "revenue": pd.Series([], dtype="int64"),
+                    "c_custkey": pa.array([], pa.int64()),
+                    "revenue": pa.array([], pa.int64()),
                 }
             )
-        ck = g["c_custkey"].to_numpy().astype(np.int64)
-        rev = g["rev"].to_numpy().astype(np.int64)
+        ck = _gnp(g, "c_custkey").astype(np.int64)
+        rev = _gnp(g, "rev").astype(np.int64)
         u, inv = np.unique(ck, return_inverse=True)
         tot = isum64(inv, rev)
         top = np.lexsort((u, -tot))[:k]
-        return pd.DataFrame({"c_custkey": u[top], "revenue": tot[top]})
+        return pa.table({"c_custkey": u[top], "revenue": tot[top]})
 
     return fn
 
@@ -3198,10 +3214,10 @@ def q_returned_top_customers(sf_dir: str, k: int = 20) -> pd.DataFrame:
     parts = (
         od.union(li)
         .groupby("bkt")
-        .map_groups(_q10_group, batch_format="pandas")
+        .map_groups(_q10_group, batch_format="pyarrow")
         .map_batches(_q10_rekey(nb), batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bkt2")
-        .map_groups(_q10_final_group(k), batch_format="pandas")
+        .map_groups(_q10_final_group(k), batch_format="pyarrow")
         .to_pandas()
     )
     top = (
@@ -3383,21 +3399,21 @@ _Q22_CUT_MS = 946_684_800_000  # 2000-01-01
 
 def _q22_group(total_cents: int, n_cust: int):
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+        empty = pa.table(
             {
-                "c_mktsegment": pd.Series([], dtype="object"),
-                "n": pd.Series([], dtype="int64"),
-                "cents": pd.Series([], dtype="int64"),
+                "c_mktsegment": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
             }
         )
         if not len(g):
             return empty
-        side = g["side"].to_numpy().astype(np.int64)
-        key = g["key"].to_numpy().astype(np.int64)
+        side = _gnp(g, "side").astype(np.int64)
+        key = _gnp(g, "key").astype(np.int64)
         is_c = side == 0
         ck = key[is_c]
-        bal = g["val"].to_numpy().astype(np.int64)[is_c]
-        seg = g["seg"].to_numpy()[is_c]
+        bal = _gnp(g, "val").astype(np.int64)[is_c]
+        seg = _gnp(g, "seg")[is_c]
         ok = np.unique(key[~is_c])
         if len(ok):
             pos = np.searchsorted(ok, ck)
@@ -3413,7 +3429,7 @@ def _q22_group(total_cents: int, n_cust: int):
         if not keep.any():
             return empty
         u, inv = np.unique(seg[keep].astype(str), return_inverse=True)
-        return pd.DataFrame(
+        return pa.table(
             {
                 "c_mktsegment": u,
                 "n": np.bincount(inv).astype(np.int64),
@@ -3487,7 +3503,7 @@ def q_idle_high_balance(sf_dir: str) -> pd.DataFrame:
     agg = (
         cd.union(od)
         .groupby("bkt")
-        .map_groups(_q22_group(total_cents, n_cust), batch_format="pandas")
+        .map_groups(_q22_group(total_cents, n_cust), batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(Sum("n", alias_name="n_cust"), Sum("cents", alias_name="sum_acctbal_cents"))
         .to_pandas()
@@ -3550,15 +3566,15 @@ _Q5_HI_MS = 915_148_800_000  # 1999-01-01
 def _q5_stage1_group(g: pd.DataFrame) -> pd.DataFrame:
     """orderkey bucket: fact rows inherit the order's custkey; emit
     (custkey, s_nationkey, rev) partials packed as ck2 = custkey*64+snat."""
-    empty = pd.DataFrame(
-        {"ck2": pd.Series([], dtype="int64"), "rev": pd.Series([], dtype="int64")}
+    empty = pa.table(
+        {"ck2": pa.array([], pa.int64()), "rev": pa.array([], pa.int64())}
     )
     if not len(g):
         return empty
-    side = g["side"].to_numpy().astype(np.int64)
-    key = g["key"].to_numpy().astype(np.int64)
-    a = g["a"].to_numpy().astype(np.int64)
-    b = g["b"].to_numpy().astype(np.int64)
+    side = _gnp(g, "side").astype(np.int64)
+    key = _gnp(g, "key").astype(np.int64)
+    a = _gnp(g, "a").astype(np.int64)
+    b = _gnp(g, "b").astype(np.int64)
     ok = key[side == 0]
     cust = a[side == 0]
     order = np.argsort(ok, kind="stable")
@@ -3574,7 +3590,7 @@ def _q5_stage1_group(g: pd.DataFrame) -> pd.DataFrame:
         raise ValueError(f"s_nationkey {int(sn.max())} >= 64 breaks ck2 packing")
     ck2 = cust[pos[hit]] * 64 + sn
     u, inv = np.unique(ck2, return_inverse=True)
-    return pd.DataFrame(
+    return pa.table(
         {"ck2": u, "rev": isum64(inv, rev[hit])}
     )
 
@@ -3582,18 +3598,18 @@ def _q5_stage1_group(g: pd.DataFrame) -> pd.DataFrame:
 def _q5_stage2_group(g: pd.DataFrame) -> pd.DataFrame:
     """custkey bucket: keep fact rows whose supplier nation equals the
     customer's nation; emit (n_nationkey, rev) partials."""
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "n_nationkey": pd.Series([], dtype="int64"),
-            "rev": pd.Series([], dtype="int64"),
+            "n_nationkey": pa.array([], pa.int64()),
+            "rev": pa.array([], pa.int64()),
         }
     )
     if not len(g):
         return empty
-    side = g["side"].to_numpy().astype(np.int64)
-    key = g["key"].to_numpy().astype(np.int64)
-    a = g["a"].to_numpy().astype(np.int64)
-    b = g["b"].to_numpy().astype(np.int64)
+    side = _gnp(g, "side").astype(np.int64)
+    key = _gnp(g, "key").astype(np.int64)
+    a = _gnp(g, "a").astype(np.int64)
+    b = _gnp(g, "b").astype(np.int64)
     ck = key[side == 0]
     cnat = a[side == 0]
     order = np.argsort(ck, kind="stable")
@@ -3604,7 +3620,7 @@ def _q5_stage2_group(g: pd.DataFrame) -> pd.DataFrame:
     if not hit.any():
         return empty
     u, inv = np.unique(snat[hit], return_inverse=True)
-    return pd.DataFrame(
+    return pa.table(
         {
             "n_nationkey": u,
             "rev": isum64(inv, rev[hit]),
@@ -3702,7 +3718,7 @@ def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     stage1 = (
         od.union(li)
         .groupby("bkt")
-        .map_groups(_q5_stage1_group, batch_format="pandas")
+        .map_groups(_q5_stage1_group, batch_format="pyarrow")
     )
 
     def frows(b: pa.Table) -> pa.Table:
@@ -3739,7 +3755,7 @@ def q_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     agg = (
         cd.union(stage1.map_batches(frows, batch_format="pyarrow", zero_copy_batch=True))
         .groupby("bkt")
-        .map_groups(_q5_stage2_group, batch_format="pandas")
+        .map_groups(_q5_stage2_group, batch_format="pyarrow")
         .groupby("n_nationkey")
         .aggregate(Sum("rev", alias_name="revenue"))
         .to_pandas()
@@ -3881,23 +3897,23 @@ ORDER BY p_brand, p_type, p_size
 
 
 def _all_month_group(g: pd.DataFrame) -> pd.DataFrame:
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "o_orderpriority": pd.Series([], dtype="object"),
-            "n": pd.Series([], dtype="int64"),
+            "o_orderpriority": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
         }
     )
     if not len(g):
         return empty
-    side = g["side"].to_numpy().astype(np.int64)
-    key = g["key"].to_numpy().astype(np.int64)
+    side = _gnp(g, "side").astype(np.int64)
+    key = _gnp(g, "key").astype(np.int64)
     is_o = side == 0
     ok = key[is_o]
-    prio = g["prio"].to_numpy()[is_o]
+    prio = _gnp(g, "prio")[is_o]
     order = np.argsort(ok, kind="stable")
     ok, prio = ok[order], prio[order]
     lk = key[~is_o]
-    month = g["month"].to_numpy().astype(np.int64)[~is_o]
+    month = _gnp(g, "month").astype(np.int64)[~is_o]
     if not len(lk):
         return empty
     lo = np.argsort(lk, kind="stable")
@@ -3917,7 +3933,7 @@ def _all_month_group(g: pd.DataFrame) -> pd.DataFrame:
     if not same.any():
         return empty
     u, cnt = np.unique(prio[has][same].astype(str), return_counts=True)
-    return pd.DataFrame({"o_orderpriority": u, "n": cnt.astype(np.int64)})
+    return pa.table({"o_orderpriority": u, "n": cnt.astype(np.int64)})
 
 
 def q_single_month_orders(sf_dir: str) -> pd.DataFrame:
@@ -3961,7 +3977,7 @@ def q_single_month_orders(sf_dir: str) -> pd.DataFrame:
     agg = (
         od.union(li)
         .groupby("bkt")
-        .map_groups(_all_month_group, batch_format="pandas")
+        .map_groups(_all_month_group, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .aggregate(Sum("n", alias_name="n_orders"))
         .to_pandas()
@@ -4003,19 +4019,19 @@ _SUPPRESS_MS = 3_600_000
 
 
 def _suppress_group(g: pd.DataFrame) -> pd.DataFrame:
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "event_type": pd.Series([], dtype="object"),
-            "n_events": pd.Series([], dtype="int64"),
-            "n_suppressed": pd.Series([], dtype="int64"),
+            "event_type": pa.array([], pa.string()),
+            "n_events": pa.array([], pa.int64()),
+            "n_suppressed": pa.array([], pa.int64()),
         }
     )
     if not len(g):
         return empty
-    uid = g["uid"].to_numpy().astype(np.int64)
-    tms = g["tms"].to_numpy().astype(np.int64)
-    eid = g["eid"].to_numpy().astype(np.int64)
-    et = g["event_type"].to_numpy()
+    uid = _gnp(g, "uid").astype(np.int64)
+    tms = _gnp(g, "tms").astype(np.int64)
+    eid = _gnp(g, "eid").astype(np.int64)
+    et = _gnp(g, "event_type")
     uet, einv = np.unique(et.astype(str), return_inverse=True)
     o = np.lexsort((eid, tms, einv, uid))
     uid, tms, einv = uid[o], tms[o], einv[o]
@@ -4029,7 +4045,7 @@ def _suppress_group(g: pd.DataFrame) -> pd.DataFrame:
     sup = same & (gap < _SUPPRESS_MS)
     n_events = np.bincount(einv, minlength=len(uet)).astype(np.int64)
     n_sup = isum64(einv, sup, len(uet))
-    return pd.DataFrame(
+    return pa.table(
         {
             "event_type": uet,
             "n_events": n_events,
@@ -4062,7 +4078,7 @@ def q_events_dedup_lag(sf_dir: str) -> pd.DataFrame:
         ray.data.read_parquet(path, columns=["user_id", "ts", "event_id", "event_type"])
         .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bkt")
-        .map_groups(_suppress_group, batch_format="pandas")
+        .map_groups(_suppress_group, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(
             Sum("n_events", alias_name="n_events"),
@@ -4284,18 +4300,18 @@ def _pack_uid_ts(uid: np.ndarray, tms: np.ndarray) -> np.ndarray:
 
 def _funnel3_group(window_ms: int):
     def fn(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+        empty = pa.table(
             {
-                "n_users_view": pd.Series([], dtype="int64"),
-                "n_users_view_click": pd.Series([], dtype="int64"),
-                "n_users_full_chain": pd.Series([], dtype="int64"),
+                "n_users_view": pa.array([], pa.int64()),
+                "n_users_view_click": pa.array([], pa.int64()),
+                "n_users_full_chain": pa.array([], pa.int64()),
             }
         )
         if not len(g):
             return empty
-        uid = g["uid"].to_numpy().astype(np.int64)
-        tms = g["tms"].to_numpy().astype(np.int64)
-        typ = g["typ"].to_numpy().astype(np.int64)
+        uid = _gnp(g, "uid").astype(np.int64)
+        tms = _gnp(g, "tms").astype(np.int64)
+        typ = _gnp(g, "typ").astype(np.int64)
         vm, cm, pm = typ == 0, typ == 1, typ == 2
 
         def probe(anchor_uid, anchor_t, prior_packed_sorted):
@@ -4312,7 +4328,7 @@ def _funnel3_group(window_ms: int):
         c_ok = probe(uid[cm], tms[cm], views)
         qclicks = np.sort(_pack_uid_ts(uid[cm][c_ok], tms[cm][c_ok]))
         p_ok = probe(uid[pm], tms[pm], qclicks)
-        return pd.DataFrame(
+        return pa.table(
             {
                 "n_users_view": [int(len(np.unique(uid[vm])))],
                 "n_users_view_click": [int(len(np.unique(uid[cm][c_ok])))],
@@ -4355,7 +4371,7 @@ def q_funnel_three_step(sf_dir: str, window_ms: int = 86_400_000) -> pd.DataFram
         ray.data.read_parquet(path, columns=["user_id", "ts", "event_type"])
         .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bkt")
-        .map_groups(_funnel3_group(window_ms), batch_format="pandas")
+        .map_groups(_funnel3_group(window_ms), batch_format="pyarrow")
         .to_pandas()
     )
     if not len(parts):
@@ -4412,17 +4428,17 @@ _WAU_WINDOW_DAYS = 7
 
 
 def _wau_group(g: pd.DataFrame) -> pd.DataFrame:
-    empty = pd.DataFrame(
+    empty = pa.table(
         {
-            "day": pd.Series([], dtype="int64"),
-            "delta": pd.Series([], dtype="int64"),
-            "obs": pd.Series([], dtype="int64"),
+            "day": pa.array([], pa.int64()),
+            "delta": pa.array([], pa.int64()),
+            "obs": pa.array([], pa.int64()),
         }
     )
     if not len(g):
         return empty
-    uid = g["uid"].to_numpy().astype(np.int64)
-    day = g["day"].to_numpy().astype(np.int64)
+    uid = _gnp(g, "uid").astype(np.int64)
+    day = _gnp(g, "day").astype(np.int64)
     order = np.lexsort((day, uid))
     uid, day = uid[order], day[order]
     keep = np.ones(len(uid), dtype=bool)
@@ -4451,7 +4467,7 @@ def _wau_group(g: pd.DataFrame) -> pd.DataFrame:
         ]
     )
     ud, inv = np.unique(days, return_inverse=True)
-    return pd.DataFrame(
+    return pa.table(
         {
             "day": ud,
             "delta": isum64(inv, deltas),
@@ -4486,7 +4502,7 @@ def q_rolling_active_users(sf_dir: str) -> pd.DataFrame:
         ray.data.read_parquet(path, columns=["user_id", "ts"])
         .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bkt")
-        .map_groups(_wau_group, batch_format="pandas")
+        .map_groups(_wau_group, batch_format="pyarrow")
         .groupby("day")
         .aggregate(Sum("delta", alias_name="delta"), Max("obs", alias_name="obs"))
         .to_pandas()
@@ -4529,17 +4545,17 @@ GROUP BY d.day ORDER BY d.day
 
 def _affinity_group(g: pd.DataFrame) -> pd.DataFrame:
     if not len(g):
-        return pd.DataFrame(
-            {"mask": pd.Series([], dtype="int64"), "n": pd.Series([], dtype="int64")}
+        return pa.table(
+            {"mask": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
         )
-    uid = g["uid"].to_numpy().astype(np.int64)
-    m = g["m"].to_numpy().astype(np.int64)
+    uid = _gnp(g, "uid").astype(np.int64)
+    m = _gnp(g, "m").astype(np.int64)
     order = np.argsort(uid, kind="stable")
     uid, m = uid[order], m[order]
     _, starts = np.unique(uid, return_index=True)
     masks = np.bitwise_or.reduceat(m, starts)
     u, cnt = np.unique(masks, return_counts=True)
-    return pd.DataFrame({"mask": u, "n": cnt.astype(np.int64)})
+    return pa.table({"mask": u, "n": cnt.astype(np.int64)})
 
 
 def q_event_type_affinity(sf_dir: str) -> pd.DataFrame:
@@ -4575,7 +4591,7 @@ def q_event_type_affinity(sf_dir: str) -> pd.DataFrame:
         ray.data.read_parquet(path, columns=["user_id", "event_type"])
         .map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bkt")
-        .map_groups(_affinity_group, batch_format="pandas")
+        .map_groups(_affinity_group, batch_format="pyarrow")
         .groupby("mask")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
