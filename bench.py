@@ -255,8 +255,90 @@ def run_scaling() -> dict:
     }
 
 
+
+# the representative query set for the data-scale sweep: every expensive
+# plan shape (scan-agg, equi/as-of join, window fold, LSH dedup shuffle,
+# embedding dedup, retrieval) — one wall at sf0.1 and one at a 10x
+# key-remapped replication of it, so the linearity claim is measured, not
+# extrapolated. Chosen heavy, not exhaustive: the full 111-query suite is
+# correctness-gated by `python -m tokenzip audit` at sf0.01.
+_SWEEP_QUERIES = [
+    "pricing_summary",
+    "order_revenue_by_priority",
+    "events_asof_orders",
+    "events_window_agg",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_embedding_ivf",
+    "tfidf_topk",
+]
+
+
+def run_scale_sweep(factor: int = 10, reps: int = 3) -> dict:
+    """Run the representative query set at sf0.1 and at a ``factor``-x
+    deterministic replication (tokenzip.scale.replicate_tables) in ONE Ray
+    session at $RAY_GRAFT_CPUS, reporting median walls at both scales and
+    the wall ratio per query (ideal = ``factor`` at fixed CPUs; below it
+    means the small scale is overhead-bound, far above it means a
+    super-linear stage that would not hold at 100 TB)."""
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", 32))
+    base = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    big = os.path.join("/tmp/tokenzip_scale", f"x{factor}")
+    if not os.path.exists(os.path.join(big, "lineitem.parquet")):
+        from tokenzip.scale import replicate_tables
+
+        replicate_tables(base, big, factor)
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.op_resource_reservation_ratio = 0.1
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def med(vals):
+        vals = sorted(vals)
+        return vals[len(vals) // 2]
+
+    out = {}
+    for name in _SWEEP_QUERIES:
+        fn = qs[name]
+        walls = {}
+        for label, d in [("sf0.1", base), (f"x{factor}", big)]:
+            runs = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(d)
+                runs.append(round(time.perf_counter() - t0, 3))
+            walls[label] = {"median": med(runs), "runs": sorted(runs)}
+        ratio = walls[f"x{factor}"]["median"] / max(walls["sf0.1"]["median"], 1e-9)
+        out[name] = {**walls, "wall_ratio": round(ratio, 2)}
+    ray.shutdown()
+    return {
+        "metric": f"data-scale sweep (sf0.1 vs {factor}x replication, "
+                  f"median of {reps}, num_cpus={ncpu})",
+        "factor": factor,
+        "num_cpus": ncpu,
+        "reps": reps,
+        "queries": out,
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scale-sweep" in sys.argv:
+        print(json.dumps(run_scale_sweep()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))

@@ -162,6 +162,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     au.add_argument("--out", default="AUDIT.json")
 
+    ms = sub.add_parser(
+        "make-scale",
+        help="tile the relational testdata N x with per-replica key remap "
+             "(PKs stay unique, FK edges stay in-replica) for scale benches",
+    )
+    ms.add_argument("src_dir"), ms.add_argument("dst_dir")
+    ms.add_argument("--factor", type=int, default=10)
+
     pn = sub.add_parser(
         "pins", help="recompute every pinned oracle constant and rewrite it in-place"
     )
@@ -318,6 +326,11 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             return 1 if summary["bad"] else 0
+        elif args.cmd == "make-scale":
+            from tokenzip.scale import replicate_tables
+
+            counts = replicate_tables(args.src_dir, args.dst_dir, args.factor)
+            print(json.dumps({"factor": args.factor, "rows": counts}, sort_keys=True))
         elif args.cmd == "pins":
             from tokenzip.pins import regenerate
 
