@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fused_decode_stats": _fused_decode_stats,
         "events_asof_orders_salted": _events_asof_orders_salted,
         "order_revenue_by_priority_salted": _order_revenue_salted,
+        "events_range_orders_salted": _events_range_orders_salted,
         "vocab_unique_by_source": _vocab_unique,
         "multi_format_union_stats": _multi_format_union,
         "incompressible_topk": _incompressible_topk,
@@ -238,6 +239,14 @@ def _events_asof_orders_salted(sf_dir: str):
     from tokenzip.relational import q_events_asof_orders
 
     return q_events_asof_orders(sf_dir, hot_keys="auto", hot_frac=0.005)
+
+
+def _events_range_orders_salted(sf_dir: str):
+    # range-join counterpart of the salted as-of plan; same oracle as the
+    # plain plan, hot_frac lowered so detection engages at oracle scale
+    from tokenzip.relational import q_events_range_orders
+
+    return q_events_range_orders(sf_dir, hot_keys="auto", hot_frac=0.005)
 
 
 def _order_revenue_salted(sf_dir: str):
@@ -1382,6 +1391,7 @@ FROM documents GROUP BY source ORDER BY source
         "recode_stats": _recode_sql(glob),
         "fused_decode_stats": _recode_sql(glob),
         "events_asof_orders_salted": _O.events_asof_sql(),
+        "events_range_orders_salted": _O.events_range_sql(),
         "order_revenue_by_priority_salted": _order_revenue_sql(),
         "pricing_summary": _pricing_sql(),
         "jsonl_ingest_stats": _jsonl_sql(),
