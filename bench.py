@@ -285,11 +285,15 @@ def run_scale_sweep(factor: int = 10, reps: int = 3) -> dict:
 
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", 32))
     base = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    big = os.path.join("/tmp/tokenzip_scale", f"x{factor}")
+    # sharded layout: one part file per replica — Ray launches one read
+    # task per FILE, so the single-file layout serializes the scan (measured:
+    # the lone read task was ~75% of pricing_summary's wall at factor 10 and
+    # 8->32 cpus gained nothing; sharded, the same query got 3.3x faster)
+    big = os.path.join("/tmp/tokenzip_scale", f"x{factor}s")
     if not os.path.exists(os.path.join(big, "lineitem.parquet")):
         from tokenzip.scale import replicate_tables
 
-        replicate_tables(base, big, factor)
+        replicate_tables(base, big, factor, shard=True)
     if not ray.is_initialized():
         ray.init(
             address="local",

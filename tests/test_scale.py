@@ -70,3 +70,25 @@ def test_replicate_scales_aggregates_exactly(ray_session, tmp_path):
     # every non-key pricing_summary column is an additive exact-int measure
     for c in b.columns:
         assert (s[c] == 2 * b[c]).all(), c
+
+
+def test_replicate_sharded_matches_single_file(ray_session, tmp_path):
+    """shard=True (one part file per replica, parallel Ray reads) is
+    answer-identical to the single-file layout through the engine, and the
+    shard-transparent metadata helpers count the same rows."""
+    from tokenzip.relational import _row_count, q_pricing_summary
+
+    one = str(tmp_path / "one")
+    sh = str(tmp_path / "sh")
+    replicate_tables(SF, one, 2)
+    counts = replicate_tables(SF, sh, 2, shard=True)
+    li = os.path.join(sh, "lineitem.parquet")
+    assert os.path.isdir(li)
+    assert len([f for f in os.listdir(li) if f.endswith(".parquet")]) == 2
+    assert _row_count(li) == counts["lineitem"] == 2 * pq.read_metadata(
+        os.path.join(SF, "lineitem.parquet")
+    ).num_rows
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(q_pricing_summary(one), q_pricing_summary(sh))

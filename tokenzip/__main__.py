@@ -169,6 +169,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ms.add_argument("src_dir"), ms.add_argument("dst_dir")
     ms.add_argument("--factor", type=int, default=10)
+    ms.add_argument(
+        "--shard", action="store_true",
+        help="write each fact table as a directory of one part file per "
+             "replica (parallel reads; single files serialize the scan)",
+    )
 
     pn = sub.add_parser(
         "pins", help="recompute every pinned oracle constant and rewrite it in-place"
@@ -329,7 +334,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "make-scale":
             from tokenzip.scale import replicate_tables
 
-            counts = replicate_tables(args.src_dir, args.dst_dir, args.factor)
+            counts = replicate_tables(
+                args.src_dir, args.dst_dir, args.factor, shard=args.shard
+            )
             print(json.dumps({"factor": args.factor, "rows": counts}, sort_keys=True))
         elif args.cmd == "pins":
             from tokenzip.pins import regenerate

@@ -374,6 +374,14 @@ def _train_centroids(path: str, n_clusters: int) -> np.ndarray:
     of row groups, never the table). Deterministic: fixed seed + float64."""
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        # sharded table: the bounded sample reads row groups from the first
+        # shard only — same "fixed number of row groups" contract
+        shards = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        path = shards[0]
     f = pq.ParquetFile(path)
     parts, have = [], 0
     for rg in range(f.num_row_groups):

@@ -42,8 +42,18 @@ _T_SHIFT = 42
 
 
 def _row_count(path: str) -> int:
+    """Row count from parquet METADATA only — accepts a single file or a
+    sharded table (a directory of part files): single-file reads serialize
+    (one Ray read task per file), so scale corpora are sharded and every
+    metadata helper must be shard-transparent."""
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
     return pq.ParquetFile(path).metadata.num_rows
 
 

@@ -69,10 +69,12 @@ def _strides(src: str) -> dict[str, int]:
 
 def _replicate_one(
     src_path: str, dst_path: str, remap: dict[str, str],
-    strides: dict[str, int], factor: int,
+    strides: dict[str, int], factor: int, shard: bool,
 ) -> int:
     t = pq.read_table(src_path)
     cols = {name: t[name].combine_chunks() for name in t.column_names}
+    if shard:
+        os.makedirs(dst_path, exist_ok=True)
     reps = []
     for r in range(factor):
         rep = {}
@@ -85,15 +87,34 @@ def _replicate_one(
                 )
             else:
                 rep[name] = cols[name]
-        reps.append(pa.table(rep))
+        if shard:
+            pq.write_table(
+                pa.table(rep),
+                os.path.join(dst_path, f"part-{r:04d}.parquet"),
+                row_group_size=_ROW_GROUP,
+            )
+        else:
+            reps.append(pa.table(rep))
+    if shard:
+        return len(t) * factor
     out = pa.concat_tables(reps)
     pq.write_table(out, dst_path, row_group_size=_ROW_GROUP)
     return len(out)
 
 
-def replicate_tables(src: str, dst: str, factor: int) -> dict[str, int]:
+def replicate_tables(
+    src: str, dst: str, factor: int, shard: bool = False
+) -> dict[str, int]:
     """Tile every table at ``src`` ``factor`` times into ``dst`` with
-    per-replica key remapping. Returns {table: n_rows_written}."""
+    per-replica key remapping. Returns {table: n_rows_written}.
+
+    ``shard=True`` writes each fact table as a DIRECTORY named
+    ``<table>.parquet`` holding one part file per replica. Ray's parquet
+    reader launches one read task per FILE, so a single-file 10x table
+    serializes the scan (measured: the read task is ~75% of pricing_summary's
+    wall at factor 10 and 8->32 cpus gains nothing); the sharded layout is
+    how real scale corpora must be stored. Engine metadata helpers are
+    shard-transparent; DuckDB oracles want the single-file layout."""
     if factor < 1:
         raise ValueError(f"factor must be >= 1, got {factor}")
     os.makedirs(dst, exist_ok=True)
@@ -107,6 +128,6 @@ def replicate_tables(src: str, dst: str, factor: int) -> dict[str, int]:
         counts[table] = _replicate_one(
             os.path.join(src, f"{table}.parquet"),
             os.path.join(dst, f"{table}.parquet"),
-            remap, strides, factor,
+            remap, strides, factor, shard,
         )
     return counts
