@@ -155,7 +155,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_affinity": _type_affinity,
         "vocab_jaccard": _vocab_jaccard,
         "longest_docs": _longest_docs,
+        "sink_delete_roundtrip": _sink_delete,
     }
+
+
+def _sink_delete(sf_dir: str):
+    from tokenzip.queries import q_sink_delete_roundtrip
+
+    return q_sink_delete_roundtrip(sf_dir)
 
 
 def _longest_docs(sf_dir: str):
@@ -937,6 +944,12 @@ def _recode_sql(glob: str) -> str:
     return recode_stats_sql(glob)
 
 
+def _sink_delete_sql(glob: str) -> str:
+    from tokenzip.queries import delete_roundtrip_sql
+
+    return delete_roundtrip_sql(glob)
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -1390,6 +1403,10 @@ FROM documents GROUP BY source ORDER BY source
         # decoded from the RECODED sink (bit-identity through two sinks)
         "recode_stats": _recode_sql(glob),
         "fused_decode_stats": _recode_sql(glob),
+        # targeted deletion: bloom/zone-pruned selective rewrite; the
+        # decoded survivor rollup must equal the corpus minus the salted
+        # md5 'del:' rule set
+        "sink_delete_roundtrip": _sink_delete_sql(glob),
         "events_asof_orders_salted": _O.events_asof_sql(),
         "events_range_orders_salted": _O.events_range_sql(),
         "order_revenue_by_priority_salted": _order_revenue_sql(),

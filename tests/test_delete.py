@@ -1,0 +1,122 @@
+"""Targeted sink deletion (pipeline.delete_docs): content equality,
+fragment-touch minimality (clean fragments byte-copied, never re-encoded),
+manifest lineage, the new = old - deleted drift guard, and error paths."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from tokenzip.corpus import corpus_paths
+from tokenzip.pipeline import compress, decompress, delete_docs
+
+
+@pytest.fixture(scope="module")
+def paths(ray_session):
+    return corpus_paths("/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def src_sink(ray_session, paths, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("delsrc") / "sink")
+    compress(paths, out, concurrency=2)
+    return out
+
+
+def _frag_bytes(sink: str) -> dict[str, dict[str, bytes]]:
+    """frag -> {filename: raw bytes} of a sink's chunk files."""
+    chunks = os.path.join(sink, "chunks")
+    out = {}
+    for d in sorted(os.listdir(chunks)):
+        if not d.startswith("frag="):
+            continue
+        fdir = os.path.join(chunks, d)
+        out[d.split("=", 1)[1]] = {
+            n: open(os.path.join(fdir, n), "rb").read()
+            for n in sorted(os.listdir(fdir))
+            if n.endswith(".parquet")
+        }
+    return out
+
+
+def test_delete_content_and_lineage(ray_session, paths, src_sink, tmp_path):
+    orig = decompress(src_sink).to_pandas()
+    ids = sorted(orig["doc_id"])[::13][:30]
+    dst = str(tmp_path / "dst")
+    t = delete_docs(src_sink, dst, ids, resume=False)
+    assert t["n_docs_deleted"] == len(ids)
+    want = orig[~orig["doc_id"].isin(ids)].sort_values("doc_id").reset_index(drop=True)
+    got = decompress(dst).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(want) == len(orig) - len(ids)
+    assert (got["doc_id"] == want["doc_id"]).all()
+    assert (got["source"] == want["source"]).all()
+    assert (got["n_tok"] == want["n_tok"]).all()
+    for a, b in zip(got["tokens"], want["tokens"]):
+        assert len(a) == len(b) and (a == b).all()
+    assert t["n_tokens_deleted"] == int(
+        orig[orig["doc_id"].isin(ids)]["n_tok"].sum()
+    )
+    assert t["n_rows"] == len(orig) - len(ids)
+    # per-fragment lineage recorded
+    import json
+
+    man = json.load(open(os.path.join(dst, "manifest.json")))
+    fr = man["fragments"]
+    assert sum(s.get("n_docs_deleted", 0) for s in fr.values()) == len(ids)
+    assert all(s.get("deleted_from") == src_sink for s in fr.values())
+
+
+def test_delete_clean_fragments_byte_copied(ray_session, paths, src_sink, tmp_path):
+    """Ids clustered in ONE input shard: only that fragment's files may
+    differ; every other fragment must be a byte-identical copy (the
+    100-TB claim: deletion is priced at the fragments touched)."""
+    t0 = pq.read_table(paths[0], columns=["doc_id"])
+    ids = [str(d) for d in t0["doc_id"].to_pylist()[:5]]
+    dst = str(tmp_path / "dst")
+    t = delete_docs(src_sink, dst, ids, resume=False)
+    assert t["n_docs_deleted"] == 5
+    src_b = _frag_bytes(src_sink)
+    dst_b = _frag_bytes(dst)
+    assert set(src_b) == set(dst_b)
+    changed = [f for f in src_b if src_b[f] != dst_b[f]]
+    # the bloom has a tiny fpr, so "exactly one" could rarely be "a few";
+    # the claim under test is that a 1-shard deletion never touches most
+    # of a 32-fragment sink
+    assert len(changed) <= 2, changed
+    for f in src_b:
+        if f not in changed:
+            assert src_b[f] == dst_b[f]  # byte-for-byte copy
+
+
+def test_delete_absent_ids_is_a_copy(ray_session, paths, src_sink, tmp_path):
+    dst = str(tmp_path / "dst")
+    t = delete_docs(src_sink, dst, ["doc-zzz-not-there"], resume=False)
+    assert t["n_docs_deleted"] == 0 and t["n_tokens_deleted"] == 0
+    src_b = _frag_bytes(src_sink)
+    dst_b = _frag_bytes(dst)
+    # zone maps may range-hit but blooms prove absence: everything copies
+    assert src_b == dst_b
+    orig = decompress(src_sink).to_pandas()
+    got = decompress(dst).to_pandas()
+    assert len(got) == len(orig)
+
+
+def test_delete_resume_is_noop(ray_session, paths, src_sink, tmp_path):
+    orig = decompress(src_sink).to_pandas()
+    ids = sorted(orig["doc_id"])[:3]
+    dst = str(tmp_path / "dst")
+    t1 = delete_docs(src_sink, dst, ids, resume=False)
+    before = _frag_bytes(dst)
+    t2 = delete_docs(src_sink, dst, ids, resume=True)
+    assert t2["n_docs_deleted"] == t1["n_docs_deleted"] == 3
+    assert t2["n_rows"] == t1["n_rows"]
+    assert _frag_bytes(dst) == before
+
+
+def test_delete_error_paths(ray_session, src_sink, tmp_path):
+    from tokenzip.errors import ChunkFormatError
+
+    with pytest.raises(ValueError, match="empty doc_ids"):
+        delete_docs(src_sink, str(tmp_path / "x"), [])
+    with pytest.raises(ChunkFormatError):
+        delete_docs(str(tmp_path / "nosink"), str(tmp_path / "y"), ["a"])

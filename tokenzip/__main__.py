@@ -108,6 +108,15 @@ def main(argv: list[str] | None = None) -> int:
     rt.add_argument("in_dir"), rt.add_argument("out_dir")
     rt.add_argument("--no-resume", action="store_true")
 
+    de = sub.add_parser(
+        "delete", help="delete doc ids from a sink (bloom/zone-pruned "
+        "selective rewrite; clean fragments are byte-copied)"
+    )
+    de.add_argument("in_dir"), de.add_argument("out_dir")
+    de.add_argument("--ids", help="comma-separated doc ids")
+    de.add_argument("--ids-file", help="file with one doc id per line")
+    de.add_argument("--no-resume", action="store_true")
+
     v = sub.add_parser("verify", help="encode->decode->equality over an input table")
     v.add_argument("input")
 
@@ -262,6 +271,19 @@ def main(argv: list[str] | None = None) -> int:
                 args.in_dir, args.out_dir,
                 tokens_codec=args.codec,
                 resume=not args.no_resume,
+            )
+            print(json.dumps(res, sort_keys=True))
+        elif args.cmd == "delete":
+            from tokenzip.pipeline import delete_docs
+
+            ids: list[str] = []
+            if args.ids:
+                ids.extend(s for s in args.ids.split(",") if s)
+            if args.ids_file:
+                with open(args.ids_file) as fh:
+                    ids.extend(ln.strip() for ln in fh if ln.strip())
+            res = delete_docs(
+                args.in_dir, args.out_dir, ids, resume=not args.no_resume
             )
             print(json.dumps(res, sort_keys=True))
         elif args.cmd == "table-recode":

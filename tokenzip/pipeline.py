@@ -1828,3 +1828,390 @@ def recode(
         resume=resume,
         guard_col="n_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# Targeted document deletion (right-to-be-forgotten at sink scale)
+# ---------------------------------------------------------------------------
+
+
+def _delete_probe_fn(batch: pa.Table, ids_ref=None, want_ref=None) -> pa.Table:
+    """(frag, chunk_id) rows of chunks that MAY contain a requested doc id.
+
+    Zone test is vectorized over the chunk rows: sorted ids vs each chunk's
+    [did_min, did_max] via one searchsorted (a chunk can hold id d iff
+    did_min <= d <= did_max for SOME d — i.e. the smallest id >= did_min is
+    <= did_max). Bloom bitsets (format 3) then drop range-survivors that
+    provably hold none of the ids; empty bitsets mean must-rewrite-check."""
+    from tokenzip.bloom import bloom_probe
+    from tokenzip.stages import _bget
+
+    ids = _bget(ids_ref)  # sorted numpy object array of doc ids
+    want = _bget(want_ref)  # md5_hi60 hashes of ids (or None pre-format-3)
+    dmin = batch["did_min"].to_numpy(zero_copy_only=False)
+    dmax = batch["did_max"].to_numpy(zero_copy_only=False)
+    idx = np.searchsorted(ids, dmin, side="left")
+    hit = (idx < len(ids)) & (
+        np.where(idx < len(ids), ids[np.minimum(idx, len(ids) - 1)], "")
+        <= dmax
+    )
+    frags = np.array(
+        [p.rsplit("/frag=", 1)[1].split("/", 1)[0]
+         for p in batch["path"].to_pylist()]
+    )
+    cids = batch["chunk_id"].to_numpy(zero_copy_only=False)
+    if want is not None and "did_bloom" in batch.column_names:
+        blooms = batch["did_bloom"].to_pylist()
+        for i in np.flatnonzero(hit):
+            blob = blooms[i]
+            if blob:
+                words = np.frombuffer(blob, dtype=np.uint64)
+                if not bool(bloom_probe(words, want).any()):
+                    hit[i] = False
+    return pa.table(
+        {
+            "frag": pa.array([str(f) for f in frags[hit]], pa.string()),
+            "chunk_id": pa.array([str(c) for c in cids[hit]], pa.string()),
+        }
+    )
+
+
+def _delete_count_fn(batch: pa.Table, ids_ref=None, sidecar=None) -> pa.Table:
+    """Per-frag (n_docs_deleted, n_tokens_deleted) partials over HIT chunk
+    rows — projection-pruned decode (doc_id + n_tok streams only; the token
+    payload blobs never leave storage for the audit pass)."""
+    from tokenzip.chunk import decode_chunks
+    from tokenzip.stages import _bget
+
+    if sidecar is not None and sidecar not in _RECODE_SIDECARS:
+        from tokenzip.chunk import load_shared_tables
+
+        load_shared_tables(sidecar)
+        _RECODE_SIDECARS.add(sidecar)
+    ids = _bget(ids_ref)
+    frags = np.array(
+        [p.rsplit("/frag=", 1)[1].split("/", 1)[0]
+         for p in batch["path"].to_pylist()]
+    )
+    rows = batch.drop_columns(["path"])
+    out = {"frag": [], "n_docs_deleted": [], "n_tokens_deleted": []}
+    for frag in np.unique(frags):
+        sub = rows.filter(pa.array(frags == frag))
+        dec = decode_chunks(sub, columns=["doc_id", "n_tok"])
+        did = dec["doc_id"].to_numpy(zero_copy_only=False)
+        ntok = dec["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ids, did)
+        gone = (pos < len(ids)) & (
+            ids[np.minimum(pos, len(ids) - 1)] == did
+        )
+        out["frag"].append(str(frag))
+        out["n_docs_deleted"].append(int(gone.sum()))
+        out["n_tokens_deleted"].append(int(ntok[gone].sum()))
+    return pa.table(
+        {
+            "frag": pa.array(out["frag"], pa.string()),
+            "n_docs_deleted": pa.array(out["n_docs_deleted"], pa.int64()),
+            "n_tokens_deleted": pa.array(out["n_tokens_deleted"], pa.int64()),
+        }
+    )
+
+
+def _delete_rewrite_fn(
+    batch: pa.Table,
+    ids_ref=None,
+    hits_ref=None,
+    sidecar=None,
+    tokens_codec="auto",
+) -> pa.Table:
+    """Fused selective rewrite of one chunk-row batch: rows whose chunk_id
+    is NOT in the hit set pass through VERBATIM (payload bytes copied, never
+    decoded); hit rows decode -> drop deleted doc ids -> re-encode. Output
+    schema = chunk schema + frag (hive partition), same as _recode_fn."""
+    import pyarrow.compute as pc
+
+    from tokenzip.chunk import CHUNK_SCHEMA, decode_chunks
+    from tokenzip.stages import _bget
+
+    if sidecar is not None and sidecar not in _RECODE_SIDECARS:
+        from tokenzip.chunk import load_shared_tables
+
+        load_shared_tables(sidecar)
+        _RECODE_SIDECARS.add(sidecar)
+    ids = _bget(ids_ref)
+    hits = _bget(hits_ref)  # set of chunk_ids needing rewrite
+    frags = np.array(
+        [p.rsplit("/frag=", 1)[1].split("/", 1)[0]
+         for p in batch["path"].to_pylist()]
+    )
+    rows = batch.drop_columns(["path"])
+    cids = rows["chunk_id"].to_numpy(zero_copy_only=False)
+    is_hit = np.array([c in hits for c in cids], dtype=bool)
+
+    parts: list[pa.Table] = []
+    # verbatim pass-through (bit-identical chunk rows, no decode)
+    if (~is_hit).any():
+        sub = rows.filter(pa.array(~is_hit))
+        fsub = frags[~is_hit]
+        sub = sub.select([f.name for f in CHUNK_SCHEMA])
+        parts.append(
+            sub.append_column(
+                "frag", pa.array([str(f) for f in fsub], pa.string())
+            )
+        )
+    # selective rewrite, per frag (re-encode keeps frag lineage)
+    hit_frags = np.unique(frags[is_hit]) if is_hit.any() else []
+    for frag in hit_frags:
+        sub = rows.filter(pa.array(is_hit & (frags == frag)))
+        dec = decode_chunks(sub)
+        keep = pc.invert(pc.is_in(dec["doc_id"], pa.array(list(ids), pa.string())))
+        dec = dec.filter(keep)
+        dec = dec.append_column(
+            "frag", pa.array([str(frag)] * dec.num_rows, pa.string())
+        )
+        enc = _encode_fn(dec, tokens_codec=tokens_codec)
+        if enc.num_rows:
+            parts.append(enc.select(parts[0].column_names if parts else enc.column_names))
+    if not parts:
+        from tokenzip.chunk import CHUNK_SCHEMA as _CS
+
+        empty = pa.table({f.name: pa.array([], f.type) for f in _CS})
+        return empty.append_column("frag", pa.array([], pa.string()))
+    names = parts[0].column_names
+    return pa.concat_tables([p.select(names) for p in parts])
+
+
+def delete_docs(
+    in_dir: str,
+    out_dir: str,
+    doc_ids: list[str],
+    *,
+    tokens_codec: str = "auto",
+    batch_chunks: int = 4,
+    concurrency: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Delete ``doc_ids`` from the sink at ``in_dir``, writing the surviving
+    corpus as a fresh sink at ``out_dir`` — the right-to-be-forgotten
+    operation, priced at the FRAGMENTS TOUCHED, not the corpus:
+
+    1. probe pass (metadata only): did_min/did_max zone maps + did_bloom
+       bitsets (format 3) identify the chunks that MAY hold a requested id;
+       payload blobs never leave storage.
+    2. clean fragments (no hit chunks) are BYTE-COPIED file-for-file — no
+       parquet parse, no decode; their manifest stats carry over verbatim.
+    3. hit fragments stream through a fused selective rewrite: non-hit
+       chunk rows within them pass through bit-identical; hit chunks decode,
+       drop the deleted ids, and re-encode.
+    4. an audit pass (projection-pruned: doc_id + n_tok streams only)
+       counts exactly what was deleted per fragment; the manifest guard
+       requires new = old - deleted for both rows and tokens, per fragment.
+
+    At 100 TB a k-id deletion touches O(k) chunks (bloom fpr-bounded), so
+    steps 3-4 read MBs while step 2 is object-store COPY bandwidth. Returns
+    manifest totals plus n_docs_deleted / n_tokens_deleted. Resume is
+    per-fragment (manifest), same contract as compress/recode."""
+    from tokenzip.chunk import CHUNK_FORMAT
+    from tokenzip.errors import ChunkFormatError
+    from tokenzip.hashutil import md5_hi60_str
+    from tokenzip.stages import _bcast
+
+    ids = sorted(set(map(str, doc_ids)))
+    if not ids:
+        raise ValueError("delete_docs: empty doc_ids (nothing to delete)")
+    in_chunks = uio.join(in_dir, "chunks")
+    if not uio.isdir(in_chunks):
+        raise ChunkFormatError(f"no chunks directory under {in_dir}")
+    _require_chunk_format(in_dir, 2, "doc-id deletion")
+    have_fmt = int(Manifest(in_dir).data.get("chunk_format", 1))
+    frag_dirs = sorted(d for d in uio.listdir(in_chunks) if d.startswith("frag="))
+    all_frags = [d.split("=", 1)[1] for d in frag_dirs]
+    frag_files = {
+        f: [
+            uio.join(in_chunks, f"frag={f}", n)
+            for n in sorted(uio.listdir(uio.join(in_chunks, f"frag={f}")))
+            if n.endswith(".parquet")
+        ]
+        for f in all_frags
+    }
+
+    chunks_dir = uio.join(out_dir, "chunks")
+    man = Manifest(out_dir)
+    done = man.done_fragments() if resume else set()
+    if not resume and uio.isdir(chunks_dir):
+        uio.rmtree(chunks_dir)
+        man.data["fragments"] = {}
+    elif resume and not done and uio.isdir(chunks_dir):
+        uio.rmtree(chunks_dir)
+    if not done:
+        man.data["chunk_format"] = CHUNK_FORMAT
+    todo = [f for f in all_frags if f not in done]
+    for frag in todo:
+        d = uio.join(chunks_dir, f"frag={frag}")
+        if uio.isdir(d):
+            uio.rmtree(d)
+
+    src_man = Manifest(in_dir)
+    totals_extra = {"n_docs_deleted": 0, "n_tokens_deleted": 0}
+    if not todo:
+        t = man.totals()
+        for f, s in man.data.get("fragments", {}).items():
+            totals_extra["n_docs_deleted"] += int(s.get("n_docs_deleted", 0))
+            totals_extra["n_tokens_deleted"] += int(s.get("n_tokens_deleted", 0))
+        t.update(totals_extra)
+        return t
+
+    ids_np = np.array(ids, dtype=object)
+    ids_ref = _bcast(ids_np)
+    want_ref = _bcast(
+        md5_hi60_str(pa.array(ids, pa.string()), b"db:") if have_fmt >= 3 else None
+    )
+    sidecar = uio.join(in_dir, "symbols.json")
+    sidecar = sidecar if uio.exists(sidecar) else None
+
+    # --- probe pass: which (frag, chunk) pairs can hold a requested id ---
+    todo_files = [p for f in todo for p in frag_files[f]]
+    probe_cols = ["chunk_id", "did_min", "did_max"] + (
+        ["did_bloom"] if have_fmt >= 3 else []
+    )
+    hit_rows = (
+        ray.data.read_parquet(todo_files, columns=probe_cols, include_paths=True)
+        .map_batches(
+            _delete_probe_fn,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            fn_kwargs={"ids_ref": ids_ref, "want_ref": want_ref},
+        )
+        .take_all()
+    )
+    hit_chunks = {r["chunk_id"] for r in hit_rows}
+    hit_frags = sorted({r["frag"] for r in hit_rows})
+    clean_frags = [f for f in todo if f not in set(hit_frags)]
+
+    # --- audit pass over hit chunks: exact per-frag deletion counts ---
+    deleted: dict[str, dict] = {}
+    if hit_frags:
+        hit_files = [p for f in hit_frags for p in frag_files[f]]
+        audit_cols = [
+            "chunk_id", "n_rows", "n_tokens", "doc_id_enc", "offsets_enc",
+            "n_tok_enc", "tokens_codec",
+        ]
+        import pyarrow.compute as pc
+
+        cexpr = pc.field("chunk_id").isin(pa.array(sorted(hit_chunks), pa.string()))
+        parts = (
+            ray.data.read_parquet(
+                hit_files, columns=audit_cols, include_paths=True, filter=cexpr
+            )
+            .map_batches(
+                _delete_count_fn,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                fn_kwargs={"ids_ref": ids_ref, "sidecar": sidecar},
+            )
+            .take_all()
+        )
+        for r in parts:
+            s = deleted.setdefault(
+                r["frag"], {"n_docs_deleted": 0, "n_tokens_deleted": 0}
+            )
+            s["n_docs_deleted"] += int(r["n_docs_deleted"])
+            s["n_tokens_deleted"] += int(r["n_tokens_deleted"])
+
+    # --- clean fragments: distributed byte copy, stats carried verbatim ---
+    if clean_frags:
+        specs = [
+            {
+                "src": p,
+                "dst": uio.join(chunks_dir, f"frag={f}", os.path.basename(p)),
+            }
+            for f in clean_frags
+            for p in frag_files[f]
+        ]
+
+        def _copy(row: dict) -> dict:
+            uio.write_bytes_atomic(row["dst"], uio.read_bytes(row["src"]))
+            return {"n": 1}
+
+        n = (
+            ray.data.from_items(specs)
+            .map(_copy, concurrency=concurrency or _default_concurrency())
+            .count()
+        )
+        assert n == len(specs)
+
+    # --- hit fragments: fused selective rewrite ---
+    if hit_frags:
+        hit_files = [p for f in hit_frags for p in frag_files[f]]
+        kwargs = dict(
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_chunks,
+            fn_kwargs={
+                "ids_ref": ids_ref,
+                "hits_ref": _bcast(hit_chunks),
+                "sidecar": sidecar,
+                "tokens_codec": tokens_codec,
+            },
+        )
+        if concurrency:
+            kwargs["concurrency"] = concurrency
+        (
+            ray.data.read_parquet(hit_files, include_paths=True)
+            .map_batches(_delete_rewrite_fn, **kwargs)
+            .write_parquet(
+                chunks_dir,
+                partition_cols=["frag"],
+                compression="none",
+                row_group_size=8,
+            )
+        )
+
+    # --- manifest: stats + lineage + the new=old-deleted drift guard ---
+    src_frag_stats = dict(src_man.data.get("fragments", {}))
+    need_fold = [f for f in todo if f not in src_frag_stats]
+    if need_fold:
+        src_frag_stats.update(_fold_chunk_meta(in_chunks, need_fold))
+    frags_written = {
+        d.split("=", 1)[1]
+        for d in uio.listdir(chunks_dir)
+        if d.startswith("frag=")
+    }
+    zero = {
+        "n_chunks": 0, "n_rows": 0, "n_tokens": 0, "bytes_in": 0,
+        "bytes_out": 0, "tokens_bytes_out": 0, "leb128_bytes": 0,
+        "codecs": {},
+    }
+    new_stats = _fold_chunk_meta(
+        chunks_dir, sorted(set(hit_frags) & frags_written)
+    )
+    for frag in todo:
+        src = src_frag_stats.get(frag) or {}
+        dstat = deleted.get(frag, {"n_docs_deleted": 0, "n_tokens_deleted": 0})
+        if frag in set(hit_frags):
+            s = dict(new_stats.get(frag) or zero)
+            want_rows = int(src.get("n_rows", 0)) - dstat["n_docs_deleted"]
+            want_tok = int(src.get("n_tokens", 0)) - dstat["n_tokens_deleted"]
+            if s["n_rows"] != want_rows or s["n_tokens"] != want_tok:
+                raise ChunkFormatError(
+                    f"delete drift on frag {frag}: rows {s['n_rows']} != "
+                    f"{want_rows} or tokens {s['n_tokens']} != {want_tok}"
+                )
+        else:
+            s = {k: src.get(k, zero[k]) for k in zero}
+        s["deleted_from"] = in_dir
+        s.update(dstat)
+        totals_extra["n_docs_deleted"] += dstat["n_docs_deleted"]
+        totals_extra["n_tokens_deleted"] += dstat["n_tokens_deleted"]
+        man.mark_done(frag, s)
+    man.save()
+    if sidecar is not None:
+        uio.write_bytes_atomic(
+            uio.join(out_dir, "symbols.json"), uio.read_bytes(sidecar)
+        )
+    for f, s in man.data.get("fragments", {}).items():
+        if f not in set(todo):
+            totals_extra["n_docs_deleted"] += int(s.get("n_docs_deleted", 0))
+            totals_extra["n_tokens_deleted"] += int(s.get("n_tokens_deleted", 0))
+    t = man.totals()
+    t.update(totals_extra)
+    return t

@@ -1002,3 +1002,129 @@ def q_fused_decode_stats(sf_dir: str):
 
 def fused_decode_stats_sql(glob: str) -> str:
     return recode_stats_sql(glob)
+
+
+# ---------------------------------------------------------------------------
+# Targeted sink deletion (right-to-be-forgotten)
+# ---------------------------------------------------------------------------
+
+_DEL_DEN = 16  # salted rule "del:": ~1/16 of docs are deletion targets
+
+
+def _content_rollup(ds) -> "pd.DataFrame":
+    """Per-source (n_docs, n_tokens, sum_zigzag) over a decoded token
+    Dataset — the content-strength rollup shared by the migration and
+    deletion audits (order-insensitive zigzag checksum, exact int64)."""
+    import pandas as pd
+
+    def stats(batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+
+        lengths, values = _tokens_parts(batch["tokens"])
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src, return_inverse=True)
+        tok_src = np.repeat(inv, lengths)
+        zz = zigzag_encode(values.astype(np.int32), 32).astype(np.int64)
+        sum_zz = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sum_zz, tok_src, zz)
+        return pa.table(
+            {
+                "source": pa.array([str(s) for s in uniq], pa.string()),
+                "n_docs": pa.array(
+                    np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+                ),
+                "n_tokens": pa.array(
+                    np.bincount(inv, weights=lengths, minlength=len(uniq)).astype(
+                        np.int64
+                    )
+                ),
+                "sum_zigzag": pa.array(sum_zz),
+            }
+        )
+
+    agg = (
+        ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("sum_zigzag", alias_name="sum_zigzag"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "source": agg["source"].astype(str),
+            "n_docs": agg["n_docs"].astype("int64"),
+            "n_tokens": agg["n_tokens"].astype("int64"),
+            "sum_zigzag": agg["sum_zigzag"].astype("int64"),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_sink_delete_roundtrip(sf_dir: str):
+    """Right-to-be-forgotten audit (pipeline.delete_docs): compress the
+    corpus, delete the docs picked by the salted md5 rule (md5('del:' ||
+    doc_id) % 16 == 0 — re-shard/retry-stable, independent of the split/
+    mixture/sample salts), then decode the SURVIVING sink and report the
+    per-source content rollup.  The oracle computes the same rollup over
+    the corpus WHERE NOT rule, so a single leftover token — or one byte of
+    a deleted doc surviving in any rewritten chunk — breaks the hash.
+    delete_docs' own audit additionally enforces new = old - deleted per
+    fragment, and only bloom/zone-HIT fragments are rewritten (clean ones
+    are byte-copied)."""
+    from tokenzip.hashutil import md5_hi60_str
+    from tokenzip.pipeline import compress, decompress, delete_docs
+
+    paths = corpus_paths(sf_dir)
+    src_dir = _scoped_out_dir("/tmp/tokenzip_out", sf_dir)
+    dst_dir = _scoped_out_dir("/tmp/tokenzip_deleted", sf_dir)
+    compress(paths, src_dir)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        hv = md5_hi60_str(batch["doc_id"], b"del:")
+        return batch.filter(pa.array((hv % _DEL_DEN) == 0))
+
+    ids = [
+        r["doc_id"]
+        for r in ray.data.read_parquet(paths, columns=["doc_id"])
+        .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    ]
+    totals = delete_docs(src_dir, dst_dir, ids)
+    if totals["n_docs_deleted"] != len(set(ids)):
+        raise ValueError(
+            f"delete audit: {totals['n_docs_deleted']} deleted != "
+            f"{len(set(ids))} requested (all requested ids exist uniquely)"
+        )
+    return _content_rollup(decompress(dst_dir))
+
+
+def delete_roundtrip_sql(glob: str) -> str:
+    # identical salted md5-nibble arithmetic to the engine rule
+    nib = lambda i: f"(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1)"
+    hv = " + ".join(f"{nib(i + 1)} * {16 ** (14 - i)}" for i in range(15))
+    zz = (
+        "CASE WHEN t >= 0 THEN 2*CAST(t AS BIGINT) "
+        "ELSE -2*CAST(t AS BIGINT)-1 END"
+    )
+    return f"""
+WITH h AS (
+  SELECT source, tokens, md5('del:' || doc_id) AS m FROM read_parquet('{glob}')
+),
+k AS (SELECT source, tokens FROM (SELECT source, tokens, {hv} AS hv FROM h)
+      WHERE hv % {_DEL_DEN} != 0),
+z AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM({zz}) AS BIGINT) AS sum_zigzag
+  FROM (SELECT source, unnest(tokens) AS t FROM k)
+  GROUP BY source
+),
+d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM k GROUP BY source)
+SELECT d.source AS source, n_docs,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       COALESCE(sum_zigzag, 0) AS sum_zigzag
+FROM d LEFT JOIN z ON d.source = z.source
+ORDER BY d.source
+"""
