@@ -156,7 +156,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_jaccard": _vocab_jaccard,
         "longest_docs": _longest_docs,
         "sink_delete_roundtrip": _sink_delete,
+        "dup_block_census": _dup_block_census,
     }
+
+
+def _dup_block_census(sf_dir: str):
+    from tokenzip.training import q_dup_block_census
+
+    return q_dup_block_census(sf_dir)
 
 
 def _sink_delete(sf_dir: str):
@@ -950,6 +957,12 @@ def _sink_delete_sql(glob: str) -> str:
     return delete_roundtrip_sql(glob)
 
 
+def _dup_block_sql(glob: str) -> str:
+    from tokenzip.training import dup_block_census_sql
+
+    return dup_block_census_sql(glob)
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -1407,6 +1420,8 @@ FROM documents GROUP BY source ORDER BY source
         # decoded survivor rollup must equal the corpus minus the salted
         # md5 'del:' rule set
         "sink_delete_roundtrip": _sink_delete_sql(glob),
+        # substring-level dedup census: exact 16-token block duplication
+        "dup_block_census": _dup_block_sql(glob),
         "events_asof_orders_salted": _O.events_asof_sql(),
         "events_range_orders_salted": _O.events_range_sql(),
         "order_revenue_by_priority_salted": _order_revenue_sql(),

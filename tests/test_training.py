@@ -667,3 +667,51 @@ def test_longest_docs_matches_order_by_oracle(ray_session):
     odf = duckdb.sql(longest_docs_sql(glob)).df()
     assert got["n_tok"].is_monotonic_decreasing
     pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_dup_block_census_matches_oracle(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import dup_block_census_sql, q_dup_block_census
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_dup_block_census(SF)
+    odf = duckdb.sql(dup_block_census_sql(glob)).df()
+    assert (got["n_dup_blocks"] <= got["n_blocks"]).all()
+    assert (got["n_distinct_blocks"] <= got["n_blocks"]).all()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_dup_block_census_planted(ray_session, tmp_path):
+    """A 16-token run shared by two docs is dup mass in BOTH; the same
+    content repeated within one doc is NOT (distinct-doc rule); short docs
+    and trailing partial blocks contribute nothing."""
+    shared = list(range(100, 116))
+    other = list(range(900, 916))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d", "e"]),
+            "tokens": pa.array(
+                [
+                    shared + [1, 2, 3],      # a: 1 complete block + partial
+                    shared,                  # b: the same block content
+                    other + other,           # c: within-doc repeat, nd=1
+                    list(range(15)),         # d: too short, 0 blocks
+                    [],                      # e: empty
+                ],
+                pa.list_(pa.int32()),
+            ),
+            "n_tok": pa.array([19, 16, 32, 15, 0], pa.int32()),
+            "source": pa.array(["x", "y", "x", "x", "y"]),
+        }
+    )
+    p = str(tmp_path / "toks.parquet")
+    pq.write_table(tbl, p)
+    from tokenzip.training import q_dup_block_census
+
+    got = q_dup_block_census(str(tmp_path))
+    x = got[got["source"] == "x"].iloc[0]
+    y = got[got["source"] == "y"].iloc[0]
+    # x: blocks = a(1) + c(2) = 3; dup = a's shared block; distinct = shared + other
+    assert (x["n_blocks"], x["n_dup_blocks"], x["n_distinct_blocks"]) == (3, 1, 2)
+    # y: b's single block is dup (shared with a, a different doc)
+    assert (y["n_blocks"], y["n_dup_blocks"], y["n_distinct_blocks"]) == (1, 1, 1)

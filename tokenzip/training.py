@@ -2178,3 +2178,194 @@ SELECT CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id ASC) AS BIGINT)
 FROM read_parquet('{glob}')
 ORDER BY n_tok DESC, doc_id ASC LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicated token-block census (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+
+# Non-overlapping 16-token blocks: the paragraph-hash dedup idea (CCNet,
+# Wenzek et al. 2020; substring dedup per Lee et al. 2022) applied to the
+# token stream. A block is "duplicated" when its exact content occurs in
+# MORE THAN ONE document — the census reports, per source, how much of the
+# corpus is block-level duplicate mass. Scale shape: each block instance
+# becomes at most one narrow (key, doc, source, count) partial row
+# (~90 B per 64 B of corpus), one hash-bucketed shuffle co-locates equal
+# keys (bucket count scales with corpus size; groups stay bounded), and
+# the per-bucket fold is pure NumPy over integer codes. Exact — the key is
+# the raw 64-byte block content, never a lossy hash.
+_BLK_W = 16
+
+
+class _BlockPartialStage:
+    """Per-batch distinct (block, doc) rows with instance counts."""
+
+    def __init__(self, nb: int):
+        self.nb = nb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+
+        lengths, values = _tokens_parts(batch["tokens"])
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nblk = (lengths // _BLK_W).astype(np.int64)
+        total = int(nblk.sum())
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int64()),
+                "w": pa.array([], pa.binary()),
+                "doc": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if total == 0:
+            return empty
+        off = np.zeros(len(lengths) + 1, np.int64)
+        np.cumsum(lengths, out=off[1:])
+        cum = np.zeros(len(nblk) + 1, np.int64)
+        np.cumsum(nblk, out=cum[1:])
+        di = np.repeat(np.arange(len(nblk), dtype=np.int64), nblk)
+        local = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], nblk)
+        starts = off[:-1][di] + _BLK_W * local
+        wins = np.ascontiguousarray(
+            values[starts[:, None] + np.arange(_BLK_W)], dtype=np.int32
+        )
+        # (block bytes, doc) distinct with counts: one np.unique over a
+        # structured (V64, i8) view — no Python per block
+        arr = np.empty(total, dtype=[("w", f"V{_BLK_W * 4}"), ("d", "i8")])
+        arr["w"] = wins.view(np.dtype((np.void, _BLK_W * 4))).ravel()
+        arr["d"] = di
+        uniq, counts = np.unique(arr, return_counts=True)
+        k = len(uniq)
+        uw = np.frombuffer(uniq["w"].tobytes(), dtype=np.int32).reshape(k, _BLK_W)
+        # bucket = polynomial hash of the block ints (uint64 wraparound)
+        h = np.zeros(k, dtype=np.uint64)
+        for j in range(_BLK_W):
+            h = h * np.uint64(1000003) + uw[:, j].astype(np.uint64)
+        bkt = (h % np.uint64(self.nb)).astype(np.int64)
+        udoc = uniq["d"]
+        wkeys = pa.Array.from_buffers(
+            pa.binary(_BLK_W * 4), k, [None, pa.py_buffer(uniq["w"].tobytes())]
+        ).cast(pa.binary())
+        return pa.table(
+            {
+                "bkt": pa.array(bkt, pa.int64()),
+                "w": wkeys,
+                "doc": pa.array(doc[udoc], pa.string()),
+                "source": pa.array(src[udoc], pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def _block_bucket_fold(g: pa.Table) -> pa.Table:
+    """Within one key bucket: distinct docs per block key -> dup flags ->
+    per-source (n_blocks, n_dup_blocks, n_distinct_blocks) partials."""
+    w = g["w"].to_numpy(zero_copy_only=False)
+    doc = g["doc"].to_numpy(zero_copy_only=False)
+    src = g["source"].to_numpy(zero_copy_only=False)
+    n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    wu, wi = np.unique(w, return_inverse=True)
+    du, dix = np.unique(doc, return_inverse=True)
+    su, six = np.unique(src, return_inverse=True)
+    # collapse same (key, doc) arriving from different batches
+    comp, cinv = np.unique(
+        wi.astype(np.int64) * len(du) + dix, return_inverse=True
+    )
+    cnt = np.zeros(len(comp), np.int64)
+    np.add.at(cnt, cinv, n)
+    s_of = np.zeros(len(comp), np.int64)
+    s_of[cinv] = six  # a doc has one source; any row's value is THE value
+    ckey = comp // len(du)
+    nd = np.bincount(ckey, minlength=len(wu))
+    isdup = (nd > 1)[ckey]
+    ns = len(su)
+    blocks = np.zeros(ns, np.int64)
+    np.add.at(blocks, s_of, cnt)
+    dupb = np.zeros(ns, np.int64)
+    np.add.at(dupb, s_of[isdup], cnt[isdup])
+    # distinct (key, source) pairs per source
+    ks = np.unique(ckey * ns + s_of)
+    dist = np.bincount(ks % ns, minlength=ns)
+    return pa.table(
+        {
+            "source": pa.array([str(s) for s in su], pa.string()),
+            "n_blocks": pa.array(blocks, pa.int64()),
+            "n_dup_blocks": pa.array(dupb, pa.int64()),
+            "n_distinct_blocks": pa.array(dist.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_dup_block_census(sf_dir: str) -> pd.DataFrame:
+    """Per-source duplicated token-block census: of each source's
+    non-overlapping 16-token blocks, how many carry content that also
+    occurs in another document (and how many distinct block contents the
+    source has). The block-level exact-dedup budget sheet."""
+    paths = _token_paths(sf_dir)
+    nb = _lsh_n_buckets_training(_corpus_docs(paths))
+    agg = (
+        ray.data.read_parquet(paths, columns=["doc_id", "tokens", "source"])
+        .map_batches(
+            _BlockPartialStage(nb),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bkt")
+        .map_groups(_block_bucket_fold, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_blocks", alias_name="n_blocks"),
+            Sum("n_dup_blocks", alias_name="n_dup_blocks"),
+            Sum("n_distinct_blocks", alias_name="n_distinct_blocks"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "source": agg["source"].astype(str),
+            "n_blocks": agg["n_blocks"].astype("int64"),
+            "n_dup_blocks": agg["n_dup_blocks"].astype("int64"),
+            "n_distinct_blocks": agg["n_distinct_blocks"].astype("int64"),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def _corpus_docs(paths: list[str]) -> int:
+    """Total doc count from parquet FOOTERS only (planning metadata)."""
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+
+def _lsh_n_buckets_training(n_rows: int, target: int = 32768) -> int:
+    from tokenzip.analysis import _lsh_n_buckets
+
+    return _lsh_n_buckets(n_rows, target=target)
+
+
+def dup_block_census_sql(glob: str) -> str:
+    """DuckDB oracle: identical block geometry (1-based starts 1, 17, ...;
+    complete 16-token blocks only); the string rendering is merely an
+    injective key — the engine groups the raw block bytes."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, unnest(tokens) AS tok,
+         generate_subscripts(tokens, 1) AS ord
+  FROM read_parquet('{glob}')
+),
+w AS (
+  SELECT doc_id, source, string_agg(tok, ',' ORDER BY ord) AS w
+  FROM t
+  GROUP BY doc_id, source, (ord - 1) // {_BLK_W}
+  HAVING COUNT(*) = {_BLK_W}
+),
+k AS (SELECT w, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY w),
+j AS (SELECT w.source, w.w AS w, k.nd FROM w JOIN k USING (w))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_blocks
+FROM j GROUP BY source ORDER BY source
+"""
