@@ -157,7 +157,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_docs": _longest_docs,
         "sink_delete_roundtrip": _sink_delete,
         "dup_block_census": _dup_block_census,
+        "length_outliers_by_source": _length_outliers,
     }
+
+
+def _length_outliers(sf_dir: str):
+    from tokenzip.training import q_length_outliers_by_source
+
+    return q_length_outliers_by_source(sf_dir)
 
 
 def _dup_block_census(sf_dir: str):
@@ -963,6 +970,12 @@ def _dup_block_sql(glob: str) -> str:
     return dup_block_census_sql(glob)
 
 
+def _length_outliers_sql(glob: str) -> str:
+    from tokenzip.training import length_outliers_sql
+
+    return length_outliers_sql(glob)
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -1422,6 +1435,9 @@ FROM documents GROUP BY source ORDER BY source
         "sink_delete_roundtrip": _sink_delete_sql(glob),
         # substring-level dedup census: exact 16-token block duplication
         "dup_block_census": _dup_block_sql(glob),
+        # exact-integer 3-sigma length outliers (isqrt thresholds vs the
+        # HUGEINT squared rule — no float sigma on either engine)
+        "length_outliers_by_source": _length_outliers_sql(glob),
         "events_asof_orders_salted": _O.events_asof_sql(),
         "events_range_orders_salted": _O.events_range_sql(),
         "order_revenue_by_priority_salted": _order_revenue_sql(),

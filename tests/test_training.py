@@ -715,3 +715,35 @@ def test_dup_block_census_planted(ray_session, tmp_path):
     assert (x["n_blocks"], x["n_dup_blocks"], x["n_distinct_blocks"]) == (3, 1, 2)
     # y: b's single block is dup (shared with a, a different doc)
     assert (y["n_blocks"], y["n_dup_blocks"], y["n_distinct_blocks"]) == (1, 1, 1)
+
+
+def test_length_outliers_matches_oracle(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import length_outliers_sql, q_length_outliers_by_source
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_length_outliers_by_source(SF)
+    odf = duckdb.sql(length_outliers_sql(glob)).df()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_length_outliers_planted(ray_session, tmp_path):
+    """One giant doc among uniform ones is a high outlier; zero-variance
+    and single-doc sources produce none (not a divide-by-zero)."""
+    lens = [10] * 99 + [1000]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(103)]),
+            "tokens": pa.array([[1] * 3] * 103, pa.list_(pa.int32())),
+            "n_tok": pa.array(lens + [7, 7, 42], pa.int32()),
+            "source": pa.array(["x"] * 100 + ["flat", "flat", "one"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "toks.parquet"))
+    from tokenzip.training import q_length_outliers_by_source
+
+    got = q_length_outliers_by_source(str(tmp_path)).set_index("source")
+    assert got.loc["x", "n_high_outliers"] == 1
+    assert got.loc["x", "n_low_outliers"] == 0
+    assert got.loc["flat"].tolist() == [2, 0, 0]
+    assert got.loc["one"].tolist() == [1, 0, 0]

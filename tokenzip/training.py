@@ -2369,3 +2369,140 @@ SELECT source,
        CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_blocks
 FROM j GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Length-outlier detection: exact-integer 3-sigma census per source
+# ---------------------------------------------------------------------------
+
+# Outlier rule: |x - mean| > 3*sigma (population), decided EXACTLY in
+# integers: (n*x - S)^2 > 9*(n*Q - S^2) with S = sum(x), Q = sum(x^2).
+# n*Q exceeds int64 at corpus scale, so the engine folds the per-batch
+# partials in PYTHON bignums and converts the rule to two integer
+# thresholds via isqrt (a^2 > b  <=>  a > isqrt(b) for a >= 0); the second
+# pass is a plain int64 compare per row. The oracle runs the squared rule
+# directly in HUGEINT. Two column-pruned scans of (source, n_tok) only.
+
+
+class _LenMomentStage:
+    """Per-batch (source, n, s1, s2) moment partials (int64-safe per batch;
+    the cross-batch fold is Python-bignum on the driver)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        x = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(src, return_inverse=True)
+        k = len(uniq)
+        n = np.bincount(inv, minlength=k).astype(np.int64)
+        s1 = np.zeros(k, np.int64)
+        np.add.at(s1, inv, x)
+        s2 = np.zeros(k, np.int64)
+        np.add.at(s2, inv, x * x)
+        return pa.table(
+            {
+                "source": pa.array([str(s) for s in uniq], pa.string()),
+                "n": pa.array(n),
+                "s1": pa.array(s1),
+                "s2": pa.array(s2),
+            }
+        )
+
+
+class _LenOutlierStage:
+    """Second pass: count docs beyond the broadcast integer thresholds."""
+
+    def __init__(self, lo: dict, hi: dict):
+        self.lo, self.hi = lo, hi
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        x = batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(src, return_inverse=True)
+        k = len(uniq)
+        lo = np.array([self.lo[str(s)] for s in uniq], dtype=np.int64)
+        hi = np.array([self.hi[str(s)] for s in uniq], dtype=np.int64)
+        nlow = np.zeros(k, np.int64)
+        np.add.at(nlow, inv, (x <= lo[inv]).astype(np.int64))
+        nhigh = np.zeros(k, np.int64)
+        np.add.at(nhigh, inv, (x >= hi[inv]).astype(np.int64))
+        return pa.table(
+            {
+                "source": pa.array([str(s) for s in uniq], pa.string()),
+                "n_docs": pa.array(np.bincount(inv, minlength=k).astype(np.int64)),
+                "n_low_outliers": pa.array(nlow),
+                "n_high_outliers": pa.array(nhigh),
+            }
+        )
+
+
+def q_length_outliers_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source count of docs whose n_tok sits more than 3 population
+    standard deviations from the source mean — the data-quality gate for
+    truncation/concatenation artifacts, decided in exact integer
+    arithmetic on both engines (no float sigma ever crosses a compare)."""
+    import math
+
+    paths = _token_paths(sf_dir)
+    ds = ray.data.read_parquet(paths, columns=["source", "n_tok"])
+    parts = ds.map_batches(
+        _LenMomentStage(), batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    mom: dict[str, list[int]] = {}
+    for r in parts:
+        m = mom.setdefault(r["source"], [0, 0, 0])
+        m[0] += int(r["n"])   # Python ints: no overflow at any scale
+        m[1] += int(r["s1"])
+        m[2] += int(r["s2"])
+    lo: dict[str, int] = {}
+    hi: dict[str, int] = {}
+    for s, (n, s1, s2) in mom.items():
+        v9 = 9 * (n * s2 - s1 * s1)  # 9 * n^2 * variance, exact
+        r = math.isqrt(v9) if v9 > 0 else 0
+        # high outlier: n*x - s1 > r  =>  smallest qualifying x
+        hi[s] = (s1 + r) // n + 1
+        # low outlier: s1 - n*x > r  =>  largest qualifying x
+        lo[s] = -((-(s1 - r)) // n) - 1  # ceil((s1-r)/n) - 1
+    agg = (
+        ds.map_batches(
+            _LenOutlierStage(lo, hi), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_low_outliers", alias_name="n_low_outliers"),
+            Sum("n_high_outliers", alias_name="n_high_outliers"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "source": agg["source"].astype(str),
+            "n_docs": agg["n_docs"].astype("int64"),
+            "n_low_outliers": agg["n_low_outliers"].astype("int64"),
+            "n_high_outliers": agg["n_high_outliers"].astype("int64"),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def length_outliers_sql(glob: str) -> str:
+    """HUGEINT squared-rule oracle — algebraically identical to the
+    engine's isqrt thresholds."""
+    a = "(s.n * CAST(t.n_tok AS HUGEINT) - s.s1)"
+    v9 = "9 * (s.n * s.s2 - s.s1 * s.s1)"
+    return f"""
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(n_tok AS BIGINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(n_tok AS BIGINT) * n_tok) AS HUGEINT) AS s2
+  FROM read_parquet('{glob}') GROUP BY source
+)
+SELECT t.source AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN {a} < 0 AND {a} * {a} > {v9}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+       CAST(SUM(CASE WHEN {a} > 0 AND {a} * {a} > {v9}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+FROM read_parquet('{glob}') t JOIN s ON t.source = s.source
+GROUP BY t.source ORDER BY t.source
+"""
