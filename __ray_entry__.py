@@ -158,7 +158,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_delete_roundtrip": _sink_delete,
         "dup_block_census": _dup_block_census,
         "length_outliers_by_source": _length_outliers,
+        "vocab_tv_distance": _vocab_tv,
     }
+
+
+def _vocab_tv(sf_dir: str):
+    from tokenzip.training import q_vocab_tv_distance
+
+    return q_vocab_tv_distance(sf_dir)
 
 
 def _length_outliers(sf_dir: str):
@@ -976,6 +983,12 @@ def _length_outliers_sql(glob: str) -> str:
     return length_outliers_sql(glob)
 
 
+def _vocab_tv_sql(glob: str) -> str:
+    from tokenzip.training import vocab_tv_distance_sql
+
+    return vocab_tv_distance_sql(glob)
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -1438,6 +1451,8 @@ FROM documents GROUP BY source ORDER BY source
         # exact-integer 3-sigma length outliers (isqrt thresholds vs the
         # HUGEINT squared rule — no float sigma on either engine)
         "length_outliers_by_source": _length_outliers_sql(glob),
+        # pairwise unigram-distribution drift, exact integer TV numerator
+        "vocab_tv_distance": _vocab_tv_sql(glob),
         "events_asof_orders_salted": _O.events_asof_sql(),
         "events_range_orders_salted": _O.events_range_sql(),
         "order_revenue_by_priority_salted": _order_revenue_sql(),

@@ -747,3 +747,37 @@ def test_length_outliers_planted(ray_session, tmp_path):
     assert got.loc["x", "n_low_outliers"] == 0
     assert got.loc["flat"].tolist() == [2, 0, 0]
     assert got.loc["one"].tolist() == [1, 0, 0]
+
+
+def test_vocab_tv_distance_matches_oracle(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import q_vocab_tv_distance, vocab_tv_distance_sql
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_vocab_tv_distance(SF)
+    odf = duckdb.sql(vocab_tv_distance_sql(glob)).df()
+    assert ((got["tv_bp"] >= 0) & (got["tv_bp"] <= 10000)).all()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_vocab_tv_distance_planted(ray_session, tmp_path):
+    """Identical distributions give 0 bp, disjoint vocabularies 10000 bp,
+    and a half-overlap lands exactly where the closed form says."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c", "d"]),
+            "tokens": pa.array(
+                [[1, 2], [1, 2], [5, 6], [1, 5]], pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([2, 2, 2, 2], pa.int32()),
+            "source": pa.array(["p", "q", "r", "s"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "toks.parquet"))
+    from tokenzip.training import q_vocab_tv_distance
+
+    got = q_vocab_tv_distance(str(tmp_path)).set_index(["source_a", "source_b"])
+    assert got.loc[("p", "q"), "tv_bp"] == 0       # identical
+    assert got.loc[("p", "r"), "tv_bp"] == 10000   # disjoint
+    # p={1,2}, s={1,5}: TV = 1/2*(|.5-.5| + .5 + .5) = 0.5 -> 5000 bp
+    assert got.loc[("p", "s"), "tv_bp"] == 5000

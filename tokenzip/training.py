@@ -2506,3 +2506,191 @@ SELECT t.source AS source,
 FROM read_parquet('{glob}') t JOIN s ON t.source = s.source
 GROUP BY t.source ORDER BY t.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Inter-source vocabulary drift: exact total-variation distance
+# ---------------------------------------------------------------------------
+
+# TV(a, b) = 1/2 * sum_t |p_a(t) - p_b(t)| decomposes per token, so unlike
+# the KS statistic it needs no global CDF: the integer numerator
+# sum_t |c_a(t)*n_b - c_b(t)*n_a| folds per vocab bucket and the final
+# division happens once on the driver. Counts stay exact end to end; the
+# per-term product c*n overflows int64 only beyond ~3e9 tokens/source,
+# where the engine REFUSES loudly (the certified-or-loud contract; a
+# sampled variant is the documented path there).
+
+
+class _VocabSourcePartialStage:
+    """Per-batch (bkt, token, source, cnt) partials — vocab x batch-sources
+    sized, never token-sized."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+
+        lengths, values = _tokens_parts(batch["tokens"])
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int64()),
+                "token": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if not len(values):
+            return empty
+        su, si = np.unique(src, return_inverse=True)
+        tok_src = np.repeat(si, lengths)
+        comp = values.astype(np.int64) * len(su) + tok_src
+        uniq, cnt = np.unique(comp, return_counts=True)
+        # python floor semantics keep token//len and token%len paired for
+        # negative tokens (comp = t*k + s with 0 <= s < k is a bijection)
+        tok = np.floor_divide(uniq, len(su))
+        sidx = uniq - tok * len(su)
+        return pa.table(
+            {
+                "bkt": pa.array(tok % _VOCAB_NB),
+                "token": pa.array(tok),
+                "source": pa.array(su[sidx], pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+
+def _tv_bucket_fold(totals: dict[str, int], order: list[str]):
+    """groupby(bkt): per-pair partial TV numerators over the bucket's
+    tokens. ALL global sources participate (an absent column is zeros)."""
+    gi = {s: i for i, s in enumerate(order)}
+    nvec = np.array([totals[s] for s in order], dtype=np.int64)
+
+    def fold(g: pa.Table) -> pa.Table:
+        ns = len(order)
+        out = {
+            "source_a": [], "source_b": [], "num": [],
+        }
+        if g.num_rows:
+            tok = g["token"].to_numpy(zero_copy_only=False)
+            src = g["source"].to_numpy(zero_copy_only=False)
+            cnt = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+            tu, ti = np.unique(tok, return_inverse=True)
+            mat = np.zeros((len(tu), ns), dtype=np.int64)
+            cols = np.array([gi[s] for s in src], dtype=np.int64)
+            np.add.at(mat, (ti, cols), cnt)
+            for a in range(ns):
+                for b in range(a + 1, ns):
+                    out["source_a"].append(order[a])
+                    out["source_b"].append(order[b])
+                    out["num"].append(
+                        int(
+                            np.abs(
+                                mat[:, a] * nvec[b] - mat[:, b] * nvec[a]
+                            ).sum(dtype=np.int64)
+                        )
+                    )
+        return pa.table(
+            {
+                "source_a": pa.array(out["source_a"], pa.string()),
+                "source_b": pa.array(out["source_b"], pa.string()),
+                "num": pa.array(out["num"], pa.int64()),
+            }
+        )
+
+    return fold
+
+
+def q_vocab_tv_distance(sf_dir: str) -> pd.DataFrame:
+    """Pairwise total-variation distance between the sources' unigram token
+    distributions, in integer basis points — the mixture-drift audit
+    ("did web's token distribution move away from wiki's") with zero float
+    arithmetic before the final driver-side division."""
+    paths = _token_paths(sf_dir)
+    def _tot_partial(b: pa.Table) -> pa.Table:
+        su, si = np.unique(b["source"].to_numpy(zero_copy_only=False), return_inverse=True)
+        ntok = b["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        acc = np.zeros(len(su), np.int64)  # int64 np.add.at, never float weights
+        np.add.at(acc, si, ntok)
+        return pa.table({"source": pa.array(su, pa.string()), "n": pa.array(acc)})
+
+    tot = (
+        _ids_dataset(paths)
+        .map_batches(_tot_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    totals = {str(r["source"]): int(r["n"]) for _, r in tot.iterrows()}
+    order = sorted(totals)
+    for a in range(len(order)):
+        for b in range(a + 1, len(order)):
+            if totals[order[a]] * totals[order[b]] > (1 << 62):
+                raise ValueError(
+                    "vocab_tv_distance: per-term products exceed int64 at "
+                    f"{totals[order[a]]} x {totals[order[b]]} tokens; "
+                    "use a sampled distribution at this scale"
+                )
+    parts = (
+        ray.data.read_parquet(paths, columns=["tokens", "source"])
+        .map_batches(
+            _VocabSourcePartialStage(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("bkt")
+        .map_groups(_tv_bucket_fold(totals, order), batch_format="pyarrow")
+        .take_all()
+    )
+    num: dict[tuple[str, str], int] = {}
+    for r in parts:
+        k = (r["source_a"], r["source_b"])
+        num[k] = num.get(k, 0) + int(r["num"])  # Python ints: exact fold
+    rows = []
+    for a in range(len(order)):
+        for b in range(a + 1, len(order)):
+            sa, sb = order[a], order[b]
+            na, nb = totals[sa], totals[sb]
+            n = num.get((sa, sb), 0)
+            rows.append(
+                {
+                    "source_a": sa,
+                    "source_b": sb,
+                    "tv_bp": (10000 * n) // (2 * na * nb),
+                    "n_tokens_a": na,
+                    "n_tokens_b": nb,
+                }
+            )
+    out = pd.DataFrame(rows)
+    for c in ("tv_bp", "n_tokens_a", "n_tokens_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+def vocab_tv_distance_sql(glob: str) -> str:
+    """HUGEINT oracle: identical integer numerator and basis-point floor
+    division over the union token domain per source pair."""
+    return f"""
+WITH c AS (
+  SELECT source, t, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM (SELECT source, unnest(tokens) AS t FROM read_parquet('{glob}'))
+  GROUP BY source, t
+),
+tot AS (SELECT source, CAST(SUM(n) AS HUGEINT) AS ns FROM c GROUP BY source),
+toks AS (SELECT DISTINCT t FROM c),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb, a.ns AS na, b.ns AS nb
+  FROM tot a JOIN tot b ON a.source < b.source
+),
+terms AS (
+  SELECT p.sa, p.sb, p.na, p.nb,
+         ABS(COALESCE(ca.n, 0) * p.nb - COALESCE(cb.n, 0) * p.na) AS term
+  FROM pairs p
+  CROSS JOIN toks t
+  LEFT JOIN c ca ON ca.source = p.sa AND ca.t = t.t
+  LEFT JOIN c cb ON cb.source = p.sb AND cb.t = t.t
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST((10000 * SUM(term)) // (2 * na * nb) AS BIGINT) AS tv_bp,
+       CAST(na AS BIGINT) AS n_tokens_a,
+       CAST(nb AS BIGINT) AS n_tokens_b
+FROM terms GROUP BY sa, sb, na, nb ORDER BY sa, sb
+"""
