@@ -120,3 +120,31 @@ def test_delete_error_paths(ray_session, src_sink, tmp_path):
         delete_docs(src_sink, str(tmp_path / "x"), [])
     with pytest.raises(ChunkFormatError):
         delete_docs(str(tmp_path / "nosink"), str(tmp_path / "y"), ["a"])
+
+
+def test_delete_from_compacted_sink_and_compact_after_delete(
+    ray_session, paths, src_sink, tmp_path
+):
+    """delete_docs composes with compaction in both orders: deleting from a
+    compacted sink (fragment names are synthetic there) and compacting a
+    deleted sink both decode to corpus-minus-ids."""
+    from tokenzip.pipeline import compact
+
+    orig = decompress(src_sink).to_pandas()
+    ids = sorted(orig["doc_id"])[5:25:2]
+    want = set(orig["doc_id"]) - set(ids)
+
+    cmp_sink = str(tmp_path / "cmp")
+    compact(src_sink, cmp_sink, target_bytes=64 << 10)
+    d1 = str(tmp_path / "d1")
+    t1 = delete_docs(cmp_sink, d1, ids, resume=False)
+    assert t1["n_docs_deleted"] == len(ids)
+    got1 = set(decompress(d1).to_pandas()["doc_id"])
+    assert got1 == want
+
+    d2 = str(tmp_path / "d2")
+    delete_docs(src_sink, d2, ids, resume=False)
+    c2 = str(tmp_path / "c2")
+    compact(d2, c2, target_bytes=64 << 10)
+    got2 = set(decompress(c2).to_pandas()["doc_id"])
+    assert got2 == want
