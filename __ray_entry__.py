@@ -159,7 +159,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_block_census": _dup_block_census,
         "length_outliers_by_source": _length_outliers,
         "vocab_tv_distance": _vocab_tv,
+        "seqlen_mad_by_source": _seqlen_mad,
     }
+
+
+def _seqlen_mad(sf_dir: str):
+    from tokenzip.training import q_seqlen_mad_by_source
+
+    return q_seqlen_mad_by_source(sf_dir)
 
 
 def _vocab_tv(sf_dir: str):
@@ -989,6 +996,12 @@ def _vocab_tv_sql(glob: str) -> str:
     return vocab_tv_distance_sql(glob)
 
 
+def _seqlen_mad_sql(glob: str) -> str:
+    from tokenzip.training import seqlen_mad_sql
+
+    return seqlen_mad_sql(glob)
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -1453,6 +1466,8 @@ FROM documents GROUP BY source ORDER BY source
         "length_outliers_by_source": _length_outliers_sql(glob),
         # pairwise unigram-distribution drift, exact integer TV numerator
         "vocab_tv_distance": _vocab_tv_sql(glob),
+        # robust dispersion: median/MAD/outliers off one bounded histogram
+        "seqlen_mad_by_source": _seqlen_mad_sql(glob),
         "events_asof_orders_salted": _O.events_asof_sql(),
         "events_range_orders_salted": _O.events_range_sql(),
         "order_revenue_by_priority_salted": _order_revenue_sql(),

@@ -781,3 +781,33 @@ def test_vocab_tv_distance_planted(ray_session, tmp_path):
     assert got.loc[("p", "r"), "tv_bp"] == 10000   # disjoint
     # p={1,2}, s={1,5}: TV = 1/2*(|.5-.5| + .5 + .5) = 0.5 -> 5000 bp
     assert got.loc[("p", "s"), "tv_bp"] == 5000
+
+
+def test_seqlen_mad_matches_oracle(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.training import q_seqlen_mad_by_source, seqlen_mad_sql
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_seqlen_mad_by_source(SF)
+    odf = duckdb.sql(seqlen_mad_sql(glob)).df()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_seqlen_mad_planted(ray_session, tmp_path):
+    """Closed-form check: values 1..9 + one 1000. Median = low rank-5 of 10
+    = 5; deviations sorted 0,1,1,2,2,3,3,4,4,995 -> MAD (rank 5) = 2;
+    robust outliers (dev > 10): only the 1000."""
+    lens = list(range(1, 10)) + [1000]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(10)]),
+            "tokens": pa.array([[1]] * 10, pa.list_(pa.int32())),
+            "n_tok": pa.array(lens, pa.int32()),
+            "source": pa.array(["x"] * 10),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "toks.parquet"))
+    from tokenzip.training import q_seqlen_mad_by_source
+
+    got = q_seqlen_mad_by_source(str(tmp_path)).iloc[0]
+    assert (got["med_tok"], got["mad_tok"], got["n_robust_outliers"]) == (5, 2, 1)

@@ -2694,3 +2694,108 @@ SELECT sa AS source_a, sb AS source_b,
        CAST(nb AS BIGINT) AS n_tokens_b
 FROM terms GROUP BY sa, sb, na, nb ORDER BY sa, sb
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust dispersion: median + MAD + robust outlier count, one histogram pass
+# ---------------------------------------------------------------------------
+
+# The sparse (source, n_tok, cnt) histogram is corpus-size-independent, so
+# median AND median-absolute-deviation both read off ONE merged histogram
+# inside the same group fold — the second "pass" over |x - med| is
+# arithmetic on the histogram's distinct values, not a corpus rescan. The
+# robust outlier rule is pure integers (dev > 5 * MAD), the integer-exact
+# complement of the 3-sigma census (no 0.6745 consistency float anywhere).
+
+
+def _mad_group(df: pd.DataFrame) -> pd.DataFrame:
+    g = df.groupby("n_tok")["cnt"].sum().sort_index()
+    vals = g.index.to_numpy(np.int64)
+    cnt = g.to_numpy(np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    med = int(vals[np.searchsorted(cum, (n + 1) // 2)])
+    dev = np.abs(vals - med)
+    order = np.argsort(dev, kind="stable")
+    dsort, dcnt = dev[order], cnt[order]
+    # combine equal deviations (x = med-k and med+k collapse)
+    du, dinv = np.unique(dsort, return_inverse=True)
+    dc = np.zeros(len(du), np.int64)
+    np.add.at(dc, dinv, dcnt)
+    dcum = np.cumsum(dc)
+    mad = int(du[np.searchsorted(dcum, (n + 1) // 2)])
+    n_out = int(dc[du > 5 * mad].sum())
+    return pd.DataFrame(
+        {
+            "source": [str(df["source"].iloc[0])],
+            "n_docs": [n],
+            "med_tok": [med],
+            "mad_tok": [mad],
+            "n_robust_outliers": [n_out],
+        }
+    )
+
+
+def q_seqlen_mad_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source robust length statistics: exact median, exact MAD, and
+    the count of docs with |n_tok - median| > 5 * MAD — the
+    outlier census that a single pathological shard cannot skew (unlike
+    mean/sigma, which the 3-sigma census deliberately reports)."""
+    paths = _token_paths(sf_dir)
+    out = (
+        _ids_dataset(paths)
+        .map_batches(
+            _SeqLenHistStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["source", "n_tok"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("source")
+        .map_groups(_mad_group, batch_format="pandas")
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["source"] = out["source"].astype(str)
+    for c in ("n_docs", "med_tok", "mad_tok", "n_robust_outliers"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def seqlen_mad_sql(glob: str) -> str:
+    """Same ceil-rank rule ((n+1)//2 = low median) on both levels."""
+    return f"""
+WITH o AS (
+  SELECT source, CAST(n_tok AS BIGINT) AS n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM read_parquet('{glob}')
+),
+m AS (
+  SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN n_tok END) AS med
+  FROM o GROUP BY source
+),
+d AS (
+  SELECT o.source, ABS(o.n_tok - m.med) AS dev, m.med, m.n_docs
+  FROM o JOIN m ON o.source = m.source
+),
+o2 AS (
+  SELECT source, dev, med, n_docs,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM d
+),
+mm AS (
+  SELECT source, MAX(n_docs) AS n_docs, MAX(med) AS med,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+  FROM o2 GROUP BY source
+)
+SELECT d.source AS source,
+       CAST(MAX(mm.n_docs) AS BIGINT) AS n_docs,
+       CAST(MAX(mm.med) AS BIGINT) AS med_tok,
+       CAST(MAX(mm.mad) AS BIGINT) AS mad_tok,
+       CAST(SUM(CASE WHEN d.dev > 5 * mm.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_robust_outliers
+FROM d JOIN mm ON d.source = mm.source
+GROUP BY d.source ORDER BY d.source
+"""
