@@ -160,7 +160,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outliers_by_source": _length_outliers,
         "vocab_tv_distance": _vocab_tv,
         "seqlen_mad_by_source": _seqlen_mad,
+        "curation_funnel": _curation_funnel,
     }
+
+
+def _curation_funnel(sf_dir: str):
+    from tokenzip.analysis import q_curation_funnel
+
+    return q_curation_funnel(sf_dir)
 
 
 def _seqlen_mad(sf_dir: str):
@@ -1002,6 +1009,12 @@ def _seqlen_mad_sql(glob: str) -> str:
     return seqlen_mad_sql(glob)
 
 
+def _curation_funnel_sql() -> str:
+    from tokenzip.analysis import curation_funnel_sql
+
+    return curation_funnel_sql()
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -1468,6 +1481,8 @@ FROM documents GROUP BY source ORDER BY source
         "vocab_tv_distance": _vocab_tv_sql(glob),
         # robust dispersion: median/MAD/outliers off one bounded histogram
         "seqlen_mad_by_source": _seqlen_mad_sql(glob),
+        # end-to-end curation composition: quality -> dedup -> mixture
+        "curation_funnel": _curation_funnel_sql(),
         "events_asof_orders_salted": _O.events_asof_sql(),
         "events_range_orders_salted": _O.events_range_sql(),
         "order_revenue_by_priority_salted": _order_revenue_sql(),

@@ -665,3 +665,22 @@ def test_corpus_diff_classes_planted(ray_session, tmp_path):
         ["x", 0, 1, 1, 0],
         ["y", 2, 0, 0, 1],
     ]
+
+
+def test_curation_funnel_matches_oracle(ray_session):
+    import duckdb
+
+    from tokenzip.analysis import curation_funnel_sql, q_curation_funnel
+
+    got = q_curation_funnel(SF)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    odf = con.sql(curation_funnel_sql()).df()
+    # monotone funnel: every stage only removes
+    assert (got["n_quality"] <= got["n_raw"]).all()
+    assert (got["n_dedup"] <= got["n_quality"]).all()
+    assert (got["n_final"] <= got["n_dedup"]).all()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))

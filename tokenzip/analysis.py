@@ -3060,3 +3060,180 @@ SELECT source,
        CAST(COUNT(*) FILTER (cls = 'added') AS BIGINT) AS n_added
 FROM j GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation funnel: quality -> exact dedup -> mixture, one shuffle
+# ---------------------------------------------------------------------------
+
+# The end-to-end composition a pretraining pipeline actually runs, as ONE
+# plan: per-doc quality gate (length + repetition, integer rules), exact
+# keep-min dedup over the bag-of-words fingerprint, then the salted-md5
+# mixture step — and the survival count of every stage per source. Shape:
+# the raw count is a text-free column scan; quality survivors shuffle ONCE
+# as narrow (bkt, fp, doc_id, source, keep_mix) rows into fingerprint-hash
+# buckets where keep-min, and the mixture flag, fold vectorized. The
+# mixture rule depends only on doc_id, so applying it after dedup is
+# order-independent and retry-stable.
+
+_FUNNEL_MIN_CHARS = 60
+_FUNNEL_DEN = 1_000_000
+_FUNNEL_REP_NUM = 9  # dup-word fraction <= 90% (a lenient pre-dedup gate:
+# harshly repetitive docs are usually ALSO the exact-dup clones, and the
+# funnel should show them dying at the dedup stage, not silently earlier)
+
+
+def _funnel_weight_expr() -> str:
+    # even-numbered sources keep 90%, odd 50% (documents sources are srcN)
+    return (
+        "CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0 "
+        f"THEN {int(0.9 * _FUNNEL_DEN)} ELSE {int(0.5 * _FUNNEL_DEN)} END"
+    )
+
+
+def _funnel_weight(src: str) -> int:
+    return int(0.9 * _FUNNEL_DEN) if int(src[3:]) % 2 == 0 else int(0.5 * _FUNNEL_DEN)
+
+
+class _FunnelSurvivorStage:
+    """Quality survivors as narrow shuffle rows (text never leaves the
+    stage; fingerprints and flags do)."""
+
+    def __init__(self, nb: int):
+        self.nb = nb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tokenzip.hashutil import md5_hi60_str
+
+        col = batch["text"].combine_chunks()
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nchars = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = pc.count_substring(col, " ").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        ) + 1
+        off, _ = _shingle_hash_batch(col, n=1)
+        ndw = np.diff(off)
+        q = (nchars >= _FUNNEL_MIN_CHARS) & ((nw - ndw) * 10 <= _FUNNEL_REP_NUM * nw)
+        idx = np.flatnonzero(q)
+        fps = [doc_fingerprint(col[int(i)].as_py()) for i in idx]
+        hv = md5_hi60_str(
+            pa.array([str(d) for d in did[idx]], pa.string()), b"mix:"
+        )
+        thr = np.array([_funnel_weight(str(s)) for s in src[idx]], dtype=np.int64)
+        keep_mix = (hv % _FUNNEL_DEN) < thr
+        bkt = np.array([int(f[:8], 16) for f in fps], dtype=np.int64) % self.nb
+        return pa.table(
+            {
+                "bkt": pa.array(bkt, pa.int64()),
+                "fp": pa.array(fps, pa.string()),
+                "doc_id": pa.array(did[idx], pa.int64()),
+                "source": pa.array(src[idx], pa.string()),
+                "keep_mix": pa.array(keep_mix.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def _funnel_bucket_fold(g: pa.Table) -> pa.Table:
+    """Per bucket: keep-min dedup over fp, then per-source stage counts."""
+    fp = g["fp"].to_numpy(zero_copy_only=False)
+    did = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = g["source"].to_numpy(zero_copy_only=False)
+    km = g["keep_mix"].to_numpy(zero_copy_only=False).astype(bool)
+    fu, fi = np.unique(fp, return_inverse=True)
+    mn = np.full(len(fu), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(mn, fi, did)
+    win = did == mn[fi]
+    su, si = np.unique(src, return_inverse=True)
+    k = len(su)
+    nq = np.bincount(si, minlength=k).astype(np.int64)
+    nd = np.zeros(k, np.int64)
+    np.add.at(nd, si[win], 1)
+    nf = np.zeros(k, np.int64)
+    np.add.at(nf, si[win & km], 1)
+    return pa.table(
+        {
+            "source": pa.array([str(s) for s in su], pa.string()),
+            "n_quality": pa.array(nq),
+            "n_dedup": pa.array(nd),
+            "n_final": pa.array(nf),
+        }
+    )
+
+
+def q_curation_funnel(sf_dir: str) -> pd.DataFrame:
+    """Per-source survival counts through the curation chain
+    raw -> quality -> exact-dedup -> mixture: the budget report that says
+    where each source's documents die before training."""
+    from ray.data.aggregate import Sum
+
+    nb = _lsh_n_buckets(_doc_count(sf_dir), target=8192)
+    raw = (
+        _docs(sf_dir, ["source"])
+        .groupby("source")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_raw"})
+    )
+    agg = (
+        _docs(sf_dir, ["doc_id", "text", "source", "n_chars"])
+        .map_batches(
+            _FunnelSurvivorStage(nb),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1024,
+        )
+        .groupby("bkt")
+        .map_groups(_funnel_bucket_fold, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_quality", alias_name="n_quality"),
+            Sum("n_dedup", alias_name="n_dedup"),
+            Sum("n_final", alias_name="n_final"),
+        )
+        .to_pandas()
+    )
+    out = raw.merge(agg, on="source", how="left").fillna(0)
+    out["source"] = out["source"].astype(str)
+    for c in ("n_raw", "n_quality", "n_dedup", "n_final"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def curation_funnel_sql() -> str:
+    nib = lambda i: f"(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1)"
+    hv = " + ".join(f"{nib(i + 1)} * {16 ** (14 - i)}" for i in range(15))
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS ndw,
+         {FP_SQL_EXPR} AS fp,
+         md5('mix:' || CAST(doc_id AS VARCHAR)) AS m
+  FROM documents
+),
+q AS (
+  SELECT * FROM base
+  WHERE n_chars >= {_FUNNEL_MIN_CHARS} AND (nw - ndw) * 10 <= {_FUNNEL_REP_NUM} * nw
+),
+d AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS kp FROM q),
+dd AS (SELECT doc_id, source, m FROM d WHERE doc_id = kp),
+fin AS (
+  SELECT source FROM (SELECT source, {hv} AS hv FROM dd) x
+  WHERE hv % {_FUNNEL_DEN} < ({_funnel_weight_expr()})
+),
+r AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+      FROM documents GROUP BY source)
+SELECT r.source AS source, n_raw,
+       CAST(COALESCE(qq.n, 0) AS BIGINT) AS n_quality,
+       CAST(COALESCE(ddn.n, 0) AS BIGINT) AS n_dedup,
+       CAST(COALESCE(fn.n, 0) AS BIGINT) AS n_final
+FROM r
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM q GROUP BY source) qq
+  ON r.source = qq.source
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM dd GROUP BY source) ddn
+  ON r.source = ddn.source
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM fin GROUP BY source) fn
+  ON r.source = fn.source
+ORDER BY r.source
+"""
