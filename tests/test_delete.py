@@ -148,3 +148,24 @@ def test_delete_from_compacted_sink_and_compact_after_delete(
     compact(d2, c2, target_bytes=64 << 10)
     got2 = set(decompress(c2).to_pandas()["doc_id"])
     assert got2 == want
+
+
+def test_delete_from_shared_tables_sink(ray_session, paths, tmp_path):
+    """Deleting from a shared-tables (srank sidecar) sink: pass-through
+    chunks still decode against the copied sidecar, rewritten chunks fall
+    back to self-contained codecs, and content equals corpus-minus-ids."""
+    src = str(tmp_path / "st")
+    compress(paths, src, shared_tables=True, concurrency=2)
+    orig = decompress(src).to_pandas()
+    ids = sorted(orig["doc_id"])[10:40:3]
+    dst = str(tmp_path / "st_del")
+    t = delete_docs(src, dst, ids, resume=False)
+    assert t["n_docs_deleted"] == len(ids)
+    assert os.path.exists(os.path.join(dst, "symbols.json"))
+    got = decompress(dst).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = (
+        orig[~orig["doc_id"].isin(ids)].sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (got["doc_id"] == want["doc_id"]).all()
+    for a, b in zip(got["tokens"], want["tokens"]):
+        assert len(a) == len(b) and (a == b).all()

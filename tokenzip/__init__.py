@@ -69,6 +69,9 @@ def __getattr__(name):  # lazy: pipeline pulls in ray; keep bare import light
         "compress",
         "decompress",
         "decompress_map",
+        "delete_docs",
+        "recode",
+        "compact",
         "verify_roundtrip",
         "chunk_meta_dataset",
     ):
