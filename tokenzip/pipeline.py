@@ -1884,9 +1884,10 @@ def _delete_count_fn(batch: pa.Table, ids_ref=None, sidecar=None) -> pa.Table:
     from tokenzip.stages import _bget
 
     if sidecar is not None and sidecar not in _RECODE_SIDECARS:
-        from tokenzip.chunk import load_shared_tables
+        if uio.exists(sidecar):
+            from tokenzip.codecs.strings import load_shared_tables
 
-        load_shared_tables(sidecar)
+            load_shared_tables(sidecar)
         _RECODE_SIDECARS.add(sidecar)
     ids = _bget(ids_ref)
     frags = np.array(
@@ -1933,9 +1934,10 @@ def _delete_rewrite_fn(
     from tokenzip.stages import _bget
 
     if sidecar is not None and sidecar not in _RECODE_SIDECARS:
-        from tokenzip.chunk import load_shared_tables
+        if uio.exists(sidecar):
+            from tokenzip.codecs.strings import load_shared_tables
 
-        load_shared_tables(sidecar)
+            load_shared_tables(sidecar)
         _RECODE_SIDECARS.add(sidecar)
     ids = _bget(ids_ref)
     hits = _bget(hits_ref)  # set of chunk_ids needing rewrite
