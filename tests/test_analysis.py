@@ -684,3 +684,34 @@ def test_curation_funnel_matches_oracle(ray_session):
     assert (got["n_dedup"] <= got["n_quality"]).all()
     assert (got["n_final"] <= got["n_dedup"]).all()
     pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_curation_funnel_viral_fingerprint_combines(ray_session, tmp_path):
+    """A fingerprint duplicated across many docs collapses to ONE partial
+    row per (batch, source) — and the funnel still keeps exactly the
+    min-id doc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tokenzip.analysis import _FunnelSurvivorStage, q_curation_funnel
+
+    text = " ".join(f"w{i}" for i in range(80)) + " "  # all-distinct words
+    n = 400
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array([text.strip()] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(["src2"] * n),
+            "n_chars": pa.array([len(text.strip())] * n, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    # combiner claim: one partial row for 400 identical docs
+    part = _FunnelSurvivorStage(16)(tbl)
+    assert part.num_rows == 1
+    assert part["n"][0].as_py() == 400
+    assert part["min_doc"][0].as_py() == 0
+    got = q_curation_funnel(str(tmp_path)).iloc[0]
+    assert got["n_raw"] == 400
+    assert got["n_dedup"] == 1  # keep-min collapses the viral clone

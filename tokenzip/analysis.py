@@ -3096,8 +3096,12 @@ def _funnel_weight(src: str) -> int:
 
 
 class _FunnelSurvivorStage:
-    """Quality survivors as narrow shuffle rows (text never leaves the
-    stage; fingerprints and flags do)."""
+    """Quality survivors as COMBINED (fp, source) partials — a viral
+    fingerprint (one boilerplate page duplicated 1e9 times) collapses to
+    one row per batch instead of flooding one bucket group. Each partial
+    carries the counts the bucket fold needs: per-(fp, source) doc count,
+    the batch-min doc id of that pair, and that min doc's mixture flag
+    (keep-min dedup is an argmin reduction, so partial argmins compose)."""
 
     def __init__(self, nb: int):
         self.nb = nb
@@ -3116,41 +3120,60 @@ class _FunnelSurvivorStage:
         ndw = np.diff(off)
         q = (nchars >= _FUNNEL_MIN_CHARS) & ((nw - ndw) * 10 <= _FUNNEL_REP_NUM * nw)
         idx = np.flatnonzero(q)
-        fps = [doc_fingerprint(col[int(i)].as_py()) for i in idx]
+        fps = np.array(
+            [doc_fingerprint(col[int(i)].as_py()) for i in idx], dtype=object
+        )
         hv = md5_hi60_str(
             pa.array([str(d) for d in did[idx]], pa.string()), b"mix:"
         )
         thr = np.array([_funnel_weight(str(s)) for s in src[idx]], dtype=np.int64)
         keep_mix = (hv % _FUNNEL_DEN) < thr
-        bkt = np.array([int(f[:8], 16) for f in fps], dtype=np.int64) % self.nb
+        dq, sq = did[idx], src[idx]
+        # combine per (fp, source): doc count + argmin doc (+ its mix flag)
+        key = np.array([f + "\x1f" + s for f, s in zip(fps, sq)], dtype=object)
+        ku, ki = np.unique(key, return_inverse=True)
+        k = len(ku)
+        n = np.bincount(ki, minlength=k).astype(np.int64)
+        mn = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, ki, dq)
+        is_min = dq == mn[ki]
+        mmix = np.zeros(k, np.int64)
+        mmix[ki[is_min]] = keep_mix[is_min]  # doc ids unique: one winner
+        out_fp = np.array([x.split("\x1f", 1)[0] for x in ku], dtype=object)
+        out_src = np.array([x.split("\x1f", 1)[1] for x in ku], dtype=object)
+        bkt = np.array([int(f[:8], 16) for f in out_fp], dtype=np.int64) % self.nb
         return pa.table(
             {
                 "bkt": pa.array(bkt, pa.int64()),
-                "fp": pa.array(fps, pa.string()),
-                "doc_id": pa.array(did[idx], pa.int64()),
-                "source": pa.array(src[idx], pa.string()),
-                "keep_mix": pa.array(keep_mix.astype(np.int64), pa.int64()),
+                "fp": pa.array(out_fp, pa.string()),
+                "source": pa.array(out_src, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "min_doc": pa.array(mn, pa.int64()),
+                "min_mix": pa.array(mmix, pa.int64()),
             }
         )
 
 
 def _funnel_bucket_fold(g: pa.Table) -> pa.Table:
-    """Per bucket: keep-min dedup over fp, then per-source stage counts."""
+    """Per bucket: fold the (fp, source) partials — global keep-min per fp
+    is the min of batch-mins, the winner's source/mix ride its row."""
     fp = g["fp"].to_numpy(zero_copy_only=False)
-    did = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     src = g["source"].to_numpy(zero_copy_only=False)
-    km = g["keep_mix"].to_numpy(zero_copy_only=False).astype(bool)
-    fu, fi = np.unique(fp, return_inverse=True)
-    mn = np.full(len(fu), np.iinfo(np.int64).max, dtype=np.int64)
-    np.minimum.at(mn, fi, did)
-    win = did == mn[fi]
+    n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mnd = g["min_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mmix = g["min_mix"].to_numpy(zero_copy_only=False).astype(bool)
     su, si = np.unique(src, return_inverse=True)
     k = len(su)
-    nq = np.bincount(si, minlength=k).astype(np.int64)
+    nq = np.zeros(k, np.int64)
+    np.add.at(nq, si, n)
+    fu, fi = np.unique(fp, return_inverse=True)
+    gmin = np.full(len(fu), np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(gmin, fi, mnd)
+    win = mnd == gmin[fi]  # doc ids unique: exactly one row wins per fp
     nd = np.zeros(k, np.int64)
     np.add.at(nd, si[win], 1)
     nf = np.zeros(k, np.int64)
-    np.add.at(nf, si[win & km], 1)
+    np.add.at(nf, si[win & mmix], 1)
     return pa.table(
         {
             "source": pa.array([str(s) for s in su], pa.string()),
