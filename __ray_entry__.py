@@ -161,7 +161,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_tv_distance": _vocab_tv,
         "seqlen_mad_by_source": _seqlen_mad,
         "curation_funnel": _curation_funnel,
+        "append_roundtrip": _append_roundtrip,
     }
+
+
+def _append_roundtrip(sf_dir: str):
+    from tokenzip.queries import q_append_roundtrip
+
+    return q_append_roundtrip(sf_dir)
 
 
 def _curation_funnel(sf_dir: str):
@@ -1483,6 +1490,8 @@ FROM documents GROUP BY source ORDER BY source
         "seqlen_mad_by_source": _seqlen_mad_sql(glob),
         # end-to-end curation composition: quality -> dedup -> mixture
         "curation_funnel": _curation_funnel_sql(),
+        # incremental append: half-then-all compress == one-shot corpus
+        "append_roundtrip": _recode_sql(glob),
         "events_asof_orders_salted": _O.events_asof_sql(),
         "events_range_orders_salted": _O.events_range_sql(),
         "order_revenue_by_priority_salted": _order_revenue_sql(),

@@ -1128,3 +1128,27 @@ SELECT d.source AS source, n_docs,
 FROM d LEFT JOIN z ON d.source = z.source
 ORDER BY d.source
 """
+
+
+def q_append_roundtrip(sf_dir: str):
+    """Incremental ingestion audit: compress HALF the input shards into a
+    sink, then run compress again over ALL shards — the manifest marks the
+    first half done, so only the new fragments encode (append, not
+    rebuild). The decoded content rollup must equal the full corpus: a
+    sink grown by appends is indistinguishable from one built in one shot.
+    This is the daily-ingest workflow at 100 TB — yesterday's fragments
+    never re-encode."""
+    from tokenzip.pipeline import compress, decompress
+
+    paths = corpus_paths(sf_dir)
+    half = paths[: max(1, len(paths) // 2)]
+    out_dir = _scoped_out_dir("/tmp/tokenzip_append", sf_dir)
+    t1 = compress(half, out_dir)
+    t2 = compress(paths, out_dir)
+    if t2["n_rows"] < t1["n_rows"] or (
+        len(half) < len(paths) and t2["n_rows"] == t1["n_rows"]
+    ):
+        raise ValueError(
+            f"append did not grow the sink: {t1['n_rows']} -> {t2['n_rows']}"
+        )
+    return _content_rollup(decompress(out_dir))
