@@ -169,3 +169,37 @@ def test_delete_from_shared_tables_sink(ray_session, paths, tmp_path):
     assert (got["doc_id"] == want["doc_id"]).all()
     for a, b in zip(got["tokens"], want["tokens"]):
         assert len(a) == len(b) and (a == b).all()
+
+
+def test_delete_resume_after_partial_failure(ray_session, paths, src_sink, tmp_path):
+    """Simulated mid-run failure: wipe one fragment's output and its
+    manifest record; resume re-does ONLY that fragment (other fragments'
+    files untouched, byte-identical) and converges to the same sink."""
+    import json
+    import shutil
+
+    orig = decompress(src_sink).to_pandas()
+    ids = sorted(orig["doc_id"])[::11][:20]
+    dst = str(tmp_path / "dst")
+    t1 = delete_docs(src_sink, dst, ids, resume=False)
+    full = _frag_bytes(dst)
+    victim = sorted(full)[0]
+    shutil.rmtree(os.path.join(dst, "chunks", f"frag={victim}"))
+    mpath = os.path.join(dst, "manifest.json")
+    man = json.load(open(mpath))
+    del man["fragments"][victim]
+    json.dump(man, open(mpath, "w"))
+    before = {f: b for f, b in _frag_bytes(dst).items()}
+    t2 = delete_docs(src_sink, dst, ids, resume=True)
+    after = _frag_bytes(dst)
+    assert set(after) == set(full)  # the victim fragment came back
+    for f in before:  # untouched fragments were not rewritten
+        assert after[f] == before[f]
+    # content converges exactly (chunk file bytes of a REWRITTEN fragment
+    # may legally differ across runs: chunk boundaries follow batch
+    # composition, and the resume run batches only the victim's rows)
+    want = orig[~orig["doc_id"].isin(ids)]
+    got = decompress(dst).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    assert t2["n_rows"] == t1["n_rows"]
+    assert t2["n_docs_deleted"] == t1["n_docs_deleted"]
