@@ -162,7 +162,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seqlen_mad_by_source": _seqlen_mad,
         "curation_funnel": _curation_funnel,
         "append_roundtrip": _append_roundtrip,
+        "table_delete_roundtrip": _table_delete,
     }
+
+
+def _table_delete(sf_dir: str):
+    from tokenzip.table import q_table_delete_roundtrip
+
+    return q_table_delete_roundtrip(sf_dir)
 
 
 def _append_roundtrip(sf_dir: str):
@@ -1022,6 +1029,12 @@ def _curation_funnel_sql() -> str:
     return curation_funnel_sql()
 
 
+def _table_delete_sql() -> str:
+    from tokenzip.table import table_delete_roundtrip_sql
+
+    return table_delete_roundtrip_sql()
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -1492,6 +1505,8 @@ FROM documents GROUP BY source ORDER BY source
         "curation_funnel": _curation_funnel_sql(),
         # incremental append: half-then-all compress == one-shot corpus
         "append_roundtrip": _recode_sql(glob),
+        # predicate deletion on a generic-table sink (NOT BETWEEN oracle)
+        "table_delete_roundtrip": _table_delete_sql(),
         "events_asof_orders_salted": _O.events_asof_sql(),
         "events_range_orders_salted": _O.events_range_sql(),
         "order_revenue_by_priority_salted": _order_revenue_sql(),

@@ -842,3 +842,104 @@ def test_recode_table_bit_identical_and_resumes(ray_session, tmp_path):
 
     stats = list(Manifest(b_dir).data["fragments"].values())
     assert stats and all(s.get("recoded_from") == a_dir for s in stats)
+
+
+def test_delete_rows_three_way_classification(ray_session, tmp_path):
+    """Value-clustered 4-shard sink, delete shard 2's whole value range:
+    shard 2's chunks drop on METADATA (fragment present, zero rows),
+    shards 0/1/3 byte-copy file-for-file, and a straddling boundary chunk
+    rewrites exactly."""
+    import numpy as np
+
+    from tokenzip.table import compress_table, decompress_table, delete_rows
+
+    paths = []
+    for s in range(4):
+        vals = np.arange(s * 1000, s * 1000 + 400, dtype=np.int64)
+        t = pa.table(
+            {
+                "k": pa.array(vals),
+                "v": pa.array(vals * 7),
+                "tag": pa.array([f"s{s}"] * 400),
+            }
+        )
+        p = str(tmp_path / f"part-{s}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    src = str(tmp_path / "sink")
+    compress_table(paths, src, resume=False)
+
+    dst = str(tmp_path / "deleted")
+    # covers ALL of shard 2 (2000..2399) and nothing else
+    t = delete_rows(src, dst, ("k", 2000, 2399), resume=False)
+    assert t["n_rows_deleted"] == 400
+    got = decompress_table(dst).to_pandas()
+    assert len(got) == 1200 and not ((got["k"] >= 2000) & (got["k"] <= 2399)).any()
+
+    # clean fragments byte-copied
+    import os
+
+    def fragbytes(sink):
+        out = {}
+        cd = os.path.join(sink, "chunks")
+        for d in sorted(os.listdir(cd)):
+            if d.startswith("frag="):
+                fd = os.path.join(cd, d)
+                out[d] = {
+                    n: open(os.path.join(fd, n), "rb").read()
+                    for n in sorted(os.listdir(fd))
+                    if n.endswith(".parquet")
+                }
+        return out
+
+    sb, db = fragbytes(src), fragbytes(dst)
+    changed = [f for f in sb if db.get(f) != sb[f]]
+    # only the shard-2 fragment may change (its chunks dropped whole)
+    assert len(changed) == 1, changed
+    # the dropped fragment holds no chunk rows in the new sink
+    assert sum(len(v) for v in db.get(changed[0], {}).values()) == 0 or \
+        changed[0] not in db or not db[changed[0]]
+
+    # straddling case: partial overlap rewrites, keeps the complement
+    dst2 = str(tmp_path / "deleted2")
+    t2 = delete_rows(src, dst2, ("k", 2200, 3199), resume=False)
+    assert t2["n_rows_deleted"] == 400  # 2200-2399 and 3000-3199
+    got2 = decompress_table(dst2).to_pandas()
+    assert len(got2) == 1200
+    assert not ((got2["k"] >= 2200) & (got2["k"] <= 3199)).any()
+
+
+def test_delete_rows_nulls_survive(ray_session, tmp_path):
+    """NULL never matches BETWEEN: null-k rows survive any k deletion even
+    when the chunk's non-null range is fully contained."""
+    from tokenzip.table import compress_table, decompress_table, delete_rows
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, None, 3, None], pa.int64()),
+            "v": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        }
+    )
+    p = str(tmp_path / "in.parquet")
+    pq.write_table(t, p)
+    src = str(tmp_path / "sink")
+    compress_table([p], src, resume=False)
+    dst = str(tmp_path / "deleted")
+    tt = delete_rows(src, dst, ("k", 1, 3), resume=False)
+    assert tt["n_rows_deleted"] == 3
+    got = decompress_table(dst).to_pandas()
+    assert sorted(got["v"].tolist()) == [30, 50]
+    assert got["k"].isna().all()
+
+
+def test_delete_rows_refuses_unzoned_column(ray_session, tmp_path):
+    from tokenzip.errors import ChunkFormatError
+    from tokenzip.table import compress_table, delete_rows
+
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    p = str(tmp_path / "in.parquet")
+    pq.write_table(t, p)
+    src = str(tmp_path / "sink")
+    compress_table([p], src, resume=False)
+    with pytest.raises(ChunkFormatError, match="zone map"):
+        delete_rows(src, str(tmp_path / "d"), ("nope", 1, 2), resume=False)

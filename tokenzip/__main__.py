@@ -117,6 +117,15 @@ def main(argv: list[str] | None = None) -> int:
     de.add_argument("--ids-file", help="file with one doc id per line")
     de.add_argument("--no-resume", action="store_true")
 
+    tde = sub.add_parser(
+        "table-delete", help="DELETE WHERE lo<=col<=hi from a generic-table "
+        "sink (zone-classified: contained chunks drop on metadata, disjoint "
+        "fragments byte-copy, straddlers rewrite)"
+    )
+    tde.add_argument("in_dir"), tde.add_argument("out_dir")
+    tde.add_argument("--where", required=True, help="COL:LO:HI (ints or strings)")
+    tde.add_argument("--no-resume", action="store_true")
+
     v = sub.add_parser("verify", help="encode->decode->equality over an input table")
     v.add_argument("input")
 
@@ -339,6 +348,18 @@ def main(argv: list[str] | None = None) -> int:
                 args.restored_dir
             )
             print(json.dumps({"rows": "written", "dir": args.restored_dir}))
+        elif args.cmd == "table-delete":
+            from tokenzip.table import delete_rows
+
+            col, lo, hi = args.where.rsplit(":", 2)
+            try:
+                where = (col, int(lo), int(hi))
+            except ValueError:
+                where = (col, lo, hi)  # string zone maps
+            res = delete_rows(
+                args.in_dir, args.out_dir, where, resume=not args.no_resume
+            )
+            print(json.dumps(res, sort_keys=True))
         elif args.cmd == "audit":
             from tokenzip.audit import run_audit
 

@@ -1477,3 +1477,385 @@ def recode_table(
         resume=resume,
         guard_col="n_rows",
     )
+
+
+# ---------------------------------------------------------------------------
+# Predicate deletion on generic-table sinks (retention purge / DELETE WHERE)
+# ---------------------------------------------------------------------------
+
+# delete_rows(where=(col, lo, hi)) removes every row with lo <= col <= hi
+# (NULL never matches, BETWEEN semantics — null rows always survive).
+# Zone maps give a THREE-way chunk classification before any payload read:
+#   disjoint   [zmin, zmax] misses [lo, hi]        -> row passes VERBATIM
+#   contained  lo <= zmin && zmax <= hi && no nulls -> chunk DROPPED whole,
+#              payload never read (deleted count = n_rows, pure metadata)
+#   straddling (or contained with nulls)            -> decode, keep
+#              non-matching + null rows, re-encode
+# Fragments where every chunk is disjoint are byte-copied file-for-file.
+
+
+def _where_zone_cols(files: list[str], col: str, is_str: bool) -> tuple[str, str, str]:
+    names = pq.ParquetFile(files[0]).schema_arrow.names
+    pre = "smin_" if is_str else "zmin_"
+    if f"{pre}{col}" not in names:
+        zoned = sorted(n[5:] for n in names if n.startswith(("zmin_", "smin_")))
+        raise ChunkFormatError(
+            f"column {col!r} has no {'string ' if is_str else ''}zone map in "
+            f"this sink (zone-mapped columns: {zoned})"
+        )
+    znn = f"znn_{col}" if (not is_str and f"znn_{col}" in names) else ""
+    return f"{pre[0]}min_{col}", f"{pre[0]}max_{col}", znn
+
+
+def _classify_zone(zmin, zmax, lo, hi) -> np.ndarray:
+    """0 = disjoint, 1 = contained, 2 = straddling (per chunk row)."""
+    disjoint = (zmax < lo) | (zmin > hi)
+    contained = (zmin >= lo) & (zmax <= hi)
+    out = np.full(len(zmin), 2, dtype=np.int64)
+    out[contained] = 1
+    out[disjoint] = 0
+    return out
+
+
+def _delete_rows_fn(batch: pa.Table, where=None, zc=None) -> pa.Table:
+    """Selective rewrite of one chunk-row batch under the where range."""
+    import pyarrow.compute as pc
+
+    from tokenzip.pipeline import _frag_of_chunk_path
+
+    col, lo, hi = where
+    cmin, cmax, znn = zc
+    paths = batch["path"].to_numpy(zero_copy_only=False)
+    frags = np.asarray([_frag_of_chunk_path(str(p)) for p in paths], dtype=object)
+    rows = batch.drop_columns(["path"])
+    zmin = rows[cmin].to_numpy(zero_copy_only=False)
+    zmax = rows[cmax].to_numpy(zero_copy_only=False)
+    cls = _classify_zone(zmin, zmax, lo, hi)
+    if znn:
+        nn = rows[znn].to_numpy(zero_copy_only=False).astype(np.int64)
+        nr = rows["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # contained chunks WITH nulls must rewrite (null rows survive)
+        cls[(cls == 1) & (nn < nr)] = 2
+
+    parts: list[pa.Table] = []
+    keep_thru = cls == 0
+    if keep_thru.any():
+        parts.append(rows.filter(pa.array(keep_thru)))
+    # cls == 1 rows are dropped whole: emit nothing for them
+    rewrite = cls == 2
+    if rewrite.any():
+        rw = rows.filter(pa.array(rewrite))
+        rw_frags = frags[rewrite]
+        sub_parts = []
+        for frag in np.unique(rw_frags):
+            sub = rw.filter(pa.array(rw_frags == frag))
+            dec = _decode_table_fn(sub)
+            v = dec[col]
+            v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+            if not isinstance(lo, str):
+                v = (
+                    v.view(pa.int64())
+                    if v.type == pa.uint64()
+                    else v.cast(pa.int64())
+                )
+            hit = pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi))
+            keep = pc.fill_null(pc.invert(hit), True)  # NULL never matches
+            dec = dec.filter(keep)
+            dec = dec.append_column(
+                "frag", pa.array([str(frag)] * dec.num_rows, pa.string())
+            )
+            sub_parts.append(dec)
+        enc = _encode_table_fn(pa.concat_tables(sub_parts))
+        parts.append(enc)
+    if not parts:
+        return rows.slice(0, 0).append_column("frag", pa.array([], pa.string()))
+    # pass-through rows need the frag partition column too
+    out = []
+    for p in parts:
+        if "frag" not in p.column_names:
+            mask = keep_thru
+            p = p.append_column(
+                "frag", pa.array([str(f) for f in frags[mask]], pa.string())
+            )
+        out.append(p)
+    names = out[0].column_names
+    return pa.concat_tables([p.select(names) for p in out])
+
+
+def _delete_rows_count_fn(batch: pa.Table, where=None, zc=None) -> pa.Table:
+    """Per-frag deleted-row counts: dropped-whole chunks from METADATA,
+    straddlers from a where-column-only decode."""
+    import pyarrow.compute as pc
+
+    from tokenzip.pipeline import _frag_of_chunk_path
+
+    col, lo, hi = where
+    cmin, cmax, znn = zc
+    paths = batch["path"].to_numpy(zero_copy_only=False)
+    frags = np.asarray([_frag_of_chunk_path(str(p)) for p in paths], dtype=object)
+    rows = batch.drop_columns(["path"])
+    zmin = rows[cmin].to_numpy(zero_copy_only=False)
+    zmax = rows[cmax].to_numpy(zero_copy_only=False)
+    cls = _classify_zone(zmin, zmax, lo, hi)
+    nr = rows["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if znn:
+        nn = rows[znn].to_numpy(zero_copy_only=False).astype(np.int64)
+        cls[(cls == 1) & (nn < nr)] = 2
+    out: dict[str, int] = {}
+    for frag in np.unique(frags):
+        m = frags == frag
+        dropped = int(nr[m & (cls == 1)].sum()) if (m & (cls == 1)).any() else 0
+        out[str(frag)] = dropped
+    rw = cls == 2
+    if rw.any():
+        sub = rows.filter(pa.array(rw))
+        dec = _decode_table_fn(sub, columns=[col])
+        v = dec[col]
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        if not isinstance(lo, str):
+            v = v.view(pa.int64()) if v.type == pa.uint64() else v.cast(pa.int64())
+        hit = pc.fill_null(
+            pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi)), False
+        ).to_numpy(zero_copy_only=False)
+        # attribute matches back to frags: expand chunk n_rows of rewrites
+        rw_frags = frags[rw]
+        rw_nr = nr[rw]
+        doc_frag = np.repeat(rw_frags, rw_nr)
+        for frag in np.unique(rw_frags):
+            out[str(frag)] = out.get(str(frag), 0) + int(hit[doc_frag == frag].sum())
+    return pa.table(
+        {
+            "frag": pa.array(list(out), pa.string()),
+            "n_rows_deleted": pa.array(
+                np.array(list(out.values()), np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def delete_rows(
+    in_dir: str,
+    out_dir: str,
+    where: tuple[str, int, int] | tuple[str, str, str],
+    *,
+    batch_chunks: int = 4,
+    concurrency: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """DELETE WHERE lo <= col <= hi from a compress_table sink into a
+    fresh sink — the retention-purge operation, priced by zone maps:
+    fully-contained null-free chunks drop on metadata alone (payload never
+    read), fully-disjoint fragments byte-copy, and only straddling chunks
+    decode -> filter -> re-encode. NULL never matches (BETWEEN semantics),
+    so null rows always survive. Per-fragment manifest lineage records
+    n_rows_deleted; the drift guard requires new = old - deleted."""
+    from tokenzip.manifest import Manifest
+    from tokenzip.pipeline import _fold_chunk_meta
+
+    col, lo, hi = where
+    if isinstance(lo, str) != isinstance(hi, str):
+        raise ValueError("where bounds must both be ints or both strings")
+    in_chunks = uio.join(in_dir, "chunks")
+    if not uio.isdir(in_chunks):
+        raise ChunkFormatError(f"no chunks directory under {in_dir}")
+    frag_dirs = sorted(d for d in uio.listdir(in_chunks) if d.startswith("frag="))
+    frag_files = {
+        d.split("=", 1)[1]: [
+            uio.join(in_chunks, d, n)
+            for n in sorted(uio.listdir(uio.join(in_chunks, d)))
+            if n.endswith(".parquet")
+        ]
+        for d in frag_dirs
+    }
+    all_files = [p for fs in frag_files.values() for p in fs]
+    zc = _where_zone_cols(all_files, col, isinstance(lo, str))
+    if not isinstance(lo, str):
+        lo, hi = int(lo), int(hi)
+        where = (col, lo, hi)
+
+    chunks_dir = uio.join(out_dir, "chunks")
+    man = Manifest(out_dir)
+    done = man.done_fragments() if resume else set()
+    if not resume and uio.isdir(chunks_dir):
+        uio.rmtree(chunks_dir)
+        man.data["fragments"] = {}
+    elif resume and not done and uio.isdir(chunks_dir):
+        uio.rmtree(chunks_dir)
+    todo = [f for f in frag_files if f not in done]
+    for frag in todo:
+        d = uio.join(chunks_dir, f"frag={frag}")
+        if uio.isdir(d):
+            uio.rmtree(d)
+    if not todo:
+        return man.totals()
+
+    # frag-level probe on zone scalars only: which frags need a rewrite?
+    probe_cols = ["n_rows", zc[0], zc[1]] + ([zc[2]] if zc[2] else [])
+    todo_files = [p for f in todo for p in frag_files[f]]
+
+    def _probe(b: pa.Table) -> pa.Table:
+        from tokenzip.pipeline import _frag_of_chunk_path
+
+        paths = b["path"].to_numpy(zero_copy_only=False)
+        frags = np.asarray(
+            [_frag_of_chunk_path(str(p)) for p in paths], dtype=object
+        )
+        cls = _classify_zone(
+            b[zc[0]].to_numpy(zero_copy_only=False),
+            b[zc[1]].to_numpy(zero_copy_only=False),
+            lo,
+            hi,
+        )
+        if zc[2]:
+            nn = b[zc[2]].to_numpy(zero_copy_only=False).astype(np.int64)
+            nr = b["n_rows"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cls[(cls == 1) & (nn < nr)] = 2
+        hitf = frags[cls != 0]
+        return pa.table(
+            {"frag": pa.array(sorted({str(f) for f in hitf}), pa.string())}
+        )
+
+    hit_rows = (
+        ray.data.read_parquet(todo_files, columns=probe_cols, include_paths=True)
+        .map_batches(_probe, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    hit_frags = sorted({r["frag"] for r in hit_rows})
+    clean_frags = [f for f in todo if f not in set(hit_frags)]
+
+    deleted: dict[str, int] = {}
+    if hit_frags:
+        hit_files = [p for f in hit_frags for p in frag_files[f]]
+        parts = (
+            ray.data.read_parquet(hit_files, include_paths=True)
+            .map_batches(
+                _delete_rows_count_fn,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=batch_chunks,
+                fn_kwargs={"where": where, "zc": zc},
+            )
+            .take_all()
+        )
+        for r in parts:
+            deleted[r["frag"]] = deleted.get(r["frag"], 0) + int(
+                r["n_rows_deleted"]
+            )
+
+    if clean_frags:
+        specs = [
+            {
+                "src": p,
+                "dst": uio.join(chunks_dir, f"frag={f}", os.path.basename(p)),
+            }
+            for f in clean_frags
+            for p in frag_files[f]
+        ]
+
+        def _copy(row: dict) -> dict:
+            uio.write_bytes_atomic(row["dst"], uio.read_bytes(row["src"]))
+            return {"n": 1}
+
+        from tokenzip.pipeline import _default_concurrency
+
+        n = (
+            ray.data.from_items(specs)
+            .map(_copy, concurrency=concurrency or _default_concurrency())
+            .count()
+        )
+        assert n == len(specs)
+
+    if hit_frags:
+        hit_files = [p for f in hit_frags for p in frag_files[f]]
+        kwargs = dict(
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_chunks,
+            fn_kwargs={"where": where, "zc": zc},
+        )
+        if concurrency:
+            kwargs["concurrency"] = concurrency
+        (
+            ray.data.read_parquet(hit_files, include_paths=True)
+            .map_batches(_delete_rows_fn, **kwargs)
+            .write_parquet(chunks_dir, partition_cols=["frag"], compression="none")
+        )
+
+    src_man = Manifest(in_dir)
+    src_stats = dict(src_man.data.get("fragments", {}))
+    need = [f for f in todo if f not in src_stats]
+    if need:
+        src_stats.update(_fold_chunk_meta(in_chunks, need))
+    frags_written = {
+        d.split("=", 1)[1]
+        for d in uio.listdir(chunks_dir)
+        if d.startswith("frag=")
+    }
+    zero = {
+        "n_chunks": 0, "n_rows": 0, "n_tokens": 0, "bytes_in": 0,
+        "bytes_out": 0, "tokens_bytes_out": 0, "leb128_bytes": 0,
+        "codecs": {},
+    }
+    new_stats = _fold_chunk_meta(chunks_dir, sorted(set(hit_frags) & frags_written))
+    for frag in todo:
+        nd = deleted.get(frag, 0)
+        if frag in set(hit_frags):
+            s = dict(new_stats.get(frag) or zero)
+            want = int((src_stats.get(frag) or {}).get("n_rows", 0)) - nd
+            if s["n_rows"] != want:
+                raise ChunkFormatError(
+                    f"delete_rows drift on frag {frag}: {s['n_rows']} != {want}"
+                )
+        else:
+            s = {k: (src_stats.get(frag) or {}).get(k, zero[k]) for k in zero}
+        s["deleted_from"] = in_dir
+        s["where"] = [str(col), str(lo), str(hi)]
+        s["n_rows_deleted"] = nd
+        man.mark_done(frag, s)
+    man.save()
+    t = man.totals()
+    t["n_rows_deleted"] = sum(
+        int(s.get("n_rows_deleted", 0))
+        for s in man.data.get("fragments", {}).values()
+    )
+    return t
+
+
+def q_table_delete_roundtrip(sf_dir: str):
+    """Retention-purge audit: DELETE the middle quintile of the event_id
+    domain from the events sink (zone-classified: contained chunks drop on
+    metadata, disjoint fragments byte-copy, straddlers rewrite), then
+    checksum every surviving column per event_type against DuckDB's
+    NOT BETWEEN over the original table."""
+    import hashlib
+
+    src, out_dir = _events_sink(sf_dir)
+    emin, emax = _int_col_bounds(src, "event_id")
+    lo = emin + (emax - emin) * 40 // 100
+    hi = emin + (emax - emin) * 60 // 100
+    h = hashlib.md5(f"{out_dir}:{lo}:{hi}".encode()).hexdigest()[:10]
+    dst = f"/tmp/tokenzip_tbl_del/{h}"
+    t = delete_rows(out_dir, dst, ("event_id", lo, hi))
+    if t["n_rows_deleted"] <= 0:
+        raise ValueError("delete_rows removed nothing — degenerate audit")
+    return _events_checksum_rollup(decompress_table(dst))
+
+
+def table_delete_roundtrip_sql() -> str:
+    from tokenzip.analysis import _PAIR_MOD
+
+    return f"""
+WITH b AS (
+  SELECT MIN(event_id) + (MAX(event_id) - MIN(event_id)) * 40 // 100 AS lo,
+         MIN(event_id) + (MAX(event_id) - MIN(event_id)) * 60 // 100 AS hi
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+       CAST(SUM(epoch_us(ts) % {_PAIR_MOD}) % {_PAIR_MOD} AS BIGINT) AS sum_ts_mod,
+       CAST(SUM(LENGTH(props)) AS BIGINT) AS sum_props_len
+FROM events, b WHERE NOT (event_id BETWEEN b.lo AND b.hi)
+GROUP BY event_type ORDER BY event_type
+"""
