@@ -163,7 +163,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": _curation_funnel,
         "append_roundtrip": _append_roundtrip,
         "table_delete_roundtrip": _table_delete,
+        "table_drop_column_roundtrip": _table_drop_col,
     }
+
+
+def _table_drop_col(sf_dir: str):
+    from tokenzip.table import q_table_drop_column_roundtrip
+
+    return q_table_drop_column_roundtrip(sf_dir)
 
 
 def _table_delete(sf_dir: str):
@@ -1035,6 +1042,12 @@ def _table_delete_sql() -> str:
     return table_delete_roundtrip_sql()
 
 
+def _table_drop_col_sql() -> str:
+    from tokenzip.table import table_drop_column_sql
+
+    return table_drop_column_sql()
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -1507,6 +1520,8 @@ FROM documents GROUP BY source ORDER BY source
         "append_roundtrip": _recode_sql(glob),
         # predicate deletion on a generic-table sink (NOT BETWEEN oracle)
         "table_delete_roundtrip": _table_delete_sql(),
+        # zero-decode DROP COLUMN (chunk-row surgery, payload untouched)
+        "table_drop_column_roundtrip": _table_drop_col_sql(),
         "events_asof_orders_salted": _O.events_asof_sql(),
         "events_range_orders_salted": _O.events_range_sql(),
         "order_revenue_by_priority_salted": _order_revenue_sql(),

@@ -943,3 +943,47 @@ def test_delete_rows_refuses_unzoned_column(ray_session, tmp_path):
     compress_table([p], src, resume=False)
     with pytest.raises(ChunkFormatError, match="zone map"):
         delete_rows(src, str(tmp_path / "d"), ("nope", 1, 2), resume=False)
+
+
+def test_drop_column_zero_decode_and_refusals(ray_session, tmp_path):
+    """Dropping a column removes its blobs/zone scalars but leaves every
+    other column bit-identical; dropping an unknown or the only column
+    refuses loudly; the dropped column's zone pushdown disappears."""
+    import numpy as np
+
+    from tokenzip.errors import ChunkFormatError
+    from tokenzip.table import compress_table, decompress_table, drop_column
+
+    t = pa.table(
+        {
+            "a": pa.array(np.arange(500, dtype=np.int64)),
+            "b": pa.array(np.arange(500, dtype=np.int64) * 3),
+            "s": pa.array([f"v{i%7}" for i in range(500)]),
+        }
+    )
+    p = str(tmp_path / "in.parquet")
+    pq.write_table(t, p)
+    src = str(tmp_path / "sink")
+    compress_table([p], src, resume=False)
+    dst = str(tmp_path / "dropped")
+    tt = drop_column(src, dst, "b", resume=False)
+    assert tt["n_rows"] == 500
+    got = decompress_table(dst).to_pandas().sort_values("a").reset_index(drop=True)
+    assert list(sorted(got.columns)) == ["a", "s"]
+    assert (got["a"].values == np.arange(500)).all()
+    assert (got["s"].values == np.array([f"v{i%7}" for i in range(500)])).all()
+    # zone scalars of the dropped column are gone from the chunk schema
+    import glob
+
+    f = glob.glob(os.path.join(dst, "chunks", "frag=*", "*.parquet"))[0]
+    names = pq.ParquetFile(f).schema_arrow.names
+    assert not any(n.endswith("_b") for n in names if n.startswith(("zmin", "zmax", "znn", "zsum")))
+    with pytest.raises(ChunkFormatError, match="zone map"):
+        decompress_table(dst, where=("b", 1, 2))
+    with pytest.raises(Exception):
+        drop_column(src, str(tmp_path / "x"), "nope", resume=False)
+    one = str(tmp_path / "one")
+    drop_column(dst, one, "s", resume=False)  # down to a single column ok
+    # in-task refusals surface Ray-wrapped; match on the message
+    with pytest.raises(Exception, match="only column"):
+        drop_column(one, str(tmp_path / "y"), "a", resume=False)

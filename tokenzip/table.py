@@ -1859,3 +1859,253 @@ SELECT event_type,
 FROM events, b WHERE NOT (event_id BETWEEN b.lo AND b.hi)
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Zero-decode schema evolution: DROP COLUMN on a table sink
+# ---------------------------------------------------------------------------
+
+
+def _drop_col_fn(batch: pa.Table, col=None) -> pa.Table:
+    """Chunk-row surgery: remove the column's entry from the parallel
+    (enc_names, enc_codecs, enc_dtypes, enc_blobs, enc_nulls) lists and
+    from col_order — NO payload is decoded or re-encoded; the dropped
+    column's blob bytes simply stop existing. Byte counters are adjusted
+    by the exact removed blob length."""
+    from tokenzip.pipeline import _frag_of_chunk_path
+
+    paths = batch["path"].to_numpy(zero_copy_only=False)
+    frags = [_frag_of_chunk_path(str(p)) for p in paths]
+    rows = batch.drop_columns(["path"])
+    names_col = rows["enc_names"].to_pylist()
+    codecs_col = rows["enc_codecs"].to_pylist()
+    dtags_col = rows["enc_dtypes"].to_pylist()
+    blobs_col = rows["enc_blobs"].to_pylist()
+    nulls_col = rows["enc_nulls"].to_pylist()
+    order_col = rows["col_order"].to_pylist()
+    b_out = rows["bytes_out"].to_pylist()
+    tb_out = rows["tokens_bytes_out"].to_pylist()
+    tcodec = rows["tokens_codec"].to_pylist()
+    new = {
+        "enc_names": [], "enc_codecs": [], "enc_dtypes": [], "enc_blobs": [],
+        "enc_nulls": [], "col_order": [], "bytes_out": [],
+        "tokens_bytes_out": [], "tokens_codec": [],
+    }
+    for i in range(rows.num_rows):
+        if col not in order_col[i]:
+            raise ChunkFormatError(
+                f"column {col!r} not in sink schema {sorted(order_col[i])}"
+            )
+        if len(order_col[i]) == 1:
+            raise ChunkFormatError("cannot drop the sink's only column")
+        keep = [j for j, n in enumerate(names_col[i]) if n != col]
+        removed = sum(
+            len(blobs_col[i][j])
+            for j, n in enumerate(names_col[i])
+            if n == col
+        )
+        int_removed = sum(
+            len(blobs_col[i][j])
+            for j, n in enumerate(names_col[i])
+            if n == col and not dtags_col[i][j].startswith(("string",))
+            and not dtags_col[i][j].startswith(("double", "float"))
+        )
+        new["enc_names"].append([names_col[i][j] for j in keep])
+        new["enc_codecs"].append([codecs_col[i][j] for j in keep])
+        new["enc_dtypes"].append([dtags_col[i][j] for j in keep])
+        new["enc_blobs"].append([blobs_col[i][j] for j in keep])
+        new["enc_nulls"].append([nulls_col[i][j] for j in keep])
+        new["col_order"].append([n for n in order_col[i] if n != col])
+        new["bytes_out"].append(int(b_out[i]) - removed)
+        new["tokens_bytes_out"].append(max(0, int(tb_out[i]) - int_removed))
+        new["tokens_codec"].append(
+            ",".join(
+                kv for kv in str(tcodec[i]).split(",")
+                if not kv.startswith(f"{col}=")
+            )
+        )
+    drop_scalars = [
+        c for c in rows.column_names
+        if c in (
+            f"zmin_{col}", f"zmax_{col}", f"znn_{col}", f"zsum_{col}",
+            f"smin_{col}", f"smax_{col}", f"p_{col}",
+        )
+    ]
+    out = rows.drop_columns(drop_scalars)
+    for name, vals in new.items():
+        idx = out.column_names.index(name)
+        if name in ("bytes_out", "tokens_bytes_out"):
+            arr = pa.array(vals, pa.int64())
+        elif name == "tokens_codec":
+            arr = pa.array(vals, pa.string())
+        elif name == "enc_blobs":
+            arr = pa.array(vals, pa.list_(pa.binary()))
+        elif name == "enc_nulls":
+            arr = pa.array(vals, pa.list_(pa.binary()))
+        else:
+            arr = pa.array(vals, pa.list_(pa.string()))
+        out = out.set_column(idx, name, arr)
+    # the read may already carry the hive partition column
+    if "frag" in out.column_names:
+        return out
+    return out.append_column("frag", pa.array([str(f) for f in frags], pa.string()))
+
+
+def drop_column(
+    in_dir: str,
+    out_dir: str,
+    col: str,
+    *,
+    concurrency: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """ALTER TABLE DROP COLUMN for a compress_table sink, at ZERO decode
+    cost: chunk rows are rewritten with the column's blob/zone/stats
+    entries removed, but no payload is ever decoded or re-encoded. One
+    pass of sink I/O; per-fragment resume; n_rows guard proves no row was
+    touched."""
+    from tokenzip.manifest import Manifest
+    from tokenzip.pipeline import _fold_chunk_meta
+
+    in_chunks = uio.join(in_dir, "chunks")
+    if not uio.isdir(in_chunks):
+        raise ChunkFormatError(f"no chunks directory under {in_dir}")
+    frag_dirs = sorted(d for d in uio.listdir(in_chunks) if d.startswith("frag="))
+    frag_files = {
+        d.split("=", 1)[1]: [
+            uio.join(in_chunks, d, n)
+            for n in sorted(uio.listdir(uio.join(in_chunks, d)))
+            if n.endswith(".parquet")
+        ]
+        for d in frag_dirs
+    }
+    chunks_dir = uio.join(out_dir, "chunks")
+    man = Manifest(out_dir)
+    done = man.done_fragments() if resume else set()
+    if not resume and uio.isdir(chunks_dir):
+        uio.rmtree(chunks_dir)
+        man.data["fragments"] = {}
+    elif resume and not done and uio.isdir(chunks_dir):
+        uio.rmtree(chunks_dir)
+    todo = [f for f in frag_files if f not in done]
+    for frag in todo:
+        d = uio.join(chunks_dir, f"frag={frag}")
+        if uio.isdir(d):
+            uio.rmtree(d)
+    if not todo:
+        return man.totals()
+    files = [p for f in todo for p in frag_files[f]]
+    kwargs = dict(
+        batch_format="pyarrow", zero_copy_batch=True, fn_kwargs={"col": col}
+    )
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    (
+        ray.data.read_parquet(files, include_paths=True)
+        .map_batches(_drop_col_fn, **kwargs)
+        .write_parquet(chunks_dir, partition_cols=["frag"], compression="none")
+    )
+    src_man = Manifest(in_dir)
+    src_stats = dict(src_man.data.get("fragments", {}))
+    need = [f for f in todo if f not in src_stats]
+    if need:
+        src_stats.update(_fold_chunk_meta(in_chunks, need))
+    new_stats = _fold_chunk_meta(chunks_dir, todo)
+    for frag in todo:
+        s = dict(new_stats.get(frag) or {})
+        src_rows = int((src_stats.get(frag) or {}).get("n_rows", 0))
+        if s.get("n_rows", 0) != src_rows:
+            raise ChunkFormatError(
+                f"drop_column row drift on frag {frag}: "
+                f"{s.get('n_rows')} != {src_rows}"
+            )
+        s["dropped_column"] = col
+        s["recoded_from"] = in_dir
+        man.mark_done(frag, s)
+    man.save()
+    return man.totals()
+
+
+class _EventsNoPropsChkStage:
+    """_EventsChkStage minus the dropped props column (the drop-column
+    audit decodes a sink that no longer carries it)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from tokenzip.analysis import _PAIR_MOD
+
+        ts = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+                "eid": batch["event_id"].to_numpy(zero_copy_only=False),
+                "uid": batch["user_id"].to_numpy(zero_copy_only=False),
+                "tsm": ts % _PAIR_MOD,
+            }
+        )
+        agg = df.groupby("event_type", as_index=False).agg(
+            n_rows=("eid", "size"),
+            sum_event_id=("eid", "sum"),
+            sum_user_id=("uid", "sum"),
+            sum_ts_mod=("tsm", "sum"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def q_table_drop_column_roundtrip(sf_dir: str):
+    """Schema-evolution audit: DROP the props column from the events sink
+    at zero decode cost (chunk-row surgery only), then decode the evolved
+    sink and checksum every remaining column per event_type against the
+    original table."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    src, out_dir = _events_sink(sf_dir)
+    h = hashlib.md5(f"{out_dir}:drop:props".encode()).hexdigest()[:10]
+    dst = f"/tmp/tokenzip_tbl_drop/{h}"
+    t = drop_column(out_dir, dst, "props")
+    ds = decompress_table(dst)
+    agg = (
+        ds.map_batches(
+            _EventsNoPropsChkStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_event_id", alias_name="sum_event_id"),
+            Sum("sum_user_id", alias_name="sum_user_id"),
+            Sum("sum_ts_mod", alias_name="sum_ts_mod"),
+        )
+        .to_pandas()
+    )
+    import pandas as pd
+
+    from tokenzip.analysis import _PAIR_MOD
+
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"].astype(str),
+            "n_rows": agg["n_rows"].astype("int64"),
+            "sum_event_id": agg["sum_event_id"].astype("int64"),
+            "sum_user_id": agg["sum_user_id"].astype("int64"),
+            "sum_ts_mod": (agg["sum_ts_mod"] % _PAIR_MOD).astype("int64"),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def table_drop_column_sql() -> str:
+    from tokenzip.analysis import _PAIR_MOD
+
+    return f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+       CAST(SUM(epoch_us(ts) % {_PAIR_MOD}) % {_PAIR_MOD} AS BIGINT) AS sum_ts_mod
+FROM events GROUP BY event_type ORDER BY event_type
+"""
