@@ -987,3 +987,34 @@ def test_drop_column_zero_decode_and_refusals(ray_session, tmp_path):
     # in-task refusals surface Ray-wrapped; match on the message
     with pytest.raises(Exception, match="only column"):
         drop_column(one, str(tmp_path / "y"), "a", resume=False)
+
+
+def test_rename_column_zero_decode(ray_session, tmp_path):
+    import numpy as np
+
+    from tokenzip.table import (
+        compress_table,
+        decompress_table,
+        rename_column,
+    )
+
+    t = pa.table(
+        {
+            "a": pa.array(np.arange(100, dtype=np.int64)),
+            "s": pa.array([f"v{i%5}" for i in range(100)]),
+        }
+    )
+    p = str(tmp_path / "in.parquet")
+    pq.write_table(t, p)
+    src = str(tmp_path / "sink")
+    compress_table([p], src, resume=False)
+    dst = str(tmp_path / "renamed")
+    rename_column(src, dst, "a", "ident", resume=False)
+    got = decompress_table(dst).to_pandas()
+    assert sorted(got.columns) == ["ident", "s"]
+    assert (np.sort(got["ident"].values) == np.arange(100)).all()
+    # renamed zone map follows the new name
+    got2 = decompress_table(dst, where=("ident", 10, 19)).to_pandas()
+    assert len(got2) == 10
+    with pytest.raises(Exception, match="already exists"):
+        rename_column(src, str(tmp_path / "x"), "a", "s", resume=False)

@@ -2109,3 +2109,130 @@ SELECT event_type,
        CAST(SUM(epoch_us(ts) % {_PAIR_MOD}) % {_PAIR_MOD} AS BIGINT) AS sum_ts_mod
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+def _rename_col_fn(batch: pa.Table, old=None, new_name=None) -> pa.Table:
+    """Chunk-row surgery for RENAME COLUMN: payload untouched."""
+    from tokenzip.pipeline import _frag_of_chunk_path
+
+    paths = batch["path"].to_numpy(zero_copy_only=False)
+    frags = [_frag_of_chunk_path(str(p)) for p in paths]
+    rows = batch.drop_columns(["path"])
+    names_col = rows["enc_names"].to_pylist()
+    order_col = rows["col_order"].to_pylist()
+    tcodec = rows["tokens_codec"].to_pylist()
+    new_names, new_order, new_tc = [], [], []
+    for i in range(rows.num_rows):
+        if old not in order_col[i]:
+            raise ChunkFormatError(
+                f"column {old!r} not in sink schema {sorted(order_col[i])}"
+            )
+        if new_name in order_col[i]:
+            raise ChunkFormatError(
+                f"column {new_name!r} already exists in the sink schema"
+            )
+        new_names.append([new_name if n == old else n for n in names_col[i]])
+        new_order.append([new_name if n == old else n for n in order_col[i]])
+        new_tc.append(
+            ",".join(
+                f"{new_name}={kv.split('=', 1)[1]}"
+                if kv.startswith(f"{old}=")
+                else kv
+                for kv in str(tcodec[i]).split(",")
+            )
+        )
+    out = rows
+    out = out.set_column(
+        out.column_names.index("enc_names"), "enc_names",
+        pa.array(new_names, pa.list_(pa.string())),
+    )
+    out = out.set_column(
+        out.column_names.index("col_order"), "col_order",
+        pa.array(new_order, pa.list_(pa.string())),
+    )
+    out = out.set_column(
+        out.column_names.index("tokens_codec"), "tokens_codec",
+        pa.array(new_tc, pa.string()),
+    )
+    renames = {}
+    for pre in ("zmin_", "zmax_", "znn_", "zsum_", "smin_", "smax_", "p_"):
+        if f"{pre}{old}" in out.column_names:
+            renames[f"{pre}{old}"] = f"{pre}{new_name}"
+    if renames:
+        out = out.rename_columns(
+            [renames.get(c, c) for c in out.column_names]
+        )
+    if "frag" in out.column_names:
+        return out
+    return out.append_column("frag", pa.array([str(f) for f in frags], pa.string()))
+
+
+def rename_column(
+    in_dir: str,
+    out_dir: str,
+    old: str,
+    new_name: str,
+    *,
+    concurrency: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """ALTER TABLE RENAME COLUMN at zero decode cost — the same chunk-row
+    surgery as drop_column, changing only names (blob bytes, zone values,
+    and row counts are untouched; the n_rows guard proves it)."""
+    from tokenzip.manifest import Manifest
+    from tokenzip.pipeline import _fold_chunk_meta
+
+    in_chunks = uio.join(in_dir, "chunks")
+    if not uio.isdir(in_chunks):
+        raise ChunkFormatError(f"no chunks directory under {in_dir}")
+    frag_dirs = sorted(d for d in uio.listdir(in_chunks) if d.startswith("frag="))
+    frag_files = {
+        d.split("=", 1)[1]: [
+            uio.join(in_chunks, d, n)
+            for n in sorted(uio.listdir(uio.join(in_chunks, d)))
+            if n.endswith(".parquet")
+        ]
+        for d in frag_dirs
+    }
+    chunks_dir = uio.join(out_dir, "chunks")
+    man = Manifest(out_dir)
+    done = man.done_fragments() if resume else set()
+    if not resume and uio.isdir(chunks_dir):
+        uio.rmtree(chunks_dir)
+        man.data["fragments"] = {}
+    elif resume and not done and uio.isdir(chunks_dir):
+        uio.rmtree(chunks_dir)
+    todo = [f for f in frag_files if f not in done]
+    for frag in todo:
+        d = uio.join(chunks_dir, f"frag={frag}")
+        if uio.isdir(d):
+            uio.rmtree(d)
+    if not todo:
+        return man.totals()
+    files = [p for f in todo for p in frag_files[f]]
+    kwargs = dict(
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"old": old, "new_name": new_name},
+    )
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    (
+        ray.data.read_parquet(files, include_paths=True)
+        .map_batches(_rename_col_fn, **kwargs)
+        .write_parquet(chunks_dir, partition_cols=["frag"], compression="none")
+    )
+    src_stats = dict(Manifest(in_dir).data.get("fragments", {}))
+    need = [f for f in todo if f not in src_stats]
+    if need:
+        src_stats.update(_fold_chunk_meta(in_chunks, need))
+    new_stats = _fold_chunk_meta(chunks_dir, todo)
+    for frag in todo:
+        s = dict(new_stats.get(frag) or {})
+        if s.get("n_rows", 0) != int((src_stats.get(frag) or {}).get("n_rows", 0)):
+            raise ChunkFormatError(f"rename_column row drift on frag {frag}")
+        s["renamed"] = [old, new_name]
+        s["recoded_from"] = in_dir
+        man.mark_done(frag, s)
+    man.save()
+    return man.totals()
