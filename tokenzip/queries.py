@@ -1145,10 +1145,15 @@ def q_append_roundtrip(sf_dir: str):
     out_dir = _scoped_out_dir("/tmp/tokenzip_append", sf_dir)
     t1 = compress(half, out_dir)
     t2 = compress(paths, out_dir)
-    if t2["n_rows"] < t1["n_rows"] or (
-        len(half) < len(paths) and t2["n_rows"] == t1["n_rows"]
-    ):
+    # growth guard, rerun-safe: a previously-completed sink makes BOTH
+    # phases no-ops with equal totals, so assert on the manifest's
+    # fragment ledger (every shard done exactly once), not on deltas
+    from tokenzip.manifest import Manifest
+
+    done = Manifest(out_dir).done_fragments()
+    if len(done) != len(paths) or t2["n_rows"] < t1["n_rows"]:
         raise ValueError(
-            f"append did not grow the sink: {t1['n_rows']} -> {t2['n_rows']}"
+            f"append ledger wrong: {len(done)} fragments done for "
+            f"{len(paths)} shards ({t1['n_rows']} -> {t2['n_rows']} rows)"
         )
     return _content_rollup(decompress(out_dir))

@@ -1687,7 +1687,12 @@ def delete_rows(
         if uio.isdir(d):
             uio.rmtree(d)
     if not todo:
-        return man.totals()
+        t = man.totals()
+        t["n_rows_deleted"] = sum(
+            int(s.get("n_rows_deleted", 0))
+            for s in man.data.get("fragments", {}).values()
+        )
+        return t
 
     # frag-level probe on zone scalars only: which frags need a rewrite?
     probe_cols = ["n_rows", zc[0], zc[1]] + ([zc[2]] if zc[2] else [])
