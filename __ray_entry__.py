@@ -164,7 +164,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "append_roundtrip": _append_roundtrip,
         "table_delete_roundtrip": _table_delete,
         "table_drop_column_roundtrip": _table_drop_col,
+        "ratio_by_length_bucket": _ratio_by_bucket,
     }
+
+
+def _ratio_by_bucket(sf_dir: str):
+    from tokenzip.queries import q_ratio_by_length_bucket
+
+    return q_ratio_by_length_bucket(sf_dir)
 
 
 def _table_drop_col(sf_dir: str):
@@ -1048,6 +1055,12 @@ def _table_drop_col_sql() -> str:
     return table_drop_column_sql()
 
 
+def _ratio_by_bucket_sql(glob: str) -> str:
+    from tokenzip.queries import ratio_by_length_bucket_sql
+
+    return ratio_by_length_bucket_sql(glob)
+
+
 def _pricing_sql() -> str:
     from tokenzip.relational import pricing_summary_sql
 
@@ -1522,6 +1535,8 @@ FROM documents GROUP BY source ORDER BY source
         "table_delete_roundtrip": _table_delete_sql(),
         # zero-decode DROP COLUMN (chunk-row surgery, payload untouched)
         "table_drop_column_roundtrip": _table_drop_col_sql(),
+        # codec analytics: LEB128 bytes/kilotoken per length-decile bucket
+        "ratio_by_length_bucket": _ratio_by_bucket_sql(glob),
         "events_asof_orders_salted": _O.events_asof_sql(),
         "events_range_orders_salted": _O.events_range_sql(),
         "order_revenue_by_priority_salted": _order_revenue_sql(),

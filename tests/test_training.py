@@ -811,3 +811,18 @@ def test_seqlen_mad_planted(ray_session, tmp_path):
 
     got = q_seqlen_mad_by_source(str(tmp_path)).iloc[0]
     assert (got["med_tok"], got["mad_tok"], got["n_robust_outliers"]) == (5, 2, 1)
+
+
+def test_ratio_by_length_bucket_matches_oracle(ray_session):
+    from tokenzip.corpus import ensure_corpus
+    from tokenzip.queries import (
+        q_ratio_by_length_bucket,
+        ratio_by_length_bucket_sql,
+    )
+
+    glob = ensure_corpus(SF) + "/*.parquet"
+    got = q_ratio_by_length_bucket(SF)
+    odf = duckdb.sql(ratio_by_length_bucket_sql(glob)).df()
+    # every kilotoken ratio must be a plausible LEB128 cost (1..5 B/token)
+    assert ((got["bytes_per_kilotoken"] >= 1000) & (got["bytes_per_kilotoken"] <= 5000)).all()
+    pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))

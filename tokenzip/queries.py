@@ -1157,3 +1157,164 @@ def q_append_roundtrip(sf_dir: str):
             f"{len(paths)} shards ({t1['n_rows']} -> {t2['n_rows']} rows)"
         )
     return _content_rollup(decompress(out_dir))
+
+
+# ---------------------------------------------------------------------------
+# Compression ratio by sequence-length bucket (codec analytics)
+# ---------------------------------------------------------------------------
+
+# Buckets are VALUE cuts at the exact n_tok deciles (ceil-rank rule), not
+# NTILE row splits: rows tied on n_tok all land in one bucket, so the
+# bucketing is deterministic on both engines without inventing a row
+# order. Two column-pruned passes: the bounded histogram yields the cuts,
+# then per-batch partials aggregate docs/tokens/LEB128 bytes per bucket.
+
+_RATIO_QS = tuple((i, 10) for i in range(1, 10))  # p10..p90
+
+
+def _length_cuts(paths: list[str]) -> list[int]:
+    from tokenzip.training import _SeqLenHistStage
+
+    hist: dict[int, int] = {}
+    parts = (
+        ray.data.read_parquet(paths, columns=["source", "n_tok"])
+        .map_batches(
+            _SeqLenHistStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .take_all()
+    )
+    for r in parts:
+        hist[int(r["n_tok"])] = hist.get(int(r["n_tok"]), 0) + int(r["cnt"])
+    vals = np.array(sorted(hist), dtype=np.int64)
+    cnt = np.array([hist[int(v)] for v in vals], dtype=np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    cuts = []
+    for num, den in _RATIO_QS:
+        rank = (num * n + den - 1) // den  # ceil-rank, the repo's rule
+        cuts.append(int(vals[np.searchsorted(cum, rank)]))
+    return cuts
+
+
+class _RatioBucketStage:
+    """(bucket, n_docs, n_tokens, leb128_bytes) partials; bucket = index of
+    the first cut >= n_tok (searchsorted left over the broadcast cuts)."""
+
+    def __init__(self, cuts: list[int]):
+        self.cuts = np.array(cuts, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from tokenzip.chunk import _tokens_parts
+
+        lengths, values = _tokens_parts(batch["tokens"])
+        zz = zigzag_encode(values.astype(np.int32), 32).astype(np.uint64)
+        sizes = leb128_size(zz).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(sizes)))
+        ends = np.cumsum(lengths.astype(np.int64))
+        starts = ends - lengths
+        doc_bytes = csum[ends] - csum[starts]
+        ntok = lengths.astype(np.int64)
+        bkt = np.searchsorted(self.cuts, ntok, side="left")
+        k = len(self.cuts) + 1
+        nd = np.bincount(bkt, minlength=k).astype(np.int64)
+        nt = np.zeros(k, np.int64)
+        np.add.at(nt, bkt, ntok)
+        nb = np.zeros(k, np.int64)
+        np.add.at(nb, bkt, doc_bytes)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(k, dtype=np.int64)),
+                "n_docs": pa.array(nd),
+                "n_tokens": pa.array(nt),
+                "leb128_bytes": pa.array(nb),
+            }
+        )
+
+
+def q_ratio_by_length_bucket(sf_dir: str):
+    """Codec analytics: LEB128 bytes per kilotoken across the corpus's
+    length-decile buckets — whether short or long sequences defeat the
+    varint family, in exact integers end to end."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    paths = corpus_paths(sf_dir)
+    cuts = _length_cuts(paths)
+    agg = (
+        ray.data.read_parquet(paths, columns=["tokens"])
+        .map_batches(
+            _RatioBucketStage(cuts), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("bucket")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("leb128_bytes", alias_name="leb128_bytes"),
+        )
+        .to_pandas()
+    )
+    agg = agg[agg["n_docs"] > 0]
+    out = pd.DataFrame(
+        {
+            "bucket": agg["bucket"].astype("int64"),
+            "n_docs": agg["n_docs"].astype("int64"),
+            "n_tokens": agg["n_tokens"].astype("int64"),
+            "leb128_bytes": agg["leb128_bytes"].astype("int64"),
+        }
+    )
+    out["bytes_per_kilotoken"] = (
+        out["leb128_bytes"] * 1000 // out["n_tokens"].clip(lower=1)
+    ).astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def ratio_by_length_bucket_sql(glob: str) -> str:
+    zz = (
+        "CASE WHEN t >= 0 THEN 2*CAST(t AS BIGINT) "
+        "ELSE -2*CAST(t AS BIGINT)-1 END"
+    )
+    # LEB128 size of the zigzagged token: 1 + floor(log128(z)) expressed as
+    # integer threshold comparisons (tokens are int32 -> zigzag < 2^32 ->
+    # at most 5 bytes)
+    sz = (
+        f"CASE WHEN {zz} < 128 THEN 1 WHEN {zz} < 16384 THEN 2 "
+        f"WHEN {zz} < 2097152 THEN 3 WHEN {zz} < 268435456 THEN 4 "
+        "ELSE 5 END"
+    )
+    ranks = ", ".join(
+        f"(({num} * n + {den - 1}) // {den})" for num, den in _RATIO_QS
+    )
+    return f"""
+WITH o AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         ROW_NUMBER() OVER (ORDER BY n_tok) AS rn,
+         COUNT(*) OVER () AS n
+  FROM read_parquet('{glob}')
+),
+cuts AS (
+  SELECT list_sort(list(n_tok)) AS cs
+  FROM o WHERE rn IN ({ranks})
+),
+b AS (
+  SELECT o.doc_id, o.n_tok,
+         (SELECT COUNT(*) FROM unnest((SELECT cs FROM cuts)) AS u(c)
+          WHERE c < o.n_tok) AS bucket
+  FROM o
+),
+d AS (
+  SELECT doc_id, CAST(SUM({sz}) AS BIGINT) AS db,
+         CAST(COUNT(*) AS BIGINT) AS nt
+  FROM (SELECT doc_id, unnest(tokens) AS t FROM read_parquet('{glob}'))
+  GROUP BY doc_id
+)
+SELECT b.bucket AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(d.nt, 0)) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(d.db, 0)) AS BIGINT) AS leb128_bytes,
+       CAST(SUM(COALESCE(d.db, 0)) * 1000 //
+            GREATEST(SUM(COALESCE(d.nt, 0)), 1) AS BIGINT)
+         AS bytes_per_kilotoken
+FROM b LEFT JOIN d ON b.doc_id = d.doc_id
+GROUP BY b.bucket ORDER BY b.bucket
+"""
