@@ -126,6 +126,19 @@ def main(argv: list[str] | None = None) -> int:
     tde.add_argument("--where", required=True, help="COL:LO:HI (ints or strings)")
     tde.add_argument("--no-resume", action="store_true")
 
+    tdc = sub.add_parser(
+        "table-drop-column", help="zero-decode DROP COLUMN on a table sink"
+    )
+    tdc.add_argument("in_dir"), tdc.add_argument("out_dir"), tdc.add_argument("col")
+    tdc.add_argument("--no-resume", action="store_true")
+
+    trc = sub.add_parser(
+        "table-rename-column", help="zero-decode RENAME COLUMN on a table sink"
+    )
+    trc.add_argument("in_dir"), trc.add_argument("out_dir")
+    trc.add_argument("old"), trc.add_argument("new")
+    trc.add_argument("--no-resume", action="store_true")
+
     v = sub.add_parser("verify", help="encode->decode->equality over an input table")
     v.add_argument("input")
 
@@ -358,6 +371,21 @@ def main(argv: list[str] | None = None) -> int:
                 where = (col, lo, hi)  # string zone maps
             res = delete_rows(
                 args.in_dir, args.out_dir, where, resume=not args.no_resume
+            )
+            print(json.dumps(res, sort_keys=True))
+        elif args.cmd == "table-drop-column":
+            from tokenzip.table import drop_column
+
+            res = drop_column(
+                args.in_dir, args.out_dir, args.col, resume=not args.no_resume
+            )
+            print(json.dumps(res, sort_keys=True))
+        elif args.cmd == "table-rename-column":
+            from tokenzip.table import rename_column
+
+            res = rename_column(
+                args.in_dir, args.out_dir, args.old, args.new,
+                resume=not args.no_resume,
             )
             print(json.dumps(res, sort_keys=True))
         elif args.cmd == "audit":
