@@ -312,6 +312,101 @@ def _dec_for(streams, meta, n):
     return res.astype(np.int32, copy=False) if w <= 32 else res
 
 
+def _bitwidth_u64(u: np.ndarray) -> np.ndarray:
+    """Per-value bit widths of a uint64 array, vectorized. Split into
+    32-bit halves so float64 log2 is exact (every uint32 is exactly
+    representable; log2 of an exact power of two is exact in IEEE)."""
+    u = u.astype(np.uint64, copy=False)
+    hi = (u >> np.uint64(32)).astype(np.uint32)
+    lo = u.astype(np.uint32)  # C-cast truncation keeps the low 32 bits
+
+    def _bw32(x: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(x), dtype=np.int64)
+        nz = x > 0
+        if nz.any():
+            out[nz] = np.floor(np.log2(x[nz].astype(np.float64))).astype(np.int64) + 1
+        return out
+
+    bhi = _bw32(hi)
+    return np.where(bhi > 0, bhi + 32, _bw32(lo))
+
+
+def _pfor_plan(deltas: np.ndarray) -> tuple[int, np.ndarray]:
+    """Choose the PFOR body width b: minimize exact body bytes + exact
+    exception-delta LEB128 bytes + a worst-case position-gap bound.
+    Pure function of the chunk contents (retry-deterministic).
+
+    Returns (b, per-value bit widths)."""
+    n = len(deltas)
+    bits = _bitwidth_u64(deltas)
+    hist = np.bincount(bits, minlength=65)[:65]
+    widths = np.arange(65, dtype=np.int64)
+    lebb = np.maximum(1, (widths + 6) // 7)  # LEB128 bytes for a k-bit value
+    # suffix sums: S[k] = count of values with bit width >= k,
+    #              V[k] = their total LEB128 payload bytes
+    S = np.concatenate([np.cumsum(hist[::-1])[::-1], [0]])
+    V = np.concatenate([np.cumsum((hist * lebb)[::-1])[::-1], [0]])
+    gap_leb = max(1, (max(1, n - 1).bit_length() + 6) // 7)
+    # exceptions at body width b are the values needing MORE than b bits
+    cost = (n * widths + 7) // 8 + V[1:] + S[1:] * gap_leb
+    return int(np.argmin(cost)), bits
+
+
+def _enc_pfor(values, width):
+    """Patched frame-of-reference (PFOR — Zukowski, Héman, Nes & Boncz,
+    "Super-Scalar RAM-CPU Cache Compression", ICDE 2006): frame-of-reference
+    at the bit width covering the dense body of the delta distribution, with
+    outlier deltas patched through an exception stream instead of inflating
+    every slot to the max width. Streams: [packed body, exception position
+    gaps (LEB128, gap-from-previous with the first gap absolute), exception
+    deltas (LEB128)]. Wins over plain FoR exactly when a few spikes stretch
+    the max delta (the reference's per-width kernel-choice concern,
+    /root/reference/src/num.rs:50, taken to per-value granularity)."""
+    n = len(values)
+    if n == 0:
+        return [b"", b"", b""], {"w": width, "ref": 0, "b": 0, "nx": 0}
+    ref = int(values.min())
+    deltas = _mod_sub(values, ref)
+    b, bits = _pfor_plan(deltas)
+    mask = bits > b
+    nx = int(mask.sum())
+    if nx:
+        body = deltas.copy()
+        body[mask] = 0
+        pos = np.flatnonzero(mask).astype(np.uint64)
+        gaps = np.diff(pos, prepend=np.uint64(0))
+        streams = [
+            pack_bits(body, b),
+            encode_leb128(gaps),
+            encode_leb128(deltas[mask]),
+        ]
+    else:
+        streams = [pack_bits(deltas, b), b"", b""]
+    return streams, {"w": width, "ref": ref, "b": b, "nx": nx}
+
+
+def _dec_pfor(streams, meta, n):
+    w, ref, bits, nx = meta["w"], meta["ref"], meta["b"], meta["nx"]
+    if w <= 32 and n and bits and not nx:
+        # exception-free chunk: identical layout to FoR — reuse the fused
+        # native unpack+add path
+        return _dec_for([streams[0]], {"w": w, "ref": ref, "b": bits}, n)
+    deltas = unpack_bits(streams[0], n, bits)
+    if nx:
+        gaps = decode_leb128(streams[1], nx, width=64)
+        pos = np.cumsum(gaps.astype(np.uint64)).astype(np.int64)
+        if len(pos) and (pos[-1] >= n or pos[0] < 0):
+            raise ChunkFormatError(
+                f"pfor exception position {int(pos[-1])} out of range (n={n})"
+            )
+        vals = decode_leb128(streams[2], nx, width=64)
+        if not deltas.flags.writeable:
+            deltas = deltas.copy()
+        deltas[pos] = vals
+    res = _mod_add(deltas, ref)
+    return res.astype(np.int32, copy=False) if w <= 32 else res
+
+
 def _enc_rle(values, width):
     run_vals, run_lens = _runs(values)
     return (
@@ -843,6 +938,7 @@ INT_CODECS: dict[str, tuple] = {
     "svb": (_enc_svb, _dec_svb),
     "bitpack": (_enc_bitpack, _dec_bitpack),
     "for": (_enc_for, _dec_for),
+    "pfor": (_enc_pfor, _dec_pfor),
     "rle": (_enc_rle, _dec_rle),
     "dict": (_enc_dict, _dec_dict),
     "rankdict": (_enc_rankdict, _dec_rankdict),

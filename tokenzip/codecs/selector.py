@@ -32,7 +32,8 @@ DEFAULT_SAMPLE = 65_536
 
 # Candidate order is the tie-break preference (decode speed at equal size).
 INT_CANDIDATES = (
-    "rle", "dict", "for", "bitpack", "svb", "delta", "dod", "rankdict", "leb128"
+    "rle", "dict", "for", "pfor", "bitpack", "svb", "delta", "dod", "rankdict",
+    "leb128"
 )
 
 
@@ -94,6 +95,23 @@ def estimate_int_sizes(
             sizes[c] = (m * bit_width(int(zz.max())) / 8.0) * scale
         elif c == "for":
             sizes[c] = (m * bit_width(vmax - vmin) / 8.0) * scale
+        elif c == "pfor":
+            # replicate the encoder's deterministic width plan on the
+            # sample, then price that plan exactly (body + exception
+            # values + exact position-gap bytes)
+            from tokenzip.codecs.core import _mod_sub, _pfor_plan
+
+            deltas = _mod_sub(s, vmin)
+            b, bits = _pfor_plan(deltas)
+            mask = bits > b
+            exc_bytes = 0.0
+            if mask.any():
+                pos = np.flatnonzero(mask).astype(np.uint64)
+                gaps = np.diff(pos, prepend=np.uint64(0))
+                exc_bytes = float(leb128_size(gaps).sum()) + float(
+                    leb128_size(deltas[mask]).sum()
+                )
+            sizes[c] = ((m * b + 7) // 8 + exc_bytes) * scale
         elif c == "rle":
             run_vals, run_lens = _runs(s)
             rv_zz = zigzag_encode(run_vals, 64).astype(np.uint64)
