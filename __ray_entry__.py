@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "append_roundtrip": _append_roundtrip,
         "table_delete_roundtrip": _table_delete,
         "table_drop_column_roundtrip": _table_drop_col,
+        "table_add_column_roundtrip": _table_add_col,
         "ratio_by_length_bucket": _ratio_by_bucket,
     }
 
@@ -178,6 +179,12 @@ def _table_drop_col(sf_dir: str):
     from tokenzip.table import q_table_drop_column_roundtrip
 
     return q_table_drop_column_roundtrip(sf_dir)
+
+
+def _table_add_col(sf_dir: str):
+    from tokenzip.table import q_table_add_column_roundtrip
+
+    return q_table_add_column_roundtrip(sf_dir)
 
 
 def _table_delete(sf_dir: str):
@@ -1055,6 +1062,12 @@ def _table_drop_col_sql() -> str:
     return table_drop_column_sql()
 
 
+def _table_add_col_sql() -> str:
+    from tokenzip.table import table_add_column_sql
+
+    return table_add_column_sql()
+
+
 def _ratio_by_bucket_sql(glob: str) -> str:
     from tokenzip.queries import ratio_by_length_bucket_sql
 
@@ -1535,6 +1548,8 @@ FROM documents GROUP BY source ORDER BY source
         "table_delete_roundtrip": _table_delete_sql(),
         # zero-decode DROP COLUMN (chunk-row surgery, payload untouched)
         "table_drop_column_roundtrip": _table_drop_col_sql(),
+        # zero-decode ADD COLUMN DEFAULT (constant blob synthesized per chunk)
+        "table_add_column_roundtrip": _table_add_col_sql(),
         # codec analytics: LEB128 bytes/kilotoken per length-decile bucket
         "ratio_by_length_bucket": _ratio_by_bucket_sql(glob),
         "events_asof_orders_salted": _O.events_asof_sql(),

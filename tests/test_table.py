@@ -1018,3 +1018,70 @@ def test_rename_column_zero_decode(ray_session, tmp_path):
     assert len(got2) == 10
     with pytest.raises(Exception, match="already exists"):
         rename_column(src, str(tmp_path / "x"), "a", "s", resume=False)
+
+
+def test_add_column_zero_decode(ray_session, tmp_path):
+    """ADD COLUMN DEFAULT synthesizes the new column from (n_rows, value)
+    alone: constants decode everywhere, NULL defaults decode all-NULL,
+    the new column's zone maps answer pushdowns exactly, and existing
+    columns stay bit-identical; an existing name or unsupported dtype
+    refuses loudly."""
+    import numpy as np
+
+    from tokenzip.table import add_column, compress_table, decompress_table
+
+    t = pa.table(
+        {
+            "a": pa.array(np.arange(400, dtype=np.int64)),
+            "s": pa.array([f"v{i%7}" for i in range(400)]),
+        }
+    )
+    p = str(tmp_path / "in.parquet")
+    pq.write_table(t, p)
+    src = str(tmp_path / "sink")
+    compress_table([p], src, resume=False)
+
+    dst = str(tmp_path / "addint")
+    tt = add_column(src, dst, "flag", "int32", 7, resume=False)
+    assert tt["n_rows"] == 400
+    got = decompress_table(dst).to_pandas().sort_values("a").reset_index(drop=True)
+    assert sorted(got.columns) == ["a", "flag", "s"]
+    assert str(got["flag"].dtype) == "int32" and (got["flag"].values == 7).all()
+    assert (got["a"].values == np.arange(400)).all()
+    assert (got["s"].values == np.array([f"v{i%7}" for i in range(400)])).all()
+    # the synthesized zone map prunes exactly
+    assert len(decompress_table(dst, where=("flag", 7, 7)).to_pandas()) == 400
+    assert len(decompress_table(dst, where=("flag", 8, 9)).to_pandas()) == 0
+    # aggregate metadata answers SUM/COUNT without decode
+    from tokenzip.table import table_stats
+
+    st = table_stats(dst, columns=["flag"])
+    row = st.loc[st["column"] == "flag"].iloc[0]
+    assert int(row["n_null"]) == 0 and int(row["sum_v"]) == 2800
+    assert int(row["min_v"]) == 7 and int(row["max_v"]) == 7
+
+    # string constant + chained evolution over an already-evolved sink
+    dst2 = str(tmp_path / "addstr")
+    add_column(dst, dst2, "lang", "string", "en", resume=False)
+    g = decompress_table(dst2).to_pandas()
+    assert (g["lang"] == "en").all() and (g["flag"] == 7).all()
+
+    # NULL default: empty value stream + zero validity bitmap
+    dstn = str(tmp_path / "addnull")
+    add_column(src, dstn, "score", "int64", None, resume=False)
+    g = decompress_table(dstn).to_pandas()
+    assert g["score"].isna().all()
+    dstns = str(tmp_path / "addnullstr")
+    add_column(src, dstns, "note", "string", None, resume=False)
+    assert decompress_table(dstns).to_pandas()["note"].isna().all()
+
+    # float constant
+    dstf = str(tmp_path / "addflt")
+    add_column(src, dstf, "w", "double", 0.25, resume=False)
+    assert (decompress_table(dstf).to_pandas()["w"].values == 0.25).all()
+
+    # refusals: existing name (in-task, Ray-wrapped) and unsupported dtype
+    with pytest.raises(Exception, match="already exists"):
+        add_column(src, str(tmp_path / "bad"), "a", "int64", 1, resume=False)
+    with pytest.raises(Exception, match="unsupported ADD COLUMN dtype"):
+        add_column(src, str(tmp_path / "bad2"), "x", "list<int32>", None, resume=False)

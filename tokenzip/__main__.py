@@ -139,6 +139,20 @@ def main(argv: list[str] | None = None) -> int:
     trc.add_argument("old"), trc.add_argument("new")
     trc.add_argument("--no-resume", action="store_true")
 
+    tac = sub.add_parser(
+        "table-add-column",
+        help="zero-decode ADD COLUMN <col> <dtype> DEFAULT <value> on a "
+        "table sink (constant or NULL column synthesized per chunk row; "
+        "existing payload bytes untouched)",
+    )
+    tac.add_argument("in_dir"), tac.add_argument("out_dir")
+    tac.add_argument("col"), tac.add_argument("dtype")
+    tac.add_argument(
+        "--default", default=None,
+        help="constant default value (omit for an all-NULL column)",
+    )
+    tac.add_argument("--no-resume", action="store_true")
+
     v = sub.add_parser("verify", help="encode->decode->equality over an input table")
     v.add_argument("input")
 
@@ -386,6 +400,14 @@ def main(argv: list[str] | None = None) -> int:
             res = rename_column(
                 args.in_dir, args.out_dir, args.old, args.new,
                 resume=not args.no_resume,
+            )
+            print(json.dumps(res, sort_keys=True))
+        elif args.cmd == "table-add-column":
+            from tokenzip.table import add_column
+
+            res = add_column(
+                args.in_dir, args.out_dir, args.col, args.dtype,
+                args.default, resume=not args.no_resume,
             )
             print(json.dumps(res, sort_keys=True))
         elif args.cmd == "audit":

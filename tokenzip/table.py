@@ -2241,3 +2241,366 @@ def rename_column(
         man.mark_done(frag, s)
     man.save()
     return man.totals()
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE ADD COLUMN ... DEFAULT <const>: the third zero-decode schema
+# evolution (drop / rename / add). The new column's blob is synthesized per
+# chunk row from (n_rows, value) alone — existing payload bytes are never
+# decoded or re-encoded. A constant integer packs to a 0-bit FoR body
+# (~60 B/chunk); a constant string dict-encodes to one dictionary entry;
+# value=None appends an all-NULL column (empty value stream + zero validity
+# bitmap).
+# ---------------------------------------------------------------------------
+
+_ADDABLE_TAGS = (
+    set(_INT_WIDTH) | set(_UINT_WIDTH)
+    | {"timestamp[s]", "timestamp[ms]", "timestamp[us]", "timestamp[ns]"}
+    | {"string", "double", "float"}
+)
+
+
+def _add_col_entry(tag: str, value, n: int) -> tuple[str, bytes, bytes, dict]:
+    """(codec label, blob, null bitmap, counter deltas) for one chunk row's
+    synthesized column. Counter deltas: bytes_in / tokens_bytes_out /
+    leb128_bytes / n_tokens / str_bytes."""
+    from tokenzip.codecs.strings import encode_str_column
+
+    nmap = b""
+    if value is None and n:
+        nmap = np.packbits(np.zeros(n, dtype=bool)).tobytes()
+    if tag == "string":
+        vals = pa.array([] if value is None else [str(value)] * n, pa.string())
+        blob = encode_str_column(vals, "auto")
+        return "str", blob, nmap, {"str_bytes": len(blob) + len(nmap)}
+    if tag in ("double", "float"):
+        width = 64 if tag == "double" else 32
+        dt = np.float64 if tag == "double" else np.float32
+        fvals = (
+            np.empty(0, dtype=dt)
+            if value is None
+            else np.full(n, value, dtype=dt)
+        )
+        blob = encode_float_column(fvals, width)
+        return "flt", blob, nmap, {"str_bytes": len(blob) + len(nmap)}
+    # integer / timestamp family: int64 storage units (uint64 bitcast)
+    if value is None:
+        vals = np.empty(0, dtype=np.int64)
+    else:
+        sv = int(value)
+        if tag == "uint64" and sv >= 2**63:
+            sv -= 2**64  # bitcast, mirroring _encode_table_fn
+        vals = np.full(n, sv, dtype=np.int64)
+    width = _INT_WIDTH.get(tag) or _UINT_WIDTH.get(tag) or 64
+    codec = choose_int_codec(vals, width)
+    blob = encode_int_column(vals, codec, width)
+    bound = leb128_oracle_bytes(vals, width)
+    if codec != "leb128" and len(blob) > len(
+        lb := encode_int_column(vals, "leb128", width)
+    ):
+        codec, blob = "leb128", lb
+    return codec, blob, nmap, {
+        "bytes_in": vals.nbytes,
+        "tokens_bytes_out": len(blob),
+        "leb128_bytes": bound,
+        "n_tokens": n,
+        "str_bytes": len(nmap),
+    }
+
+
+def _add_col_fn(batch: pa.Table, col=None, value=None, tag=None) -> pa.Table:
+    """Chunk-row surgery for ADD COLUMN: append the synthesized entry to the
+    parallel enc_* lists and col_order; existing blobs untouched."""
+    from tokenzip.pipeline import _frag_of_chunk_path
+
+    paths = batch["path"].to_numpy(zero_copy_only=False)
+    frags = [_frag_of_chunk_path(str(p)) for p in paths]
+    rows = batch.drop_columns(["path"])
+    names_col = rows["enc_names"].to_pylist()
+    codecs_col = rows["enc_codecs"].to_pylist()
+    dtags_col = rows["enc_dtypes"].to_pylist()
+    blobs_col = rows["enc_blobs"].to_pylist()
+    nulls_col = rows["enc_nulls"].to_pylist()
+    order_col = rows["col_order"].to_pylist()
+    n_rows_col = rows["n_rows"].to_pylist()
+    scalars = {
+        k: rows[k].to_pylist()
+        for k in (
+            "bytes_in", "bytes_out", "tokens_bytes_out", "leb128_bytes",
+            "n_tokens", "tokens_codec",
+        )
+    }
+    is_int = tag not in ("string", "double", "float")
+    zmin, zmax, znn, zsum, smin, smax = [], [], [], [], [], []
+    for i in range(rows.num_rows):
+        if col in order_col[i]:
+            raise ChunkFormatError(
+                f"column {col!r} already exists in the sink schema"
+            )
+        n = int(n_rows_col[i])
+        codec, blob, nmap, d = _add_col_entry(tag, value, n)
+        names_col[i] = list(names_col[i]) + [col]
+        codecs_col[i] = list(codecs_col[i]) + [codec]
+        dtags_col[i] = list(dtags_col[i]) + [tag]
+        blobs_col[i] = list(blobs_col[i]) + [blob]
+        nulls_col[i] = list(nulls_col[i]) + [nmap]
+        order_col[i] = list(order_col[i]) + [col]
+        scalars["bytes_in"][i] += d.get("bytes_in", 0)
+        scalars["bytes_out"][i] += (
+            d.get("tokens_bytes_out", 0) + d.get("str_bytes", 0)
+        )
+        scalars["tokens_bytes_out"][i] += d.get("tokens_bytes_out", 0)
+        scalars["leb128_bytes"][i] += d.get("leb128_bytes", 0)
+        scalars["n_tokens"][i] += d.get("n_tokens", 0)
+        scalars["tokens_codec"][i] = (
+            f"{scalars['tokens_codec'][i]},{col}={codec}"
+            if scalars["tokens_codec"][i]
+            else f"{col}={codec}"
+        )
+        if is_int:
+            if value is None or n == 0:
+                zmin.append(1); zmax.append(0); znn.append(0); zsum.append("0")
+            else:
+                sv = int(value)
+                if tag == "uint64" and sv >= 2**63:
+                    sv -= 2**64
+                zmin.append(sv); zmax.append(sv)
+                znn.append(n); zsum.append(str(sv * n))
+        elif tag == "string":
+            if value is None or n == 0:
+                smin.append("\U0010ffff"); smax.append("")
+            else:
+                smin.append(str(value)); smax.append(str(value))
+    out = rows
+    for name, vals, typ in (
+        ("enc_names", names_col, pa.list_(pa.string())),
+        ("enc_codecs", codecs_col, pa.list_(pa.string())),
+        ("enc_dtypes", dtags_col, pa.list_(pa.string())),
+        ("enc_blobs", blobs_col, pa.list_(pa.binary())),
+        ("enc_nulls", nulls_col, pa.list_(pa.binary())),
+        ("col_order", order_col, pa.list_(pa.string())),
+        ("bytes_in", scalars["bytes_in"], pa.int64()),
+        ("bytes_out", scalars["bytes_out"], pa.int64()),
+        ("tokens_bytes_out", scalars["tokens_bytes_out"], pa.int64()),
+        ("leb128_bytes", scalars["leb128_bytes"], pa.int64()),
+        ("n_tokens", scalars["n_tokens"], pa.int64()),
+        ("tokens_codec", scalars["tokens_codec"], pa.string()),
+    ):
+        out = out.set_column(out.column_names.index(name), name, pa.array(vals, typ))
+    if is_int:
+        out = out.append_column(f"zmin_{col}", pa.array(zmin, pa.int64()))
+        out = out.append_column(f"zmax_{col}", pa.array(zmax, pa.int64()))
+        out = out.append_column(f"znn_{col}", pa.array(znn, pa.int64()))
+        out = out.append_column(f"zsum_{col}", pa.array(zsum, pa.string()))
+    elif tag == "string":
+        out = out.append_column(f"smin_{col}", pa.array(smin, pa.string()))
+        out = out.append_column(f"smax_{col}", pa.array(smax, pa.string()))
+    if "frag" in out.column_names:
+        return out
+    return out.append_column("frag", pa.array([str(f) for f in frags], pa.string()))
+
+
+def add_column(
+    in_dir: str,
+    out_dir: str,
+    col: str,
+    dtype: str,
+    value=None,
+    *,
+    concurrency: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """ALTER TABLE ADD COLUMN <col> <dtype> DEFAULT <value> for a
+    compress_table sink at ZERO decode cost: the constant (or NULL) column
+    is synthesized per chunk row from its n_rows alone — no existing payload
+    is decoded or re-encoded. Zone maps / aggregate metadata for the new
+    column are exact by construction, so WHERE/SUM pushdowns on it answer
+    from chunk rows immediately. The n_rows guard proves no row was
+    touched."""
+    from tokenzip.manifest import Manifest
+    from tokenzip.pipeline import _fold_chunk_meta
+
+    tag = str(dtype)
+    if tag not in _ADDABLE_TAGS:
+        raise ChunkFormatError(
+            f"unsupported ADD COLUMN dtype {tag!r}; one of {sorted(_ADDABLE_TAGS)}"
+        )
+    if value is not None:
+        # validate the default against the declared dtype up front (a bad
+        # constant must fail before any fragment is written)
+        if tag == "string":
+            value = str(value)
+        elif tag in ("double", "float"):
+            value = float(value)
+        else:
+            pa.array([int(value)], _DTYPE_OF_TAG[tag])
+            value = int(value)
+    in_chunks = uio.join(in_dir, "chunks")
+    if not uio.isdir(in_chunks):
+        raise ChunkFormatError(f"no chunks directory under {in_dir}")
+    frag_dirs = sorted(d for d in uio.listdir(in_chunks) if d.startswith("frag="))
+    frag_files = {
+        d.split("=", 1)[1]: [
+            uio.join(in_chunks, d, n)
+            for n in sorted(uio.listdir(uio.join(in_chunks, d)))
+            if n.endswith(".parquet")
+        ]
+        for d in frag_dirs
+    }
+    chunks_dir = uio.join(out_dir, "chunks")
+    man = Manifest(out_dir)
+    done = man.done_fragments() if resume else set()
+    if not resume and uio.isdir(chunks_dir):
+        uio.rmtree(chunks_dir)
+        man.data["fragments"] = {}
+    elif resume and not done and uio.isdir(chunks_dir):
+        uio.rmtree(chunks_dir)
+    todo = [f for f in frag_files if f not in done]
+    for frag in todo:
+        d = uio.join(chunks_dir, f"frag={frag}")
+        if uio.isdir(d):
+            uio.rmtree(d)
+    if not todo:
+        return man.totals()
+    files = [p for f in todo for p in frag_files[f]]
+    kwargs = dict(
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"col": col, "value": value, "tag": tag},
+    )
+    if concurrency:
+        kwargs["concurrency"] = concurrency
+    (
+        ray.data.read_parquet(files, include_paths=True)
+        .map_batches(_add_col_fn, **kwargs)
+        .write_parquet(chunks_dir, partition_cols=["frag"], compression="none")
+    )
+    src_stats = dict(Manifest(in_dir).data.get("fragments", {}))
+    need = [f for f in todo if f not in src_stats]
+    if need:
+        src_stats.update(_fold_chunk_meta(in_chunks, need))
+    new_stats = _fold_chunk_meta(chunks_dir, todo)
+    for frag in todo:
+        s = dict(new_stats.get(frag) or {})
+        if s.get("n_rows", 0) != int((src_stats.get(frag) or {}).get("n_rows", 0)):
+            raise ChunkFormatError(f"add_column row drift on frag {frag}")
+        s["added_column"] = [col, tag, None if value is None else str(value)]
+        s["recoded_from"] = in_dir
+        man.mark_done(frag, s)
+    man.save()
+    return man.totals()
+
+class _EventsAddColChkStage:
+    """_EventsChkStage plus checksums of the two synthesized columns the
+    add-column audit appends (a constant string tag and a constant int32
+    split id): any decode drift in either the pre-existing payload or the
+    zero-decode-synthesized blobs flips a sum."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from tokenzip.analysis import _PAIR_MOD
+
+        ts = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        props_len = pa.compute.utf8_length(batch["props"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        tag_ok = pa.compute.equal(batch["corpus_tag"], "web").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        split = batch["split_id"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+                "eid": batch["event_id"].to_numpy(zero_copy_only=False),
+                "uid": batch["user_id"].to_numpy(zero_copy_only=False),
+                "tsm": ts % _PAIR_MOD,
+                "plen": props_len,
+                "tok": tag_ok,
+                "split": split,
+            }
+        )
+        agg = df.groupby("event_type", as_index=False).agg(
+            n_rows=("eid", "size"),
+            sum_event_id=("eid", "sum"),
+            sum_user_id=("uid", "sum"),
+            sum_ts_mod=("tsm", "sum"),
+            sum_props_len=("plen", "sum"),
+            n_tag_web=("tok", "sum"),
+            sum_split_id=("split", "sum"),
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def q_table_add_column_roundtrip(sf_dir: str):
+    """Schema-evolution audit: ADD two constant columns to the events sink
+    at zero decode cost (corpus_tag string DEFAULT 'web', then split_id
+    int32 DEFAULT 3 — chained, so the second surgery runs over an
+    already-evolved sink), decode the evolved sink, and checksum every
+    original column per event_type against DuckDB recomputing from the
+    original table with the same literals appended."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    src, out_dir = _events_sink(sf_dir)
+    h = hashlib.md5(f"{out_dir}:add:corpus_tag:split_id".encode()).hexdigest()[:10]
+    mid = f"/tmp/tokenzip_tbl_add/{h}/tag"
+    dst = f"/tmp/tokenzip_tbl_add/{h}/split"
+    add_column(out_dir, mid, "corpus_tag", "string", "web")
+    add_column(mid, dst, "split_id", "int32", 3)
+    ds = decompress_table(dst)
+    agg = (
+        ds.map_batches(
+            _EventsAddColChkStage(), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_event_id", alias_name="sum_event_id"),
+            Sum("sum_user_id", alias_name="sum_user_id"),
+            Sum("sum_ts_mod", alias_name="sum_ts_mod"),
+            Sum("sum_props_len", alias_name="sum_props_len"),
+            Sum("n_tag_web", alias_name="n_tag_web"),
+            Sum("sum_split_id", alias_name="sum_split_id"),
+        )
+        .to_pandas()
+    )
+    import pandas as pd
+
+    from tokenzip.analysis import _PAIR_MOD
+
+    out = pd.DataFrame(
+        {
+            "event_type": agg["event_type"].astype(str),
+            "n_rows": agg["n_rows"].astype("int64"),
+            "sum_event_id": agg["sum_event_id"].astype("int64"),
+            "sum_user_id": agg["sum_user_id"].astype("int64"),
+            "sum_ts_mod": (agg["sum_ts_mod"] % _PAIR_MOD).astype("int64"),
+            "sum_props_len": agg["sum_props_len"].astype("int64"),
+            "n_tag_web": agg["n_tag_web"].astype("int64"),
+            "sum_split_id": agg["sum_split_id"].astype("int64"),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def table_add_column_sql() -> str:
+    from tokenzip.analysis import _PAIR_MOD
+
+    return f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+       CAST(SUM(epoch_us(ts) % {_PAIR_MOD}) % {_PAIR_MOD} AS BIGINT) AS sum_ts_mod,
+       CAST(SUM(length(props)) AS BIGINT) AS sum_props_len,
+       CAST(SUM(CASE WHEN corpus_tag = 'web' THEN 1 ELSE 0 END) AS BIGINT) AS n_tag_web,
+       CAST(SUM(split_id) AS BIGINT) AS sum_split_id
+FROM (SELECT *, 'web' AS corpus_tag, 3 AS split_id FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
