@@ -166,7 +166,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_drop_column_roundtrip": _table_drop_col,
         "table_add_column_roundtrip": _table_add_col,
         "ratio_by_length_bucket": _ratio_by_bucket,
+        "forecast_revenue": _forecast_revenue,
+        "promo_revenue": _promo_revenue,
+        "top_supplier": _top_supplier,
+        "brand_qty_revenue": _brand_qty_revenue,
+        "volume_shipping": _volume_shipping,
+        "market_share": _market_share,
+        "nation_profit": _nation_profit,
     }
+
+
+def _forecast_revenue(sf_dir: str):
+    from tokenzip.relational import q_forecast_revenue
+
+    return q_forecast_revenue(sf_dir)
+
+
+def _promo_revenue(sf_dir: str):
+    from tokenzip.relational import q_promo_revenue
+
+    return q_promo_revenue(sf_dir)
+
+
+def _top_supplier(sf_dir: str):
+    from tokenzip.relational import q_top_supplier
+
+    return q_top_supplier(sf_dir)
+
+
+def _brand_qty_revenue(sf_dir: str):
+    from tokenzip.relational import q_brand_qty_revenue
+
+    return q_brand_qty_revenue(sf_dir)
+
+
+def _volume_shipping(sf_dir: str):
+    from tokenzip.relational import q_volume_shipping
+
+    return q_volume_shipping(sf_dir)
+
+
+def _market_share(sf_dir: str):
+    from tokenzip.relational import q_market_share
+
+    return q_market_share(sf_dir)
+
+
+def _nation_profit(sf_dir: str):
+    from tokenzip.relational import q_nation_profit
+
+    return q_nation_profit(sf_dir)
 
 
 def _ratio_by_bucket(sf_dir: str):
@@ -906,6 +955,48 @@ def _q5_sql() -> str:
     return local_supplier_volume_sql()
 
 
+def _forecast_revenue_sql() -> str:
+    from tokenzip.relational import forecast_revenue_sql
+
+    return forecast_revenue_sql()
+
+
+def _promo_revenue_sql() -> str:
+    from tokenzip.relational import promo_revenue_sql
+
+    return promo_revenue_sql()
+
+
+def _top_supplier_sql() -> str:
+    from tokenzip.relational import top_supplier_sql
+
+    return top_supplier_sql()
+
+
+def _brand_qty_revenue_sql() -> str:
+    from tokenzip.relational import brand_qty_revenue_sql
+
+    return brand_qty_revenue_sql()
+
+
+def _volume_shipping_sql() -> str:
+    from tokenzip.relational import volume_shipping_sql
+
+    return volume_shipping_sql()
+
+
+def _market_share_sql() -> str:
+    from tokenzip.relational import market_share_sql
+
+    return market_share_sql()
+
+
+def _nation_profit_sql() -> str:
+    from tokenzip.relational import nation_profit_sql
+
+    return nation_profit_sql()
+
+
 def _vocab_overlap_sql(glob: str) -> str:
     from tokenzip.training import vocab_overlap_sql
 
@@ -1552,6 +1643,20 @@ FROM documents GROUP BY source ORDER BY source
         "table_add_column_roundtrip": _table_add_col_sql(),
         # codec analytics: LEB128 bytes/kilotoken per length-decile bucket
         "ratio_by_length_bucket": _ratio_by_bucket_sql(glob),
+        # TPC-H Q6 shape: all-filter aggregate, the scan-speed floor
+        "forecast_revenue": _forecast_revenue_sql(),
+        # TPC-H Q14 shape: promo share numerator/denominator, broadcast part
+        "promo_revenue": _promo_revenue_sql(),
+        # TPC-H Q15 shape: windowed argmax supplier off supplier-sized partials
+        "top_supplier": _top_supplier_sql(),
+        # TPC-H Q19 shape: disjunctive predicates compiled to a part bitmask
+        "brand_qty_revenue": _brand_qty_revenue_sql(),
+        # TPC-H Q7 shape: two-nation volume by ship year, two co-partitioned hops
+        "volume_shipping": _volume_shipping_sql(),
+        # TPC-H Q8 shape: market-share numerator/denominator per order year
+        "market_share": _market_share_sql(),
+        # TPC-H Q9 shape: nation x order-year profit rollup
+        "nation_profit": _nation_profit_sql(),
         "events_asof_orders_salted": _O.events_asof_sql(),
         "events_range_orders_salted": _O.events_range_sql(),
         "order_revenue_by_priority_salted": _order_revenue_sql(),

@@ -4630,3 +4630,1033 @@ SELECT a.event_type AS type_a, b.event_type AS type_b,
 FROM v a JOIN v b ON a.user_id = b.user_id AND a.event_type < b.event_type
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecast-revenue-change — one filtered scan, no join.
+# The date predicate pushes into the parquet read (row-group pruning at
+# 100 TB); quantity/discount predicates and the revenue product fold
+# per batch into ONE partial row, so the "shuffle" is a handful of
+# single-row partials. Reference parity note: this is the all-filter
+# aggregate every engine treats as its scan-speed floor.
+# ---------------------------------------------------------------------------
+
+_Q6_LO_MS = 820_454_400_000  # 1996-01-01
+_Q6_HI_MS = 852_076_800_000  # 1997-01-01
+
+
+def q_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """(n_rows, revenue): lineitem rows shipped in 1996 with discount in
+    [0.05, 0.07] and quantity < 24; revenue = extendedprice * discount in
+    exact cents*hundredths."""
+    import pyarrow.compute as pc_
+
+    lo = pa.scalar(_Q6_LO_MS * 1000, pa.timestamp("us"))
+    hi = pa.scalar(_Q6_HI_MS * 1000, pa.timestamp("us"))
+
+    def part(b: pa.Table) -> pa.Table:
+        qty = _cents(b["l_quantity"])
+        price = _cents(b["l_extendedprice"])
+        disc = _hund(b["l_discount"])
+        keep = (disc >= 5) & (disc <= 7) & (qty < 2400)
+        rev = price[keep] * disc[keep]
+        return pa.table(
+            {
+                "n_rows": pa.array([int(keep.sum())], pa.int64()),
+                "revenue": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_quantity", "l_extendedprice", "l_discount"],
+            filter=(pc_.field("l_shipdate") >= lo) & (pc_.field("l_shipdate") < hi),
+        )
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("revenue", alias_name="revenue"))
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": [int(agg["n_rows"] or 0)],
+            "revenue": [int(agg["revenue"] or 0)],
+        }
+    )
+
+
+def forecast_revenue_sql() -> str:
+    pc = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    dh = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    qc = "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM({pc} * {dh}), 0) AS BIGINT) AS revenue
+FROM lineitem
+WHERE epoch_us(l_shipdate) // 1000 >= {_Q6_LO_MS}
+  AND epoch_us(l_shipdate) // 1000 <  {_Q6_HI_MS}
+  AND {dh} BETWEEN 5 AND 7
+  AND {qc} < 2400
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promotion-revenue share — fact scan x broadcast part
+# attribute. The 2k-row part dimension collapses to a sorted partkey
+# array + one promo bitmask, ray.put once and probed per batch with a
+# searchsorted; both the numerator and the denominator fold to one
+# partial row per batch. Division never happens inside the engine —
+# both sides emit the exact integer numerator/denominator pair.
+# ---------------------------------------------------------------------------
+
+_Q14_LO_MS = 841_536_000_000  # 1996-09-01
+_Q14_HI_MS = 844_128_000_000  # 1996-10-01
+
+
+def q_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """(promo_revenue, total_revenue) over lineitem shipped in 1996-09,
+    promo = parts with p_type = 'PROMO'. Exact cents*hundredths."""
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq
+
+    prt = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pk = prt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ptype = prt["p_type"].to_numpy(zero_copy_only=False)
+    po = np.argsort(pk)
+    pk = pk[po]
+    promo = np.asarray([str(s) == "PROMO" for s in ptype])[po]
+    pk_ref, promo_ref = ray.put(pk), ray.put(promo)
+
+    lo = pa.scalar(_Q14_LO_MS * 1000, pa.timestamp("us"))
+    hi = pa.scalar(_Q14_HI_MS * 1000, pa.timestamp("us"))
+
+    def part(b: pa.Table) -> pa.Table:
+        ks, pm = ray.get(pk_ref), ray.get(promo_ref)
+        lpk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _cents(b["l_extendedprice"])
+        disc = _hund(b["l_discount"])
+        hit, pos = _probe_sorted(ks, lpk)
+        if not hit.all():
+            raise ValueError("l_partkey outside part table")
+        rev = price * (100 - disc)
+        is_promo = pm[pos]
+        return pa.table(
+            {
+                "promo_revenue": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "total_revenue": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+            filter=(pc_.field("l_shipdate") >= lo) & (pc_.field("l_shipdate") < hi),
+        )
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(
+            Sum("promo_revenue", alias_name="promo_revenue"),
+            Sum("total_revenue", alias_name="total_revenue"),
+        )
+    )
+    return pd.DataFrame(
+        {
+            "promo_revenue": [int(agg["promo_revenue"] or 0)],
+            "total_revenue": [int(agg["total_revenue"] or 0)],
+        }
+    )
+
+
+def promo_revenue_sql() -> str:
+    pc = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    dh = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    return f"""
+SELECT CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN {pc} * (100 - {dh}) ELSE 0 END), 0) AS BIGINT)
+           AS promo_revenue,
+       CAST(COALESCE(SUM({pc} * (100 - {dh})), 0) AS BIGINT) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE epoch_us(l_shipdate) // 1000 >= {_Q14_LO_MS}
+  AND epoch_us(l_shipdate) // 1000 <  {_Q14_HI_MS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier by windowed revenue. Per-batch partials
+# group by l_suppkey (the domain is the SUPPLIER count, not lineitem
+# rows), one tiny groupby sums them, and the argmax + name attachment
+# happen on the supplier-sized result frame — the "subquery MAX" never
+# touches the fact table twice.
+# ---------------------------------------------------------------------------
+
+_Q15_LO_MS = 820_454_400_000  # 1996-01-01
+_Q15_HI_MS = 828_316_800_000  # 1996-04-01
+
+
+def q_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """(s_suppkey, s_name, total_rev) for the supplier(s) with maximal
+    lineitem revenue shipped in [1996-01, 1996-04); ties all returned."""
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq
+
+    lo = pa.scalar(_Q15_LO_MS * 1000, pa.timestamp("us"))
+    hi = pa.scalar(_Q15_HI_MS * 1000, pa.timestamp("us"))
+
+    def part(b: pa.Table) -> pa.Table:
+        sk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _cents(b["l_extendedprice"])
+        disc = _hund(b["l_discount"])
+        rev = price * (100 - disc)
+        u, inv = np.unique(sk, return_inverse=True)
+        return pa.table(
+            {"s_suppkey": pa.array(u), "rev": pa.array(isum64(inv, rev))}
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+            filter=(pc_.field("l_shipdate") >= lo) & (pc_.field("l_shipdate") < hi),
+        )
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s_suppkey")
+        .aggregate(Sum("rev", alias_name="total_rev"))
+        .to_pandas()
+    )
+    if not len(agg):
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "s_name": pd.Series([], dtype=object),
+                "total_rev": pd.Series([], dtype="int64"),
+            }
+        )
+    best = int(agg["total_rev"].max())
+    win = agg[agg["total_rev"] == best]
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sname = sup["s_name"].to_numpy(zero_copy_only=False)
+    so = np.argsort(sk)
+    keys = win["s_suppkey"].to_numpy().astype(np.int64)
+    hit, pos = _probe_sorted(sk[so], keys)
+    if not hit.all():
+        raise ValueError("winning l_suppkey outside supplier table")
+    out = pd.DataFrame(
+        {
+            "s_suppkey": keys,
+            "s_name": [str(s) for s in sname[so][pos]],
+            "total_rev": win["total_rev"].to_numpy().astype(np.int64),
+        }
+    )
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def top_supplier_sql() -> str:
+    pc = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    dh = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH revenue AS (
+    SELECT l_suppkey AS rk, CAST(SUM({pc} * (100 - {dh})) AS BIGINT) AS total_rev
+    FROM lineitem
+    WHERE epoch_us(l_shipdate) // 1000 >= {_Q15_LO_MS}
+      AND epoch_us(l_shipdate) // 1000 <  {_Q15_HI_MS}
+    GROUP BY l_suppkey)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_rev
+FROM supplier JOIN revenue ON s_suppkey = rk
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive brand/quantity/size predicates. The three
+# OR branches compile driver-side into one per-part branch BITMASK over
+# the broadcast part dimension (brand and size never ship with the fact
+# rows); each fact batch probes the mask and tests only its own quantity
+# bounds — the disjunction costs three vectorized AND/OR passes, zero
+# joins, zero shuffles.
+# ---------------------------------------------------------------------------
+
+# (brand, qty_lo, qty_hi, size_lo, size_hi) per branch, quantities in units
+_Q19_BRANCHES = (
+    ("Brand#1", 1, 11, 1, 5),
+    ("Brand#11", 10, 20, 1, 10),
+    ("Brand#16", 20, 30, 1, 15),
+)
+
+
+def q_brand_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """(n_rows, revenue): lineitem x part disjunction — any branch whose
+    (p_brand, p_size in range, l_quantity in range) all hold keeps the row;
+    revenue = extendedprice * (1 - discount) in exact cents*hundredths."""
+    import pyarrow.parquet as pq
+
+    prt = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    )
+    pk = prt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    brand = np.asarray([str(s) for s in prt["p_brand"].to_numpy(zero_copy_only=False)])
+    size = prt["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    po = np.argsort(pk)
+    pk, brand, size = pk[po], brand[po], size[po]
+    pmask = np.zeros(len(pk), np.int64)
+    for i, (b, _, _, slo, shi) in enumerate(_Q19_BRANCHES):
+        pmask |= ((brand == b) & (size >= slo) & (size <= shi)).astype(np.int64) << i
+    pk_ref, pmask_ref = ray.put(pk), ray.put(pmask)
+
+    def part(b: pa.Table) -> pa.Table:
+        ks, pm = ray.get(pk_ref), ray.get(pmask_ref)
+        lpk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = _cents(b["l_quantity"])
+        price = _cents(b["l_extendedprice"])
+        disc = _hund(b["l_discount"])
+        hit, pos = _probe_sorted(ks, lpk)
+        if not hit.all():
+            raise ValueError("l_partkey outside part table")
+        bits = pm[pos]
+        keep = np.zeros(len(lpk), dtype=bool)
+        for i, (_, qlo, qhi, _, _) in enumerate(_Q19_BRANCHES):
+            keep |= ((bits >> i) & 1).astype(bool) & (qty >= qlo * 100) & (qty <= qhi * 100)
+        rev = (price * (100 - disc))[keep]
+        return pa.table(
+            {
+                "n_rows": pa.array([int(keep.sum())], pa.int64()),
+                "revenue": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("revenue", alias_name="revenue"))
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": [int(agg["n_rows"] or 0)],
+            "revenue": [int(agg["revenue"] or 0)],
+        }
+    )
+
+
+def brand_qty_revenue_sql() -> str:
+    pc = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    dh = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    qc = "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"
+    branches = " OR ".join(
+        f"(p_brand = '{b}' AND {qc} BETWEEN {qlo * 100} AND {qhi * 100}"
+        f" AND p_size BETWEEN {slo} AND {shi})"
+        for b, qlo, qhi, slo, shi in _Q19_BRANCHES
+    )
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM({pc} * (100 - {dh})), 0) AS BIGINT) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {branches}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 / Q8 / Q9 shapes: the year-bucketed multi-join fact pipelines.
+# All three reuse the Q5 scaffold — broadcast the genuinely small
+# dimensions (part, supplier, nation, region collapse to sorted key
+# arrays + attribute masks shipped once via ray.put), co-partition the
+# two fact-side shuffles (orderkey, then custkey where the customer's
+# nation matters), and pre-aggregate inside every group fold so each
+# exchange carries composite-key partials, never row-per-lineitem
+# payloads. Monetary sums are exact int64 cents*hundredths throughout
+# (isum64), and every composite packing has a loud range guard.
+# ---------------------------------------------------------------------------
+
+_EPOCH_YEAR = 1970
+
+
+def _year_of_ms(ms: np.ndarray) -> np.ndarray:
+    """epoch-ms -> calendar year (identical to SQL ``year(ts)``)."""
+    return (
+        ms.astype("datetime64[ms]").astype("datetime64[Y]").astype(np.int64)
+        + _EPOCH_YEAR
+    )
+
+
+_Q7_NATION_A = 3
+_Q7_NATION_B = 7
+_Q7_LO_MS = 788_918_400_000  # 1995-01-01
+_Q7_HI_MS = 852_076_800_000  # 1997-01-01
+_Q7_YEAR0 = 1995
+
+
+def _q7_stage1_group(g: pd.DataFrame) -> pd.DataFrame:
+    """orderkey bucket: matched fact rows inherit the order's custkey;
+    pre-aggregate by ck2 = custkey*256 + (snat*8 + yoff)."""
+    empty = pa.table(
+        {"ck2": pa.array([], pa.int64()), "rev": pa.array([], pa.int64())}
+    )
+    if not len(g):
+        return empty
+    side = _gnp(g, "side").astype(np.int64)
+    key = _gnp(g, "key").astype(np.int64)
+    a = _gnp(g, "a").astype(np.int64)
+    b = _gnp(g, "b").astype(np.int64)
+    ok, cust = key[side == 0], a[side == 0]
+    order = np.argsort(ok, kind="stable")
+    ok, cust = ok[order], cust[order]
+    lk, rev, attr = key[side == 1], a[side == 1], b[side == 1]
+    hit, pos = _probe_sorted(ok, lk)
+    if not hit.any():
+        return empty
+    ck2 = cust[pos[hit]] * 256 + attr[hit]
+    u, inv = np.unique(ck2, return_inverse=True)
+    return pa.table({"ck2": u, "rev": isum64(inv, rev[hit])})
+
+
+def _q7_stage2_group(g: pd.DataFrame) -> pd.DataFrame:
+    """custkey bucket: attach the customer's nation, keep the two ordered
+    nation pairs, emit (supp_nk, cust_nk, l_year, rev) partials."""
+    empty = pa.table(
+        {
+            "supp_nk": pa.array([], pa.int64()),
+            "cust_nk": pa.array([], pa.int64()),
+            "l_year": pa.array([], pa.int64()),
+            "rev": pa.array([], pa.int64()),
+        }
+    )
+    if not len(g):
+        return empty
+    side = _gnp(g, "side").astype(np.int64)
+    key = _gnp(g, "key").astype(np.int64)
+    a = _gnp(g, "a").astype(np.int64)
+    b = _gnp(g, "b").astype(np.int64)
+    ck, cnat = key[side == 0], a[side == 0]
+    order = np.argsort(ck, kind="stable")
+    ck, cnat = ck[order], cnat[order]
+    fk, attr, rev = key[side == 1], a[side == 1], b[side == 1]
+    hit, pos = _probe_sorted(ck, fk)
+    if not hit.any():
+        return empty
+    snat, yoff = attr // 8, attr % 8
+    cn = np.where(hit, cnat[pos], -1)
+    keep = hit & (
+        ((snat == _Q7_NATION_A) & (cn == _Q7_NATION_B))
+        | ((snat == _Q7_NATION_B) & (cn == _Q7_NATION_A))
+    )
+    if not keep.any():
+        return empty
+    comp = (snat[keep] * 32 + cn[keep]) * 8 + yoff[keep]
+    u, inv = np.unique(comp, return_inverse=True)
+    return pa.table(
+        {
+            "supp_nk": u // 256,
+            "cust_nk": (u // 8) % 32,
+            "l_year": _Q7_YEAR0 + u % 8,
+            "rev": isum64(inv, rev[keep]),
+        }
+    )
+
+
+def q_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """(supp_nation, cust_nation, l_year, revenue): lineitem revenue
+    shipped 1995-1996 between the two fixed nations, in both directions,
+    bucketed by ship year."""
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq
+
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    nb = _lsh_n_buckets(_row_count(lpath))
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    so = np.argsort(sk)
+    sk, sn = sk[so], sn[so]
+    if len(sn) and int(sn.max()) >= 32:
+        raise ValueError("s_nationkey >= 32 breaks the Q7 attr packing")
+    sk_ref, sn_ref = ray.put(sk), ray.put(sn)
+
+    lo = pa.scalar(_Q7_LO_MS * 1000, pa.timestamp("us"))
+    hi = pa.scalar(_Q7_HI_MS * 1000, pa.timestamp("us"))
+
+    def lrows(b: pa.Table) -> pa.Table:
+        ks, ns = ray.get(sk_ref), ray.get(sn_ref)
+        lk = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        spk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _cents(b["l_extendedprice"])
+        disc = _hund(b["l_discount"])
+        year = _year_of_ms(_ts_ms(b["l_shipdate"]))
+        hit, pos = _probe_sorted(ks, spk)
+        if not hit.all():
+            raise ValueError("l_suppkey outside supplier table")
+        snat = ns[pos]
+        keep = (snat == _Q7_NATION_A) | (snat == _Q7_NATION_B)
+        yoff = year - _Q7_YEAR0
+        if keep.any() and (int(yoff[keep].min()) < 0 or int(yoff[keep].max()) >= 8):
+            raise ValueError("l_shipdate year outside the Q7 packing window")
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(lk[keep], nb)),
+                "side": pa.array(np.ones(int(keep.sum()), np.int64)),
+                "key": pa.array(lk[keep]),
+                "a": pa.array((price * (100 - disc))[keep]),
+                "b": pa.array((snat * 8 + yoff)[keep]),
+            }
+        )
+
+    def orows(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ok, nb)),
+                "side": pa.array(np.zeros(len(ok), np.int64)),
+                "key": pa.array(ok),
+                "a": pa.array(ck),
+                "b": pa.array(np.zeros(len(ok), np.int64)),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        lpath,
+        columns=[
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate",
+        ],
+        filter=(pc_.field("l_shipdate") >= lo) & (pc_.field("l_shipdate") < hi),
+    ).map_batches(lrows, batch_format="pyarrow", zero_copy_batch=True)
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    ).map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
+    stage1 = (
+        od.union(li).groupby("bkt").map_groups(_q7_stage1_group, batch_format="pyarrow")
+    )
+
+    def frows(b: pa.Table) -> pa.Table:
+        ck2 = b["ck2"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = b["rev"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = ck2 // 256
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ck, nb)),
+                "side": pa.array(np.ones(len(ck), np.int64)),
+                "key": pa.array(ck),
+                "a": pa.array(ck2 % 256),
+                "b": pa.array(rev),
+            }
+        )
+
+    def crows(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = b["c_nationkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ck, nb)),
+                "side": pa.array(np.zeros(len(ck), np.int64)),
+                "key": pa.array(ck),
+                "a": pa.array(cn),
+                "b": pa.array(np.zeros(len(ck), np.int64)),
+            }
+        )
+
+    cd = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(crows, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (
+        cd.union(stage1.map_batches(frows, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("bkt")
+        .map_groups(_q7_stage2_group, batch_format="pyarrow")
+        .groupby(["supp_nk", "cust_nk", "l_year"])
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    if not len(agg):
+        return pd.DataFrame(
+            {
+                "supp_nation": pd.Series([], dtype=object),
+                "cust_nation": pd.Series([], dtype=object),
+                "l_year": pd.Series([], dtype="int64"),
+                "revenue": pd.Series([], dtype="int64"),
+            }
+        )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nname = np.asarray(
+        [str(s) for s in nat["n_name"].to_numpy(zero_copy_only=False)]
+    )
+    no = np.argsort(nk)
+    nk, nname = nk[no], nname[no]
+
+    def name_of(keys):
+        hit, pos = _probe_sorted(nk, keys.to_numpy().astype(np.int64))
+        if not hit.all():
+            raise ValueError("nationkey outside nation table")
+        return [str(s) for s in nname[pos]]
+
+    out = pd.DataFrame(
+        {
+            "supp_nation": name_of(agg["supp_nk"]),
+            "cust_nation": name_of(agg["cust_nk"]),
+            "l_year": agg["l_year"].astype("int64"),
+            "revenue": agg["revenue"].astype("int64"),
+        }
+    )
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(
+        drop=True
+    )
+
+
+def volume_shipping_sql() -> str:
+    pc = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    dh = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    a, b = _Q7_NATION_A, _Q7_NATION_B
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({pc} * (100 - {dh})) AS BIGINT) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((s_nationkey = {a} AND c_nationkey = {b})
+    OR (s_nationkey = {b} AND c_nationkey = {a}))
+  AND epoch_us(l_shipdate) // 1000 >= {_Q7_LO_MS}
+  AND epoch_us(l_shipdate) // 1000 <  {_Q7_HI_MS}
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = 7          # supplier nation whose market share is measured
+_Q8_TYPE = "STANDARD"
+_Q8_LO_MS = 788_918_400_000  # 1995-01-01
+_Q8_HI_MS = 852_076_800_000  # 1997-01-01
+_Q8_YEAR0 = 1995
+
+
+def _q8_stage1_group(g: pd.DataFrame) -> pd.DataFrame:
+    """orderkey bucket: matched fact rows inherit (custkey, order-year);
+    pre-aggregate by ck2 = custkey*4 + yoff*2 + target_flag."""
+    empty = pa.table(
+        {"ck2": pa.array([], pa.int64()), "rev": pa.array([], pa.int64())}
+    )
+    if not len(g):
+        return empty
+    side = _gnp(g, "side").astype(np.int64)
+    key = _gnp(g, "key").astype(np.int64)
+    a = _gnp(g, "a").astype(np.int64)
+    b = _gnp(g, "b").astype(np.int64)
+    sel = side == 0
+    ok, cust, yoff = key[sel], a[sel], b[sel]
+    order = np.argsort(ok, kind="stable")
+    ok, cust, yoff = ok[order], cust[order], yoff[order]
+    lk, rev, flag = key[~sel], a[~sel], b[~sel]
+    hit, pos = _probe_sorted(ok, lk)
+    if not hit.any():
+        return empty
+    p = pos[hit]
+    ck2 = cust[p] * 4 + yoff[p] * 2 + flag[hit]
+    u, inv = np.unique(ck2, return_inverse=True)
+    return pa.table({"ck2": u, "rev": isum64(inv, rev[hit])})
+
+
+def _q8_stage2_group(region_nations: np.ndarray):
+    """custkey bucket: keep customers whose nation is in the region; emit
+    (o_year, rev_target, rev_total) partials. ``region_nations`` is the
+    tiny sorted in-region nationkey array, captured by closure (constant
+    per job, a handful of ints)."""
+
+    empty = pa.table(
+        {
+            "o_year": pa.array([], pa.int64()),
+            "rev_target": pa.array([], pa.int64()),
+            "rev_total": pa.array([], pa.int64()),
+        }
+    )
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty
+        side = _gnp(g, "side").astype(np.int64)
+        key = _gnp(g, "key").astype(np.int64)
+        a = _gnp(g, "a").astype(np.int64)
+        b = _gnp(g, "b").astype(np.int64)
+        ck, cnat = key[side == 0], a[side == 0]
+        order = np.argsort(ck, kind="stable")
+        ck, cnat = ck[order], cnat[order]
+        fk, attr, rev = key[side == 1], a[side == 1], b[side == 1]
+        hit, pos = _probe_sorted(ck, fk)
+        if not hit.any():
+            return empty
+        cn = np.where(hit, cnat[pos], -1)
+        rhit, _ = _probe_sorted(region_nations, cn)
+        keep = hit & rhit
+        if not keep.any():
+            return empty
+        yoff, flag = attr[keep] // 2 % 2, attr[keep] % 2
+        rev = rev[keep]
+        u, inv = np.unique(yoff, return_inverse=True)
+        return pa.table(
+            {
+                "o_year": _Q8_YEAR0 + u,
+                "rev_target": isum64(inv, rev * flag, len(u)),
+                "rev_total": isum64(inv, rev, len(u)),
+            }
+        )
+
+    return fn
+
+
+def q_market_share(sf_dir: str) -> pd.DataFrame:
+    """(o_year, nation_revenue, total_revenue): within the region's
+    customers and one part type, the target nation's supplier revenue vs
+    all suppliers' revenue, per order year — the market-share numerator
+    and denominator as exact integers (the share itself is theirs to
+    divide)."""
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq
+
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    nb = _lsh_n_buckets(_row_count(lpath))
+
+    prt = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pk = prt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep_part = np.asarray(
+        [str(s) == _Q8_TYPE for s in prt["p_type"].to_numpy(zero_copy_only=False)]
+    )
+    po = np.argsort(pk)
+    pk, keep_part = pk[po], keep_part[po]
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    so = np.argsort(sk)
+    sk, sflag = sk[so], (sn[so] == _Q8_NATION).astype(np.int64)
+    pk_ref, pm_ref = ray.put(pk), ray.put(keep_part)
+    sk_ref, sf_ref = ray.put(sk), ray.put(sflag)
+
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    rk = reg["r_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rname = reg["r_name"].to_numpy(zero_copy_only=False)
+    region_keys = set(rk[np.asarray([str(s) == _Q8_REGION for s in rname])].tolist())
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nrk = nat["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    region_nations = np.sort(
+        nk[np.asarray([int(k) in region_keys for k in nrk.tolist()])]
+    )
+
+    def lrows(b: pa.Table) -> pa.Table:
+        pks, pm = ray.get(pk_ref), ray.get(pm_ref)
+        sks, sf = ray.get(sk_ref), ray.get(sf_ref)
+        lk = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        lpk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        spk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _cents(b["l_extendedprice"])
+        disc = _hund(b["l_discount"])
+        phit, ppos = _probe_sorted(pks, lpk)
+        shit, spos = _probe_sorted(sks, spk)
+        if not (phit.all() and shit.all()):
+            raise ValueError("lineitem FK outside part/supplier table")
+        keep = pm[ppos]
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(lk[keep], nb)),
+                "side": pa.array(np.ones(int(keep.sum()), np.int64)),
+                "key": pa.array(lk[keep]),
+                "a": pa.array((price * (100 - disc))[keep]),
+                "b": pa.array(sf[spos][keep]),
+            }
+        )
+
+    lo = pa.scalar(_Q8_LO_MS * 1000, pa.timestamp("us"))
+    hi = pa.scalar(_Q8_HI_MS * 1000, pa.timestamp("us"))
+
+    def orows(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        yoff = _year_of_ms(_ts_ms(b["o_orderdate"])) - _Q8_YEAR0
+        if len(yoff) and (int(yoff.min()) < 0 or int(yoff.max()) >= 2):
+            raise ValueError("o_orderdate year outside the Q8 packing window")
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ok, nb)),
+                "side": pa.array(np.zeros(len(ok), np.int64)),
+                "key": pa.array(ok),
+                "a": pa.array(ck),
+                "b": pa.array(yoff),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        lpath,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(lrows, batch_format="pyarrow", zero_copy_batch=True)
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc_.field("o_orderdate") >= lo) & (pc_.field("o_orderdate") < hi),
+    ).map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
+    stage1 = (
+        od.union(li).groupby("bkt").map_groups(_q8_stage1_group, batch_format="pyarrow")
+    )
+
+    def frows(b: pa.Table) -> pa.Table:
+        ck2 = b["ck2"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = b["rev"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = ck2 // 4
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ck, nb)),
+                "side": pa.array(np.ones(len(ck), np.int64)),
+                "key": pa.array(ck),
+                "a": pa.array(ck2 % 4),
+                "b": pa.array(rev),
+            }
+        )
+
+    def crows(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = b["c_nationkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ck, nb)),
+                "side": pa.array(np.zeros(len(ck), np.int64)),
+                "key": pa.array(ck),
+                "a": pa.array(cn),
+                "b": pa.array(np.zeros(len(ck), np.int64)),
+            }
+        )
+
+    cd = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(crows, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (
+        cd.union(stage1.map_batches(frows, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("bkt")
+        .map_groups(_q8_stage2_group(region_nations), batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("rev_target", alias_name="nation_revenue"),
+            Sum("rev_total", alias_name="total_revenue"),
+        )
+        .to_pandas()
+    )
+    if not len(agg):
+        return pd.DataFrame(
+            {
+                "o_year": pd.Series([], dtype="int64"),
+                "nation_revenue": pd.Series([], dtype="int64"),
+                "total_revenue": pd.Series([], dtype="int64"),
+            }
+        )
+    out = pd.DataFrame(
+        {
+            "o_year": agg["o_year"].astype("int64"),
+            "nation_revenue": agg["nation_revenue"].astype("int64"),
+            "total_revenue": agg["total_revenue"].astype("int64"),
+        }
+    )
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+def market_share_sql() -> str:
+    pc = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    dh = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    return f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN s_nationkey = {_Q8_NATION}
+                     THEN {pc} * (100 - {dh}) ELSE 0 END) AS BIGINT)
+           AS nation_revenue,
+       CAST(SUM({pc} * (100 - {dh})) AS BIGINT) AS total_revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{_Q8_REGION}'
+  AND p_type = '{_Q8_TYPE}'
+  AND epoch_us(o_orderdate) // 1000 >= {_Q8_LO_MS}
+  AND epoch_us(o_orderdate) // 1000 <  {_Q8_HI_MS}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+_Q9_NAME_SUBSTR = "rod"
+_Q9_YEAR0 = 1995
+
+
+def _q9_stage1_group(g: pd.DataFrame) -> pd.DataFrame:
+    """orderkey bucket: matched fact rows inherit the order year; profit
+    pre-aggregates by comp = snat*16 + yoff (nation x year — a domain of
+    a few hundred, never lineitem-sized)."""
+    empty = pa.table(
+        {"nk_year": pa.array([], pa.int64()), "profit": pa.array([], pa.int64())}
+    )
+    if not len(g):
+        return empty
+    side = _gnp(g, "side").astype(np.int64)
+    key = _gnp(g, "key").astype(np.int64)
+    a = _gnp(g, "a").astype(np.int64)
+    b = _gnp(g, "b").astype(np.int64)
+    sel = side == 0
+    ok, yoff = key[sel], a[sel]
+    order = np.argsort(ok, kind="stable")
+    ok, yoff = ok[order], yoff[order]
+    lk, rev, snat = key[~sel], a[~sel], b[~sel]
+    hit, pos = _probe_sorted(ok, lk)
+    if not hit.any():
+        return empty
+    comp = snat[hit] * 16 + yoff[pos[hit]]
+    u, inv = np.unique(comp, return_inverse=True)
+    return pa.table({"nk_year": u, "profit": isum64(inv, rev[hit])})
+
+
+def q_nation_profit(sf_dir: str) -> pd.DataFrame:
+    """(n_name, o_year, profit): TPC-H-Q9-shaped product-profit rollup —
+    lineitem revenue for parts whose name contains _Q9_NAME_SUBSTR,
+    attributed to the SUPPLIER's nation and the ORDER's year. (The
+    testdata schema has no partsupp/supplycost, so profit is the exact
+    discounted revenue — the join/shuffle shape is Q9's.)"""
+    import pyarrow.parquet as pq
+
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    nb = _lsh_n_buckets(_row_count(lpath))
+
+    prt = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    pk = prt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep_part = np.asarray(
+        [
+            _Q9_NAME_SUBSTR in str(s)
+            for s in prt["p_name"].to_numpy(zero_copy_only=False)
+        ]
+    )
+    po = np.argsort(pk)
+    pk, keep_part = pk[po], keep_part[po]
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    so = np.argsort(sk)
+    sk, sn = sk[so], sn[so]
+    pk_ref, pm_ref = ray.put(pk), ray.put(keep_part)
+    sk_ref, sn_ref = ray.put(sk), ray.put(sn)
+
+    def lrows(b: pa.Table) -> pa.Table:
+        pks, pm = ray.get(pk_ref), ray.get(pm_ref)
+        sks, ns = ray.get(sk_ref), ray.get(sn_ref)
+        lk = b["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        lpk = b["l_partkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        spk = b["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _cents(b["l_extendedprice"])
+        disc = _hund(b["l_discount"])
+        phit, ppos = _probe_sorted(pks, lpk)
+        shit, spos = _probe_sorted(sks, spk)
+        if not (phit.all() and shit.all()):
+            raise ValueError("lineitem FK outside part/supplier table")
+        keep = pm[ppos]
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(lk[keep], nb)),
+                "side": pa.array(np.ones(int(keep.sum()), np.int64)),
+                "key": pa.array(lk[keep]),
+                "a": pa.array((price * (100 - disc))[keep]),
+                "b": pa.array(ns[spos][keep]),
+            }
+        )
+
+    def orows(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        yoff = _year_of_ms(_ts_ms(b["o_orderdate"])) - _Q9_YEAR0
+        if len(yoff) and (int(yoff.min()) < 0 or int(yoff.max()) >= 16):
+            raise ValueError("o_orderdate year outside the Q9 packing window")
+        return pa.table(
+            {
+                "bkt": pa.array(_jbkt_of(ok, nb)),
+                "side": pa.array(np.zeros(len(ok), np.int64)),
+                "key": pa.array(ok),
+                "a": pa.array(yoff),
+                "b": pa.array(np.zeros(len(ok), np.int64)),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        lpath,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(lrows, batch_format="pyarrow", zero_copy_batch=True)
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    ).map_batches(orows, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (
+        od.union(li)
+        .groupby("bkt")
+        .map_groups(_q9_stage1_group, batch_format="pyarrow")
+        .groupby("nk_year")
+        .aggregate(Sum("profit", alias_name="profit"))
+        .to_pandas()
+    )
+    if not len(agg):
+        return pd.DataFrame(
+            {
+                "n_name": pd.Series([], dtype=object),
+                "o_year": pd.Series([], dtype="int64"),
+                "profit": pd.Series([], dtype="int64"),
+            }
+        )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nname = np.asarray([str(s) for s in nat["n_name"].to_numpy(zero_copy_only=False)])
+    no = np.argsort(nk)
+    nk, nname = nk[no], nname[no]
+    comp = agg["nk_year"].to_numpy().astype(np.int64)
+    hit, pos = _probe_sorted(nk, comp // 16)
+    if not hit.all():
+        raise ValueError("supplier nationkey outside nation table")
+    out = pd.DataFrame(
+        {
+            "n_name": [str(s) for s in nname[pos]],
+            "o_year": (_Q9_YEAR0 + comp % 16).astype("int64"),
+            "profit": agg["profit"].astype("int64"),
+        }
+    )
+    return out.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+
+
+def nation_profit_sql() -> str:
+    pc = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    dh = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+    return f"""
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({pc} * (100 - {dh})) AS BIGINT) AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%{_Q9_NAME_SUBSTR}%'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
