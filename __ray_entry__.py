@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_jaccard": _vocab_jaccard,
         "longest_docs": _longest_docs,
         "sink_delete_roundtrip": _sink_delete,
+        "sink_upsert_roundtrip": _sink_upsert,
         "dup_block_census": _dup_block_census,
         "length_outliers_by_source": _length_outliers,
         "vocab_tv_distance": _vocab_tv,
@@ -282,6 +283,12 @@ def _sink_delete(sf_dir: str):
     from tokenzip.queries import q_sink_delete_roundtrip
 
     return q_sink_delete_roundtrip(sf_dir)
+
+
+def _sink_upsert(sf_dir: str):
+    from tokenzip.queries import q_sink_upsert_roundtrip
+
+    return q_sink_upsert_roundtrip(sf_dir)
 
 
 def _longest_docs(sf_dir: str):
@@ -1111,6 +1118,12 @@ def _sink_delete_sql(glob: str) -> str:
     return delete_roundtrip_sql(glob)
 
 
+def _sink_upsert_sql(glob: str) -> str:
+    from tokenzip.queries import upsert_roundtrip_sql
+
+    return upsert_roundtrip_sql(glob)
+
+
 def _dup_block_sql(glob: str) -> str:
     from tokenzip.training import dup_block_census_sql
 
@@ -1622,6 +1635,8 @@ FROM documents GROUP BY source ORDER BY source
         # decoded survivor rollup must equal the corpus minus the salted
         # md5 'del:' rule set
         "sink_delete_roundtrip": _sink_delete_sql(glob),
+        # MERGE: latest-wins replace-or-insert through delete + append
+        "sink_upsert_roundtrip": _sink_upsert_sql(glob),
         # substring-level dedup census: exact 16-token block duplication
         "dup_block_census": _dup_block_sql(glob),
         # exact-integer 3-sigma length outliers (isqrt thresholds vs the

@@ -203,3 +203,125 @@ def test_delete_resume_after_partial_failure(ray_session, paths, src_sink, tmp_p
     assert sorted(got["doc_id"]) == sorted(want["doc_id"])
     assert t2["n_rows"] == t1["n_rows"]
     assert t2["n_docs_deleted"] == t1["n_docs_deleted"]
+
+
+# ---------------------------------------------------------------------------
+# MERGE (pipeline.upsert_docs): latest-wins replace-or-insert
+# ---------------------------------------------------------------------------
+
+
+def _write_update(tmp_path, orig, upd_ids, new_rows):
+    """Parquet update fragment: existing ids with token 99 appended,
+    plus brand-new (doc_id, tokens, source) rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    dids, toks, srcs = [], [], []
+    for _, r in orig[orig["doc_id"].isin(upd_ids)].iterrows():
+        dids.append(r["doc_id"])
+        toks.append(list(np.asarray(r["tokens"], np.int32)) + [99])
+        srcs.append(r["source"])
+    for d, t, s in new_rows:
+        dids.append(d)
+        toks.append(t)
+        srcs.append(s)
+    tab = pa.table(
+        {
+            "doc_id": pa.array(dids, pa.string()),
+            "tokens": pa.array(toks, pa.list_(pa.int32())),
+            "n_tok": pa.array([len(t) for t in toks], pa.int32()),
+            "source": pa.array(srcs, pa.string()),
+        }
+    )
+    p = str(tmp_path / "update-0000.parquet")
+    pq.write_table(tab, p)
+    return p
+
+
+def test_upsert_replace_and_insert(ray_session, paths, src_sink, tmp_path):
+    from tokenzip.pipeline import upsert_docs
+
+    orig = decompress(src_sink).to_pandas()
+    upd_ids = sorted(orig["doc_id"])[::17][:10]
+    new_rows = [("zzz-new-1", [1, 2, 3], "web"), ("zzz-new-2", [5], "code")]
+    p = _write_update(tmp_path, orig, upd_ids, new_rows)
+    dst = str(tmp_path / "dst")
+    t = upsert_docs(src_sink, dst, [p])
+    assert t["n_docs_replaced"] == len(upd_ids)
+    assert t["n_docs_inserted"] == len(new_rows)
+    assert t["n_rows"] == len(orig) + len(new_rows)
+    got = decompress(dst).to_pandas().set_index("doc_id")
+    # replaced docs carry the sentinel, exactly once
+    for d in upd_ids:
+        old = orig[orig["doc_id"] == d]["tokens"].iloc[0]
+        new = got.loc[d, "tokens"]
+        assert len(new) == len(old) + 1 and new[-1] == 99
+    # inserted docs exist with their content
+    assert list(got.loc["zzz-new-1", "tokens"]) == [1, 2, 3]
+    assert got.loc["zzz-new-2", "source"] == "code"
+    # untouched docs are bit-identical
+    keep = orig[~orig["doc_id"].isin(upd_ids)]
+    sample = keep.sample(20, random_state=7)
+    for _, r in sample.iterrows():
+        assert (got.loc[r["doc_id"], "tokens"] == r["tokens"]).all()
+
+
+def test_upsert_rerun_is_noop_and_changed_batch_raises(
+    ray_session, paths, src_sink, tmp_path
+):
+    from tokenzip.pipeline import upsert_docs
+
+    orig = decompress(src_sink).to_pandas()
+    upd_ids = sorted(orig["doc_id"])[:4]
+    p = _write_update(tmp_path, orig, upd_ids, [("zzz-n", [8, 9], "web")])
+    dst = str(tmp_path / "dst")
+    t1 = upsert_docs(src_sink, dst, [p])
+    t2 = upsert_docs(src_sink, dst, [p])  # identical rerun: clean no-op
+    assert t1["n_rows"] == t2["n_rows"]
+    assert t2["n_docs_replaced"] == t1["n_docs_replaced"]
+    # same path, changed content: resume would keep stale rows -> loud
+    p2 = _write_update(
+        tmp_path, orig, upd_ids, [("zzz-n", [8, 9], "web"), ("zzz-m", [1], "web")]
+    )
+    assert p2 == p  # same filename, new content
+    with pytest.raises(ValueError, match="fresh out_dir"):
+        upsert_docs(src_sink, dst, [p])
+
+
+def test_upsert_rejects_duplicate_ids_and_empty(ray_session, src_sink, tmp_path):
+    import pyarrow as pa
+
+    from tokenzip.pipeline import upsert_docs
+
+    tab = pa.table(
+        {
+            "doc_id": pa.array(["a", "a"], pa.string()),
+            "tokens": pa.array([[1], [2]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 1], pa.int32()),
+            "source": pa.array(["web", "web"], pa.string()),
+        }
+    )
+    p = str(tmp_path / "dup.parquet")
+    pq.write_table(tab, p)
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        upsert_docs(src_sink, str(tmp_path / "d1"), [p])
+    with pytest.raises(ValueError, match="empty new_paths"):
+        upsert_docs(src_sink, str(tmp_path / "d2"), [])
+
+
+def test_upsert_insert_only_and_replace_only(ray_session, paths, src_sink, tmp_path):
+    from tokenzip.pipeline import upsert_docs
+
+    orig = decompress(src_sink).to_pandas()
+    # insert-only: no stale versions anywhere -> pure append, delete is a copy
+    p = _write_update(tmp_path, orig, [], [("zzz-i", [4, 4], "web")])
+    t = upsert_docs(src_sink, str(tmp_path / "ins"), [p])
+    assert t["n_docs_replaced"] == 0 and t["n_docs_inserted"] == 1
+    assert t["n_rows"] == len(orig) + 1
+    # replace-only: every incoming id exists
+    upd_ids = sorted(orig["doc_id"])[:3]
+    os.remove(p)
+    p = _write_update(tmp_path, orig, upd_ids, [])
+    t = upsert_docs(src_sink, str(tmp_path / "rep"), [p])
+    assert t["n_docs_replaced"] == 3 and t["n_docs_inserted"] == 0
+    assert t["n_rows"] == len(orig)

@@ -70,6 +70,7 @@ def __getattr__(name):  # lazy: pipeline pulls in ray; keep bare import light
         "decompress",
         "decompress_map",
         "delete_docs",
+        "upsert_docs",
         "recode",
         "compact",
         "verify_roundtrip",

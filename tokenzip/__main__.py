@@ -8,6 +8,7 @@
     python -m tokenzip table-compress   <input_dir_or_glob> <out_dir>
     python -m tokenzip table-decompress <out_dir> <restored_dir>
     python -m tokenzip pack        <sf_dir_or_corpus> <out_dir> [--seq-len N]
+    python -m tokenzip upsert      <in_sink> <out_sink> <new.parquet> [...]
     python -m tokenzip audit       [--query NAME ...] [--sf-dir D] [--out AUDIT.json]
 
 Owns its Ray session (guarded init; the library itself never calls
@@ -116,6 +117,16 @@ def main(argv: list[str] | None = None) -> int:
     de.add_argument("--ids", help="comma-separated doc ids")
     de.add_argument("--ids-file", help="file with one doc id per line")
     de.add_argument("--no-resume", action="store_true")
+
+    up = sub.add_parser(
+        "upsert", help="MERGE parquet fragments into a sink (latest-wins "
+        "by doc_id: stale versions evicted via the delete path, new "
+        "fragments appended under the manifest)"
+    )
+    up.add_argument("in_dir"), up.add_argument("out_dir")
+    up.add_argument("new_paths", nargs="+", help="parquet fragment(s) to merge")
+    up.add_argument("--codec", default="auto")
+    up.add_argument("--no-resume", action="store_true")
 
     tde = sub.add_parser(
         "table-delete", help="DELETE WHERE lo<=col<=hi from a generic-table "
@@ -320,6 +331,14 @@ def main(argv: list[str] | None = None) -> int:
                     ids.extend(ln.strip() for ln in fh if ln.strip())
             res = delete_docs(
                 args.in_dir, args.out_dir, ids, resume=not args.no_resume
+            )
+            print(json.dumps(res, sort_keys=True))
+        elif args.cmd == "upsert":
+            from tokenzip.pipeline import upsert_docs
+
+            res = upsert_docs(
+                args.in_dir, args.out_dir, args.new_paths,
+                tokens_codec=args.codec, resume=not args.no_resume,
             )
             print(json.dumps(res, sort_keys=True))
         elif args.cmd == "table-recode":

@@ -2217,3 +2217,117 @@ def delete_docs(
     t = man.totals()
     t.update(totals_extra)
     return t
+
+
+def upsert_docs(
+    in_dir: str,
+    out_dir: str,
+    new_paths: list[str],
+    *,
+    tokens_codec: str = "auto",
+    batch_chunks: int = 4,
+    concurrency: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """MERGE (upsert) into a token sink: replace-or-insert every document
+    carried by the parquet fragments in ``new_paths``, writing the merged
+    corpus as a fresh sink at ``out_dir`` — latest-wins by doc_id.
+
+    Two composed passes, each already priced for 100 TB:
+
+    1. ``delete_docs(in_dir, out_dir, new_ids)`` evicts the stale versions:
+       bloom/zone metadata picks the fragments that MAY hold an incoming
+       id, clean fragments byte-copy, hit chunks stream a fused selective
+       rewrite. Incoming ids with no stale version simply delete nothing
+       (that's the INSERT half of MERGE).
+    2. ``compress(new_paths, out_dir, resume=True)`` appends the new
+       fragments under the sink's manifest — the delete-phase fragments
+       are already marked done, so only the new files encode.
+
+    The returned totals carry ``n_docs_replaced`` (stale versions evicted)
+    and ``n_docs_inserted`` (genuinely new ids), and a loud drift guard
+    enforces rows_out = rows_old - replaced + rows_new exactly. Duplicate
+    doc_ids WITHIN ``new_paths`` are rejected (latest-wins would be
+    load-order-dependent), as are fragment-name collisions against the
+    sink (resume would silently skip the new file).
+
+    The reference has no mutation surface at all — this extends its
+    encode-once model the way a training-data store needs (daily refresh
+    of a crawl slice without re-encoding the other 99.99%)."""
+    import pyarrow.parquet as pq
+
+    from tokenzip.errors import ChunkFormatError
+    from tokenzip.manifest import Manifest
+
+    if not new_paths:
+        raise ValueError("upsert_docs: empty new_paths (nothing to merge)")
+    src_man = Manifest(in_dir)
+    existing = set(src_man.data.get("fragments", {}))
+    out_frags = Manifest(out_dir).data.get("fragments", {})
+    n_new_rows = 0
+    for p in new_paths:
+        frag = _frag_of_path(p)
+        md = pq.ParquetFile(p).metadata
+        if frag in existing:
+            raise ValueError(
+                f"upsert_docs: fragment name {frag!r} ({p}) collides with a "
+                "fragment already in the SOURCE sink — resume would skip it"
+            )
+        done = out_frags.get(frag)
+        if done is not None and int(done.get("n_rows", -1)) != md.num_rows:
+            # rerun-stale guard: the same path was merged before but its
+            # content changed — resume would silently keep the OLD rows
+            raise ValueError(
+                f"upsert_docs: {p} was already merged into {out_dir} with "
+                f"{done.get('n_rows')} rows but now holds {md.num_rows}; "
+                "rerunning a CHANGED batch needs a fresh out_dir"
+            )
+        n_new_rows += md.num_rows
+
+    ids_rows = (
+        ray.data.read_parquet(new_paths, columns=["doc_id"])
+        .map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
+    )
+    ids = [str(r["doc_id"]) for r in ids_rows]
+    if len(set(ids)) != len(ids):
+        raise ValueError(
+            "upsert_docs: duplicate doc_id within new_paths — latest-wins "
+            "would be load-order-dependent; dedup the update batch first"
+        )
+
+    rows_old = int(src_man.totals().get("n_rows", 0))
+    t_del = delete_docs(
+        in_dir,
+        out_dir,
+        ids,
+        tokens_codec=tokens_codec,
+        batch_chunks=batch_chunks,
+        concurrency=concurrency,
+        resume=resume,
+    )
+    n_replaced = int(t_del["n_docs_deleted"])
+
+    shared = uio.exists(uio.join(in_dir, "symbols.json"))
+    totals = compress(
+        new_paths,
+        out_dir,
+        tokens_codec=tokens_codec,
+        concurrency=concurrency,
+        resume=True,
+        shared_tables=shared,
+    )
+    want = rows_old - n_replaced + n_new_rows
+    if int(totals["n_rows"]) != want:
+        raise ChunkFormatError(
+            f"upsert drift: sink has {totals['n_rows']} rows, want "
+            f"{rows_old} - {n_replaced} + {n_new_rows} = {want}"
+        )
+    totals = dict(totals)
+    totals["n_docs_replaced"] = n_replaced
+    totals["n_docs_inserted"] = len(ids) - n_replaced
+    return totals

@@ -1318,3 +1318,138 @@ SELECT b.bucket AS bucket,
 FROM b LEFT JOIN d ON b.doc_id = d.doc_id
 GROUP BY b.bucket ORDER BY b.bucket
 """
+
+
+_UPS_DEN = 16  # salted rule "ups:": ~1/16 of docs get replaced by the merge
+
+
+def q_sink_upsert_roundtrip(sf_dir: str):
+    """MERGE audit (pipeline.upsert_docs): compress the corpus, build an
+    update batch from the salted md5 rule (md5('ups:' || doc_id) % 16 == 0)
+    — each picked doc REPLACED with its tokens plus a sentinel 42 appended,
+    plus one brand-new INSERTED doc ('new:' || doc_id, tokens [7,11,13]) —
+    then upsert the batch and decode the merged sink. The oracle recomputes
+    the same latest-wins merge in SQL, so a stale surviving version, a lost
+    insert, or one corrupted token anywhere breaks the hash. upsert_docs'
+    own guard additionally enforces rows = old - replaced + new exactly."""
+    from tokenzip.hashutil import md5_hi60_str
+    from tokenzip.pipeline import compress, decompress, upsert_docs
+
+    paths = corpus_paths(sf_dir)
+    src_dir = _scoped_out_dir("/tmp/tokenzip_ups_src", sf_dir)
+    dst_dir = _scoped_out_dir("/tmp/tokenzip_ups_dst", sf_dir)
+    upd_dir = _scoped_out_dir("/tmp/tokenzip_ups_new", sf_dir)
+    compress(paths, src_dir)
+
+    def build(batch: pa.Table) -> pa.Table:
+        hv = md5_hi60_str(batch["doc_id"], b"ups:")
+        picked = batch.filter(pa.array((hv % _UPS_DEN) == 0))
+        did = picked["doc_id"].to_numpy(zero_copy_only=False)
+        src = picked["source"].to_numpy(zero_copy_only=False)
+        from tokenzip.chunk import _tokens_parts
+
+        lengths, values = _tokens_parts(picked["tokens"])
+        # replaced versions: original tokens + sentinel 42 appended
+        n = len(picked)
+        new_len = lengths.astype(np.int64) + 1
+        ends = np.cumsum(lengths.astype(np.int64))
+        starts = ends - lengths
+        up_vals = np.empty(int(new_len.sum()), np.int32)
+        up_ends = np.cumsum(new_len)
+        up_starts = up_ends - new_len
+        for i in range(n):  # bounded: ~1/16 of one batch's rows
+            up_vals[up_starts[i] : up_ends[i] - 1] = values[starts[i] : ends[i]]
+            up_vals[up_ends[i] - 1] = 42
+        upd_tokens = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], up_ends)), pa.int32()),
+            pa.array(up_vals, pa.int32()),
+        )
+        ins_tokens = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 3 * (n + 1), 3), pa.int32()),
+            pa.array(np.tile(np.array([7, 11, 13], np.int32), n), pa.int32()),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [str(d) for d in did] + ["new:" + str(d) for d in did],
+                    pa.string(),
+                ),
+                "tokens": pa.concat_arrays(
+                    [upd_tokens.cast(pa.list_(pa.int32())), ins_tokens]
+                ),
+                "n_tok": pa.array(
+                    np.concatenate((new_len, np.full(n, 3, np.int64))).astype(
+                        np.int32
+                    ),
+                    pa.int32(),
+                ),
+                "source": pa.array(
+                    [str(s) for s in src] * 2, pa.string()
+                ),
+            }
+        )
+
+    import os
+    import shutil
+
+    shutil.rmtree(upd_dir, ignore_errors=True)
+    ray.data.read_parquet(paths).map_batches(
+        build, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(upd_dir)
+    # Ray names output files with a per-run UUID; rename to DETERMINISTIC
+    # names (block order is stable for a fixed corpus) so a rerun presents
+    # the identical fragment set and upsert_docs resumes as a clean no-op
+    # instead of double-appending the batch under fresh names.
+    raw = sorted(f for f in os.listdir(upd_dir) if f.endswith(".parquet"))
+    new_paths = []
+    for i, f in enumerate(raw):
+        dst = os.path.join(upd_dir, f"upd-{i:04d}.parquet")
+        os.replace(os.path.join(upd_dir, f), dst)
+        new_paths.append(dst)
+    totals = upsert_docs(src_dir, dst_dir, new_paths)
+    if totals["n_docs_replaced"] == 0 or totals["n_docs_inserted"] == 0:
+        raise ValueError(
+            f"upsert audit expected both halves of MERGE to fire: "
+            f"{totals['n_docs_replaced']} replaced, "
+            f"{totals['n_docs_inserted']} inserted"
+        )
+    return _content_rollup(decompress(dst_dir))
+
+
+def upsert_roundtrip_sql(glob: str) -> str:
+    # identical salted md5-nibble arithmetic to the engine rule
+    nib = lambda i: f"(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1)"
+    hv = " + ".join(f"{nib(i + 1)} * {16 ** (14 - i)}" for i in range(15))
+    zz = (
+        "CASE WHEN t >= 0 THEN 2*CAST(t AS BIGINT) "
+        "ELSE -2*CAST(t AS BIGINT)-1 END"
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, source, tokens, md5('ups:' || doc_id) AS m
+  FROM read_parquet('{glob}')
+),
+p AS (SELECT doc_id, source, tokens
+      FROM (SELECT doc_id, source, tokens, {hv} AS hv FROM h)
+      WHERE hv % {_UPS_DEN} = 0),
+merged AS (
+  SELECT source, tokens
+  FROM (SELECT source, tokens, {hv} AS hv FROM h) WHERE hv % {_UPS_DEN} != 0
+  UNION ALL
+  SELECT source, tokens || [42] FROM p
+  UNION ALL
+  SELECT source, [7, 11, 13] FROM p
+),
+z AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM({zz}) AS BIGINT) AS sum_zigzag
+  FROM (SELECT source, unnest(tokens) AS t FROM merged)
+  GROUP BY source
+),
+d AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM merged GROUP BY source)
+SELECT d.source AS source, n_docs,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       COALESCE(sum_zigzag, 0) AS sum_zigzag
+FROM d LEFT JOIN z ON d.source = z.source
+ORDER BY d.source
+"""
