@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_by_source": q.q_roundtrip_by_source,
         "filtered_decompress": _filtered_decompress,
         "doc_range_decompress": q.q_doc_range_decompress,
+        "clustered_range_decompress": q.q_clustered_range_decompress,
         "doc_point_decompress": q.q_doc_point_decompress,
         "compacted_roundtrip": _compacted_roundtrip,
         "sink_roundtrip_join": q.q_sink_roundtrip_join,
@@ -1483,6 +1484,8 @@ FROM documents GROUP BY source ORDER BY source
         "pack_emit_by_source": _pack_emit_sql(glob),
         "filtered_decompress": _filtered_sql(glob),
         "doc_range_decompress": _doc_range_sql(glob),
+        # same range oracle through a cluster_by='doc_id' layout sink
+        "clustered_range_decompress": _doc_range_sql(glob),
         "doc_point_decompress": _doc_point_sql(glob),
         "compacted_roundtrip": _compacted_sql(glob),
         "vocab_topk": _vocab_sql(glob),

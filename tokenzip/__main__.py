@@ -51,6 +51,13 @@ def main(argv: list[str] | None = None) -> int:
         help="skew isolation: one doc-hash groupby shuffle before encode "
              "so a skewed source's long docs spread across encode tasks",
     )
+    c.add_argument(
+        "--cluster-by", choices=["doc_id"], default=None,
+        help="layout optimization: one range-partitioned shuffle + in-group "
+             "sort so chunk [did_min, did_max] windows are tight — point/"
+             "range decompress prunes to the few chunks that can hold the "
+             "request",
+    )
 
     d = sub.add_parser("decompress", help="restore the original table from chunks")
     d.add_argument("out_dir"), d.add_argument("restored_dir")
@@ -273,6 +280,7 @@ def main(argv: list[str] | None = None) -> int:
                 resume=not args.no_resume,
                 shared_tables=args.shared_tables,
                 shuffle_by_source=args.shuffle_by_source,
+                cluster_by=args.cluster_by,
             )
             print(json.dumps(totals, sort_keys=True))
         elif args.cmd == "decompress":

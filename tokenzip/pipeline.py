@@ -323,6 +323,35 @@ def _sbkt_tag(nb: int):
     return fn
 
 
+def _cbkt_tag(bounds: np.ndarray):
+    """Range shuffle-bucket tag for the cluster_by="doc_id" layout mode:
+    bucket = searchsorted over the sample-derived cut points, so bucket
+    order IS doc_id order (deterministic under retries: the bounds are a
+    pure function of the sorted input)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from tokenzip.training import _bucket_of
+
+        did = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        bkt = _bucket_of(did, bounds)
+        return batch.append_column("sbkt", pa.array(bkt.astype(np.int64)))
+
+    return fn
+
+
+def _cluster_encode_fn(
+    g: pa.Table, tokens_codec: str = "auto", tables_ref=None
+) -> pa.Table:
+    """One range bucket: sort rows by doc_id, then encode — consecutive
+    chunk windows become tight and near-disjoint, which is what the
+    did_min/did_max zone pruning feeds on."""
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+    return _group_encode_fn(g.take(order), tokens_codec=tokens_codec,
+                            tables_ref=tables_ref)
+
+
 def _group_encode_fn(
     g: pa.Table, tokens_codec: str = "auto", tables_ref=None
 ) -> pa.Table:
@@ -368,6 +397,7 @@ def compress(
     shared_tables: bool = False,
     shuffle_by_source: bool = False,
     shuffle_buckets: int | None = None,
+    cluster_by: str | None = None,
 ) -> dict:
     """Compress input token-table fragments into chunk parquet + manifest.
 
@@ -388,12 +418,59 @@ def compress(
     tables first, then encode inside the shuffled group folds — the trained
     tables (and sidecar) are bit-identical to the plain shared-tables mode,
     since they are a pure function of the input fragments.
+
+    ``cluster_by="doc_id"`` is the LAYOUT-optimization mode (a clustering
+    index): one range-partitioned shuffle (sample-derived doc_id cut
+    points, the pack/sort bound rule) plus an in-group sort writes every
+    chunk with a TIGHT, near-disjoint [did_min, did_max] window. Point and
+    range decompress then prune to the few chunks that can actually hold
+    the request instead of every chunk whose random id window overlaps —
+    at 100 TB that's the difference between touching MBs and scanning the
+    sink. Decoded content is identical (decompress never assumes order);
+    costs one all-to-all pass, like shuffle_by_source, with the same
+    lineage/resume contract. The two shuffle modes are mutually exclusive.
     """
+    if cluster_by not in (None, "doc_id"):
+        raise ValueError(f"cluster_by must be None or 'doc_id', got {cluster_by!r}")
+    if cluster_by and shuffle_by_source:
+        raise ValueError(
+            "cluster_by and shuffle_by_source are mutually exclusive: one "
+            "orders the layout by doc_id, the other scatters it by doc hash"
+        )
     man, todo, chunks_dir, n_blocks = _compress_setup(input_paths, out_dir, resume)
     if not todo:
         return man.totals()
     ds = ray.data.read_parquet(todo, include_paths=True, override_num_blocks=n_blocks)
     ds = ds.map_batches(_add_frag, batch_format="pyarrow", zero_copy_batch=True)
+    if cluster_by:
+        from tokenzip.training import _sample_bounds
+
+        tables_ref = (
+            _prepare_shared_tables(input_paths, out_dir) if shared_tables else None
+        )
+        nb = int(shuffle_buckets or max(32, 2 * n_blocks))
+        bounds = _sample_bounds(todo, nb)
+        ds = (
+            ds.map_batches(
+                _cbkt_tag(bounds), batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("sbkt")
+            .map_groups(
+                _cluster_encode_fn,
+                batch_format="pyarrow",
+                fn_kwargs={
+                    "tokens_codec": tokens_codec,
+                    "tables_ref": tables_ref,
+                },
+            )
+        )
+        ds.write_parquet(
+            chunks_dir,
+            partition_cols=["frag"],
+            compression="none",
+            row_group_size=8,
+        )
+        return _finish_compress(man, todo, chunks_dir, shared_tables=shared_tables)
     if shuffle_by_source:
         # combines with shared_tables two-phase: train + broadcast tables
         # FIRST (phase 1), then the shuffled group folds encode with them

@@ -1453,3 +1453,18 @@ SELECT d.source AS source, n_docs,
 FROM d LEFT JOIN z ON d.source = z.source
 ORDER BY d.source
 """
+
+
+def q_clustered_range_decompress(sf_dir: str):
+    """Doc-id range pushdown through a CLUSTERED sink (compress with
+    cluster_by='doc_id': range-partitioned shuffle + in-group sort, so
+    every chunk's [did_min, did_max] window is tight and near-disjoint).
+    Content must equal the plain-layout range decompress — clustering is
+    a pure LAYOUT optimization; the pruning win is asserted in
+    tests/test_pipeline.py on a deliberately scattered corpus."""
+    from tokenzip.pipeline import compress, decompress
+
+    paths = corpus_paths(sf_dir)
+    out_dir = _scoped_out_dir("/tmp/tokenzip_clustered", sf_dir)
+    compress(paths, out_dir, cluster_by="doc_id")
+    return _source_rollup(decompress(out_dir, doc_id_range=DOC_RANGE))
