@@ -996,3 +996,34 @@ def test_cluster_by_layout_prunes_scattered_corpus(ray_session, tmp_path):
     # and the pruned range decode is exact
     r = decompress(clu, doc_id_range=(lo, hi)).to_pandas()
     assert len(r) == 200 and r["doc_id"].str.len().eq(10).all()
+
+    # clustered sinks compose with delete (bucket-fragment lineage carries
+    # the same per-frag stats the drift guard needs)
+    from tokenzip.pipeline import delete_docs
+
+    victims = [f"doc-{i:06d}" for i in range(100, 105)]
+    dd = str(tmp_path / "del")
+    t = delete_docs(clu, dd, victims)
+    assert t["n_docs_deleted"] == 5 and t["n_rows"] == n - 5
+    left = decompress(dd, doc_id_range=(lo, hi)).count()
+    assert left == 195
+
+    # rerunning the SAME inputs is an idempotent no-op (resume) ...
+    t_rerun = compress(paths, clu, cluster_by="doc_id")
+    assert t_rerun["n_rows"] == n
+    # ... but appending NEW fragments into a done clustered sink must
+    # refuse loudly (bucket names are positional; a second run collides)
+    extra = str(tmp_path / "extra.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(["zzz-1"], pa.string()),
+                "tokens": pa.array([[1]], pa.list_(pa.int32())),
+                "n_tok": pa.array([1], pa.int32()),
+                "source": pa.array(["web"], pa.string()),
+            }
+        ),
+        extra,
+    )
+    with pytest.raises(ValueError, match="FRESH sink"):
+        compress(paths + [extra], clu, cluster_by="doc_id")

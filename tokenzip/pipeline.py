@@ -342,14 +342,54 @@ def _cbkt_tag(bounds: np.ndarray):
 def _cluster_encode_fn(
     g: pa.Table, tokens_codec: str = "auto", tables_ref=None
 ) -> pa.Table:
-    """One range bucket: sort rows by doc_id, then encode — consecutive
+    """One range bucket: sort rows by doc_id, re-home lineage to the
+    BUCKET (chunks partition per (bucket, source), not per input fragment
+    — per-input lineage would explode a re-partitioned layout into
+    buckets x fragments x sources tiny chunks), then encode. Consecutive
     chunk windows become tight and near-disjoint, which is what the
     did_min/did_max zone pruning feeds on."""
     import pyarrow.compute as pc
 
+    if not len(g):
+        return _group_encode_fn(g, tokens_codec=tokens_codec,
+                                tables_ref=tables_ref)
     order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
-    return _group_encode_fn(g.take(order), tokens_codec=tokens_codec,
-                            tables_ref=tables_ref)
+    g = g.take(order)
+    bkt = int(g["sbkt"][0].as_py())
+    g = g.drop_columns(["frag"]).append_column(
+        "frag", pa.array([f"cbkt-{bkt:06d}"] * len(g), pa.string())
+    )
+    return _group_encode_fn(g, tokens_codec=tokens_codec, tables_ref=tables_ref)
+
+
+def _finish_cluster_compress(
+    man, todo: list[str], chunks_dir: str, *, shared_tables: bool
+) -> dict:
+    """Cluster-mode manifest fold: stats live on the BUCKET fragments
+    (cbkt-*), while every input fragment is marked done with zero stats +
+    a lineage marker so resume skips it. Resume is all-or-nothing for one
+    clustered run (the shuffle re-homes rows, so partial per-input resume
+    has no meaning); a crashed run re-encodes from scratch."""
+    frags_written = sorted(
+        d.split("=", 1)[1]
+        for d in uio.listdir(chunks_dir)
+        if d.startswith("frag=cbkt-")
+    )
+    stats = _fold_chunk_meta(chunks_dir, frags_written)
+    for frag in frags_written:
+        s = stats.get(frag) or {}
+        s["shared_tables"] = shared_tables
+        man.mark_done(frag, s)
+    zero = {
+        "n_chunks": 0, "n_rows": 0, "n_tokens": 0, "bytes_in": 0,
+        "bytes_out": 0, "tokens_bytes_out": 0, "leb128_bytes": 0,
+        "codecs": {}, "shared_tables": shared_tables,
+        "clustered_into": "cbkt",
+    }
+    for p in todo:
+        man.mark_done(_frag_of_path(p), dict(zero))
+    man.save()
+    return man.totals()
 
 
 def _group_encode_fn(
@@ -445,6 +485,20 @@ def compress(
     if cluster_by:
         from tokenzip.training import _sample_bounds
 
+        if len(man.done_fragments()) > 0:
+            # bucket names are positional: appending a second clustered run
+            # would collide with (and the fresh-run wipe below would
+            # destroy) the first run's buckets — refuse loudly
+            raise ValueError(
+                "cluster_by requires a FRESH sink: this sink already has "
+                "completed fragments; recompress the full input, or append "
+                "with the plain layout"
+            )
+        for d in uio.listdir(chunks_dir) if uio.isdir(chunks_dir) else []:
+            # stale buckets of a crashed clustered run (resume is
+            # all-or-nothing here: rows are re-homed across buckets)
+            if d.startswith("frag=cbkt-"):
+                uio.rmtree(uio.join(chunks_dir, d))
         tables_ref = (
             _prepare_shared_tables(input_paths, out_dir) if shared_tables else None
         )
@@ -470,7 +524,9 @@ def compress(
             compression="none",
             row_group_size=8,
         )
-        return _finish_compress(man, todo, chunks_dir, shared_tables=shared_tables)
+        return _finish_cluster_compress(
+            man, todo, chunks_dir, shared_tables=shared_tables
+        )
     if shuffle_by_source:
         # combines with shared_tables two-phase: train + broadcast tables
         # FIRST (phase 1), then the shuffled group folds encode with them
