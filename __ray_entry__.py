@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_affinity": _type_affinity,
         "vocab_jaccard": _vocab_jaccard,
         "longest_docs": _longest_docs,
+        "shuffle_head_stats": _shuffle_head,
         "sink_delete_roundtrip": _sink_delete,
         "sink_upsert_roundtrip": _sink_upsert,
         "dup_block_census": _dup_block_census,
@@ -296,6 +297,12 @@ def _longest_docs(sf_dir: str):
     from tokenzip.training import q_longest_docs
 
     return q_longest_docs(sf_dir)
+
+
+def _shuffle_head(sf_dir: str):
+    from tokenzip.training import q_shuffle_head_stats
+
+    return q_shuffle_head_stats(sf_dir)
 
 
 def _vocab_jaccard(sf_dir: str):
@@ -1059,6 +1066,12 @@ def _vocab_jaccard_sql(glob: str) -> str:
     return vocab_jaccard_sql(glob)
 
 
+def _shuffle_head_sql(glob: str) -> str:
+    from tokenzip.training import shuffle_head_sql
+
+    return shuffle_head_sql(glob)
+
+
 def _longest_docs_sql(glob: str) -> str:
     from tokenzip.training import longest_docs_sql
 
@@ -1616,6 +1629,9 @@ FROM documents GROUP BY source ORDER BY source
         "vocab_jaccard": _vocab_jaccard_sql(glob),
         # ORDER BY ... LIMIT through Ray's native all-to-all sort
         "longest_docs": _longest_docs_sql(glob),
+        # deterministic epoch-shuffle writer: salted-md5 global order,
+        # head-k recomputed from the WRITTEN range-disjoint files
+        "shuffle_head_stats": _shuffle_head_sql(glob),
         # run-length census per source (the RLE codec's premise, exact)
         "token_run_stats": _token_run_sql(glob),
         # TPC-H Q16 shape: COUNT(DISTINCT) per attribute combo

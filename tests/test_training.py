@@ -826,3 +826,51 @@ def test_ratio_by_length_bucket_matches_oracle(ray_session):
     # every kilotoken ratio must be a plausible LEB128 cost (1..5 B/token)
     assert ((got["bytes_per_kilotoken"] >= 1000) & (got["bytes_per_kilotoken"] <= 5000)).all()
     pd.testing.assert_frame_equal(got, odf.astype(got.dtypes.to_dict()))
+
+
+def test_shuffle_emit_order_and_determinism(ray_session, tmp_path):
+    """The epoch-shuffle writer: written files are internally sorted with
+    pairwise-disjoint skey windows; same seed = same order across runs;
+    different seed = different order; content is the full multiset."""
+    import glob as globmod
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tokenzip.training import _token_paths, shuffle_emit
+
+    paths = _token_paths("/root/testdata/sf0.001")
+
+    def order_of(out):
+        files = sorted(globmod.glob(out + "/*.parquet"))
+        spans = []
+        for p in files:
+            t = pq.read_table(p, columns=["skey", "doc_id"])
+            sk = t["skey"].to_numpy(zero_copy_only=False)
+            if len(sk):
+                spans.append((int(sk[0]), t))
+        spans.sort(key=lambda s: s[0])
+        ids = []
+        for _, t in spans:
+            ids.extend(t["doc_id"].to_pylist())
+        return ids
+
+    a = str(tmp_path / "a")
+    t = shuffle_emit(paths, a, seed=0)
+    assert t["ordered"] and t["n_rows"] == 2000
+    oa = order_of(a)
+    assert len(oa) == 2000 and len(set(oa)) == 2000
+    # deterministic: a second run with the same seed replays the order
+    b = str(tmp_path / "b")
+    shuffle_emit(paths, b, seed=0)
+    assert order_of(b) == oa
+    # a different seed is a genuinely different epoch order
+    c = str(tmp_path / "c")
+    shuffle_emit(paths, c, seed=1)
+    oc = order_of(c)
+    assert set(oc) == set(oa) and oc != oa
+    # and the order is not the ingest order (it actually shuffled)
+    ingest = []
+    for p in paths:
+        ingest.extend(pq.read_table(p, columns=["doc_id"])["doc_id"].to_pylist())
+    assert oa != ingest

@@ -2799,3 +2799,153 @@ SELECT d.source AS source,
 FROM d JOIN mm ON d.source = mm.source
 GROUP BY d.source ORDER BY d.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global training-order shuffle (the epoch-shuffle writer).
+# A training run wants every epoch's document order to be (a) uniformly
+# random, (b) reproducible from a seed, (c) resumable without replaying
+# the permutation — so the order is VALUE-DEFINED: a salted md5 of the
+# doc_id (ties by doc_id), not a positional RNG. Ray's native all-to-all
+# range sort moves each row once; blocks come back internally sorted and
+# mutually range-disjoint, which the writer verifies before declaring the
+# sink ordered. Changing the seed is a new epoch; same seed = same order
+# on any cluster size, retry schedule, or shard layout.
+# ---------------------------------------------------------------------------
+
+
+def _shuffle_salt(seed: int) -> bytes:
+    return f"shuf{int(seed)}:".encode()
+
+
+def _skey_tag(seed: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        from tokenzip.hashutil import md5_hi60_str
+
+        hv = md5_hi60_str(batch["doc_id"].combine_chunks(), _shuffle_salt(seed))
+        return batch.append_column("skey", pa.array(hv.astype(np.int64)))
+
+    return fn
+
+
+def shuffle_emit(paths: list[str], out_dir: str, seed: int = 0) -> dict:
+    """Write the corpus to ``out_dir`` in deterministic shuffled order:
+    ORDER BY md5('shuf<seed>:' || doc_id), doc_id. Returns
+    {n_rows, n_files, ordered: True} — ordered is ASSERTED, not assumed:
+    every written file must be internally sorted and the per-file
+    [min, max] skey windows must be pairwise disjoint, so a consumer
+    streaming files in min-skey order replays the exact global order."""
+    import shutil
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    (
+        ray.data.read_parquet(paths)
+        .map_batches(_skey_tag(seed), batch_format="pyarrow", zero_copy_batch=True)
+        .sort(key=["skey", "doc_id"])
+        .write_parquet(out_dir)
+    )
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    spans = []
+    n_rows = 0
+    for p in files:
+        k = pq.read_table(p, columns=["skey", "doc_id"])
+        sk = k["skey"].to_numpy(zero_copy_only=False)
+        if len(sk) == 0:
+            continue
+        did = np.asarray(k["doc_id"].to_pylist(), dtype=object)
+        order = np.lexsort((did, sk))
+        if not np.array_equal(order, np.arange(len(sk))):
+            raise ValueError(f"shuffle_emit: {p} is not internally sorted")
+        spans.append((int(sk[0]), int(sk[-1]), p))
+        n_rows += len(sk)
+    spans.sort()
+    for (_, hi_a, pa_), (lo_b, _, pb_) in zip(spans, spans[1:]):
+        if lo_b < hi_a:
+            raise ValueError(
+                f"shuffle_emit: file skey windows overlap ({pa_} vs {pb_})"
+            )
+    return {"n_rows": n_rows, "n_files": len(files), "ordered": True}
+
+
+def q_shuffle_head_stats(sf_dir: str, seed: int = 0, k: int = 500) -> pd.DataFrame:
+    """(source, n_docs, sum_tokens, sum_key_mod) over the FIRST ``k``
+    documents of the seed-0 training-shuffle order, computed from the
+    WRITTEN shuffled sink (files streamed in min-skey order — exact
+    because shuffle_emit asserts disjoint file windows). The oracle
+    recomputes the same salted-md5 ORDER BY ... LIMIT in SQL, so a
+    mis-ordered file, an overlap, or one misplaced row breaks the hash."""
+    from tokenzip.queries import _scoped_out_dir
+
+    paths = _token_paths(sf_dir)
+    out_dir = _scoped_out_dir("/tmp/tokenzip_shuffled", sf_dir)
+    marker = os.path.join(out_dir, "_ordered.json")
+    import json
+
+    if not os.path.exists(marker):
+        totals = shuffle_emit(paths, out_dir, seed=seed)
+        with open(marker, "w") as fh:
+            json.dump(totals, fh)
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    spans = []
+    for p in files:
+        md = pq.read_table(p, columns=["skey"])["skey"].to_numpy(
+            zero_copy_only=False
+        )
+        if len(md):
+            spans.append((int(md[0]), p, len(md)))
+    spans.sort()
+    head = []
+    got = 0
+    for _, p, n in spans:
+        head.append(pq.read_table(p, columns=["skey", "doc_id", "n_tok", "source"]))
+        got += n
+        if got >= k:
+            break
+    t = pa.concat_tables(head)
+    sk = t["skey"].to_numpy(zero_copy_only=False)
+    did = np.asarray(t["doc_id"].to_pylist(), dtype=object)
+    order = np.lexsort((did, sk))[:k]
+    src = np.asarray(t["source"].to_pylist(), dtype=object)[order]
+    ntok = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    km = (sk[order] % _PAIR_MOD).astype(np.int64)
+    uniq, inv = np.unique(src, return_inverse=True)
+    nd = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    st = np.zeros(len(uniq), np.int64)
+    np.add.at(st, inv, ntok)
+    sm = np.zeros(len(uniq), np.int64)
+    np.add.at(sm, inv, km)
+    out = pd.DataFrame(
+        {
+            "source": [str(s) for s in uniq],
+            "n_docs": nd,
+            "sum_tokens": st,
+            "sum_key_mod": sm % _PAIR_MOD,
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def shuffle_head_sql(glob: str, seed: int = 0, k: int = 500) -> str:
+    nib = lambda i: f"(strpos('0123456789abcdef', substr(m, {i}, 1)) - 1)"
+    hv = " + ".join(f"{nib(i + 1)} * {16 ** (14 - i)}" for i in range(15))
+    return f"""
+WITH h AS (
+  SELECT source, n_tok, doc_id, md5('shuf{seed}:' || doc_id) AS m
+  FROM read_parquet('{glob}')
+),
+o AS (SELECT source, n_tok, hv FROM (SELECT source, n_tok, doc_id, {hv} AS hv FROM h)
+      ORDER BY hv, doc_id LIMIT {k})
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS sum_tokens,
+       CAST(SUM(hv % {_PAIR_MOD}) % {_PAIR_MOD} AS BIGINT) AS sum_key_mod
+FROM o GROUP BY source ORDER BY source
+"""
