@@ -9,6 +9,11 @@ Prints ONE JSON line:
 --scaling: runs the headline in two fresh processes (num_cpus=8 and 32) on
 the same input and reports both throughputs + scaling efficiency
 (the sandbox evidence for the north rule's N vs 4N cluster criterion).
+
+--random-access: scattered-ingest corpus compressed plain vs
+cluster_by="doc_id"; measures a 1% doc-id range decompress and a
+6-point lookup on both sinks plus the zone-hit census — the measured
+clustering-index claim.
 """
 
 import json
@@ -339,10 +344,95 @@ def run_scale_sweep(factor: int = 10, reps: int = 3) -> dict:
     }
 
 
+def run_random_access() -> dict:
+    """Plain vs clustered layout on a SCATTERED-ingest corpus: compress
+    wall, zone-map hit census, and pruned range/point decompress walls."""
+    import glob as globmod
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", 32))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from tokenzip.corpus import corpus_paths
+    from tokenzip.pipeline import compress, decompress
+
+    paths = corpus_paths(sf_dir)
+    scat = "/tmp/tokenzip_bench_scat"
+    if not os.path.isdir(scat + "/done"):
+        shutil.rmtree(scat, ignore_errors=True)
+        os.makedirs(scat)
+        tabs = pa.concat_tables([pq.read_table(p) for p in paths])
+        perm = np.random.default_rng(1).permutation(len(tabs))
+        tabs = tabs.take(perm)
+        cut = np.linspace(0, len(tabs), 33).astype(int)
+        for i in range(32):
+            pq.write_table(
+                tabs.slice(cut[i], cut[i + 1] - cut[i]),
+                f"{scat}/part-{i:04d}.parquet",
+            )
+        os.makedirs(scat + "/done")
+    spaths = sorted(globmod.glob(scat + "/part-*.parquet"))
+    n_docs = sum(pq.ParquetFile(p).metadata.num_rows for p in spaths)
+    lo = f"doc-{n_docs // 100:08d}"
+    hi = f"doc-{2 * (n_docs // 100) - 1:08d}"
+    points = [f"doc-{(i * n_docs) // 7:08d}" for i in range(6)]
+
+    out = {}
+    for mode, kw in (("plain", {}), ("clustered", {"cluster_by": "doc_id"})):
+        d = f"/tmp/tokenzip_bench_ra_{mode}"
+        shutil.rmtree(d, ignore_errors=True)
+        t0 = time.perf_counter()
+        tot = compress(spaths, d, **kw)
+        wall_c = time.perf_counter() - t0
+        hits = tts = 0
+        for f in globmod.glob(d + "/chunks/frag=*/*.parquet"):
+            t = pq.read_table(f, columns=["did_min", "did_max"])
+            mn, mx = t["did_min"].to_pylist(), t["did_max"].to_pylist()
+            tts += len(mn)
+            hits += sum(1 for a, b in zip(mn, mx) if a <= hi and b >= lo)
+        rw, pw = [], []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            nr = decompress(d, doc_id_range=(lo, hi)).count()
+            rw.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            decompress(d, doc_ids=points).count()
+            pw.append(time.perf_counter() - t0)
+        out[mode] = {
+            "compress_s": round(wall_c, 2),
+            "bytes_out": int(tot["bytes_out"]),
+            "chunks": int(tot["n_chunks"]),
+            "zone_hits": f"{hits}/{tts}",
+            "range_rows": int(nr),
+            "range_decompress_s": round(sorted(rw)[len(rw) // 2], 2),
+            "point_decompress_s": round(sorted(pw)[len(pw) // 2], 2),
+        }
+    ray.shutdown()
+    return {
+        "metric": "random access: plain vs clustered layout on scattered "
+                  f"ingest (median of {reps}, num_cpus={ncpu})",
+        "sf": os.path.basename(sf_dir),
+        "num_cpus": ncpu,
+        "layouts": out,
+    }
+
+
 if __name__ == "__main__":
     if "--scale-sweep" in sys.argv:
         print(json.dumps(run_scale_sweep()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--random-access" in sys.argv:
+        print(json.dumps(run_random_access()))
     else:
         print(json.dumps(run_bench()))

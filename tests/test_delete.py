@@ -325,3 +325,71 @@ def test_upsert_insert_only_and_replace_only(ray_session, paths, src_sink, tmp_p
     t = upsert_docs(src_sink, str(tmp_path / "rep"), [p])
     assert t["n_docs_replaced"] == 3 and t["n_docs_inserted"] == 0
     assert t["n_rows"] == len(orig)
+
+
+def test_upsert_model_differential(ray_session, paths, src_sink, tmp_path):
+    """Model-based differential: seeded random update batches (replace a
+    random id subset with mutated tokens + insert random new docs) applied
+    via upsert_docs must decode to exactly the pandas latest-wins model —
+    the engine analog of the reference's fuzz differential, at the MERGE
+    level."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tokenzip.pipeline import upsert_docs
+
+    orig = decompress(src_sink).to_pandas()
+    for trial in range(3):
+        rng = np.random.default_rng(trial)
+        n_upd = int(rng.integers(1, 40))
+        upd_ids = list(rng.choice(orig["doc_id"].to_numpy(), n_upd, replace=False))
+        n_new = int(rng.integers(1, 10))
+        dids, toks, srcs = [], [], []
+        for d in upd_ids:
+            old = np.asarray(
+                orig[orig["doc_id"] == d]["tokens"].iloc[0], np.int32
+            )
+            mut = old[::-1].copy() if len(old) else np.array([0], np.int32)
+            dids.append(d)
+            toks.append(mut.tolist())
+            srcs.append("mut")
+        for j in range(n_new):
+            dids.append(f"new-{trial}-{j}")
+            toks.append(rng.integers(0, 1000, rng.integers(1, 30)).astype(int).tolist())
+            srcs.append("ins")
+        tab = pa.table(
+            {
+                "doc_id": pa.array(dids, pa.string()),
+                "tokens": pa.array(toks, pa.list_(pa.int32())),
+                "n_tok": pa.array([len(t) for t in toks], pa.int32()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        )
+        p = str(tmp_path / f"upd-{trial}.parquet")
+        pq.write_table(tab, p)
+        dst = str(tmp_path / f"dst-{trial}")
+        t = upsert_docs(src_sink, dst, [p])
+        assert t["n_docs_replaced"] == n_upd
+        assert t["n_docs_inserted"] == n_new
+        # pandas latest-wins model
+        model = orig[~orig["doc_id"].isin(upd_ids)][
+            ["doc_id", "tokens", "n_tok", "source"]
+        ].copy()
+        batch = tab.to_pandas()
+        model = (
+            __import__("pandas")
+            .concat([model, batch], ignore_index=True)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got = (
+            decompress(dst)
+            .to_pandas()[["doc_id", "tokens", "n_tok", "source"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert (got["doc_id"] == model["doc_id"]).all()
+        assert (got["source"] == model["source"]).all()
+        assert (got["n_tok"].astype(int) == model["n_tok"].astype(int)).all()
+        for a, b in zip(got["tokens"], model["tokens"]):
+            assert len(a) == len(b) and (np.asarray(a) == np.asarray(b)).all()

@@ -1626,24 +1626,32 @@ def test_forecast_revenue_empty_window(ray_session, tmp_path):
     assert int(out["n_rows"][0]) == 0 and int(out["revenue"][0]) == 0
 
 
-def test_q7_packing_guard_raises(ray_session, tmp_path):
-    """A shipdate outside the Q7 year-packing window must raise loudly for
-    in-pair-nation suppliers, never silently mis-bucket."""
-    from tokenzip.relational import _Q7_NATION_A, q_volume_shipping
+def test_year_of_ms_matches_sql_year():
+    """The engine's epoch-ms -> calendar-year helper must agree with SQL
+    ``year(ts)`` on boundaries (leap years, new-year instants, last tick
+    of a year) — every Q7/Q8/Q9 pack offset derives from it."""
+    import duckdb
 
-    d = tmp_path / "sf"
-    d.mkdir()
-    sup = pa.table(
-        {"s_suppkey": pa.array([1], pa.int64()),
-         "s_nationkey": pa.array([_Q7_NATION_A], pa.int64())}
+    from tokenzip.relational import _year_of_ms
+
+    ms = np.array(
+        [
+            0,                      # 1970-01-01
+            820_454_400_000,        # 1996-01-01 (leap year start)
+            820_454_399_999,        # one ms before
+            951_782_400_000,        # 2000-02-29
+            978_307_199_999,        # 2000-12-31 23:59:59.999
+            978_307_200_000,        # 2001-01-01
+        ],
+        np.int64,
     )
-    pq.write_table(sup, str(d / "supplier.parquet"))
-    # shipdate inside the FILTER window is impossible to fake out (the
-    # pushdown protects the packing), so bypass by checking the guard fn
-    from tokenzip.relational import _Q7_YEAR0, _year_of_ms
-
-    y = _year_of_ms(np.asarray([820_454_400_000], np.int64))
-    assert int(y[0]) == 1996 and 0 <= int(y[0]) - _Q7_YEAR0 < 8
+    got = _year_of_ms(ms)
+    con = duckdb.connect()
+    exp = [
+        int(con.sql(f"SELECT year(to_timestamp({int(m)} / 1000.0))").fetchone()[0])
+        for m in ms
+    ]
+    assert got.tolist() == exp == [1970, 1996, 1995, 2000, 2000, 2001]
 
 
 def test_top_supplier_tie_returns_all(ray_session, tmp_path):
