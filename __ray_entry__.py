@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_head_stats": _shuffle_head,
         "sink_delete_roundtrip": _sink_delete,
         "sink_upsert_roundtrip": _sink_upsert,
+        "sink_fsck_stats": _sink_fsck,
         "dup_block_census": _dup_block_census,
         "length_outliers_by_source": _length_outliers,
         "vocab_tv_distance": _vocab_tv,
@@ -291,6 +292,12 @@ def _sink_upsert(sf_dir: str):
     from tokenzip.queries import q_sink_upsert_roundtrip
 
     return q_sink_upsert_roundtrip(sf_dir)
+
+
+def _sink_fsck(sf_dir: str):
+    from tokenzip.queries import q_sink_fsck_stats
+
+    return q_sink_fsck_stats(sf_dir)
 
 
 def _longest_docs(sf_dir: str):
@@ -1138,6 +1145,12 @@ def _sink_upsert_sql(glob: str) -> str:
     return upsert_roundtrip_sql(glob)
 
 
+def _sink_fsck_sql(glob: str) -> str:
+    from tokenzip.queries import sink_fsck_sql
+
+    return sink_fsck_sql(glob)
+
+
 def _dup_block_sql(glob: str) -> str:
     from tokenzip.training import dup_block_census_sql
 
@@ -1656,6 +1669,8 @@ FROM documents GROUP BY source ORDER BY source
         "sink_delete_roundtrip": _sink_delete_sql(glob),
         # MERGE: latest-wins replace-or-insert through delete + append
         "sink_upsert_roundtrip": _sink_upsert_sql(glob),
+        # standalone integrity check: fsck totals vs corpus counts, ok = 1
+        "sink_fsck_stats": _sink_fsck_sql(glob),
         # substring-level dedup census: exact 16-token block duplication
         "dup_block_census": _dup_block_sql(glob),
         # exact-integer 3-sigma length outliers (isqrt thresholds vs the

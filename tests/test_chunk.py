@@ -95,3 +95,63 @@ def test_large_offsets_sliced_table():
     chunk = encode_batch(part)
     back = decode_chunks(chunk)
     assert back.sort_by("doc_id").equals(part.sort_by("doc_id").cast(back.schema))
+
+
+def test_content_checksum_sensitivity():
+    """The format-4 decoded-content checksum must change under every
+    corruption class counts alone can't see: one token value, a list
+    boundary shift that preserves the flat stream, a doc id, a source."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tokenzip.chunk import content_checksum
+
+    did = pa.array(["a", "b", "c"], pa.string())
+    src = pa.array(["web", "web", "code"], pa.string())
+    lengths = np.array([2, 1, 3], np.int64)
+    vals = np.array([5, -7, 9, 11, 13, 0], np.int32)
+    base = content_checksum(did, src, lengths, vals)
+    assert base != 0
+    # one token value
+    v2 = vals.copy()
+    v2[3] ^= 1
+    assert content_checksum(did, src, lengths, v2) != base
+    # boundary shift, same flat stream and same total count
+    assert content_checksum(
+        did, src, np.array([1, 2, 3], np.int64), vals
+    ) != base
+    # doc id / source changes
+    assert content_checksum(
+        pa.array(["a", "b", "d"], pa.string()), src, lengths, vals
+    ) != base
+    assert content_checksum(
+        did, pa.array(["web", "web", "web"], pa.string()), lengths, vals
+    ) != base
+    # empty chunk is the 0 sentinel (= "not checksummed" for old sinks)
+    assert content_checksum(
+        pa.array([], pa.string()), pa.array([], pa.string()),
+        np.zeros(0, np.int64), np.zeros(0, np.int32),
+    ) == 0
+
+
+def test_conform_chunk_rows_fills_sentinels():
+    import pyarrow as pa
+
+    from tokenzip.chunk import CHUNK_SCHEMA, conform_chunk_rows
+    from tokenzip.errors import ChunkFormatError
+
+    full = {f.name: [None] for f in CHUNK_SCHEMA}
+    t = pa.table(
+        {
+            k: pa.array(v, CHUNK_SCHEMA.field(k).type)
+            for k, v in full.items()
+            if k not in ("did_bloom", "content_chk")
+        }
+    )
+    out = conform_chunk_rows(t)
+    assert out.column_names == [f.name for f in CHUNK_SCHEMA]
+    assert out["did_bloom"][0].as_py() == b""
+    assert out["content_chk"][0].as_py() == 0
+    # a truly required column missing must raise, not be invented
+    with pytest.raises(ChunkFormatError, match="missing required"):
+        conform_chunk_rows(t.drop_columns(["tokens_enc"]))

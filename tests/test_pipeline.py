@@ -1027,3 +1027,68 @@ def test_cluster_by_layout_prunes_scattered_corpus(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="FRESH sink"):
         compress(paths + [extra], clu, cluster_by="doc_id")
+
+
+def test_fsck_clean_and_corruption_classes(ray_session, paths, tmp_path):
+    """fsck passes a healthy sink (plain, clustered, shared-tables), then
+    catches each planted corruption class: flipped payload byte, tampered
+    n_rows metadata, and a manifest ledger that disagrees with the files."""
+    import glob as globmod
+    import json as jsonmod
+
+    import pyarrow as pa
+
+    from tokenzip.errors import ChunkFormatError
+    from tokenzip.pipeline import fsck
+
+    sink = str(tmp_path / "sink")
+    compress(paths, sink, concurrency=2)
+    t = fsck(sink)
+    assert t["ok"] and t["violations"] == 0 and t["n_rows"] == 2000
+
+    st = str(tmp_path / "st")
+    compress(paths, st, shared_tables=True, concurrency=2)
+    assert fsck(st)["ok"]
+
+    # 1) flipped byte inside a payload blob -> decode failure or drift
+    import shutil
+
+    bad1 = str(tmp_path / "bad1")
+    shutil.copytree(sink, bad1)
+    f = sorted(globmod.glob(bad1 + "/chunks/frag=*/*.parquet"))[0]
+    raw = bytearray(open(f, "rb").read())
+    # flip a byte well inside the data pages (clear of footer/magic)
+    raw[len(raw) // 3] ^= 0xFF
+    open(f, "wb").write(bytes(raw))
+    with pytest.raises(ChunkFormatError, match="violation"):
+        fsck(bad1)
+    r = fsck(bad1, strict=False)
+    assert not r["ok"] and r["violations"] >= 1
+
+    # 2) tampered chunk metadata (n_rows inflated) -> caught by re-derive
+    bad2 = str(tmp_path / "bad2")
+    shutil.copytree(sink, bad2)
+    f = sorted(globmod.glob(bad2 + "/chunks/frag=*/*.parquet"))[0]
+    t2 = pq.read_table(f)
+    nr = t2["n_rows"].to_numpy(zero_copy_only=False).copy()
+    nr[0] += 1
+    t2 = t2.set_column(
+        t2.schema.get_field_index("n_rows"), "n_rows", pa.array(nr)
+    )
+    pq.write_table(t2, f, compression="none")
+    r = fsck(bad2, strict=False)
+    # the tampered count either breaks the stream decode (counts drive the
+    # varint readers) or survives decode and trips the re-derive compare
+    assert not r["ok"]
+    assert "metadata says" in r["detail"] or "decode failed" in r["detail"]
+
+    # 3) manifest ledger drift -> caught by the fold comparison
+    bad3 = str(tmp_path / "bad3")
+    shutil.copytree(sink, bad3)
+    mp = os.path.join(bad3, "manifest.json")
+    man = jsonmod.load(open(mp))
+    k = next(iter(man["fragments"]))
+    man["fragments"][k]["n_rows"] += 7
+    jsonmod.dump(man, open(mp, "w"))
+    r = fsck(bad3, strict=False)
+    assert not r["ok"] and "manifest.n_rows" in r["detail"]

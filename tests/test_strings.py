@@ -131,3 +131,28 @@ def test_chunked_array_input():
     arr = pa.chunked_array([["a", "b"], ["c"]])
     blob = encode_str_column(arr, "auto")
     assert decode_str_column(blob).to_pylist() == ["a", "b", "c"]
+
+
+def test_unpack_table_signed_memoryview_regression():
+    """pyarrow Buffers expose SIGNED-char memoryviews; a table with >= 128
+    symbols used to unpack as n = negative -> EMPTY table -> 'code out of
+    table range' on decode (found by the sf0.01 upsert audit: the mixed
+    'doc-'/'new:doc-' id distribution trained a 147-symbol table)."""
+    import numpy as np
+
+    from tokenzip.codecs import fsst as F
+
+    symbols = [bytes([65 + (i % 26), 97 + (i // 26)]) for i in range(150)]
+    packed = F.pack_table(symbols)
+    assert packed[0] == 150
+    # signed view, exactly what memoryview(pa.Buffer) yields
+    signed = memoryview(np.frombuffer(packed, np.uint8).view(np.int8))
+    out = F.unpack_table(signed)
+    assert [bytes(s) for s in out] == symbols
+    # and the full decode path accepts memoryview blobs
+    blob = b"doc-0001new:doc-0001" * 40
+    table = F.train_symbol_table(blob)
+    codes = F.fsst_encode(blob, table)
+    assert F.fsst_decode(codes, F.unpack_table(memoryview(
+        np.frombuffer(F.pack_table(table), np.uint8).view(np.int8)
+    ))) == blob

@@ -71,6 +71,7 @@ def __getattr__(name):  # lazy: pipeline pulls in ray; keep bare import light
         "decompress_map",
         "delete_docs",
         "upsert_docs",
+        "fsck",
         "recode",
         "compact",
         "verify_roundtrip",

@@ -183,6 +183,14 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", help="print the manifest totals of a run")
     st.add_argument("out_dir")
 
+    fs = sub.add_parser(
+        "fsck", help="standalone sink integrity check: every chunk decodes "
+        "and every pruning-relevant metadata field (n_rows, n_tokens, "
+        "n_tok, zone windows, blooms, manifest ledger) is re-derived and "
+        "compared; exit 1 on violations"
+    )
+    fs.add_argument("out_dir")
+
     tc = sub.add_parser(
         "table-compress", help="compress ANY parquet table (generic columns)"
     )
@@ -270,7 +278,16 @@ def main(argv: list[str] | None = None) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     try:
-        if args.cmd == "compress":
+        if args.cmd == "fsck":
+            from tokenzip.errors import ChunkFormatError
+            from tokenzip.pipeline import fsck
+
+            try:
+                print(json.dumps(fsck(args.out_dir), sort_keys=True))
+            except ChunkFormatError as e:
+                print(json.dumps({"ok": False, "error": str(e)[:2000]}))
+                return 1
+        elif args.cmd == "compress":
             from tokenzip.pipeline import compress
 
             totals = compress(

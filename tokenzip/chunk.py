@@ -37,8 +37,13 @@ from tokenzip.errors import ChunkFormatError
 # (decompress doc-id pushdown requires a sink written entirely at >= 2);
 # 3 = rows also carry a did_bloom membership bitset (point lookups prune
 # chunks whose id RANGE matches but which don't actually hold the id —
-# the scattered-id case where range zone maps stop pruning)
-CHUNK_FORMAT = 3
+# the scattered-id case where range zone maps stop pruning);
+# 4 = rows also carry content_chk, an order-sensitive integer checksum of
+# the DECODED content (doc ids, sources, token values, list boundaries) —
+# pipeline.fsck re-derives it, so silent payload bit rot (a flipped byte
+# that decodes to plausible-but-wrong tokens) is detectable without the
+# original corpus. Absent/zero means "not checksummed" (older sinks).
+CHUNK_FORMAT = 4
 
 # salt for the doc-id bloom hash — shared by encode (build) and
 # pipeline._bloom_survivors (probe); changing it invalidates format 3
@@ -69,8 +74,38 @@ CHUNK_SCHEMA = pa.schema(
         # little-endian uint64 bitset over md5-hashed doc ids; b"" means
         # "no filter — must read" (soundness under any reader)
         ("did_bloom", pa.large_binary()),
+        # decoded-content checksum (format 4); 0 = not checksummed
+        ("content_chk", pa.int64()),
     ]
 )
+
+
+_CHK_SALT = b"cc:"
+_CHK_MASK = (1 << 63) - 1
+
+
+def content_checksum(
+    did: pa.Array, source: pa.Array, lengths: np.ndarray, values32: np.ndarray
+) -> int:
+    """Exact integer checksum of a chunk's DECODED content: doc ids and
+    sources through the C md5 kernel, raw token values, and the doc->length
+    binding (id-hash x length products catch a boundary shift that preserves
+    the flat token stream). uint64 wrap-around arithmetic — deterministic
+    on every platform, one pass per column, no Python loop."""
+    from tokenzip.hashutil import md5_hi60_str
+
+    if not len(lengths):
+        return 0
+    hd = md5_hi60_str(did, _CHK_SALT).astype(np.uint64)
+    hs = md5_hi60_str(source, _CHK_SALT).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        acc = (
+            hd.sum()
+            + np.uint64(3) * hs.sum()
+            + np.uint64(5) * values32.astype(np.uint64).sum()
+            + np.uint64(7) * (hd * lengths.astype(np.uint64)).sum()
+        )
+    return int(acc) & _CHK_MASK
 
 
 def _tokens_parts(tokens: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -296,6 +331,15 @@ def encode_batch(
     else:
         source_top = ""
 
+    content_chk = content_checksum(
+        did.combine_chunks() if isinstance(did, pa.ChunkedArray) else did,
+        batch["source"].combine_chunks()
+        if isinstance(batch["source"], pa.ChunkedArray)
+        else batch["source"],
+        lengths,
+        values32,
+    )
+
     return pa.table(
         {
             "chunk_id": [chunk_id],
@@ -315,12 +359,33 @@ def encode_batch(
             "did_min": [did_min],
             "did_max": [did_max],
             "did_bloom": [did_bloom],
+            "content_chk": [content_chk],
         },
         schema=CHUNK_SCHEMA,
     )
 
 
 TOKEN_OUT_COLS = ("doc_id", "tokens", "n_tok", "source")
+
+
+def conform_chunk_rows(t: pa.Table) -> pa.Table:
+    """Add any missing CHUNK_SCHEMA columns with their documented "absent"
+    sentinels (did_bloom b"" = no filter / must read; content_chk 0 = not
+    checksummed) so pass-through rows from an older-format sink can share
+    one write with freshly re-encoded current-format rows."""
+    for f in CHUNK_SCHEMA:
+        if f.name in t.column_names:
+            continue
+        if f.name == "did_bloom":
+            fill = pa.array([b""] * len(t), f.type)
+        elif f.name == "content_chk":
+            fill = pa.array([0] * len(t), f.type)
+        else:
+            raise ChunkFormatError(
+                f"chunk rows missing required column {f.name!r}"
+            )
+        t = t.append_column(f.name, fill)
+    return t.select([f.name for f in CHUNK_SCHEMA])
 
 
 def decode_chunk_row(row: dict, columns: list[str] | None = None) -> pa.Table:

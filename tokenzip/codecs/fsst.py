@@ -110,7 +110,14 @@ def pack_table(symbols: list[bytes]) -> bytes:
     return bytes(out)
 
 
-def unpack_table(blob: bytes) -> list[bytes]:
+def unpack_table(blob) -> list[bytes]:
+    # blob may be a zero-copy memoryview off a pyarrow Buffer, whose
+    # element format is SIGNED char — indexing it returns negative ints
+    # for lengths >= 128 (a 147-symbol table read as n = -109 silently
+    # unpacked to an EMPTY table). Normalize to bytes: tables are <= ~2 KB,
+    # the copy is noise next to the decode it guards.
+    if not isinstance(blob, bytes):
+        blob = bytes(blob)
     n, off, out = blob[0], 1, []
     for _ in range(n):
         ln = blob[off]

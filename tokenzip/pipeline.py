@@ -873,8 +873,13 @@ def _chunks_read(
     elif int(Manifest(out_dir).data.get("chunk_format", 1)) >= 3:
         from tokenzip.chunk import CHUNK_SCHEMA
 
+        # neither zone bitsets nor content checksums are decode inputs;
+        # format-3 sinks also lack the content_chk column entirely, so
+        # naming it would fail their reads
         read_kwargs["columns"] = [
-            f.name for f in CHUNK_SCHEMA if f.name != "did_bloom"
+            f.name
+            for f in CHUNK_SCHEMA
+            if f.name not in ("did_bloom", "content_chk")
         ]
     ds = ray.data.read_parquet(
         chunks_dir, override_num_blocks=n_blocks, **read_kwargs
@@ -2063,7 +2068,7 @@ def _delete_rewrite_fn(
     schema = chunk schema + frag (hive partition), same as _recode_fn."""
     import pyarrow.compute as pc
 
-    from tokenzip.chunk import CHUNK_SCHEMA, decode_chunks
+    from tokenzip.chunk import CHUNK_SCHEMA, conform_chunk_rows, decode_chunks
     from tokenzip.stages import _bget
 
     if sidecar is not None and sidecar not in _RECODE_SIDECARS:
@@ -2083,11 +2088,12 @@ def _delete_rewrite_fn(
     is_hit = np.array([c in hits for c in cids], dtype=bool)
 
     parts: list[pa.Table] = []
-    # verbatim pass-through (bit-identical chunk rows, no decode)
+    # verbatim pass-through (bit-identical chunk rows, no decode;
+    # conform fills older-format sinks' absent columns with sentinels)
     if (~is_hit).any():
         sub = rows.filter(pa.array(~is_hit))
         fsub = frags[~is_hit]
-        sub = sub.select([f.name for f in CHUNK_SCHEMA])
+        sub = conform_chunk_rows(sub)
         parts.append(
             sub.append_column(
                 "frag", pa.array([str(f) for f in fsub], pa.string())
@@ -2178,7 +2184,10 @@ def delete_docs(
     elif resume and not done and uio.isdir(chunks_dir):
         uio.rmtree(chunks_dir)
     if not done:
-        man.data["chunk_format"] = CHUNK_FORMAT
+        # clean fragments BYTE-COPY at the source's format; marking the new
+        # sink any higher would make format-gated readers request columns
+        # the copied files don't have
+        man.data["chunk_format"] = min(CHUNK_FORMAT, have_fmt)
     todo = [f for f in all_frags if f not in done]
     for frag in todo:
         d = uio.join(chunks_dir, f"frag={frag}")
@@ -2464,3 +2473,164 @@ def upsert_docs(
     totals["n_docs_replaced"] = n_replaced
     totals["n_docs_inserted"] = len(ids) - n_replaced
     return totals
+
+
+def _fsck_batch(batch: pa.Table, sidecar=None) -> pa.Table:
+    """Decode one block of chunk rows and verify every per-chunk invariant;
+    emit an exact-integer partial (counts + violation census). Violations
+    are COUNTED and described, not raised, so one bad chunk doesn't hide
+    the rest of the report."""
+    from tokenzip.bloom import bloom_probe
+    from tokenzip.chunk import _DID_BLOOM_SALT, decode_chunk_row
+    from tokenzip.hashutil import md5_hi60_str
+
+    if sidecar is not None:
+        key = ("fsck_sidecar", sidecar)
+        if key not in _STAGES:
+            from tokenzip.codecs.strings import load_shared_tables
+
+            load_shared_tables(sidecar)
+            _STAGES[key] = True
+
+    def _s(v) -> str:
+        # metadata strings may surface as binary scalars off the chunk
+        # schema — normalize for comparison
+        if isinstance(v, (bytes, memoryview)):
+            return bytes(v).decode("utf-8", "replace")
+        return str(v)
+
+    n_chunks = n_rows = n_tokens = 0
+    bad: list[str] = []
+    have_bloom = "did_bloom" in batch.column_names
+    for i in range(batch.num_rows):
+        row = {}
+        for k in batch.column_names:
+            v = batch[k][i]
+            if isinstance(v, (pa.LargeBinaryScalar, pa.BinaryScalar)):
+                buf = v.as_buffer()
+                row[k] = memoryview(buf) if buf is not None else b""
+            else:
+                row[k] = v.as_py()
+        cid = _s(row.get("chunk_id"))
+        try:
+            dec = decode_chunk_row(row)
+        except Exception as e:  # undecodable chunk: the worst violation
+            bad.append(f"{cid}: decode failed: {type(e).__name__}: {e}")
+            n_chunks += 1
+            continue
+        n_chunks += 1
+        n = dec.num_rows
+        toks = dec["tokens"].combine_chunks()
+        lens = (
+            np.diff(toks.offsets.to_numpy(zero_copy_only=False)).astype(np.int64)
+            if n
+            else np.zeros(0, np.int64)
+        )
+        ntok = dec["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = np.asarray(dec["doc_id"].to_pylist(), dtype=object)
+        n_rows += n
+        n_tokens += int(lens.sum())
+        if n != int(row["n_rows"]):
+            bad.append(f"{cid}: decoded {n} rows, metadata says {row['n_rows']}")
+        if int(lens.sum()) != int(row["n_tokens"]):
+            bad.append(
+                f"{cid}: decoded {int(lens.sum())} tokens, metadata says "
+                f"{row['n_tokens']}"
+            )
+        if n and not np.array_equal(ntok, lens):
+            bad.append(f"{cid}: n_tok column disagrees with tokens lengths")
+        if n and "did_min" in row and row["did_min"] is not None:
+            lo, hi = min(did), max(did)
+            zlo, zhi = _s(row["did_min"]), _s(row["did_max"])
+            if str(lo) != zlo or str(hi) != zhi:
+                bad.append(
+                    f"{cid}: doc-id window [{lo}, {hi}] != zone map "
+                    f"[{zlo}, {zhi}]"
+                )
+        if n and have_bloom and row.get("did_bloom"):
+            words = np.frombuffer(bytes(row["did_bloom"]), dtype=np.uint64)
+            want = md5_hi60_str(pa.array([str(d) for d in did], pa.string()),
+                                _DID_BLOOM_SALT)
+            if not bool(bloom_probe(words, want).all()):
+                bad.append(f"{cid}: a present doc id misses the did_bloom bitset")
+        if n and row.get("content_chk"):
+            # format 4: the decoded-content checksum catches silent payload
+            # bit rot that preserves counts (0 = older sink, not checksummed)
+            from tokenzip.chunk import _tokens_parts, content_checksum
+
+            lens2, vals2 = _tokens_parts(dec["tokens"])
+            got_chk = content_checksum(
+                dec["doc_id"].combine_chunks(),
+                dec["source"].combine_chunks(),
+                lens2,
+                vals2,
+            )
+            if got_chk != int(row["content_chk"]):
+                bad.append(
+                    f"{cid}: decoded content checksum {got_chk} != recorded "
+                    f"{row['content_chk']} (payload corruption)"
+                )
+    return pa.table(
+        {
+            "n_chunks": pa.array([n_chunks], pa.int64()),
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+            "violations": pa.array([len(bad)], pa.int64()),
+            "detail": pa.array(["\n".join(bad[:20])], pa.string()),
+        }
+    )
+
+
+def fsck(out_dir: str, *, batch_chunks: int = 4, strict: bool = True) -> dict:
+    """Standalone sink integrity check — no original input required (that's
+    ``verify_sink_roundtrip``'s job): every chunk decodes, and every piece
+    of metadata the engine PRUNES ON is re-derived from the decoded rows
+    and compared — n_rows, n_tokens, the per-row n_tok column, the
+    did_min/did_max zone windows, and (format 3) membership of every
+    present id in the chunk's did_bloom bitset. The manifest's per-fragment
+    ledger is folded against the chunk files' own metadata. Violations are
+    collected (first 20 detailed), and ``strict=True`` raises
+    ChunkFormatError if any exist. A sink that passes fsck answers every
+    pushdown/pruning path correctly even if the original corpus is gone —
+    the restore-drill half of the durability story."""
+    from tokenzip.errors import ChunkFormatError
+
+    chunks_dir = uio.join(out_dir, "chunks")
+    if not uio.isdir(chunks_dir):
+        raise ChunkFormatError(f"no chunks directory under {out_dir}")
+    sidecar = uio.join(out_dir, "symbols.json")
+    sidecar = sidecar if uio.exists(sidecar) else None
+    files = [p for p, _ in uio.walk_files(chunks_dir) if p.endswith(".parquet")]
+    parts = (
+        ray.data.read_parquet(files, include_paths=True)
+        .map_batches(
+            _fsck_batch,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_chunks,
+            fn_kwargs={"sidecar": sidecar},
+        )
+        .take_all()
+    )
+    tot = {"n_chunks": 0, "n_rows": 0, "n_tokens": 0, "violations": 0}
+    details: list[str] = []
+    for r in parts:
+        for k in ("n_chunks", "n_rows", "n_tokens", "violations"):
+            tot[k] += int(r[k])
+        if r["detail"]:
+            details.append(str(r["detail"]))
+    man = Manifest(out_dir).totals()
+    for k in ("n_chunks", "n_rows", "n_tokens"):
+        if int(man.get(k, -1)) != tot[k]:
+            tot["violations"] += 1
+            details.append(
+                f"manifest.{k} = {man.get(k)} but the chunk files hold {tot[k]}"
+            )
+    tot["ok"] = tot["violations"] == 0
+    tot["detail"] = "\n".join(details)[:4000]
+    if strict and not tot["ok"]:
+        raise ChunkFormatError(
+            f"fsck: {tot['violations']} violation(s) in {out_dir}:\n"
+            + tot["detail"]
+        )
+    return tot

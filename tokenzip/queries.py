@@ -1332,81 +1332,58 @@ def q_sink_upsert_roundtrip(sf_dir: str):
     the same latest-wins merge in SQL, so a stale surviving version, a lost
     insert, or one corrupted token anywhere breaks the hash. upsert_docs'
     own guard additionally enforces rows = old - replaced + new exactly."""
+    import hashlib
+    import os
+
     from tokenzip.hashutil import md5_hi60_str
     from tokenzip.pipeline import compress, decompress, upsert_docs
 
     paths = corpus_paths(sf_dir)
     src_dir = _scoped_out_dir("/tmp/tokenzip_ups_src", sf_dir)
-    dst_dir = _scoped_out_dir("/tmp/tokenzip_ups_dst", sf_dir)
-    upd_dir = _scoped_out_dir("/tmp/tokenzip_ups_new", sf_dir)
     compress(paths, src_dir)
 
-    def build(batch: pa.Table) -> pa.Table:
+    def pick(batch: pa.Table) -> pa.Table:
         hv = md5_hi60_str(batch["doc_id"], b"ups:")
         picked = batch.filter(pa.array((hv % _UPS_DEN) == 0))
-        did = picked["doc_id"].to_numpy(zero_copy_only=False)
-        src = picked["source"].to_numpy(zero_copy_only=False)
-        from tokenzip.chunk import _tokens_parts
+        return picked.select(["doc_id", "tokens", "source"])
 
-        lengths, values = _tokens_parts(picked["tokens"])
-        # replaced versions: original tokens + sentinel 42 appended
-        n = len(picked)
-        new_len = lengths.astype(np.int64) + 1
-        ends = np.cumsum(lengths.astype(np.int64))
-        starts = ends - lengths
-        up_vals = np.empty(int(new_len.sum()), np.int32)
-        up_ends = np.cumsum(new_len)
-        up_starts = up_ends - new_len
-        for i in range(n):  # bounded: ~1/16 of one batch's rows
-            up_vals[up_starts[i] : up_ends[i] - 1] = values[starts[i] : ends[i]]
-            up_vals[up_ends[i] - 1] = 42
-        upd_tokens = pa.ListArray.from_arrays(
-            pa.array(np.concatenate(([0], up_ends)), pa.int32()),
-            pa.array(up_vals, pa.int32()),
-        )
-        ins_tokens = pa.ListArray.from_arrays(
-            pa.array(np.arange(0, 3 * (n + 1), 3), pa.int32()),
-            pa.array(np.tile(np.array([7, 11, 13], np.int32), n), pa.int32()),
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    [str(d) for d in did] + ["new:" + str(d) for d in did],
-                    pa.string(),
-                ),
-                "tokens": pa.concat_arrays(
-                    [upd_tokens.cast(pa.list_(pa.int32())), ins_tokens]
-                ),
-                "n_tok": pa.array(
-                    np.concatenate((new_len, np.full(n, 3, np.int64))).astype(
-                        np.int32
-                    ),
-                    pa.int32(),
-                ),
-                "source": pa.array(
-                    [str(s) for s in src] * 2, pa.string()
-                ),
-            }
-        )
+    # Collect the PICKED rows (~1/16 of the audit corpus — a bounded
+    # fixture, not a scale path) and build ONE canonical update fragment
+    # sorted by doc_id: the batch must be byte-deterministic across
+    # sessions, independent of Ray's block boundaries, or upsert_docs'
+    # stale-batch guard (correctly) refuses the rerun.
+    rows = (
+        ray.data.read_parquet(paths, columns=["doc_id", "tokens", "source"])
+        .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    rows.sort(key=lambda r: str(r["doc_id"]))
+    did = [str(r["doc_id"]) for r in rows]
+    toks = [list(map(int, r["tokens"])) for r in rows]
+    srcs = [str(r["source"]) for r in rows]
+    out_toks = [list(t) + [42] for t in toks] + [[7, 11, 13]] * len(did)
+    upd_tab = pa.table(
+        {
+            "doc_id": pa.array(did + ["new:" + d for d in did], pa.string()),
+            "tokens": pa.array(out_toks, pa.list_(pa.int32())),
+            "n_tok": pa.array([len(t) for t in out_toks], pa.int32()),
+            "source": pa.array(srcs * 2, pa.string()),
+        }
+    )
+    # scratch sinks keyed by the BATCH fingerprint: a changed batch (new
+    # code, new corpus) starts fresh; an identical rerun resumes as a no-op
+    fp = hashlib.md5(
+        upd_tab.to_pandas().to_csv(index=False).encode()
+    ).hexdigest()[:10]
+    dst_dir = _scoped_out_dir("/tmp/tokenzip_ups_dst", sf_dir) + "-" + fp
+    upd_dir = _scoped_out_dir("/tmp/tokenzip_ups_new", sf_dir) + "-" + fp
+    os.makedirs(upd_dir, exist_ok=True)
+    upd_path = os.path.join(upd_dir, "upd-0000.parquet")
+    if not os.path.exists(upd_path):
+        import pyarrow.parquet as pq_
 
-    import os
-    import shutil
-
-    shutil.rmtree(upd_dir, ignore_errors=True)
-    ray.data.read_parquet(paths).map_batches(
-        build, batch_format="pyarrow", zero_copy_batch=True
-    ).write_parquet(upd_dir)
-    # Ray names output files with a per-run UUID; rename to DETERMINISTIC
-    # names (block order is stable for a fixed corpus) so a rerun presents
-    # the identical fragment set and upsert_docs resumes as a clean no-op
-    # instead of double-appending the batch under fresh names.
-    raw = sorted(f for f in os.listdir(upd_dir) if f.endswith(".parquet"))
-    new_paths = []
-    for i, f in enumerate(raw):
-        dst = os.path.join(upd_dir, f"upd-{i:04d}.parquet")
-        os.replace(os.path.join(upd_dir, f), dst)
-        new_paths.append(dst)
-    totals = upsert_docs(src_dir, dst_dir, new_paths)
+        pq_.write_table(upd_tab, upd_path)
+    totals = upsert_docs(src_dir, dst_dir, [upd_path])
     if totals["n_docs_replaced"] == 0 or totals["n_docs_inserted"] == 0:
         raise ValueError(
             f"upsert audit expected both halves of MERGE to fire: "
@@ -1468,3 +1445,35 @@ def q_clustered_range_decompress(sf_dir: str):
     out_dir = _scoped_out_dir("/tmp/tokenzip_clustered", sf_dir)
     compress(paths, out_dir, cluster_by="doc_id")
     return _source_rollup(decompress(out_dir, doc_id_range=DOC_RANGE))
+
+
+def q_sink_fsck_stats(sf_dir: str):
+    """Standalone integrity check of the shared sink (pipeline.fsck): every
+    chunk decodes; n_rows / n_tokens / n_tok / zone windows / blooms /
+    content checksums re-derive from the decoded rows; the manifest ledger
+    folds against the chunk files. Returns the fsck totals — the oracle
+    recomputes rows/tokens from the corpus, and ``ok`` must be 1."""
+    import pandas as pd
+
+    from tokenzip.pipeline import compress, fsck
+
+    paths = corpus_paths(sf_dir)
+    out_dir = _scoped_out_dir("/tmp/tokenzip_out", sf_dir)
+    compress(paths, out_dir)
+    t = fsck(out_dir)
+    return pd.DataFrame(
+        {
+            "n_rows": [int(t["n_rows"])],
+            "n_tokens": [int(t["n_tokens"])],
+            "ok": [int(t["ok"])],
+        }
+    )
+
+
+def sink_fsck_sql(glob: str) -> str:
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(n_tok AS BIGINT)) AS BIGINT) AS n_tokens,
+       CAST(1 AS BIGINT) AS ok
+FROM read_parquet('{glob}')
+"""
