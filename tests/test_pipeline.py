@@ -1092,3 +1092,17 @@ def test_fsck_clean_and_corruption_classes(ray_session, paths, tmp_path):
     jsonmod.dump(man, open(mp, "w"))
     r = fsck(bad3, strict=False)
     assert not r["ok"] and "manifest.n_rows" in r["detail"]
+
+
+def test_fsck_sample_is_deterministic_subset(ray_session, paths, tmp_path):
+    from tokenzip.pipeline import fsck
+
+    sink = str(tmp_path / "s")
+    compress(paths, sink, concurrency=2)
+    full = fsck(sink)
+    a = fsck(sink, sample=0.3)
+    b = fsck(sink, sample=0.3)
+    assert a == b and a["sampled"] and a["ok"]
+    assert 0 < a["n_chunks"] < full["n_chunks"]
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        fsck(sink, sample=0.0)

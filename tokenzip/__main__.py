@@ -190,6 +190,11 @@ def main(argv: list[str] | None = None) -> int:
         "compared; exit 1 on violations"
     )
     fs.add_argument("out_dir")
+    fs.add_argument(
+        "--sample", type=float, default=1.0,
+        help="scrub a deterministic fraction of chunk files (0 < f <= 1); "
+             "repeated scrubs compose into full coverage",
+    )
 
     tc = sub.add_parser(
         "table-compress", help="compress ANY parquet table (generic columns)"
@@ -283,7 +288,11 @@ def main(argv: list[str] | None = None) -> int:
             from tokenzip.pipeline import fsck
 
             try:
-                print(json.dumps(fsck(args.out_dir), sort_keys=True))
+                print(
+                    json.dumps(
+                        fsck(args.out_dir, sample=args.sample), sort_keys=True
+                    )
+                )
             except ChunkFormatError as e:
                 print(json.dumps({"ok": False, "error": str(e)[:2000]}))
                 return 1

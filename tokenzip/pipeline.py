@@ -2581,7 +2581,13 @@ def _fsck_batch(batch: pa.Table, sidecar=None) -> pa.Table:
     )
 
 
-def fsck(out_dir: str, *, batch_chunks: int = 4, strict: bool = True) -> dict:
+def fsck(
+    out_dir: str,
+    *,
+    batch_chunks: int = 4,
+    strict: bool = True,
+    sample: float = 1.0,
+) -> dict:
     """Standalone sink integrity check — no original input required (that's
     ``verify_sink_roundtrip``'s job): every chunk decodes, and every piece
     of metadata the engine PRUNES ON is re-derived from the decoded rows
@@ -2592,15 +2598,43 @@ def fsck(out_dir: str, *, batch_chunks: int = 4, strict: bool = True) -> dict:
     collected (first 20 detailed), and ``strict=True`` raises
     ChunkFormatError if any exist. A sink that passes fsck answers every
     pushdown/pruning path correctly even if the original corpus is gone —
-    the restore-drill half of the durability story."""
+    the restore-drill half of the durability story.
+
+    ``sample < 1.0`` is the 100-TB scrub path: a DETERMINISTIC fraction of
+    chunk FILES (salted md5 of the path — the same file set every run, so
+    repeated scrubs at increasing rates compose into full coverage) decode
+    and verify; the manifest fold is skipped (it needs full totals) and the
+    report carries ``sampled: True``."""
     from tokenzip.errors import ChunkFormatError
 
+    if not (0.0 < sample <= 1.0):
+        raise ValueError(f"fsck sample must be in (0, 1], got {sample}")
     chunks_dir = uio.join(out_dir, "chunks")
     if not uio.isdir(chunks_dir):
         raise ChunkFormatError(f"no chunks directory under {out_dir}")
     sidecar = uio.join(out_dir, "symbols.json")
     sidecar = sidecar if uio.exists(sidecar) else None
     files = [p for p, _ in uio.walk_files(chunks_dir) if p.endswith(".parquet")]
+    sampled = sample < 1.0
+    if sampled:
+        import hashlib
+
+        den = 1 << 20
+        cut = int(sample * den)
+        files = [
+            p
+            for p in files
+            if int.from_bytes(
+                hashlib.md5(b"fsck:" + p.encode()).digest()[:4], "big"
+            )
+            % den
+            < cut
+        ]
+        if not files:
+            raise ValueError(
+                f"fsck sample {sample} selected zero of the sink's files — "
+                "raise the rate"
+            )
     parts = (
         ray.data.read_parquet(files, include_paths=True)
         .map_batches(
@@ -2619,8 +2653,9 @@ def fsck(out_dir: str, *, batch_chunks: int = 4, strict: bool = True) -> dict:
             tot[k] += int(r[k])
         if r["detail"]:
             details.append(str(r["detail"]))
+    tot["sampled"] = sampled
     man = Manifest(out_dir).totals()
-    for k in ("n_chunks", "n_rows", "n_tokens"):
+    for k in () if sampled else ("n_chunks", "n_rows", "n_tokens"):
         if int(man.get(k, -1)) != tot[k]:
             tot["violations"] += 1
             details.append(
